@@ -1,0 +1,177 @@
+"""Deduplication operators for large-scale training-data pipelines
+(beyond-reference extension, BASELINE.json north star).
+
+Four tiers, each scale-designed:
+
+- **exact**: hash-groupBy on a content fingerprint — one shuffle on
+  md5(text), no text comparison.
+- **MinHash + LSH**: shingle → k minhashes → band → bucket-join.
+  Candidate generation never compares all O(n²) pairs: docs meet only
+  inside an LSH band bucket (shuffle keyed on band signature).
+- **exact n-gram Jaccard**: verified similarity, computed ONLY for
+  LSH candidate pairs (the scale path: candidates ≪ n²).
+- **SimHash**: 32-bit sign-random-projection fingerprint per doc;
+  near-dups differ in few bits.
+
+Determinism: all hashing is md5-hex (identical across engines and
+runs); minhash_i(s) = min over shingles of md5("{i}:{s}") — the
+lexicographic min of a uniform hex hash is a valid uniform min-hash
+and needs no engine-specific integer hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def content_fingerprint(text: Column) -> Column:
+    """md5 content hash for exact dedup (identical in DuckDB)."""
+    return F.md5(text.cast("binary"))
+
+
+def exact_dedup_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-level exact-dup census: total docs, distinct contents,
+    duplicate count. Single aggregate over the md5 fingerprint."""
+    fp = content_fingerprint(F.col(text_col))
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(fp).alias("n_unique"),
+    )
+    return agg.select(
+        "n_docs", "n_unique", (F.col("n_docs") - F.col("n_unique")).alias("n_duplicates")
+    )
+
+
+def char_shingles(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Distinct character k-gram shingles per document:
+    ``(doc_id, shingle)``. explode(sequence) + substring — all
+    JVM-side; output is |text|·distinct rows, partitioned by doc."""
+    pos = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.length("_text") - (k - 1), F.lit(1)))
+    ).alias("pos")
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        .select("doc_id", "_text", pos)
+        .select("doc_id", F.expr(f"substring(_text, pos, {k})").alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signature(shingles: DataFrame, num_hashes: int = 12) -> DataFrame:
+    """MinHash signature ``(doc_id, i, mh)`` for i in 0..k-1:
+    mh_i = MIN(md5(i || ':' || shingle)).
+
+    One groupBy(doc_id, i) after a k-way sequence explode — shuffle
+    volume k·|shingles|, combinable map-side (MIN)."""
+    i = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i")
+    hashed = shingles.select("doc_id", i, F.col("shingle")).select(
+        "doc_id",
+        "i",
+        F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("shingle")).cast("binary")).alias("h"),
+    )
+    return hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+
+
+def band_signatures(minhash: DataFrame, rows_per_band: int = 3) -> DataFrame:
+    """LSH banding: ``(doc_id, band, sig)`` where sig = md5 of the
+    band's concatenated minhashes (in hash-index order — made
+    deterministic by sorting the collected (i, mh) structs)."""
+    banded = minhash.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("i", "mh"))), lambda s: s["mh"]
+    )
+    return banded.groupBy("doc_id", "band").agg(
+        F.md5(F.array_join(ordered, "|").cast("binary")).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Candidate pairs = distinct doc pairs sharing any band bucket.
+    Self-join keyed on (band, sig) — each bucket is tiny, so the join
+    output is ~Σ bucket² ≪ n²; skewed buckets are split by AQE."""
+    left = bands.select(F.col("band"), F.col("sig"), F.col("doc_id").alias("doc_a"))
+    right = bands.select(F.col("band").alias("_b"), F.col("sig").alias("_s"), F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(
+            right,
+            (F.col("band") == F.col("_b"))
+            & (F.col("sig") == F.col("_s"))
+            & (F.col("doc_a") < F.col("doc_b")),
+            "inner",
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def estimated_jaccard(minhash: DataFrame, candidates: DataFrame, num_hashes: int = 12) -> DataFrame:
+    """Minhash-estimated Jaccard for candidate pairs: fraction of the
+    k hash slots that agree."""
+    a = minhash.select(F.col("doc_id").alias("doc_a"), "i", F.col("mh").alias("mh_a"))
+    b = minhash.select(
+        F.col("doc_id").alias("_db"), F.col("i").alias("_i"), F.col("mh").alias("mh_b")
+    )
+    joined = candidates.join(a, "doc_a").join(
+        b, (F.col("doc_b") == F.col("_db")) & (F.col("i") == F.col("_i")), "inner"
+    )
+    return joined.groupBy("doc_a", "doc_b").agg(
+        (F.sum((F.col("mh_a") == F.col("mh_b")).cast("int")) / F.lit(float(num_hashes))).alias(
+            "est_jaccard"
+        )
+    )
+
+
+def exact_jaccard(shingles: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard, computed only for candidate pairs.
+
+    |A∩B| via an equi-join of the two shingle sets restricted to
+    candidates; |A|,|B| from per-doc counts; J = i / (a + b − i)."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shingles.select(F.col("doc_id").alias("_db"), F.col("shingle").alias("_sh"))
+    inter = (
+        candidates.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("_db")) & (F.col("shingle") == F.col("_sh")), "inner")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash32(tokens: DataFrame, id_col: str = "doc_id", token_col: str = "token") -> DataFrame:
+    """32-bit SimHash per document from distinct tokens.
+
+    For bit j (0..31): nibble = hex digit j//4 of md5(token); bit =
+    (nibble >> (3 − j%4)) & 1; the doc's bit j is the sign of
+    Σ_tokens (2·bit − 1). All-integer arithmetic → engine-portable.
+    """
+    t = tokens.select(F.col(id_col).alias("doc_id"), F.md5(F.col(token_col).cast("binary")).alias("h"))
+    j = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j")
+    exploded = t.select("doc_id", "h", j)
+    nib = F.expr("instr('0123456789abcdef', substring(h, CAST(j / 4 AS INT) + 1, 1)) - 1")
+    bit = F.floor(nib / F.pow(F.lit(2), 3 - F.col("j") % 4)).cast("bigint") % 2
+    contrib = (bit * 2 - 1).alias("contrib")
+    per_bit = exploded.select("doc_id", "j", contrib).groupBy("doc_id", "j").agg(
+        F.sum("contrib").alias("s")
+    )
+    final_bit = F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0))
+    return per_bit.select("doc_id", "j", final_bit.alias("b")).groupBy("doc_id").agg(
+        F.sum(F.col("b") * F.pow(F.lit(2), F.col("j")).cast("bigint")).cast("bigint").alias("simhash")
+    )

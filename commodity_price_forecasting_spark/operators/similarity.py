@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (beyond-reference
+extension, BASELINE.json north star): brute-force cosine top-k as the
+exact baseline, sign-random-projection (hyperplane LSH) bucketing as
+the scale path.
+
+Scale design: brute force is O(n) per query with the query vector
+broadcast — right for one-off queries; the LSH variant buckets the
+corpus ONCE (shuffle on an 8-bit signature) so repeated queries probe
+~n/256 of the data, and near-dup joins meet only within buckets.
+
+Determinism: hyperplane coefficients are ±1 derived from md5 parity
+of (plane, dim) — identical in any engine, no RNG state. Dot products
+use built-in higher-order functions (``zip_with`` + ``aggregate``),
+JVM-side, no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ via zip_with + aggregate (whole-stage codegen)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of one corpus vector.
+
+    The 1-row query side is broadcast; the corpus is scanned once; the
+    top-k is a ``TakeOrderedAndProject`` (heap per partition + driver
+    merge), never a global sort."""
+    q = emb.filter(F.col(id_col) == query_id).select(F.col(vec_col).alias("_qv"))
+    scored = (
+        emb.filter(F.col(id_col) != query_id)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.round(
+                _dot(F.col(vec_col), F.col("_qv"))
+                / (_norm(F.col(vec_col)) * _norm(F.col("_qv"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def hyperplane_sign(vec_col: str, plane: int, dim: int) -> Column:
+    """Deterministic ±1-coefficient hyperplane projection sign for one
+    plane: sign(Σ_d s(plane,d)·v_d) where s = +1 if the first md5
+    nibble of "plane:d" is even else −1."""
+    d = F.col("_d")
+    coeff = F.when(
+        F.expr(
+            f"instr('0123456789abcdef', substring(md5(cast(concat('{plane}', ':', _d) as binary)), 1, 1)) % 2"
+        )
+        == 1,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    return coeff * F.element_at(F.col(vec_col), d).cast("double")
+
+
+def lsh_buckets(
+    emb: DataFrame,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, bucket)``: sign-random-projection bucket id in
+    [0, 2^n_planes). Explode dims once, compute every plane's
+    projection in the same aggregate (n_planes fused sums), then fold
+    sign bits into an integer.
+    """
+    dim = emb.select(F.size(vec_col).alias("_sz")).first()["_sz"]
+    base = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(F.sequence(F.lit(1), F.lit(dim))).alias("_d"),
+    )
+    projections = [
+        F.sum(hyperplane_sign("_v", p, dim)).alias(f"_proj{p}") for p in range(n_planes)
+    ]
+    per_vec = base.groupBy("vec_id").agg(*projections)
+    bucket = sum(
+        (F.col(f"_proj{p}") > 0).cast("bigint") * (2**p) for p in range(n_planes)
+    )
+    return per_vec.select("vec_id", bucket.cast("bigint").alias("bucket"))
+
+
+def bucket_histogram(buckets: DataFrame) -> DataFrame:
+    """Occupancy histogram of the LSH buckets — the index statistic
+    that predicts ANN probe cost."""
+    return buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_vecs"))
+
+
+def near_dup_pairs_cosine(
+    emb: DataFrame,
+    buckets: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, restricted to vectors
+    sharing an LSH bucket (candidates ≪ n²), then exactly verified."""
+    e = emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
+    withb = e.join(buckets, "vec_id")
+    left = withb.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("_v").alias("_va")
+    )
+    right = withb.select(
+        F.col("bucket").alias("_b2"), F.col("vec_id").alias("vec_b"), F.col("_v").alias("_vb")
+    )
+    pairs = left.join(
+        right, (F.col("bucket") == F.col("_b2")) & (F.col("vec_a") < F.col("vec_b")), "inner"
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    return (
+        pairs.select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,134 @@
+"""Text-analysis operators for training-data pipelines
+(beyond-reference extension, BASELINE.json north star): token
+statistics, quality scoring, n-gram language identification, and
+document fingerprinting.
+
+All tokenization is whitespace splitting (the fixture corpus is
+space-separated); every step is built-in-function-only (explode /
+split / groupBy) so the hot path stays JVM-side — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: tiny demo stopword list used by the quality score.
+STOPWORDS = ("the", "a", "of", "and", "in")
+
+
+def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """``(doc_id, pos, token)`` — whitespace tokenization with
+    position (pos is 0-based)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.trim(F.col(text_col)), " +")).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-doc token statistics: count, distinct count, type-token
+    ratio, mean token length — one groupBy over the exploded tokens."""
+    t = tokens(docs)
+    return t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+        F.round(F.countDistinct("token") / F.count(F.lit(1)), 6).alias("ttr"),
+        F.round(F.avg(F.length("token")), 6).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document-quality score in [0,1]: blend of length
+    adequacy, lexical diversity and stopword balance — the standard
+    pre-training corpus filter shape (length/punct/stopword ratios).
+    Pure column arithmetic; deterministic."""
+    t = tokens(docs)
+    stop = F.col("token").isin(*STOPWORDS).cast("int")
+    per_doc = t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+        F.sum(stop).alias("n_stop"),
+    )
+    length_score = F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
+    diversity = F.col("n_distinct") / F.col("n_tokens")
+    stop_ratio = F.col("n_stop") / F.col("n_tokens")
+    stop_score = 1 - F.abs(stop_ratio - F.lit(0.10)) / F.lit(0.9)
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            0.4 * length_score + 0.3 * diversity + 0.3 * stop_score, 6
+        ).alias("quality"),
+    )
+
+
+def langid_predict(docs: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """N-gram-free vocabulary-vote language ID (deterministic integer
+    arithmetic end to end, so the argmaxes are engine-portable):
+
+    1. token→lang map: each token is assigned the language where it
+       occurs most often (ties → lexicographically smallest lang);
+    2. each doc's tokens vote; the doc's prediction is the language
+       with most votes (ties → smallest lang).
+
+    Output ``(doc_id, lang, predicted_lang, correct)``. Self-trained
+    on the corpus — the operator shape (profile build + broadcast
+    join + vote) is what matters for scale, not held-out accuracy.
+    """
+    t = tokens(docs).select("doc_id", "token")
+    labeled = t.join(docs.select("doc_id", lang_col), "doc_id")
+    tl_counts = labeled.groupBy("token", lang_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("token").orderBy(F.desc("cnt"), F.asc(lang_col))
+    token_lang = (
+        tl_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("token", F.col(lang_col).alias("token_lang"))
+    )
+    votes = (
+        t.join(F.broadcast(token_lang), "token")
+        .groupBy("doc_id", "token_lang")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    wv = Window.partitionBy("doc_id").orderBy(F.desc("votes"), F.asc("token_lang"))
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("token_lang").alias("predicted_lang"))
+    )
+    return (
+        docs.select("doc_id", lang_col)
+        .join(pred, "doc_id", "left")
+        .select(
+            "doc_id",
+            lang_col,
+            "predicted_lang",
+            (F.col(lang_col) == F.col("predicted_lang")).cast("int").alias("correct"),
+        )
+    )
+
+
+def word_ngrams(
+    docs: DataFrame, n: int = 4, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """``(doc_id, gram)`` — word n-grams by array indexing over the
+    split token array (no window, no shuffle: the explode happens
+    inside the scan partition)."""
+    arr = F.split(F.trim(F.col(text_col)), " +")
+    base = docs.select(F.col(id_col).alias("doc_id"), arr.alias("l")).filter(
+        F.size("l") >= n
+    )
+    i = F.explode(F.sequence(F.lit(1), F.size("l") - (n - 1))).alias("i")
+    gram = F.concat_ws(" ", *[F.element_at(F.col("l"), F.col("i") + k) for k in range(n)])
+    return base.select("doc_id", "l", i).select("doc_id", gram.alias("gram"))
+
+
+def fingerprint(docs: DataFrame, n: int = 4) -> DataFrame:
+    """Document fingerprint: minimum md5 over word n-grams (min-hash
+    of the rolling n-gram set — a 1-hash winnowing analogue), plus the
+    gram count. Equal fingerprints ⇒ likely near-duplicates."""
+    g = word_ngrams(docs, n)
+    return g.groupBy("doc_id").agg(
+        F.min(F.md5(F.col("gram").cast("binary"))).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_grams"),
+    )

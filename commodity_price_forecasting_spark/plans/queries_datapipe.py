@@ -1,0 +1,367 @@
+"""Training-data-pipeline queries (beyond-reference extension,
+BASELINE.json north star): deduplication, text analysis, similarity
+search over the ``documents`` / ``embeddings`` fixtures.
+
+Oracle portability rule: every pseudo-random quantity is derived from
+md5 hex digests (identical in Spark and DuckDB); every score that
+crosses an ordering or threshold is either integer arithmetic or
+rounded to 6 dp on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from commodity_price_forecasting_spark.operators.dedup import (
+    band_signatures,
+    char_shingles,
+    estimated_jaccard,
+    exact_dedup_summary,
+    exact_jaccard,
+    lsh_candidate_pairs,
+    minhash_signature,
+    simhash32,
+)
+from commodity_price_forecasting_spark.operators.similarity import (
+    bucket_histogram,
+    cosine_topk,
+    lsh_buckets,
+    near_dup_pairs_cosine,
+)
+from commodity_price_forecasting_spark.operators.textops import (
+    fingerprint,
+    langid_predict,
+    quality_score,
+    token_stats,
+    tokens,
+)
+from commodity_price_forecasting_spark.plans.registry import register
+from commodity_price_forecasting_spark.sources.readers import load_table
+
+
+_EXACT_ORACLE = """
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT md5(text)) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT md5(text)) AS n_duplicates
+FROM documents
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_ORACLE, tags=("datapipe", "dedup"))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup census via md5 content fingerprint — one
+    countDistinct over the hash, never over the full text bytes."""
+    return exact_dedup_summary(load_table(spark, sf_dir, "documents"))
+
+
+# Shared CTE: char-5-gram shingles + 12 minhashes + 4 bands of 3.
+_SHINGLE_CTE = """
+WITH pos AS (
+  SELECT doc_id, text,
+         UNNEST(range(1, GREATEST(length(text) - 4, 1) + 1)) AS i
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS shingle FROM pos
+), mh AS (
+  SELECT doc_id, h.i,
+         MIN(md5(CAST(h.i AS VARCHAR) || ':' || shingle)) AS mh
+  FROM sh, generate_series(0, 11) h(i)
+  GROUP BY doc_id, h.i
+), bands AS (
+  SELECT doc_id, CAST(FLOOR(i / 3) AS INTEGER) AS band,
+         md5(string_agg(mh, '|' ORDER BY i)) AS sig
+  FROM mh GROUP BY doc_id, CAST(FLOOR(i / 3) AS INTEGER)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+)
+"""
+
+
+_MINHASH_ORACLE = (
+    _SHINGLE_CTE
+    + """
+SELECT c.doc_a, c.doc_b,
+       SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 12.0 AS est_jaccard
+FROM cand c
+JOIN mh a ON a.doc_id = c.doc_a
+JOIN mh b ON b.doc_id = c.doc_b AND a.i = b.i
+GROUP BY c.doc_a, c.doc_b
+"""
+)
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("datapipe", "dedup", "bench"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: char-5-gram shingles → 12
+    md5-minhashes → 4 bands × 3 rows → bucket self-join → estimated
+    Jaccard per candidate pair. No O(n²) stage anywhere: pairs exist
+    only where a band bucket collides."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = char_shingles(docs, k=5)
+    mh = minhash_signature(sh, num_hashes=12)
+    cand = lsh_candidate_pairs(band_signatures(mh, rows_per_band=3))
+    return estimated_jaccard(mh, cand, num_hashes=12)
+
+
+_NGRAM_JACCARD_ORACLE = (
+    _SHINGLE_CTE
+    + """
+, sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       ROUND(n_inter * 1.0 / (za.sz + zb.sz - n_inter), 6) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+"""
+)
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE, tags=("datapipe", "dedup"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard — verification stage run ONLY on the
+    LSH candidate pairs (the scale path: |candidates| ≪ n²)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = char_shingles(docs, k=5)
+    mh = minhash_signature(sh, num_hashes=12)
+    cand = lsh_candidate_pairs(band_signatures(mh, rows_per_band=3))
+    return exact_jaccard(sh, cand)
+
+
+_SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, md5(tok) AS h FROM (
+    SELECT d.doc_id, UNNEST(string_split(trim(d.text), ' ')) AS tok FROM documents d
+  ) WHERE tok <> ''
+), bits AS (
+  SELECT doc_id, j.j,
+         SUM(2 * (CAST(FLOOR(
+               (strpos('0123456789abcdef', substr(h, CAST(FLOOR(j.j / 4) AS INTEGER) + 1, 1)) - 1)
+               / POWER(2, 3 - j.j % 4)) AS BIGINT) % 2) - 1) AS s
+  FROM toks, generate_series(0, 31) j(j)
+  GROUP BY doc_id, j.j
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("datapipe", "dedup"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints — near-dup docs land within small
+    Hamming distance. All-integer md5-nibble arithmetic (portable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(docs).select("doc_id", "token").distinct()
+    return simhash32(toks)
+
+
+_TOKEN_STATS_ORACLE = """
+WITH t AS (
+  SELECT d.doc_id, UNNEST(string_split(trim(d.text), ' ')) AS token FROM documents d
+)
+SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS n_distinct,
+       ROUND(COUNT(DISTINCT token) * 1.0 / COUNT(*), 6) AS ttr,
+       ROUND(AVG(LENGTH(token)), 6) AS avg_token_len
+FROM t WHERE token <> ''
+GROUP BY doc_id
+"""
+
+
+@register("text_token_stats", oracle=_TOKEN_STATS_ORACLE, tags=("datapipe", "text"))
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counting (count / distinct / type-token ratio /
+    mean length) — one explode + groupBy, all JVM-side."""
+    return token_stats(load_table(spark, sf_dir, "documents"))
+
+
+_QUALITY_ORACLE = """
+WITH t AS (
+  SELECT d.doc_id, UNNEST(string_split(trim(d.text), ' ')) AS token FROM documents d
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS n_distinct,
+         SUM(CASE WHEN token IN ('the','a','of','and','in') THEN 1 ELSE 0 END) AS n_stop
+  FROM t WHERE token <> ''
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(0.4 * LEAST(n_tokens / 50.0, 1.0)
+           + 0.3 * (n_distinct * 1.0 / n_tokens)
+           + 0.3 * (1 - ABS(n_stop * 1.0 / n_tokens - 0.10) / 0.9), 6) AS quality
+FROM per_doc
+"""
+
+
+@register("text_quality_score", oracle=_QUALITY_ORACLE, tags=("datapipe", "text"))
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality filter score (length/diversity/stopword
+    blend) — the pre-training-corpus filter shape as pure
+    expressions."""
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+_LANGID_ORACLE = """
+WITH t AS (
+  SELECT d.doc_id, UNNEST(string_split(trim(d.text), ' ')) AS token FROM documents d
+), tok AS (
+  SELECT doc_id, token FROM t WHERE token <> ''
+), labeled AS (
+  SELECT tok.doc_id, tok.token, d.lang FROM tok JOIN documents d ON d.doc_id = tok.doc_id
+), tl AS (
+  SELECT token, lang, COUNT(*) AS cnt FROM labeled GROUP BY token, lang
+), token_lang AS (
+  SELECT token, lang AS token_lang FROM (
+    SELECT token, lang, ROW_NUMBER() OVER (PARTITION BY token ORDER BY cnt DESC, lang) AS rn
+    FROM tl) x WHERE rn = 1
+), votes AS (
+  SELECT tok.doc_id, token_lang, COUNT(*) AS votes
+  FROM tok JOIN token_lang USING (token)
+  GROUP BY tok.doc_id, token_lang
+), pred AS (
+  SELECT doc_id, token_lang AS predicted_lang FROM (
+    SELECT doc_id, token_lang, ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY votes DESC, token_lang) AS rn
+    FROM votes) x WHERE rn = 1
+)
+SELECT d.doc_id, d.lang, p.predicted_lang,
+       CAST(d.lang = p.predicted_lang AS INTEGER) AS correct
+FROM documents d LEFT JOIN pred p ON p.doc_id = d.doc_id
+"""
+
+
+@register("text_langid", oracle=_LANGID_ORACLE, tags=("datapipe", "text"))
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-vote language ID: build a token→language profile
+    from the corpus (broadcast), have each doc's tokens vote.
+    All-integer ranking with lexicographic tie-breaks — portable."""
+    return langid_predict(load_table(spark, sf_dir, "documents"))
+
+
+_FINGERPRINT_ORACLE = """
+WITH tl AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS l FROM documents
+  WHERE len(string_split(trim(text), ' ')) >= 4
+), idx AS (
+  SELECT doc_id, l, UNNEST(range(1, len(l) - 3 + 1)) AS i FROM tl
+), grams AS (
+  SELECT doc_id,
+         l[CAST(i AS INTEGER)] || ' ' || l[CAST(i AS INTEGER)+1] || ' ' ||
+         l[CAST(i AS INTEGER)+2] || ' ' || l[CAST(i AS INTEGER)+3] AS gram
+  FROM idx
+)
+SELECT doc_id, MIN(md5(gram)) AS fingerprint, COUNT(*) AS n_grams
+FROM grams GROUP BY doc_id
+"""
+
+
+@register("text_fingerprint", oracle=_FINGERPRINT_ORACLE, tags=("datapipe", "text"))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling word-4-gram min-hash fingerprint per document (1-hash
+    winnowing analogue) — equal fingerprints flag likely near-dups."""
+    return fingerprint(load_table(spark, sf_dir, "documents"), n=4)
+
+
+_SIM_TOPK_ORACLE = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id,
+         UNNEST(CAST(e.embedding AS DOUBLE[])) AS a,
+         UNNEST(q.qv) AS b
+  FROM embeddings e, q WHERE e.vec_id <> 0
+), sums AS (
+  SELECT vec_id, SUM(a * b) AS dot, SUM(a * a) AS na, SUM(b * b) AS nb
+  FROM pairs GROUP BY vec_id
+)
+SELECT vec_id, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cosine
+FROM sums ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+@register("sim_topk_bruteforce", oracle=_SIM_TOPK_ORACLE, tags=("datapipe", "similarity", "bench"))
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors of vec_id 0 — broadcast query
+    vector, one corpus scan, heap-based top-k (no global sort).
+    zip_with/aggregate keep the dot product in codegen."""
+    return cosine_topk(load_table(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+_LSH_BUCKET_CTE = """
+WITH dims AS (
+  SELECT vec_id, embedding, UNNEST(range(1, len(embedding) + 1)) AS i
+  FROM embeddings
+), base AS (
+  SELECT vec_id, CAST(i AS INTEGER) AS d,
+         CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) AS v
+  FROM dims
+), proj AS (
+  SELECT vec_id, p.p,
+         SUM(CASE WHEN strpos('0123456789abcdef',
+                              substr(md5(CAST(p.p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 1)) % 2 = 1
+                  THEN v ELSE -v END) AS s
+  FROM base, generate_series(0, 7) p(p)
+  GROUP BY vec_id, p.p
+), buckets AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(POWER(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+)
+"""
+
+
+_SIM_LSH_ORACLE = (
+    _LSH_BUCKET_CTE
+    + """
+SELECT bucket, COUNT(*) AS n_vecs FROM buckets GROUP BY bucket
+"""
+)
+
+
+@register("sim_lsh_buckets", oracle=_SIM_LSH_ORACLE, tags=("datapipe", "similarity"))
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH bucketing (8 md5-derived ±1
+    hyperplanes → 256 buckets) + occupancy histogram — the ANN index
+    build; repeated queries probe one bucket instead of the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return bucket_histogram(lsh_buckets(emb, n_planes=8))
+
+
+_NEAR_DUP_ORACLE = (
+    _LSH_BUCKET_CTE
+    + """
+, pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+), exploded AS (
+  SELECT p.vec_a, p.vec_b,
+         UNNEST(CAST(ea.embedding AS DOUBLE[])) AS x,
+         UNNEST(CAST(eb.embedding AS DOUBLE[])) AS y
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.vec_a
+  JOIN embeddings eb ON eb.vec_id = p.vec_b
+), sums AS (
+  SELECT vec_a, vec_b, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+  FROM exploded GROUP BY vec_a, vec_b
+)
+SELECT vec_a, vec_b, ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cosine
+FROM sums WHERE ROUND(dot / (SQRT(na) * SQRT(nb)), 6) >= 0.3
+"""
+)
+
+
+@register("sim_near_dup_cosine", oracle=_NEAR_DUP_ORACLE, tags=("datapipe", "similarity", "dedup"))
+def sim_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: candidates restricted to
+    same-LSH-bucket vectors (≪ n² pairs), exact cosine verification
+    above threshold."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = lsh_buckets(emb, n_planes=8)
+    return near_dup_pairs_cosine(emb, b, threshold=0.3)

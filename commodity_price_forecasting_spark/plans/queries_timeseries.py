@@ -1,0 +1,323 @@
+"""Time-series operator queries (SURVEY.md §2.5 W1–W6, §2.2 P7–P8,
+§2.8 F7) over the ``events`` fixture in long layout
+(instrument=user_id, day=date(ts)).
+
+Every window partitions by instrument — the scale-critical departure
+from the reference's single global pandas sort (SURVEY.md §4): at
+100 TB each instrument's series fills/shifts/rolls independently
+across executors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from commodity_price_forecasting_spark.functions.signals import trade_signal
+from commodity_price_forecasting_spark.operators.cleaning import ffill_bfill_long
+from commodity_price_forecasting_spark.operators.timeseries import (
+    is_monotonic_increasing,
+    lag_features,
+    rolling_stats,
+)
+from commodity_price_forecasting_spark.plans.e1_pipeline import (
+    E1_ORACLE,
+    daily_bars,
+    e1_flagship,
+    imputed,
+    with_gaps,
+)
+from commodity_price_forecasting_spark.plans.registry import register
+from commodity_price_forecasting_spark.sources.readers import load_table
+
+register("e1_spread_pipeline", oracle=E1_ORACLE, tags=("bench", "flagship"))(e1_flagship)
+
+
+_DAILY_CTE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day,
+         AVG(value) AS px
+  FROM events GROUP BY 1, 2
+), gapped AS (
+  SELECT instrument, day,
+         CASE WHEN EXTRACT(day FROM day) % 7 = 0 THEN NULL ELSE px END AS px_raw
+  FROM daily
+)
+"""
+
+
+_W1_ORACLE = (
+    _DAILY_CTE
+    + """
+SELECT instrument, day, ROUND(px_raw, 6) AS px_raw,
+       ROUND(COALESCE(
+         LAST_VALUE(px_raw IGNORE NULLS) OVER (
+           PARTITION BY instrument ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         FIRST_VALUE(px_raw IGNORE NULLS) OVER (
+           PARTITION BY instrument ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+       ), 6) AS px_filled
+FROM gapped
+"""
+)
+
+
+@register("w1_ffill_bfill", oracle=_W1_ORACLE, tags=("window",))
+def w1_ffill_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill + back-fill imputation per instrument — the
+    reference's ``sort_values.ffill().bfill()`` (MC:57401 (cell 50))
+    as per-key windows (W1)."""
+    gapped = with_gaps(daily_bars(spark, sf_dir))
+    return ffill_bfill_long(
+        gapped,
+        value_col="px_raw",
+        order_cols=("day",),
+        partition_cols=("instrument",),
+        out_col="px_filled",
+    ).select(
+        "instrument",
+        "day",
+        F.round("px_raw", 6).alias("px_raw"),
+        F.round("px_filled", 6).alias("px_filled"),
+    )
+
+
+_W2_ORACLE = (
+    _DAILY_CTE
+    + """
+, lagged AS (
+  SELECT instrument, day, px_raw AS px,
+         CAST((instrument % 4) + 1 AS INTEGER) AS lag
+  FROM gapped WHERE px_raw IS NOT NULL
+)
+SELECT l.instrument, l.day, ROUND(l.px, 6) AS px, l.lag, ROUND(f.px, 6) AS future_px
+FROM lagged l
+JOIN lagged f ON l.instrument = f.instrument AND l.day + l.lag = f.day
+"""
+)
+
+
+@register("w2_heterogeneous_lead", oracle=_W2_ORACLE, tags=("window", "join"))
+def w2_heterogeneous_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row heterogeneous lead — the reference's per-target
+    ``shift(-lag)`` with lag from a mapping row (MC:59845 (cell 67),
+    W2). ``lead(col, k)`` needs constant k, so the scalable form is a
+    self-equi-join on ``(instrument, day + lag)``; the inner join
+    reproduces the post-shift ``dropna``."""
+    gapped = with_gaps(daily_bars(spark, sf_dir))
+    lagged = (
+        gapped.filter(F.col("px_raw").isNotNull())
+        .select(
+            "instrument",
+            "day",
+            F.col("px_raw").alias("px"),
+            ((F.col("instrument") % 4) + 1).cast("int").alias("lag"),
+        )
+    )
+    fut = lagged.select(
+        F.col("instrument").alias("_fi"), F.col("day").alias("_fd"), F.col("px").alias("future_px")
+    )
+    return lagged.join(
+        fut,
+        (F.col("instrument") == F.col("_fi"))
+        & (F.date_add(F.col("day"), F.col("lag")) == F.col("_fd")),
+        "inner",
+    ).select(
+        "instrument",
+        "day",
+        F.round("px", 6).alias("px"),
+        "lag",
+        F.round("future_px", 6).alias("future_px"),
+    )
+
+
+_W3_ORACLE = (
+    _DAILY_CTE
+    + """
+, steps AS (
+  SELECT instrument,
+         CASE WHEN LAG(day) OVER (PARTITION BY instrument ORDER BY day) IS NULL
+                   OR day > LAG(day) OVER (PARTITION BY instrument ORDER BY day)
+              THEN 1 ELSE 0 END AS step_ok
+  FROM daily
+)
+SELECT instrument, CAST(MIN(step_ok) AS BOOLEAN) AS monotonic, COUNT(*) AS n_rows
+FROM steps GROUP BY instrument
+"""
+)
+
+
+@register("w3_monotonic_check", oracle=_W3_ORACLE, tags=("window", "invariant"))
+def w3_monotonic_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict time-monotonicity invariant per instrument — the
+    reference's ``is_monotonic_increasing`` check (MC:57552
+    (cell 58), W3), one of its four standing data invariants."""
+    daily = daily_bars(spark, sf_dir).select("instrument", "day")
+    return is_monotonic_increasing(daily, "day", partition_cols=("instrument",))
+
+
+_W5_ORACLE = (
+    _DAILY_CTE
+    + """
+SELECT instrument, day, ROUND(px, 6) AS px,
+       ROUND(LAG(px, 1) OVER w, 6) AS px_lag1,
+       ROUND(LAG(px, 2) OVER w, 6) AS px_lag2,
+       ROUND(LAG(px, 3) OVER w, 6) AS px_lag3
+FROM daily
+WINDOW w AS (PARTITION BY instrument ORDER BY day)
+"""
+)
+
+
+@register("w5_lag_features", oracle=_W5_ORACLE, tags=("window", "features"))
+def w5_lag_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe lag-feature engineering (README.md:31, W5): k
+    trailing values per instrument as feature columns — one window
+    spec shared by all three lags, single shuffle on instrument."""
+    daily = daily_bars(spark, sf_dir)
+    out = lag_features(
+        daily, "px", order_cols=("day",), partition_cols=("instrument",), lags=(1, 2, 3)
+    )
+    return out.select(
+        "instrument",
+        "day",
+        F.round("px", 6).alias("px"),
+        *[F.round(f"px_lag{k}", 6).alias(f"px_lag{k}") for k in (1, 2, 3)],
+    )
+
+
+_W6_ORACLE = (
+    _DAILY_CTE
+    + """
+SELECT instrument, day, ROUND(px, 6) AS px,
+       ROUND(AVG(px) OVER w, 6)         AS roll_avg,
+       ROUND(STDDEV_SAMP(px) OVER w, 6) AS roll_std,
+       ROUND(MIN(px) OVER w, 6)         AS roll_min,
+       ROUND(MAX(px) OVER w, 6)         AS roll_max
+FROM daily
+WINDOW w AS (PARTITION BY instrument ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+)
+
+
+@register("w6_rolling_stats", oracle=_W6_ORACLE, tags=("window", "features"))
+def w6_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day mean/volatility per instrument (Presentation
+    slide 13, W6) — frame-bounded windows, map-side per key."""
+    daily = daily_bars(spark, sf_dir)
+    out = rolling_stats(
+        daily, "px", order_cols=("day",), partition_cols=("instrument",), window_rows=7
+    )
+    return out.select(
+        "instrument",
+        "day",
+        F.round("px", 6).alias("px"),
+        F.round("roll_avg", 6).alias("roll_avg"),
+        F.round("roll_std", 6).alias("roll_std"),
+        F.round("roll_min", 6).alias("roll_min"),
+        F.round("roll_max", 6).alias("roll_max"),
+    )
+
+
+_P7_ORACLE = (
+    _DAILY_CTE
+    + """
+SELECT instrument, day, ROUND(px, 6) AS px FROM (
+  SELECT instrument, day, px,
+         ROW_NUMBER() OVER (PARTITION BY instrument ORDER BY day DESC) AS rn
+  FROM daily) t
+WHERE rn <= 5
+"""
+)
+
+
+@register("p7_tail_slice", oracle=_P7_ORACLE, tags=("window",))
+def p7_tail_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-5-days history slice per instrument (app.py:481-491, P7)
+    — rank-descending row_number, not a global sort."""
+    daily = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("instrument").orderBy(F.desc("day"))
+    return (
+        daily.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("instrument", "day", F.round("px", 6).alias("px"))
+    )
+
+
+_P8_ORACLE = (
+    _DAILY_CTE
+    + """
+SELECT instrument, day AS last_day, ROUND(px, 6) AS last_px FROM (
+  SELECT instrument, day, px,
+         ROW_NUMBER() OVER (PARTITION BY instrument ORDER BY day DESC) AS rn
+  FROM daily) t
+WHERE rn = 1
+"""
+)
+
+
+@register("p8_last_value", oracle=_P8_ORACLE, tags=("window",))
+def p8_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-instrument latest price — the reference's
+    ``df[f].iloc[-1]`` default-input lookup (app.py:242, P8)."""
+    daily = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("instrument").orderBy(F.desc("day"))
+    return (
+        daily.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "instrument",
+            F.col("day").alias("last_day"),
+            F.round("px", 6).alias("last_px"),
+        )
+    )
+
+
+_F7_ORACLE = (
+    _DAILY_CTE
+    + """
+, pred AS (
+  SELECT instrument,
+         ROUND(AVG(px) FILTER (WHERE EXTRACT(day FROM day) > 15)
+               - AVG(px) FILTER (WHERE EXTRACT(day FROM day) <= 15), 6) AS pred,
+         ROUND(1.0 / (1 + instrument % 10), 6) AS r2
+  FROM daily GROUP BY instrument
+)
+SELECT instrument, pred, r2,
+       CASE WHEN ABS(pred) < 0.3 OR r2 < 0.2 THEN 'WAIT'
+            WHEN pred > 0 THEN 'BUY_A_SELL_B'
+            ELSE 'SELL_A_BUY_B' END AS signal,
+       CASE WHEN r2 >= 0.7 THEN 'High'
+            WHEN r2 >= 0.4 THEN 'Medium'
+            ELSE 'Low' END AS confidence,
+       ROUND(LEAST(ABS(pred) / 0.3, 1.0), 6) AS strength
+FROM pred
+"""
+)
+
+
+@register("f7_trade_signals", oracle=_F7_ORACLE, tags=("scalar", "serving"))
+def f7_trade_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployed signal rule-set (app.py:150-189, F7/F8) as pure
+    CASE expressions over a synthetic month-over-month prediction:
+    WAIT/BUY/SELL + High/Medium/Low confidence + capped strength.
+    Catalyst-visible end to end — no Python UDF."""
+    daily = daily_bars(spark, sf_dir)
+    pred_df = daily.groupBy("instrument").agg(
+        F.round(
+            F.avg(F.when(F.dayofmonth("day") > 15, F.col("px")))
+            - F.avg(F.when(F.dayofmonth("day") <= 15, F.col("px"))),
+            6,
+        ).alias("pred"),
+    ).withColumn("r2", F.round(F.lit(1.0) / (1 + F.col("instrument") % 10), 6))
+    sig = trade_signal(F.col("pred"), F.col("r2"), threshold=0.3, min_confidence=0.2)
+    return pred_df.select(
+        "instrument",
+        "pred",
+        "r2",
+        sig["signal"].alias("signal"),
+        sig["confidence"].alias("confidence"),
+        sig["strength"].alias("strength"),
+    )

@@ -1,0 +1,67 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference executes everything eagerly in one pandas process
+(SURVEY.md §4 — "the reference has none" of an optimizer/executor).
+Here the session is configured so Catalyst/Tungsten/AQE do the heavy
+lifting: adaptive execution for runtime re-planning and skew joins,
+shuffle partitions sized for the local test harness (overridable for
+cluster deployment), Arrow for any pandas interchange, UTC session
+time so results are oracle-comparable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32] test harness; on a real cluster a
+# deployment overrides master / shuffle partitions via env or kwargs.
+_DEFAULT_CONF: dict[str, str] = {
+    # AQE: runtime coalescing of small shuffle partitions, skew-join
+    # splitting, and dynamic broadcast conversion — essential at 100 TB
+    # where static planning guesses wrong.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    # 64 MiB broadcast threshold: every dimension table in this engine
+    # (region/nation/supplier/part, target_pairs) is far below it.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.ui.enabled": "false",
+    "spark.driver.extraJavaOptions": "-Dio.netty.tryReflectionSetAccessible=true",
+}
+
+
+def get_spark(
+    app_name: str = "commodity_price_forecasting_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or
+    ``local[*]``); shuffle partitions default to the core count so
+    local shuffles are neither over- nor under-parallelized. On a
+    cluster, pass ``master=None`` with ``spark.master`` preset and a
+    shuffle-partition count sized to executors × cores.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if master is None:
+        master = os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULT_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

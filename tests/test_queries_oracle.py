@@ -1,0 +1,65 @@
+"""Mirror of the driver's correctness gate: every registered query
+runs on Spark AND its DuckDB oracle on the same parquet fixtures
+(sf0.001 for speed); results must match on row count, column names,
+and order-insensitive values.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from commodity_price_forecasting_spark.plans.registry import load_all
+
+from tests.conftest import SF_SMOKE
+
+REGISTRY = load_all()
+
+
+def _normalize(rows, columns):
+    """Sort columns by name, rows by string form — order-insensitive
+    comparable representation."""
+    idx = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in idx:
+            v = row[i]
+            if isinstance(v, float):
+                if math.isnan(v):
+                    v = "NaN"
+                else:
+                    v = f"{v:.9g}"
+            vals.append(str(v))
+        out.append(tuple(vals))
+    out.sort()
+    return [columns[i] for i in idx], out
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(name, spark, duck):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, SF_SMOKE)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    if spec.oracle is None:
+        assert len(spark_rows) >= 0  # rows-only smoke
+        return
+
+    res = duck.execute(spec.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = [tuple(r) for r in res.fetchall()]
+
+    s_cols, s_vals = _normalize(spark_rows, spark_cols)
+    d_cols, d_vals = _normalize(duck_rows, duck_cols)
+
+    assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_vals) == len(d_vals), (
+        f"{name}: row count {len(s_vals)} vs {len(d_vals)}"
+    )
+    mismatches = [
+        (a, b) for a, b in zip(s_vals, d_vals) if a != b
+    ]
+    assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[:3]}"
