@@ -52,40 +52,53 @@ def char_shingles(
     pos = F.explode(
         F.sequence(F.lit(1), F.greatest(F.length("_text") - (k - 1), F.lit(1)))
     ).alias("pos")
+    # Repartition BEFORE the explode: a small parquet input arrives as
+    # one partition, which would serialize the |text|-fold row blowup
+    # onto one core regardless of cluster size.
+    par = docs.sparkSession.sparkContext.defaultParallelism
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        .repartition(par, "doc_id")
         .select("doc_id", "_text", pos)
         .select("doc_id", F.expr(f"substring(_text, pos, {k})").alias("shingle"))
         .distinct()
     )
 
 
-def minhash_signature(shingles: DataFrame, num_hashes: int = 12) -> DataFrame:
-    """MinHash signature ``(doc_id, i, mh)`` for i in 0..k-1:
-    mh_i = MIN(md5(i || ':' || shingle)).
+def minhash_wide(shingles: DataFrame, num_hashes: int = 12) -> DataFrame:
+    """MinHash signature as ONE wide row per doc:
+    ``(doc_id, mh0..mh{k-1})`` with mh_i = MIN(md5(i || ':' || shingle)).
 
-    One groupBy(doc_id, i) after a k-way sequence explode — shuffle
-    volume k·|shingles|, combinable map-side (MIN)."""
-    i = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("i")
-    hashed = shingles.select("doc_id", i, F.col("shingle")).select(
-        "doc_id",
-        "i",
-        F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col("shingle")).cast("binary")).alias("h"),
-    )
-    return hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+    All k mins are fused aggregates over a single pass of the shingle
+    table — no k-way explode, and the shuffle carries only per-doc
+    partial aggregates (map-side combine), k·32 bytes per doc. At
+    100 TB this is the difference between shuffling k·|corpus
+    shingles| rows and shuffling |docs| rows."""
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")).cast("binary"))
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
 
 
-def band_signatures(minhash: DataFrame, rows_per_band: int = 3) -> DataFrame:
-    """LSH banding: ``(doc_id, band, sig)`` where sig = md5 of the
-    band's concatenated minhashes (in hash-index order — made
-    deterministic by sorting the collected (i, mh) structs)."""
-    banded = minhash.withColumn("band", (F.col("i") / rows_per_band).cast("int"))
-    ordered = F.transform(
-        F.array_sort(F.collect_list(F.struct("i", "mh"))), lambda s: s["mh"]
-    )
-    return banded.groupBy("doc_id", "band").agg(
-        F.md5(F.array_join(ordered, "|").cast("binary")).alias("sig")
-    )
+def band_signatures(
+    wide: DataFrame, num_hashes: int = 12, rows_per_band: int = 3
+) -> DataFrame:
+    """LSH banding from the wide signature: ``(doc_id, band, sig)``,
+    sig = md5 of the band's '|'-joined minhashes. The long unpivot
+    (stack) happens AFTER hashing, so it is b rows per doc, not k."""
+    n_bands = num_hashes // rows_per_band
+    band_cols = []
+    for b in range(n_bands):
+        parts = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.md5(F.concat_ws("|", *parts).cast("binary")).alias(f"band{b}"))
+    sigs = wide.select("doc_id", *band_cols)
+    stack_expr = ", ".join(f"{b}, band{b}" for b in range(n_bands))
+    return sigs.selectExpr(
+        "doc_id", f"stack({n_bands}, {stack_expr}) as (band, sig)"
+    ).select("doc_id", F.col("band").cast("int").alias("band"), "sig")
 
 
 def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
@@ -107,19 +120,31 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
-def estimated_jaccard(minhash: DataFrame, candidates: DataFrame, num_hashes: int = 12) -> DataFrame:
+def estimated_jaccard(
+    wide: DataFrame, candidates: DataFrame, num_hashes: int = 12
+) -> DataFrame:
     """Minhash-estimated Jaccard for candidate pairs: fraction of the
-    k hash slots that agree."""
-    a = minhash.select(F.col("doc_id").alias("doc_a"), "i", F.col("mh").alias("mh_a"))
-    b = minhash.select(
-        F.col("doc_id").alias("_db"), F.col("i").alias("_i"), F.col("mh").alias("mh_b")
+    k signature slots that agree.
+
+    Two joins against the (small, broadcastable) wide signature table
+    and a single row-local sum of k equality bits — no per-hash
+    explode, no aggregation shuffle at all."""
+    a = wide.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(num_hashes)]
     )
-    joined = candidates.join(a, "doc_a").join(
-        b, (F.col("doc_b") == F.col("_db")) & (F.col("i") == F.col("_i")), "inner"
+    b = wide.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(num_hashes)]
     )
-    return joined.groupBy("doc_a", "doc_b").agg(
-        (F.sum((F.col("mh_a") == F.col("mh_b")).cast("int")) / F.lit(float(num_hashes))).alias(
-            "est_jaccard"
+    matches = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int") for i in range(num_hashes)
+    )
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches / F.lit(float(num_hashes))).alias("est_jaccard"),
         )
     )
 

@@ -90,9 +90,12 @@ def lsh_buckets(
     sign bits into an integer.
     """
     dim = emb.select(F.size(vec_col).alias("_sz")).first()["_sz"]
+    par = emb.sparkSession.sparkContext.defaultParallelism
     base = emb.select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("_v"),
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v")
+    ).repartition(par, "vec_id").select(
+        "vec_id",
+        "_v",
         F.explode(F.sequence(F.lit(1), F.lit(dim))).alias("_d"),
     )
     projections = [

@@ -20,10 +20,16 @@ STOPWORDS = ("the", "a", "of", "and", "in")
 def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """``(doc_id, pos, token)`` — whitespace tokenization with
     position (pos is 0-based)."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.trim(F.col(text_col)), " +")).alias("pos", "token"),
-    ).filter(F.col("token") != "")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        .repartition(par, "doc_id")  # parallelize the explode (see dedup.char_shingles)
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim(F.col("_text")), " +")).alias("pos", "token"),
+        )
+        .filter(F.col("token") != "")
+    )
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
@@ -115,8 +121,11 @@ def word_ngrams(
     split token array (no window, no shuffle: the explode happens
     inside the scan partition)."""
     arr = F.split(F.trim(F.col(text_col)), " +")
-    base = docs.select(F.col(id_col).alias("doc_id"), arr.alias("l")).filter(
-        F.size("l") >= n
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), arr.alias("l"))
+        .filter(F.size("l") >= n)
+        .repartition(par, "doc_id")
     )
     i = F.explode(F.sequence(F.lit(1), F.size("l") - (n - 1))).alias("i")
     gram = F.concat_ws(" ", *[F.element_at(F.col("l"), F.col("i") + k) for k in range(n)])

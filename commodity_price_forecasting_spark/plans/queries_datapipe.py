@@ -20,7 +20,7 @@ from commodity_price_forecasting_spark.operators.dedup import (
     exact_dedup_summary,
     exact_jaccard,
     lsh_candidate_pairs,
-    minhash_signature,
+    minhash_wide,
     simhash32,
 )
 from commodity_price_forecasting_spark.operators.similarity import (
@@ -101,9 +101,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     only where a band bucket collides."""
     docs = load_table(spark, sf_dir, "documents")
     sh = char_shingles(docs, k=5)
-    mh = minhash_signature(sh, num_hashes=12)
-    cand = lsh_candidate_pairs(band_signatures(mh, rows_per_band=3))
-    return estimated_jaccard(mh, cand, num_hashes=12)
+    # The signature table is tiny (k hashes x 32B per doc) but costs a
+    # full shingle pass to build - cache it: it feeds banding AND both
+    # sides of the estimate join (3 consumers).
+    wide = minhash_wide(sh, num_hashes=12).cache()
+    cand = lsh_candidate_pairs(band_signatures(wide, num_hashes=12, rows_per_band=3))
+    return estimated_jaccard(wide, cand, num_hashes=12)
 
 
 _NGRAM_JACCARD_ORACLE = (
@@ -131,9 +134,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard — verification stage run ONLY on the
     LSH candidate pairs (the scale path: |candidates| ≪ n²)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = char_shingles(docs, k=5)
-    mh = minhash_signature(sh, num_hashes=12)
-    cand = lsh_candidate_pairs(band_signatures(mh, rows_per_band=3))
+    sh = char_shingles(docs, k=5).cache()
+    wide = minhash_wide(sh, num_hashes=12)
+    cand = lsh_candidate_pairs(band_signatures(wide, num_hashes=12, rows_per_band=3))
     return exact_jaccard(sh, cand)
 
 
