@@ -1,0 +1,128 @@
+"""ML-layer tests: ensemble semantics (weights, in-sample metrics,
+reference parity rules), walk-forward folds, ADF stat correctness,
+serving signal rules.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from commodity_price_forecasting_spark.ml.ensemble import (
+    WEIGHT_FLOOR,
+    run_ensemble,
+)
+from commodity_price_forecasting_spark.ml.serving import default_inputs, predict_signal
+from commodity_price_forecasting_spark.ml.stattests import adf_by_group
+from commodity_price_forecasting_spark.ml.walkforward import expanding_folds, walk_forward
+from commodity_price_forecasting_spark.plans.reference_pipeline import run_e1
+from commodity_price_forecasting_spark.sources.fixtures import make_reference_fixtures
+
+
+@pytest.fixture(scope="module")
+def e1(spark):
+    fx = make_reference_fixtures(spark, n_days=120, n_targets=12, seed=42)
+    return run_e1(fx["train"], fx["train_labels"], fx["target_pairs"], top_k=6)
+
+
+@pytest.fixture(scope="module")
+def ens(e1):
+    target = e1.target_cols[0]
+    return run_ensemble(e1.merged, e1.feature_cols, target)
+
+
+def test_weights_normalized_and_floored(ens):
+    assert abs(sum(ens.weights.values()) - 1.0) < 1e-9
+    for name, m in ens.model_metrics.items():
+        assert ens.weights[name] >= WEIGHT_FLOOR / sum(
+            max(mm["r2"], WEIGHT_FLOOR) for mm in ens.model_metrics.values()
+        )
+        assert m["n"] > 0
+
+
+def test_metrics_match_numpy(ens):
+    """Our aggregate-expression metrics must equal the numpy
+    formulas on the collected predictions."""
+    pdf = ens.predictions.toPandas()
+    y = pdf["label"].to_numpy()
+    p = pdf["pred_ensemble"].to_numpy()
+    mae = float(np.mean(np.abs(y - p)))
+    rmse = float(np.sqrt(np.mean((y - p) ** 2)))
+    r2 = float(1 - ((y - p) ** 2).sum() / ((y - y.mean()) ** 2).sum())
+    dir_acc = float(np.mean(np.sign(y) == np.sign(p)))
+    got = ens.ensemble_metrics
+    assert math.isclose(got["mae"], mae, rel_tol=1e-9)
+    assert math.isclose(got["rmse"], rmse, rel_tol=1e-9)
+    assert math.isclose(got["r2"], r2, rel_tol=1e-6)
+    assert math.isclose(got["dir_acc"], dir_acc, rel_tol=1e-9)
+
+
+def test_ensemble_is_weighted_average(ens):
+    pdf = ens.predictions.toPandas()
+    manual = sum(ens.weights[n] * pdf[f"pred_{n}"] for n in ens.weights)
+    assert np.allclose(manual, pdf["pred_ensemble"], atol=1e-12)
+
+
+def test_rf_in_sample_r2_positive(ens):
+    """In-sample RF (100 trees) should fit the training data far
+    better than chance — the reference's in-sample protocol."""
+    assert ens.model_metrics["random_forest"]["r2"] > 0.3
+
+
+def test_feature_importances_present(ens):
+    imp = ens.feature_importances.get("random_forest")
+    assert imp and abs(sum(v for _, v in imp) - 1.0) < 1e-6
+
+
+def test_expanding_folds_deterministic():
+    folds = expanding_folds(0, 100, 3, 0.5)
+    assert [f.train_end for f in folds] == [50, 66, 82]
+    assert folds[-1].test_end == 100
+    folds2 = expanding_folds(0, 100, 3, 0.5)
+    assert folds == folds2
+
+
+def test_walk_forward_runs(e1):
+    target = e1.target_cols[0]
+
+    def fit_eval(tr, te):
+        if te.count() == 0:
+            return {"r2": float("nan")}
+        r = run_ensemble(tr, e1.feature_cols, target, eval_df=te)
+        return {"r2": r.ensemble_metrics["r2"], "n": r.ensemble_metrics["n"]}
+
+    res = walk_forward(e1.merged, "date_id", fit_eval, n_folds=2)
+    assert len(res) == 2
+    assert all("train_end" in m for m in res)
+
+
+def test_adf_distinguishes_stationary_from_random_walk(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for t in range(400):
+        rows.append((0, t, float(rng.normal())))           # white noise: stationary
+    rw = np.cumsum(rng.normal(size=400))
+    for t in range(400):
+        rows.append((1, t, float(rw[t])))                  # random walk: unit root
+    df = spark.createDataFrame(rows, ["key", "t", "v"])
+    out = {r["key"]: r for r in adf_by_group(df, "key", "t", "v").collect()}
+    assert out[0]["stationary"] is True
+    assert out[0]["adf_stat"] < -5
+    assert out[1]["stationary"] is False
+
+
+def test_serving_signal(spark, e1, ens):
+    target = e1.target_cols[0]
+    inputs = default_inputs(e1.merged, e1.feature_cols)
+    row = predict_signal(
+        spark, ens, e1.feature_cols, target, inputs, threshold=0.6, min_confidence=0.6
+    ).first()
+    assert row["signal"] in ("WAIT", "BUY_A_SELL_B", "SELL_A_BUY_B")
+    assert row["confidence"] in ("High", "Medium", "Low")
+    assert 0.0 <= row["strength"] <= 1.0
+    assert row["leg_a"] in target
+    # parity rule: WAIT whenever |pred| < threshold or avg R2 < min conf
+    if abs(row["prediction"]) < 0.6 or row["avg_r2"] < 0.6:
+        assert row["signal"] == "WAIT"
