@@ -1,0 +1,135 @@
+"""Streaming-surface queries (SURVEY.md §2.10 extension). Each named
+query runs the SAME batch/stream-agnostic transformation from
+``streaming/events_stream.py`` on a batch scan, so the DuckDB oracle
+checks the logic; ``tests/test_streaming.py`` separately proves the
+streaming execution (availableNow) produces identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from commodity_price_forecasting_spark.plans.registry import register
+from commodity_price_forecasting_spark.sources.readers import load_table
+from commodity_price_forecasting_spark.streaming.events_stream import (
+    dedup_events,
+    running_user_stats,
+    session_stats,
+    sliding_stats,
+    tumbling_stats,
+)
+
+_TUMBLING_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("st_tumbling_daily", oracle=_TUMBLING_ORACLE, tags=("streaming", "window"))
+def st_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window stats per event_type — the incremental
+    daily-returns rollup (streaming/events_stream.tumbling_stats)."""
+    return tumbling_stats(load_table(spark, sf_dir, "events"))
+
+
+# Each event falls into the 2-day windows starting at date_trunc(ts)
+# and date_trunc(ts) - 1 day (width 2d, slide 1d).
+_SLIDING_ORACLE = """
+SELECT w.window_start,
+       w.event_type,
+       count(*) AS n_events,
+       round(avg(w.value), 6) AS avg_value
+FROM (
+  SELECT date_trunc('day', ts) - to_days(CAST(g.i AS INTEGER)) AS window_start,
+         event_type, value
+  FROM events
+  CROSS JOIN (SELECT UNNEST(range(2)) AS i) g
+) w
+GROUP BY 1, 2
+"""
+
+
+@register("st_sliding_2d_1d", oracle=_SLIDING_ORACLE, tags=("streaming", "window"))
+def st_sliding_2d_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-day/1-day window stats per event_type."""
+    return sliding_stats(load_table(spark, sf_dir, "events"))
+
+
+# Gaps-and-islands: a new session starts when the previous event of
+# the same user is more than 30 minutes older.
+_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL 30 MINUTE
+              THEN 0 ELSE 1 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT min(ts) AS session_start,
+       user_id,
+       count(*) AS n_events,
+       round(sum(value), 6) AS sum_value
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
+
+@register("st_session_30m", oracle=_SESSION_ORACLE, tags=("streaming", "window"))
+def st_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute-gap session windows (native session_window)."""
+    return session_stats(load_table(spark, sf_dir, "events"))
+
+
+_DEDUP_ORACLE = """
+SELECT count(*) AS n_events, count(DISTINCT event_id) AS n_distinct
+FROM (SELECT DISTINCT ON (event_id) * FROM events ORDER BY event_id)
+"""
+
+
+@register("st_dedup_events", oracle=_DEDUP_ORACLE, tags=("streaming", "dedup"))
+def st_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact event dedup (bounded-state dropDuplicatesWithinWatermark
+    on streams); asserted via count == distinct-count."""
+    from pyspark.sql import functions as F
+
+    deduped = dedup_events(load_table(spark, sf_dir, "events"))
+    return deduped.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_id").alias("n_distinct"),
+    )
+
+
+_RUNNING_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       round(coalesce(sum(value), 0), 6) AS total_value,
+       round(coalesce(sum(value), 0) / count(*), 6) AS mean_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("st_running_user_stats", oracle=_RUNNING_ORACLE, tags=("streaming", "stateful"))
+def st_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final state of the custom stateful per-user running aggregate
+    (applyInPandasWithState on streams == this batch aggregate)."""
+    from pyspark.sql import functions as F
+
+    out = running_user_stats(load_table(spark, sf_dir, "events"))
+    return out.select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 6).alias("total_value"),
+        F.round("mean_value", 6).alias("mean_value"),
+    )

@@ -1,0 +1,222 @@
+"""Structured Streaming surface over the ``events`` fixture
+(SURVEY.md §2.10 — an extension beyond reference parity: the
+reference is batch-only pandas over historical CSVs; a 100 TB
+multi-market pipeline needs incremental ingestion).
+
+Design rule: every transformation here is **batch/stream agnostic** —
+a pure ``DataFrame -> DataFrame`` function usable on both
+``spark.read`` and ``spark.readStream`` inputs. Structured Streaming
+guarantees the incremental execution of the same logical plan, so
+batch == stream on the same data (tested in
+``tests/test_streaming.py`` via ``availableNow`` runs), and the
+DuckDB oracle can check the batch plan (``plans/queries_streaming``).
+
+Scale posture: windowed aggregations shuffle on (window, key) —
+bounded state per watermark; dedup state is bounded by
+``dropDuplicatesWithinWatermark``; sessionization uses Spark's native
+``session_window`` (state merges in the streaming aggregation
+operator, no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: events.parquet physical schema — ``ts`` is TIMESTAMP(NANOS), which
+#: Spark reads as bigint under the legacy nanos conf (see
+#: sources/readers.load_table for the batch-side handling).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # nanos-as-long
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet: the local stand-in
+    for a Kafka/Kinesis ingest. Converts nanos→microsecond timestamp
+    exactly like the batch reader so batch and stream agree."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source requires a directory: scan sf_dir with a
+    # glob filter selecting only the events table.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# --- batch/stream-agnostic transformations ------------------------------
+
+def tumbling_stats(
+    df: DataFrame, width: str = "1 day", watermark: str = "1 day"
+) -> DataFrame:
+    """Tumbling-window per-event-type aggregate of returns/values.
+    Epoch-aligned windows (== ``date_trunc`` for whole-day widths).
+    Watermark bounds streaming state; on batch input it is a no-op."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "avg_value",
+        )
+    )
+
+
+def sliding_stats(
+    df: DataFrame,
+    width: str = "2 days",
+    slide: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Sliding-window (overlapping) aggregate — each event contributes
+    to width/slide windows; Spark expands this in the native window
+    expression (no self-join)."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def session_stats(
+    df: DataFrame, gap: str = "30 minutes", watermark: str = "1 day"
+) -> DataFrame:
+    """Per-user session windows (gap-based): a session extends while
+    consecutive events arrive within ``gap``. Native
+    ``session_window`` — streaming state merges adjacent sessions."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_events(df: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Stateful exact dedup by event_id. On a stream, state is bounded
+    by the watermark (``dropDuplicatesWithinWatermark``); on batch
+    input, plain ``dropDuplicates`` (same result on a bounded set)."""
+    if df.isStreaming:
+        return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return df.dropDuplicates(["event_id"])
+
+
+# --- custom stateful operator (applyInPandasWithState) ------------------
+
+RUNNING_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("total_value", T.DoubleType(), False),
+        T.StructField("mean_value", T.DoubleType(), False),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType(), False),
+        T.StructField("total", T.DoubleType(), False),
+    ]
+)
+
+
+def _update_running_stats(
+    key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-user running (count, sum, mean) across micro-batches — the
+    custom-stateful-operator pattern (e.g. online per-instrument
+    return statistics). Arrow-batched; state is two scalars/user."""
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "mean_value": [total / n if n else 0.0],
+        }
+    )
+
+
+def running_user_stats(df: DataFrame) -> DataFrame:
+    """Streaming: cumulative per-user stats via
+    ``applyInPandasWithState``; batch fallback computes the same with
+    a plain aggregate (final state == batch aggregate)."""
+    if df.isStreaming:
+        return (
+            df.groupBy("user_id")
+            .applyInPandasWithState(
+                _update_running_stats,
+                outputStructType=RUNNING_STATS_SCHEMA,
+                stateStructType=_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+    return df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.coalesce(F.sum("value"), F.lit(0.0)).alias("total_value"),
+        (F.coalesce(F.sum("value"), F.lit(0.0)) / F.count(F.lit(1))).alias(
+            "mean_value"
+        ),
+    )
+
+
+# --- test/driver helper -------------------------------------------------
+
+def run_stream_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "complete"
+) -> None:
+    """Drain a (file-)stream with availableNow into an in-memory table
+    — deterministic end-to-end streaming execution for tests."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
