@@ -1,0 +1,91 @@
+"""Multimodal-pipeline queries: binary media columns with typed
+metadata (operators/multimodal.py). The synthesized media table is
+deterministic arithmetic over ``documents``, so metadata-level
+queries have exact DuckDB oracles; the byte-level decode (mapInPandas
+over the binary payload) is checked rows-only here and value-level in
+``tests/test_multimodal.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from commodity_price_forecasting_spark.operators.multimodal import (
+    FRAME_BYTES,
+    decode_media,
+    media_from_documents,
+    sample_frames,
+)
+from commodity_price_forecasting_spark.plans.registry import register
+from commodity_price_forecasting_spark.sources.readers import load_table
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_from_documents(load_table(spark, sf_dir, "documents"))
+
+
+# media_type: doc_id % 3 -> image/audio/video; n_bytes = utf-8 octets.
+_INVENTORY_ORACLE = """
+SELECT ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+       count(*) AS n_media,
+       sum(octet_length(encode(text))) AS total_bytes,
+       max(16 + octet_length(encode(text)) % 624) AS max_width,
+       round(avg(octet_length(encode(text)) / 1000.0), 6) AS avg_duration_s
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("mm_media_inventory", oracle=_INVENTORY_ORACLE, tags=("multimodal", "agg"))
+def mm_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-media-type inventory over typed metadata only — Catalyst
+    prunes the binary payload out of the scan (metadata queries are
+    free no matter how big the blobs are)."""
+    return (
+        _media(spark, sf_dir)
+        .groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("meta.width").alias("max_width"),
+            F.round(F.avg("meta.duration_s"), 6).alias("avg_duration_s"),
+        )
+    )
+
+
+_FRAMES_ORACLE = f"""
+SELECT media_id,
+       UNNEST(range(0, n_frames, 10)) AS frame_idx
+FROM (
+  SELECT doc_id AS media_id,
+         CAST(floor(octet_length(encode(text)) / {FRAME_BYTES}) AS BIGINT) AS n_frames
+  FROM documents
+  WHERE doc_id % 3 = 2
+) v
+WHERE n_frames > 0
+"""
+
+
+@register("mm_frame_sample", oracle=_FRAMES_ORACLE, tags=("multimodal",))
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-10th-frame sampling of video payloads; the oracle checks
+    the sampled index set (frame bytes are covered by tests)."""
+    return sample_frames(_media(spark, sf_dir), every=10).select(
+        "media_id", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
+
+
+@register("mm_decode_features", oracle=None, tags=("multimodal", "udf"))
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stub-codec decode + 16-bin byte-histogram features via
+    mapInPandas (rows-only driver check; deterministic-value tests in
+    tests/test_multimodal.py)."""
+    out = decode_media(_media(spark, sf_dir))
+    return out.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "checksum",
+        F.round(F.element_at("features", 1), 9).alias("feat_0"),
+    )

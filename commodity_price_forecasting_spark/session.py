@@ -65,3 +65,36 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Ship this package to executors as a zip (``addPyFile``) so
+    closures that reference module-level functions (mapInPandas /
+    applyInPandas operators) unpickle on workers regardless of the
+    driver's cwd/sys.path. Idempotent per SparkContext. On a real
+    cluster this replaces "pip install on every node" for the engine
+    itself; heavy third-party deps still belong in the image.
+    """
+    import zipfile
+
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED_SESSIONS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), f"{pkg_name}_shipped.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)
