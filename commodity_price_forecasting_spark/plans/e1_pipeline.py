@@ -94,10 +94,14 @@ def pair_mapping(daily: DataFrame) -> DataFrame:
     )
 
 
-def spreads(imputed_px: DataFrame, mapping: DataFrame) -> DataFrame:
+def spreads(
+    imputed_px: DataFrame, mapping: DataFrame, round_to: int | None = 6
+) -> DataFrame:
     """spread(pair, day) = px(leg_a, day) − px(leg_b, day). The
     mapping is broadcast; the series is shuffled once on
-    (instrument) for each leg join."""
+    (instrument) for each leg join. ``round_to=None`` keeps the raw
+    double for callers that aggregate further (round once, at the
+    output edge)."""
     m = F.broadcast(mapping)
     a = imputed_px.select(
         F.col("instrument").alias("_ia"), F.col("day"), F.col("px").alias("_pxa")
@@ -112,7 +116,11 @@ def spreads(imputed_px: DataFrame, mapping: DataFrame) -> DataFrame:
             "pair",
             "lag",
             "day",
-            F.round(F.col("_pxa") - F.col("_pxb"), 6).alias("spread"),
+            (
+                F.round(F.col("_pxa") - F.col("_pxb"), round_to)
+                if round_to is not None
+                else (F.col("_pxa") - F.col("_pxb"))
+            ).alias("spread"),
         )
     )
 
