@@ -34,16 +34,45 @@ from commodity_price_forecasting_spark.functions.stats import regression_metrics
 WEIGHT_FLOOR = 0.001  # app.py:137
 
 
-def default_models() -> dict[str, object]:
-    """The deployed trio (app.py:120-123). elasticNetParam 0 → ridge;
-    GBT is available for the README's GradientBoosting variant."""
+def default_models(
+    n_rows: int | None = None,
+    ridge_alpha: float = 1.0,
+    label_std: float | None = None,
+) -> dict[str, object]:
+    """The deployed trio (app.py:120-123).
+
+    Objective-scaling parity: sklearn ``Ridge(alpha)`` minimizes
+    ``RSS + alpha*||w||²``; MLlib minimizes
+    ``RSS/(2n) + regParam*||w||²/2`` (elasticNetParam=0), scales the
+    internal objective by the population label std, and standardizes
+    features inside the penalty by default — so the exact equivalent
+    is ``regParam = alpha * label_std / n_rows`` with
+    ``standardization=False`` (verified to machine precision against
+    the numpy closed form in tests/test_ml.py). Without
+    n_rows/label_std we fall back to regParam=alpha (fine for
+    ranking, wrong for exact parity)."""
+    reg = ridge_alpha * (label_std or 1.0) / n_rows if n_rows else ridge_alpha
     return {
         "linear": LinearRegression(featuresCol="features", labelCol="label"),
         "ridge": LinearRegression(
-            featuresCol="features", labelCol="label", regParam=1.0, elasticNetParam=0.0
+            featuresCol="features",
+            labelCol="label",
+            regParam=reg,
+            elasticNetParam=0.0,
+            standardization=False,
         ),
+        # sklearn RandomForestRegressor defaults: unlimited depth,
+        # max_features=1.0 (all), bootstrap — MLlib's defaults
+        # (maxDepth=5, onethird features) underfit badly vs the
+        # reference; maxDepth=20 covers any node count the reference's
+        # frames can produce (2^20 ≫ rows).
         "random_forest": RandomForestRegressor(
-            featuresCol="features", labelCol="label", numTrees=100, seed=42
+            featuresCol="features",
+            labelCol="label",
+            numTrees=100,
+            seed=42,
+            maxDepth=20,
+            featureSubsetStrategy="all",
         ),
     }
 
@@ -80,7 +109,6 @@ def run_ensemble(
     """Fit every model on ``df``; evaluate on ``eval_df`` (defaults to
     ``df`` = the reference's in-sample protocol); weighted + mean
     ensembles as column expressions."""
-    models = models or default_models()
     assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
 
     base = df.select(
@@ -88,6 +116,13 @@ def run_ensemble(
         F.col(label_col).alias("label"),
         *feature_cols,
     ).cache()
+    if models is None:
+        # one aggregate materializes the cache and supplies (n, σ_y)
+        # for the sklearn-equivalent ridge penalty scaling.
+        stats = base.agg(
+            F.count(F.lit(1)).alias("n"), F.stddev_pop("label").alias("sy")
+        ).first()
+        models = default_models(n_rows=stats["n"], label_std=stats["sy"])
     eval_base = (
         base
         if eval_df is None

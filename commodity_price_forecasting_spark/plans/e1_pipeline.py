@@ -142,11 +142,22 @@ def future_spreads(spread_df: DataFrame) -> DataFrame:
 
 def e1_flagship(spark: SparkSession, sf_dir: str, top_k: int = 8) -> DataFrame:
     """Full E1 spine; returns top-``top_k`` pairs by target variance:
-    (pair, lag, variance, n)."""
-    daily = daily_bars(spark, sf_dir)
-    filled = imputed(with_gaps(daily))
+    (pair, lag, variance, n).
+
+    The DAG references the daily series five times (mapping ×2, leg
+    joins ×2, future self-join ×2 on spreads); without persistence
+    Spark recomputes the full scan+agg subtree for each — 8 scans of
+    the raw events observed in the physical plan. The aggregated
+    intermediates are ~|instruments|×|days| rows (orders of magnitude
+    below the raw input at any scale), so MEMORY_AND_DISK persistence
+    of the three reused frames turns 8 raw scans into 1."""
+    from pyspark import StorageLevel
+
+    daily = daily_bars(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    filled = imputed(with_gaps(daily)).persist(StorageLevel.MEMORY_AND_DISK)
     mapping = pair_mapping(daily)
-    tgt = future_spreads(spreads(filled, mapping))
+    sp = spreads(filled, mapping).persist(StorageLevel.MEMORY_AND_DISK)
+    tgt = future_spreads(sp)
     ranked = (
         tgt.groupBy("pair", "lag")
         .agg(F.round(F.var_samp("y"), 6).alias("variance"), F.count("y").alias("n"))

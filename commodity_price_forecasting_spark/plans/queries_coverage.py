@@ -312,8 +312,18 @@ def m6_ensemble_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     — app.py:120-123) on a supervised frame from the daily series and
     return each model's in-sample metrics + normalized R² weight
     (app.py:137-140). Not SQL-expressible → rows-only driver check;
-    value-level tests live in tests/test_ml.py."""
-    from commodity_price_forecasting_spark.ml.ensemble import run_ensemble
+    value-level tests live in tests/test_ml.py.
+
+    The forest is depth-bounded here: sklearn-parity depth (20) on a
+    10×-reference-sized frame inflates the fitted model past a
+    default 1 GiB driver heap; depth 10 keeps the model ~1000 nodes/
+    tree while exercising the identical pipeline."""
+    from pyspark.ml.regression import RandomForestRegressor
+
+    from commodity_price_forecasting_spark.ml.ensemble import (
+        default_models,
+        run_ensemble,
+    )
 
     daily = daily_bars(spark, sf_dir)
     w = Window.partitionBy("instrument").orderBy("day")
@@ -327,7 +337,17 @@ def m6_ensemble_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropna()
     )
-    res = run_ensemble(sup, ["f_lag1", "f_lag2", "f_ma5"], "label")
+    stats = sup.agg(F.count(F.lit(1)).alias("n"), F.stddev_pop("label").alias("sy")).first()
+    models = default_models(n_rows=stats["n"], label_std=stats["sy"])
+    models["random_forest"] = RandomForestRegressor(
+        featuresCol="features",
+        labelCol="label",
+        numTrees=100,
+        seed=42,
+        maxDepth=10,
+        featureSubsetStrategy="all",
+    )
+    res = run_ensemble(sup, ["f_lag1", "f_lag2", "f_ma5"], "label", models=models)
     rows = [
         (
             name,

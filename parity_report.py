@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Reference-parity report: run this engine's MLlib ensemble
+(ml/ensemble.run_ensemble — the reference's app.py:115-148 semantics)
+over the reference's own serving artifact ``df_transformed.csv`` for
+every spread target, and write PARITY.md comparing against the
+published numbers in BASELINE.md.
+
+Protocol notes (SURVEY.md §3 E3): models are fit on the FULL frame
+and scored IN-SAMPLE — the reference's deliberate serving contract
+(app.py:129-133). The published Methodology-tab table (MAE 0.0162 /
+R² 0.7227 for Ensemble-Weighted-Top3, app.py:601-607) came from the
+team's offline held-out evaluation in notebooks that are missing from
+the repo, so it is NOT reproducible bit-for-bit; what IS exactly
+reproducible — and verified here — is the estimator math (OLS/Ridge
+closed-form equivalence, tests/test_ml.py) and the weighting rule.
+
+Usage: python parity_report.py [path/to/df_transformed.csv]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from commodity_price_forecasting_spark.ml.ensemble import run_ensemble
+from commodity_price_forecasting_spark.session import get_spark
+
+DEFAULT_ARTIFACT = "/root/reference/Data/df_transformed.csv"
+
+PUBLISHED = {  # BASELINE.md / app.py:601-607
+    "Ensemble-Mean-Top3": {"mae": 0.0172, "rmse": 0.0247, "r2": 0.6716, "dir_acc": 0.7840},
+    "Ensemble-Weighted-Top3": {"mae": 0.0162, "rmse": 0.0228, "r2": 0.7227, "dir_acc": 0.8028},
+}
+
+
+def main() -> None:
+    path = sys.argv[1] if len(sys.argv) > 1 else DEFAULT_ARTIFACT
+    if not os.path.exists(path):
+        print(f"artifact not found: {path}", file=sys.stderr)
+        sys.exit(1)
+
+    spark = get_spark(app_name="cpf-parity")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    # column classification by name predicate (app.py:96-97, P2)
+    feature_cols = [
+        c for c, t in df.dtypes if " - " not in c and c != "date_id" and t == "double"
+    ]
+    target_cols = [c for c in df.columns if " - " in c]
+    df = df.na.drop(subset=feature_cols).cache()
+    n = df.count()
+    print(f"{n} rows, {len(feature_cols)} features, {len(target_cols)} targets")
+
+    per_target = []
+    t0 = time.time()
+    for tgt in target_cols:
+        sub = df.na.drop(subset=[tgt])
+        res = run_ensemble(sub, feature_cols, tgt)
+        per_target.append(
+            {
+                "target": tgt,
+                "weighted": res.ensemble_metrics,
+                "mean": res.mean_metrics,
+                "weights": res.weights,
+                "per_model_r2": {k: v["r2"] for k, v in res.model_metrics.items()},
+            }
+        )
+        print(
+            f"  {tgt[:55]:55s} wR2={res.ensemble_metrics['r2']:.4f} "
+            f"wMAE={res.ensemble_metrics['mae']:.5f}"
+        )
+
+    def avg(key: str, which: str) -> float:
+        return sum(t[which][key] for t in per_target) / len(per_target)
+
+    lines = [
+        "# PARITY — MLlib ensemble vs the reference's published numbers",
+        "",
+        f"Input: `{path}` ({n} rows × {len(feature_cols)} features × "
+        f"{len(target_cols)} spread targets — the reference's own serving artifact).",
+        "",
+        "Protocol: fit LinearRegression + Ridge(α=1.0, sklearn-objective-exact "
+        "regParam scaling) + RandomForest(100 trees, seed 42) on the full frame, "
+        "score in-sample, weight by max(R², 0.001) normalized — app.py:115-148 "
+        "reimplemented on MLlib (ml/ensemble.py). Averages are unweighted means "
+        "over all targets.",
+        "",
+        "| Ensemble | metric | published (BASELINE.md) | this engine (in-sample, all targets) |",
+        "|---|---|---|---|",
+    ]
+    for name, which in (("Ensemble-Mean-Top3", "mean"), ("Ensemble-Weighted-Top3", "weighted")):
+        pub = PUBLISHED[name]
+        for m in ("mae", "rmse", "r2", "dir_acc"):
+            lines.append(
+                f"| {name} | {m} | {pub[m]} | {avg(m, which):.4f} |"
+            )
+    lines += [
+        "",
+        "Published numbers are the team's offline **held-out** evaluation "
+        "(source notebooks missing from the repo, see SURVEY.md §0); this "
+        "engine's numbers are the reference's **in-sample serving protocol** "
+        "(app.py:129-133), hence higher R². The estimator math itself is "
+        "verified exact: MLlib OLS and the rescaled Ridge reproduce the "
+        "numpy/sklearn closed form to machine precision "
+        "(tests/test_ml.py::test_linear_and_ridge_match_closed_form).",
+        "",
+        "## Per-target weighted-ensemble metrics",
+        "",
+        "| target | R² | MAE | RMSE | dir. acc. | w_linear | w_ridge | w_rf |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for t in per_target:
+        w = t["weighted"]
+        lines.append(
+            f"| {t['target']} | {w['r2']:.4f} | {w['mae']:.5f} | {w['rmse']:.5f} "
+            f"| {w['dir_acc']:.4f} | {t['weights']['linear']:.3f} "
+            f"| {t['weights']['ridge']:.3f} | {t['weights']['random_forest']:.3f} |"
+        )
+    lines.append("")
+    lines.append(f"Generated by parity_report.py in {time.time() - t0:.0f}s.")
+
+    with open("PARITY.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"\nwrote PARITY.md ({time.time() - t0:.0f}s)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -126,3 +126,38 @@ def test_serving_signal(spark, e1, ens):
     # parity rule: WAIT whenever |pred| < threshold or avg R2 < min conf
     if abs(row["prediction"]) < 0.6 or row["avg_r2"] < 0.6:
         assert row["signal"] == "WAIT"
+
+
+def test_linear_and_ridge_match_closed_form(spark):
+    """MLlib OLS must equal the numpy normal-equation solution, and
+    the n-scaled ridge must equal sklearn's Ridge(alpha=1) objective
+    solved in closed form ((Xc'Xc + alpha*I)w = Xc'y on centered
+    data, unpenalized intercept) — the reference's exact estimators
+    (app.py:120-122)."""
+    rng = np.random.default_rng(11)
+    n, k = 200, 3
+    X = rng.normal(size=(n, k))
+    beta = np.array([1.5, -2.0, 0.5])
+    y = X @ beta + 0.7 + rng.normal(scale=0.1, size=n)
+    pdf = {f"f{i}": X[:, i] for i in range(k)}
+    pdf["label"] = y
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame(pdf))
+    res = run_ensemble(df, [f"f{i}" for i in range(k)], "label")
+
+    # numpy OLS
+    A = np.column_stack([np.ones(n), X])
+    coef_ols = np.linalg.lstsq(A, y, rcond=None)[0]
+    got_lin = res.fitted["linear"].stages[-1]
+    assert np.allclose(got_lin.coefficients.toArray(), coef_ols[1:], atol=1e-8)
+    assert math.isclose(got_lin.intercept, coef_ols[0], abs_tol=1e-8)
+
+    # numpy ridge, sklearn objective: RSS + alpha*||w||^2, alpha=1
+    Xc = X - X.mean(axis=0)
+    yc = y - y.mean()
+    w = np.linalg.solve(Xc.T @ Xc + 1.0 * np.eye(k), Xc.T @ yc)
+    b0 = y.mean() - X.mean(axis=0) @ w
+    got_ridge = res.fitted["ridge"].stages[-1]
+    assert np.allclose(got_ridge.coefficients.toArray(), w, atol=1e-6)
+    assert math.isclose(got_ridge.intercept, b0, abs_tol=1e-6)
