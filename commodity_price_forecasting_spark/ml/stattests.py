@@ -70,3 +70,105 @@ def adf_by_group(
     return df.select(key_col, time_col, value_col).groupBy(key_col).applyInPandas(
         _per_group, schema=schema
     )
+
+
+#: approximate 5% critical value for the constant-level KPSS test
+KPSS_CRIT_5PCT = 0.463
+
+
+def _kpss_stat(y: np.ndarray, n_lags: int | None = None) -> float:
+    """KPSS level-stationarity statistic (constant regression):
+    η = Σ_t S_t² / (n² · σ̂²_lr) with S_t the partial sums of the
+    demeaned series and σ̂²_lr the Bartlett/Newey-West long-run
+    variance — the same formula statsmodels' ``kpss(reg='c')`` uses
+    with a fixed lag."""
+    y = y[~np.isnan(y)]
+    n = len(y)
+    if n < 10:
+        return float("nan")
+    if n_lags is None:
+        n_lags = int(np.ceil(12.0 * (n / 100.0) ** 0.25))  # Schwert rule
+    e = y - y.mean()
+    s = np.cumsum(e)
+    lrv = e @ e / n
+    for lag in range(1, n_lags + 1):
+        w = 1.0 - lag / (n_lags + 1.0)
+        lrv += 2.0 * w * (e[lag:] @ e[:-lag]) / n
+    if lrv <= 0:
+        return float("nan")
+    return float((s @ s) / (n * n * lrv))
+
+
+def kpss_by_group(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    n_lags: int | None = None,
+) -> DataFrame:
+    """KPSS test per key: ``(key, kpss_stat, n, stationary)``. Note
+    the inverted hypothesis vs ADF: KPSS's null IS stationarity, so
+    ``stationary`` means the statistic stays BELOW the critical
+    value. Same applyInPandas distribution as :func:`adf_by_group`."""
+
+    def _per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col)
+        stat = _kpss_stat(pdf[value_col].to_numpy(dtype=float), n_lags)
+        return pd.DataFrame(
+            {
+                key_col: [pdf[key_col].iloc[0]],
+                "kpss_stat": [stat],
+                "n": [len(pdf)],
+                "stationary": [bool(stat < KPSS_CRIT_5PCT) if stat == stat else False],
+            }
+        )
+
+    schema = f"{key_col} long, kpss_stat double, n long, stationary boolean"
+    return df.select(key_col, time_col, value_col).groupBy(key_col).applyInPandas(
+        _per_group, schema=schema
+    )
+
+
+def ar_forecast_by_group(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    order: int = 2,
+    horizon: int = 3,
+) -> DataFrame:
+    """Per-series AR(p) forecaster — the engine's stand-in for the
+    reference's SARIMAX surface (M5, slides 21-22; statsmodels is not
+    in this container). Fits y_t = c + Σ φᵢ y_{t-i} by OLS per group
+    and iterates ``horizon`` steps ahead: ``(key, step, forecast)``.
+    Deterministic numpy; one Arrow batch per series — the
+    embarrassingly-parallel per-instrument layout (SURVEY.md §7)."""
+
+    def _per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col)
+        y = pdf[value_col].to_numpy(dtype=float)
+        y = y[~np.isnan(y)]
+        key = pdf[key_col].iloc[0]
+        if len(y) < order + 5:
+            return pd.DataFrame({key_col: [], "step": [], "forecast": []}).astype(
+                {key_col: "int64", "step": "int64", "forecast": "float64"}
+            )
+        X = np.column_stack(
+            [np.ones(len(y) - order)]
+            + [y[order - i : len(y) - i] for i in range(1, order + 1)]
+        )
+        beta, *_ = np.linalg.lstsq(X, y[order:], rcond=None)
+        hist = list(y[-order:])
+        out = []
+        for step in range(1, horizon + 1):
+            nxt = beta[0] + sum(
+                beta[i] * hist[-i] for i in range(1, order + 1)
+            )
+            out.append((key, step, float(nxt)))
+            hist.append(nxt)
+        return pd.DataFrame(out, columns=[key_col, "step", "forecast"])
+
+    schema = f"{key_col} long, step long, forecast double"
+    return df.select(key_col, time_col, value_col).groupBy(key_col).applyInPandas(
+        _per_group, schema=schema
+    )

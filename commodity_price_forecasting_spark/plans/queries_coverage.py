@@ -360,3 +360,44 @@ def m6_ensemble_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "model STRING, weight DOUBLE, r2 DOUBLE, mae DOUBLE"
     )
+
+
+@register("m11_stationarity_tests", oracle=None, tags=("ml", "stats"))
+def m11_stationarity_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADF + KPSS per instrument over the daily series (M11,
+    MC:34 cell 1 / README.md:29) — statsmodels-free numpy math
+    distributed per-group with applyInPandas; joined into one
+    verdict table. Not SQL-expressible → rows-only driver check;
+    statistical-power tests live in tests/test_ml.py."""
+    from commodity_price_forecasting_spark.ml.stattests import (
+        adf_by_group,
+        kpss_by_group,
+    )
+
+    daily = daily_bars(spark, sf_dir).select(
+        F.col("instrument"), F.col("day"), F.col("px")
+    )
+    adf = adf_by_group(daily, "instrument", "day", "px").select(
+        "instrument",
+        F.round("adf_stat", 6).alias("adf_stat"),
+        F.col("stationary").alias("adf_stationary"),
+    )
+    kpss = kpss_by_group(daily, "instrument", "day", "px").select(
+        F.col("instrument").alias("_i"),
+        F.round("kpss_stat", 6).alias("kpss_stat"),
+        F.col("stationary").alias("kpss_stationary"),
+    )
+    return adf.join(kpss, adf.instrument == kpss._i, "inner").drop("_i")
+
+
+@register("m5_ar_forecast", oracle=None, tags=("ml", "timeseries"))
+def m5_ar_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-instrument AR(2) 3-step forecast (M5 SARIMAX stand-in,
+    slides 21-22) — deterministic numpy OLS per series via
+    applyInPandas. Rows-only check (3 rows per instrument)."""
+    from commodity_price_forecasting_spark.ml.stattests import ar_forecast_by_group
+
+    daily = daily_bars(spark, sf_dir)
+    return ar_forecast_by_group(
+        daily, "instrument", "day", "px", order=2, horizon=3
+    ).select("instrument", "step", F.round("forecast", 6).alias("forecast"))

@@ -161,3 +161,41 @@ def test_linear_and_ridge_match_closed_form(spark):
     got_ridge = res.fitted["ridge"].stages[-1]
     assert np.allclose(got_ridge.coefficients.toArray(), w, atol=1e-6)
     assert math.isclose(got_ridge.intercept, b0, abs_tol=1e-6)
+
+
+def test_kpss_distinguishes_stationary_from_random_walk(spark):
+    from commodity_price_forecasting_spark.ml.stattests import kpss_by_group
+
+    rng = np.random.default_rng(7)
+    rows = [(0, t, float(rng.normal())) for t in range(400)]
+    rw = np.cumsum(rng.normal(size=400))
+    rows += [(1, t, float(rw[t])) for t in range(400)]
+    df = spark.createDataFrame(rows, ["key", "t", "v"])
+    out = {r["key"]: r for r in kpss_by_group(df, "key", "t", "v").collect()}
+    # KPSS null IS stationarity: small stat => stationary
+    assert out[0]["stationary"] is True
+    assert out[1]["stationary"] is False
+    assert out[1]["kpss_stat"] > out[0]["kpss_stat"]
+
+
+def test_ar_forecast_recovers_ar_process(spark):
+    """AR(1) with phi=0.8: the fitted per-group forecaster must
+    converge geometrically toward the process mean."""
+    from commodity_price_forecasting_spark.ml.stattests import ar_forecast_by_group
+
+    rng = np.random.default_rng(3)
+    y = [0.0]
+    for _ in range(600):
+        y.append(10.0 * 0.2 + 0.8 * y[-1] + rng.normal(scale=0.05))
+    rows = [(1, t, float(v)) for t, v in enumerate(y)]
+    df = spark.createDataFrame(rows, ["key", "t", "v"])
+    fc = {
+        r["step"]: r["forecast"]
+        for r in ar_forecast_by_group(df, "key", "t", "v", order=1, horizon=5).collect()
+    }
+    assert len(fc) == 5
+    last = y[-1]
+    # each step pulls toward mean 10 by factor ~0.8
+    for step in range(1, 6):
+        expected = 10.0 + (0.8 ** step) * (last - 10.0)
+        assert abs(fc[step] - expected) < 0.2
