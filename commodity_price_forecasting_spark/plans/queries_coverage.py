@@ -401,3 +401,43 @@ def m5_ar_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ar_forecast_by_group(
         daily, "instrument", "day", "px", order=2, horizon=3
     ).select("instrument", "step", F.round("forecast", 6).alias("forecast"))
+
+
+# --- A3 quartiles: exact percentiles with a DuckDB oracle ----------------
+
+_QUANTILE_ORACLE = """
+SELECT 'l_quantity' AS col_name,
+       ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_quantity, 0.50), 6) AS p50,
+       ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice',
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6),
+       ROUND(quantile_cont(l_extendedprice, 0.50), 6),
+       ROUND(quantile_cont(l_extendedprice, 0.75), 6)
+FROM lineitem
+"""
+
+
+@register("a3_quantile_summary", oracle=_QUANTILE_ORACLE, tags=("profiling",))
+def a3_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quartiles per column (pandas describe()'s
+    25/50/75%, MC:24031 cell 6) via Spark's exact ``percentile``
+    aggregate — matches DuckDB quantile_cont bit-for-bit. The
+    approximate one-pass variant (percentile_approx / t-digest) is
+    the 100 TB path (operators/profiling.quantile_summary); exact
+    percentile is the oracle-checkable fidelity form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pieces = []
+    for c in ("l_quantity", "l_extendedprice"):
+        qs = F.percentile(F.col(c), F.lit([0.25, 0.5, 0.75]))
+        pieces.append(
+            li.agg(
+                F.lit(c).alias("col_name"),
+                F.round(qs.getItem(0), 6).alias("p25"),
+                F.round(qs.getItem(1), 6).alias("p50"),
+                F.round(qs.getItem(2), 6).alias("p75"),
+            )
+        )
+    return pieces[0].unionAll(pieces[1])

@@ -84,3 +84,92 @@ def test_stateful_running_stats_matches_batch(spark, events_batch):
         check_names=False,
     )
     assert (merged["total_value_got"] - merged["total_value_want"]).abs().max() < 1e-9
+
+
+def test_stateful_ops_across_multiple_microbatches(spark, tmp_path_factory):
+    """True incremental execution: split the events fixture into 6
+    files and stream them one-per-trigger, so watermarked dedup and
+    the applyInPandasWithState operator update state across SIX
+    micro-batches — not one availableNow mega-batch."""
+    from pyspark.sql import functions as F
+
+    from commodity_price_forecasting_spark.streaming.events_stream import (
+        EVENTS_RAW_SCHEMA,
+        dedup_events,
+        running_user_stats,
+        tumbling_stats,
+    )
+
+    src = str(tmp_path_factory.mktemp("events_parts"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{SF_DIR}/events.parquet")
+    # contiguous time-range file split => each later file carries
+    # strictly later timestamps, so watermark advancement between
+    # micro-batches never misclassifies replayed data as late
+    from pyspark.sql import Window
+
+    n_rows = raw.count()
+    rn = F.row_number().over(Window.orderBy("ts"))
+    raw.withColumn(
+        "bucket", (((rn - 1) * 6) / F.lit(n_rows)).cast("int")
+    ).write.partitionBy("bucket").mode("overwrite").parquet(src)
+
+    def stream():
+        s = (
+            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    batch = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    # stateful dedup: duplicate the stream against itself
+    q = (
+        dedup_events(stream().union(stream()))
+        .writeStream.format("memory")
+        .queryName("mb_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("mb_dedup").count() == batch.count()
+
+    # windowed agg: complete-mode result after 6 incremental batches
+    q = (
+        tumbling_stats(stream())
+        .writeStream.format("memory")
+        .queryName("mb_tumbling")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        tuple(r) for r in spark.table("mb_tumbling").collect()
+    )
+    want = sorted(tuple(r) for r in tumbling_stats(batch).collect())
+    assert got == want
+
+    # custom stateful operator: final per-user state == batch aggregate
+    q = (
+        running_user_stats(stream())
+        .writeStream.format("memory")
+        .queryName("mb_running")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got_pdf = spark.table("mb_running").toPandas()
+    n_updates_per_user = got_pdf.groupby("user_id").size()
+    assert n_updates_per_user.max() > 1  # state really updated across batches
+    final = (
+        got_pdf.sort_values("n_events").groupby("user_id").last().reset_index()
+    )
+    want_pdf = running_user_stats(batch).toPandas().sort_values("user_id")
+    merged = final.merge(want_pdf, on="user_id", suffixes=("_got", "_want"))
+    assert (merged["n_events_got"] == merged["n_events_want"]).all()
+    assert (merged["total_value_got"] - merged["total_value_want"]).abs().max() < 1e-9
