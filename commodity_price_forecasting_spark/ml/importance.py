@@ -1,0 +1,65 @@
+"""Model-agnostic feature attribution (SURVEY.md §2.9 M12/M13).
+
+The reference ships RandomForest impurity importances (app.py:566-582)
+— covered by ``EnsembleResult.feature_importances`` — and a SHAP
+analysis notebook (README.md:53, notebook missing, shap not in this
+container). The engine's stand-in is **permutation importance**: the
+metric degradation when one feature's values are decoupled from the
+rows. Fully distributed and deterministic:
+
+- the "permutation" is a rotation by ``n//2 + 1`` positions over a
+  deterministic row numbering — a valid derangement-like permutation
+  with no RNG, so results are reproducible across runs/engines;
+- each feature costs one join + one model.transform + one aggregate
+  over the eval frame; nothing is collected but K scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from commodity_price_forecasting_spark.functions.stats import regression_metrics
+
+
+def _rotated(df: DataFrame, col: str, order_col: str) -> DataFrame:
+    """Replace ``col`` with the value from the row ``n//2 + 1``
+    positions later (cyclically) in ``order_col`` order."""
+    n = df.count()
+    shift = n // 2 + 1
+    w = Window.orderBy(order_col)
+    base = df.withColumn("_rn", F.row_number().over(w))
+    donor = base.select(
+        ((F.col("_rn") - 1 + shift) % n + 1).alias("_rn_from"),
+        F.col(col).alias("_donated"),
+    )
+    return (
+        base.join(donor, base["_rn"] == donor["_rn_from"], "inner")
+        .drop(col, "_rn", "_rn_from")
+        .withColumnRenamed("_donated", col)
+    )
+
+
+def permutation_importance(
+    model,
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    id_col: str = "_row_id",
+    metric: str = "rmse",
+) -> list[tuple[str, float]]:
+    """``[(feature, importance)]`` sorted descending, where importance
+    = metric(permuted) − metric(baseline) for error metrics (higher =
+    more important). ``model`` is a fitted PipelineModel whose
+    assembler consumes ``feature_cols``."""
+    df = df.cache()
+    base_row = regression_metrics(
+        model.transform(df), label_col, "prediction"
+    ).first()
+    baseline = base_row[metric]
+    out = []
+    for c in feature_cols:
+        scored = model.transform(_rotated(df, c, id_col))
+        m = regression_metrics(scored, label_col, "prediction").first()[metric]
+        out.append((c, float(m - baseline)))
+    return sorted(out, key=lambda t: -t[1])

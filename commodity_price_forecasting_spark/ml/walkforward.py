@@ -62,3 +62,78 @@ def walk_forward(
         m["test_end"] = fold.test_end
         results.append(m)
     return results
+
+
+def walk_forward_grid_search(
+    df: DataFrame,
+    time_col: str,
+    feature_cols: list[str],
+    label_col: str,
+    estimator=None,
+    param_grid=None,
+    n_folds: int = 3,
+    min_train_frac: float = 0.5,
+    metric: str = "rmse",
+) -> dict:
+    """Hyper-parameter search under walk-forward evaluation (M9: the
+    reference's GridSearchCV + TimeSeriesSplit, slide 24's
+    "Ridge_Tuned"). MLlib's CrossValidator shuffles rows randomly —
+    leakage for time series — so the grid (built with MLlib's own
+    ``ParamGridBuilder``) is evaluated inside the deterministic
+    expanding-window loop instead: every candidate trains on each
+    fold's past and scores on its future.
+
+    Returns ``{"best_params", "best_score", "results"}`` where
+    results has one row per (candidate, fold). Fold filters are
+    cheap predicates over one cached DataFrame; candidates × folds
+    fits run sequentially on the driver, each a distributed job."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+    from pyspark.ml.tuning import ParamGridBuilder
+
+    if estimator is None:
+        estimator = LinearRegression(featuresCol="features", labelCol=label_col)
+    if param_grid is None:
+        param_grid = (
+            ParamGridBuilder()
+            .addGrid(estimator.regParam, [0.0, 0.01, 0.1, 1.0])
+            .addGrid(estimator.elasticNetParam, [0.0, 1.0])
+            .build()
+        )
+
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    evaluator = RegressionEvaluator(
+        labelCol=label_col, predictionCol="prediction", metricName=metric
+    )
+    bigger_is_better = evaluator.isLargerBetter()
+
+    results = []
+    best = None
+    for params in param_grid:
+        est = estimator.copy(params)
+        pipe = Pipeline(stages=[assembler, est])
+
+        def fit_eval(tr: DataFrame, te: DataFrame) -> dict:
+            if te.isEmpty():
+                return {"score": float("nan")}
+            model = pipe.fit(tr)
+            return {"score": float(evaluator.evaluate(model.transform(te)))}
+
+        folds = walk_forward(df, time_col, fit_eval, n_folds, min_train_frac)
+        scores = [f["score"] for f in folds if f["score"] == f["score"]]
+        mean_score = sum(scores) / len(scores) if scores else float("nan")
+        readable = {p.name: v for p, v in params.items()}
+        results.append({"params": readable, "mean_score": mean_score, "folds": folds})
+        if mean_score == mean_score and (
+            best is None
+            or (mean_score > best[1] if bigger_is_better else mean_score < best[1])
+        ):
+            best = (readable, mean_score)
+
+    return {
+        "best_params": best[0] if best else None,
+        "best_score": best[1] if best else float("nan"),
+        "results": results,
+    }

@@ -139,3 +139,63 @@ def near_dup_pairs_cosine(
         pairs.select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+):
+    """IVF (inverted-file) coarse quantization: KMeans the corpus into
+    ``k`` cells; ANN search then probes only the closest cell(s)
+    instead of the full corpus — the classic alternative to LSH as
+    the 100 TB scale path. Returns ``(assigned_df, centers)`` where
+    ``assigned_df`` adds a ``cell`` column and ``centers`` is the
+    k×dim python list (broadcast-sized: k·dim floats).
+
+    MLlib KMeans does the clustering distributed; the per-row cell
+    assignment afterwards is a pure column expression over the
+    broadcast centers (no Python in the scan path)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = vectors.withColumn("_v", array_to_vector(F.col(vec_col)))
+    km = KMeans(k=k, seed=seed, featuresCol="_v", predictionCol="cell")
+    model = km.fit(with_vec)
+    assigned = model.transform(with_vec).drop("_v")
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centers
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centers: list[list[float]],
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k cosine neighbours of ``query`` probing only the
+    ``n_probe`` nearest IVF cells — the scan prunes to
+    ~n_probe/k of the corpus (cell pruning pushes into the
+    partition filter when the corpus is written bucketed by cell)."""
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    probe = sorted(range(len(centers)), key=lambda c: -cos(centers[c], query))[:n_probe]
+    q = F.array(*[F.lit(float(x)) for x in query])
+    sim = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    return (
+        assigned.filter(F.col("cell").isin(probe))
+        .select(id_col, "cell", F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

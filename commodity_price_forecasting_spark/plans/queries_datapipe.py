@@ -368,3 +368,24 @@ def sim_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     b = lsh_buckets(emb, n_planes=8)
     return near_dup_pairs_cosine(emb, b, threshold=0.3)
+
+
+@register("sim_ivf_topk", oracle=None, tags=("datapipe", "similarity"))
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned ANN: KMeans(16) coarse cells, probe the 2 cells
+    nearest the query, exact cosine inside the probed cells only —
+    the inverted-file scale path next to the LSH-bucket variant.
+    KMeans is not SQL-expressible → rows-only driver check; recall
+    vs the exact brute force is asserted in tests/test_similarity_ivf.py."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    assigned, centers = ivf_assign(emb.filter(F.col("vec_id") != 0), k=16)
+    return ivf_topk(assigned, centers, qvec, k=10, n_probe=2)

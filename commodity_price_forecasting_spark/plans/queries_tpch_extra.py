@@ -273,3 +273,34 @@ def cube_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --- salted skew join: identical semantics to the plain join ------------
+
+_SALTED_ORACLE = """
+SELECT o.o_orderpriority,
+       count(*) AS n_lines,
+       ROUND(SUM(l.l_extendedprice), 2) AS total_price
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("skew_salted_join", oracle=_SALTED_ORACLE, tags=("join", "skew"))
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lineitem⋈orders join executed through the explicit salting
+    operator (operators/joins.salted_join, 8 salts): a hot orderkey
+    spreads over 8 reducers. The oracle is the plain SQL join —
+    salting must be semantically invisible."""
+    from commodity_price_forecasting_spark.operators.joins import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    joined = salted_join(li, o, ["l_orderkey"], n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )

@@ -199,3 +199,71 @@ def test_ar_forecast_recovers_ar_process(spark):
     for step in range(1, 6):
         expected = 10.0 + (0.8 ** step) * (last - 10.0)
         assert abs(fc[step] - expected) < 0.2
+
+
+def test_walk_forward_grid_search_picks_sane_params(spark):
+    """On a clean linear process, the walk-forward grid must prefer
+    low regularization (OLS fits exactly; heavy ridge/lasso bias)."""
+    from commodity_price_forecasting_spark.ml.walkforward import (
+        walk_forward_grid_search,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 300
+    x1 = rng.normal(size=n)
+    x2 = rng.normal(size=n)
+    y = 2.0 * x1 - 1.0 * x2 + rng.normal(scale=0.01, size=n)
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"t": range(n), "x1": x1, "x2": x2, "label": y})
+    )
+    out = walk_forward_grid_search(
+        df, "t", ["x1", "x2"], "label", n_folds=2, metric="rmse"
+    )
+    assert out["best_params"]["regParam"] <= 0.01
+    assert out["best_score"] < 0.05
+    assert len(out["results"]) == 8  # 4 regParam x 2 elasticNet
+    for r in out["results"]:
+        assert len(r["folds"]) == 2
+
+
+def test_permutation_importance_ranks_signal_over_noise(spark):
+    """A feature with real signal must out-rank a pure-noise feature,
+    and permuting noise must barely change the metric."""
+    import pandas as pd
+
+    from commodity_price_forecasting_spark.ml.importance import (
+        permutation_importance,
+    )
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    rng = np.random.default_rng(9)
+    n = 400
+    signal = rng.normal(size=n)
+    noise = rng.normal(size=n)
+    y = 3.0 * signal + rng.normal(scale=0.05, size=n)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"_row_id": range(n), "f_signal": signal, "f_noise": noise, "label": y}
+        )
+    )
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=["f_signal", "f_noise"], outputCol="features"),
+            LinearRegression(featuresCol="features", labelCol="label"),
+        ]
+    )
+    model = pipe.fit(df)
+    imp = dict(
+        permutation_importance(model, df, ["f_signal", "f_noise"], "label", "_row_id")
+    )
+    assert imp["f_signal"] > 1.0      # breaking the signal wrecks RMSE
+    assert abs(imp["f_noise"]) < 0.05  # noise permutation ~free
+    # determinism
+    imp2 = dict(
+        permutation_importance(model, df, ["f_signal", "f_noise"], "label", "_row_id")
+    )
+    assert imp == imp2
