@@ -267,3 +267,16 @@ def test_permutation_importance_ranks_signal_over_noise(spark):
         permutation_importance(model, df, ["f_signal", "f_noise"], "label", "_row_id")
     )
     assert imp == imp2
+
+
+def test_gbt_variant_fits(e1):
+    """M3 (GradientBoosting, README.md:34): the GBT estimator slots
+    into the same ensemble machinery and fits in-sample."""
+    from commodity_price_forecasting_spark.ml.ensemble import gbt_model
+
+    target = e1.target_cols[0]
+    res = run_ensemble(
+        e1.merged, e1.feature_cols, target, models={"gbt": gbt_model()}
+    )
+    assert res.model_metrics["gbt"]["r2"] > 0.5  # boosted trees, in-sample
+    assert res.weights == {"gbt": 1.0}

@@ -1,0 +1,92 @@
+"""Source-layer tests: defensive serving validation (the reference's
+app.py:99-111 semantics) and the bucketed-table co-located join that
+SCALE.md promises (bucket both sides on the join key → zero exchange
+in the join plan).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from commodity_price_forecasting_spark.sources.readers import load_table
+from commodity_price_forecasting_spark.sources.validation import (
+    EmptyDatasetError,
+    MissingTargetColumnsError,
+    classify_columns,
+    validate_serving_frame,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_validate_serving_frame_happy_path(spark):
+    df = spark.createDataFrame(
+        [(1, 2.0, 3.0, -1.0)],
+        ["date_id", "LME_CA_Close", "US_Stock_HL_adj_close", "LME_CA_Close - US_Stock_HL_adj_close"],
+    )
+    _, features, targets = validate_serving_frame(df)
+    assert features == ["LME_CA_Close", "US_Stock_HL_adj_close"]
+    assert targets == ["LME_CA_Close - US_Stock_HL_adj_close"]
+
+
+def test_validate_rejects_empty(spark):
+    df = spark.createDataFrame([], "date_id INT, `A - B` DOUBLE")
+    with pytest.raises(EmptyDatasetError):
+        validate_serving_frame(df)
+
+
+def test_validate_rejects_missing_targets(spark):
+    df = spark.createDataFrame([(1, 2.0)], ["date_id", "LME_CA_Close"])
+    with pytest.raises(MissingTargetColumnsError):
+        validate_serving_frame(df)
+
+
+def test_classify_ignores_string_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "x", 2.0, 0.5)], ["date_id", "note", "LME_CA_Close", "A - B"]
+    )
+    features, targets = classify_columns(df)
+    assert features == ["LME_CA_Close"]
+    assert targets == ["A - B"]
+
+
+def test_bucketed_tables_join_without_exchange(spark, tmp_path_factory):
+    """Write orders and lineitem bucketed by the join key: the join
+    plan must contain NO shuffle exchange — the co-located join
+    SCALE.md relies on for repeated fact-to-fact joins at 100 TB."""
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+
+    try:
+        li = load_table(spark, SF_DIR, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        )
+        o = load_table(spark, SF_DIR, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+            "path", f"{wh}/b_lineitem"
+        ).saveAsTable("b_lineitem")
+        o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+            "path", f"{wh}/b_orders"
+        ).saveAsTable("b_orders")
+
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            spark.table("b_lineitem").l_orderkey == spark.table("b_orders").o_orderkey,
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan[:2000]
+        # and the join still computes the right thing
+        n = joined.count()
+        li2 = load_table(spark, SF_DIR, "lineitem")
+        o2 = load_table(spark, SF_DIR, "orders")
+        want = li2.join(o2, li2.l_orderkey == o2.o_orderkey).count()
+        assert n == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
