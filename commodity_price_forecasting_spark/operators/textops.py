@@ -141,3 +141,48 @@ def fingerprint(docs: DataFrame, n: int = 4) -> DataFrame:
         F.min(F.md5(F.col("gram").cast("binary"))).alias("fingerprint"),
         F.count(F.lit(1)).alias("n_grams"),
     )
+
+
+def tf_idf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_doc_freq: int = 2,
+) -> DataFrame:
+    """Exact TF-IDF in pure DataFrame ops — ``(doc_id, token, tf,
+    df, idf, tf_idf)``. Unlike MLlib's HashingTF (hash-bucketed,
+    collision-lossy), this keeps real tokens so the output is
+    SQL-oracle-checkable and directly usable for keyword extraction.
+
+    Plan shape: tokenize → explode (one shuffle on (doc, token) for
+    TF) → token-level DF aggregate joined back (broadcast when the
+    vocabulary is small, shuffle otherwise — Catalyst/AQE decide).
+    idf = ln((N+1)/(df+1)) + 1 (smoothed, sklearn convention)."""
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^\w\s]", " ")), r"\s+")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    n_docs = docs.count()
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_tbl = (
+        tf.groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_doc_freq)
+    )
+    idf = F.log((F.lit(float(n_docs)) + 1) / (F.col("df") + 1)) + 1
+    return (
+        tf.join(df_tbl, "token")
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(idf, 6).alias("idf"),
+            F.round(F.col("tf") * idf, 6).alias("tf_idf"),
+        )
+    )

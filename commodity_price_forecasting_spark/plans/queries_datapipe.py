@@ -389,3 +389,36 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     assigned, centers = ivf_assign(emb.filter(F.col("vec_id") != 0), k=16)
     return ivf_topk(assigned, centers, qvec, k=10, n_probe=2)
+
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split_regex(
+           lower(regexp_replace(text, '[^a-zA-Z0-9_ \\t\\n]', ' ', 'g')),
+           '\\s+')) AS token
+  FROM documents
+), toks2 AS (
+  SELECT doc_id, token FROM toks WHERE token <> ''
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks2 GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, count(DISTINCT doc_id) AS df
+  FROM tf GROUP BY token HAVING count(DISTINCT doc_id) >= 2
+), n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT t.doc_id, t.token, t.tf, d.df,
+       ROUND(ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1, 6) AS idf,
+       ROUND(t.tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1), 6) AS tf_idf
+FROM tf t JOIN dfreq d USING (token) CROSS JOIN n
+"""
+
+
+@register("text_tfidf", oracle=_TFIDF_ORACLE, tags=("datapipe", "text"))
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-level TF-IDF (smoothed sklearn idf) over the
+    corpus — the keyword-extraction / relevance-weighting surface;
+    MLlib's HashingTF+IDF is the hashed alternative at vocabulary
+    scales where exact tokens no longer fit."""
+    from commodity_price_forecasting_spark.operators.textops import tf_idf
+
+    return tf_idf(load_table(spark, sf_dir, "documents"), min_doc_freq=2)
