@@ -280,3 +280,44 @@ def test_gbt_variant_fits(e1):
     )
     assert res.model_metrics["gbt"]["r2"] > 0.5  # boosted trees, in-sample
     assert res.weights == {"gbt": 1.0}
+
+
+def test_standard_scaler_pipeline_is_ols_invariant(spark):
+    """M10: VectorAssembler -> StandardScaler -> LinearRegression.
+    OLS is affine-invariant, so scaled and unscaled pipelines must
+    produce identical predictions (machine precision) while the
+    scaled model's coefficients live in standardized units."""
+    import pandas as pd
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    rng = np.random.default_rng(13)
+    n = 150
+    X = rng.normal(loc=5.0, scale=[1.0, 10.0], size=(n, 2))
+    y = X @ np.array([2.0, -0.3]) + 1.0 + rng.normal(scale=0.01, size=n)
+    df = spark.createDataFrame(
+        pd.DataFrame({"f0": X[:, 0], "f1": X[:, 1], "label": y})
+    )
+    va = VectorAssembler(inputCols=["f0", "f1"], outputCol="raw")
+    scaled_pipe = Pipeline(
+        stages=[
+            va,
+            StandardScaler(inputCol="raw", outputCol="features", withMean=True, withStd=True),
+            LinearRegression(featuresCol="features", labelCol="label"),
+        ]
+    ).fit(df)
+    plain_pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=["f0", "f1"], outputCol="features"),
+            LinearRegression(featuresCol="features", labelCol="label"),
+        ]
+    ).fit(df)
+    ps = scaled_pipe.transform(df).select("prediction").toPandas()["prediction"]
+    pp = plain_pipe.transform(df).select("prediction").toPandas()["prediction"]
+    assert np.allclose(ps, pp, atol=1e-8)
+    # scaled coefficients = raw coefficients * feature stds
+    stds = X.std(axis=0, ddof=1)
+    raw_coef = np.array(plain_pipe.stages[-1].coefficients)
+    scaled_coef = np.array(scaled_pipe.stages[-1].coefficients)
+    assert np.allclose(scaled_coef, raw_coef * stds, rtol=1e-6)

@@ -173,3 +173,41 @@ def test_stateful_ops_across_multiple_microbatches(spark, tmp_path_factory):
     merged = final.merge(want_pdf, on="user_id", suffixes=("_got", "_want"))
     assert (merged["n_events_got"] == merged["n_events_want"]).all()
     assert (merged["total_value_got"] - merged["total_value_want"]).abs().max() < 1e-9
+
+
+def test_parquet_sink_with_checkpoint_is_exactly_once(spark, tmp_path_factory):
+    """Durable streaming sink: writeStream to parquet with a
+    checkpoint. Restarting the finished query against the same
+    checkpoint must be a no-op (exactly-once file-source progress
+    tracking) — re-running adds zero duplicate rows."""
+    from pyspark.sql import functions as F
+
+    from commodity_price_forecasting_spark.streaming.events_stream import (
+        read_events_stream,
+    )
+
+    out = str(tmp_path_factory.mktemp("stream_out"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+
+    def run_once():
+        q = (
+            read_events_stream(spark, SF_DIR)
+            .select("event_id", "ts", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_batch = load_table(spark, SF_DIR, "events").count()
+    first = spark.read.parquet(out)
+    assert first.count() == n_batch
+
+    run_once()  # same checkpoint: source offsets already consumed
+    again = spark.read.parquet(out)
+    assert again.count() == n_batch  # no duplicates
+    assert again.select("event_id").distinct().count() == n_batch
