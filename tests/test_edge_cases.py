@@ -1,0 +1,127 @@
+"""Edge-case robustness (empty inputs, all-null groups, degenerate
+corpora) plus hypothesis property tests for the pure-python kernels
+(fast — no Spark round-trip per example).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from commodity_price_forecasting_spark.ml.stattests import _adf_stat, _kpss_stat
+from commodity_price_forecasting_spark.operators.cleaning import ffill_bfill_long
+from commodity_price_forecasting_spark.operators.joins import salted_join
+from commodity_price_forecasting_spark.operators.multimodal import (
+    N_FEATURE_BINS,
+    _fake_decode_bytes,
+)
+
+# --- hypothesis: pure-python kernels ------------------------------------
+
+
+@given(st.binary(min_size=0, max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_fake_decode_properties(payload):
+    d = _fake_decode_bytes(payload)
+    assert d["n_bytes"] == len(payload)
+    assert 0 <= d["checksum"] < 2147483647
+    assert len(d["features"]) == N_FEATURE_BINS
+    assert all(f >= 0 for f in d["features"])
+    if payload:
+        assert abs(sum(d["features"]) - 1.0) < 1e-9
+    # determinism
+    assert _fake_decode_bytes(payload) == d
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=0, max_size=80
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_stat_kernels_never_crash(values):
+    y = np.array(values, dtype=float)
+    a = _adf_stat(y, max_lag=2)
+    k = _kpss_stat(y)
+    # short/degenerate series => NaN, never an exception
+    assert isinstance(a, float) and isinstance(k, float)
+
+
+# --- Spark edge cases ---------------------------------------------------
+
+
+def test_ffill_all_null_group_stays_null(spark):
+    pdf = pd.DataFrame(
+        {
+            "g": [1, 1, 1, 2, 2],
+            "t": [0, 1, 2, 0, 1],
+            "v": [None, 5.0, None, None, None],
+        }
+    )
+    out = (
+        ffill_bfill_long(
+            spark.createDataFrame(pdf), "v", ("t",), ("g",), out_col="filled"
+        )
+        .toPandas()
+        .sort_values(["g", "t"])
+    )
+    g1 = out[out["g"] == 1]["filled"].tolist()
+    g2 = out[out["g"] == 2]["filled"].tolist()
+    assert g1 == [5.0, 5.0, 5.0]      # bfill head, ffill tail
+    assert all(pd.isna(v) for v in g2)  # nothing to impute from
+
+
+def test_ffill_is_idempotent(spark):
+    pdf = pd.DataFrame({"g": [1] * 5, "t": range(5), "v": [None, 1.0, None, 3.0, None]})
+    once = ffill_bfill_long(spark.createDataFrame(pdf), "v", ("t",), ("g",))
+    twice = ffill_bfill_long(once, "v", ("t",), ("g",))
+    a = once.toPandas().sort_values("t")["v"].tolist()
+    b = twice.toPandas().sort_values("t")["v"].tolist()
+    assert a == b == [1.0, 1.0, 1.0, 3.0, 3.0]
+
+
+def test_salted_join_empty_and_left_semantics(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": [1, 2, 3], "a": [10, 20, 30]}))
+    empty_right = spark.createDataFrame([], "k INT, b INT")
+    assert salted_join(left, empty_right, ["k"]).count() == 0
+    lj = salted_join(left, empty_right, ["k"], how="left")
+    assert lj.count() == 3  # left rows survive with null b
+    assert lj.filter("b IS NULL").count() == 3
+
+    right = spark.createDataFrame(pd.DataFrame({"k": [1, 1, 2], "b": [7, 8, 9]}))
+    got = sorted(
+        tuple(r) for r in salted_join(left, right, ["k"]).select("k", "a", "b").collect()
+    )
+    want = sorted(tuple(r) for r in left.join(right, "k").select("k", "a", "b").collect())
+    assert got == want  # duplicate keys multiply exactly like a plain join
+
+
+def test_tfidf_min_doc_freq_can_empty_the_output(spark):
+    from commodity_price_forecasting_spark.operators.textops import tf_idf
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["alpha beta", "gamma delta"]})
+    )
+    # no token appears in >= 2 docs
+    assert tf_idf(docs, min_doc_freq=2).count() == 0
+    # and with min_doc_freq=1 every token survives
+    out = tf_idf(docs, min_doc_freq=1)
+    assert out.count() == 4
+    assert out.filter("tf_idf <= 0").count() == 0
+
+
+def test_session_window_single_event_per_user(spark):
+    from commodity_price_forecasting_spark.streaming.events_stream import session_stats
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-05 12:00:00"]),
+            "user_id": [1, 2],
+            "value": [1.5, 2.5],
+        }
+    )
+    out = session_stats(spark.createDataFrame(pdf)).toPandas()
+    assert len(out) == 2
+    assert set(out["n_events"]) == {1}
