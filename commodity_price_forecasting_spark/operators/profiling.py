@@ -97,14 +97,18 @@ def variance_by_group(df: DataFrame, group_cols: Sequence[str], value_col: str) 
 
 def duplicate_row_count(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
     """Duplicate-row count — the reference's ``df.duplicated().sum()``
-    (MC:57490 (cell 55)): total rows minus distinct rows."""
+    (MC:57490 (cell 55)): total rows minus distinct rows, fused into
+    ONE aggregate pass (count + count-distinct over the row struct) —
+    a single scan, no join."""
     proj = df.select(*subset) if subset else df
-    total = proj.agg(F.count(F.lit(1)).alias("_n"))
-    distinct = proj.distinct().agg(F.count(F.lit(1)).alias("_d"))
-    return total.crossJoin(distinct).select(
-        F.col("_n").alias("n_rows"),
-        F.col("_d").alias("n_distinct"),
-        (F.col("_n") - F.col("_d")).alias("n_duplicates"),
+    row = F.struct(*[F.col(c) for c in proj.columns])
+    return proj.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(row).alias("n_distinct"),
+    ).select(
+        "n_rows",
+        "n_distinct",
+        (F.col("n_rows") - F.col("n_distinct")).alias("n_duplicates"),
     )
 
 

@@ -1,0 +1,82 @@
+"""Physical-plan assertions: the SCALE.md claims, checked against
+``executedPlan`` for the real queries — predicate pushdown reaches the
+parquet scan, dimensions broadcast (no sort-merge join in headline
+queries), no cartesian products, and the declared-JVM-only queries
+really contain no Python evaluation node.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from commodity_price_forecasting_spark.plans.registry import load_all
+
+SF_DIR = "/root/testdata/sf0.001"
+
+#: queries whose plan is EXPECTED to contain Python nodes (mapInPandas /
+#: applyInPandas / MLlib fits) — everything else must be pure JVM.
+PYTHON_OK = {
+    "mm_decode_features",
+    "m11_stationarity_tests",
+    "m5_ar_forecast",
+    "m6_ensemble_weights",
+    "sim_ivf_topk",
+}
+#: queries that fit models / write files at plan-build time — too heavy
+#: or side-effectful for a plan-only sweep.
+SKIP_BUILD = {"m6_ensemble_weights", "sim_ivf_topk", "s1_csv_roundtrip"}
+
+
+def _plan(spark, name: str) -> str:
+    spec = load_all()[name]
+    return spec.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushes_filter_and_prunes_columns(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # 7 of 11 lineitem columns needed; the scan schema must not carry the rest
+    assert "l_orderkey" not in plan
+    assert "l_partkey" not in plan
+
+
+def test_q5_broadcasts_every_dimension(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+#: single-row broadcast crossJoin by design (query vector against the
+#: corpus) — a BroadcastNestedLoopJoin whose build side is ONE row is
+#: a per-row closure, not an O(n·m) blowup.
+SINGLE_ROW_BROADCAST_OK = {"sim_topk_bruteforce"}
+
+
+def test_no_cartesian_products_anywhere(spark):
+    for name in load_all():
+        if name in SKIP_BUILD:
+            continue
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        if name not in SINGLE_ROW_BROADCAST_OK:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_declared_jvm_queries_have_no_python_nodes(spark):
+    """The 'UDFs are the slow path' rule, enforced: every query not in
+    PYTHON_OK must be whole-plan JVM (no BatchEvalPython /
+    ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas)."""
+    python_markers = (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+    )
+    offenders = []
+    for name in load_all():
+        if name in SKIP_BUILD or name in PYTHON_OK:
+            continue
+        plan = _plan(spark, name)
+        if any(m in plan for m in python_markers):
+            offenders.append(name)
+    assert offenders == []
