@@ -413,7 +413,7 @@ FROM tf t JOIN dfreq d USING (token) CROSS JOIN n
 """
 
 
-@register("text_tfidf", oracle=_TFIDF_ORACLE, tags=("datapipe", "text"))
+@register("text_tfidf", oracle=_TFIDF_ORACLE, tags=("datapipe", "text", "bench"))
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-level TF-IDF (smoothed sklearn idf) over the
     corpus — the keyword-extraction / relevance-weighting surface;

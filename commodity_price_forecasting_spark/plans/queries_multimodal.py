@@ -37,7 +37,7 @@ GROUP BY 1
 """
 
 
-@register("mm_media_inventory", oracle=_INVENTORY_ORACLE, tags=("multimodal", "agg"))
+@register("mm_media_inventory", oracle=_INVENTORY_ORACLE, tags=("multimodal", "agg", "bench"))
 def mm_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-media-type inventory over typed metadata only — Catalyst
     prunes the binary payload out of the scan (metadata queries are

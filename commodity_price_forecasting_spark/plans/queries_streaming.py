@@ -30,7 +30,7 @@ GROUP BY 1, 2
 """
 
 
-@register("st_tumbling_daily", oracle=_TUMBLING_ORACLE, tags=("streaming", "window"))
+@register("st_tumbling_daily", oracle=_TUMBLING_ORACLE, tags=("streaming", "window", "bench"))
 def st_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-day window stats per event_type — the incremental
     daily-returns rollup (streaming/events_stream.tumbling_stats)."""

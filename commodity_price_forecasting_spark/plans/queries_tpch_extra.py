@@ -177,7 +177,7 @@ ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20
 """
 
 
-@register("q18_large_orders", oracle=_Q18_ORACLE, tags=("join", "agg", "topk"))
+@register("q18_large_orders", oracle=_Q18_ORACLE, tags=("join", "agg", "topk", "bench"))
 def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: orders whose total quantity exceeds 300
     (HAVING), enriched with customer — the aggregate runs FIRST so

@@ -73,6 +73,49 @@ def main() -> None:
             f"wMAE={res.ensemble_metrics['mae']:.5f}"
         )
 
+    # Held-out walk-forward pass: Linear + Ridge only (the published
+    # "Ridge & Linear baseline" row, slide 18, IS a held-out number —
+    # directly comparable, unlike the in-sample table above). RF is
+    # excluded: 19 targets × 3 folds × deep-forest fits is minutes of
+    # runtime for a number the slides don't report per-model.
+    from pyspark.sql import functions as Fn
+
+    from commodity_price_forecasting_spark.ml.ensemble import default_models
+    from commodity_price_forecasting_spark.ml.walkforward import walk_forward
+
+    wf_rows = []
+    for tgt in target_cols:
+        sub = df.na.drop(subset=[tgt])
+
+        def fit_eval(tr, te, _tgt=tgt):
+            if te.isEmpty():
+                return {}
+            stats = tr.agg(
+                Fn.count(Fn.lit(1)).alias("n"), Fn.stddev_pop(_tgt).alias("sy")
+            ).first()
+            models = default_models(n_rows=stats["n"], label_std=stats["sy"])
+            models.pop("random_forest")
+            res = run_ensemble(tr, feature_cols, _tgt, models=models, eval_df=te)
+            return {
+                "r2": res.ensemble_metrics["r2"],
+                "dir_acc": res.ensemble_metrics["dir_acc"],
+                "mae": res.ensemble_metrics["mae"],
+            }
+
+        folds = [m for m in walk_forward(sub, "date_id", fit_eval, n_folds=3) if "r2" in m]
+        if folds:
+            wf_rows.append(
+                {
+                    "target": tgt,
+                    "r2": sum(f["r2"] for f in folds) / len(folds),
+                    "dir_acc": sum(f["dir_acc"] for f in folds) / len(folds),
+                    "mae": sum(f["mae"] for f in folds) / len(folds),
+                }
+            )
+        print(f"  wf {tgt[:50]:50s} dir_acc={wf_rows[-1]['dir_acc']:.3f}")
+    wf_dir_acc = sum(r["dir_acc"] for r in wf_rows) / len(wf_rows)
+    wf_r2 = sum(r["r2"] for r in wf_rows) / len(wf_rows)
+
     def avg(key: str, which: str) -> float:
         return sum(t[which][key] for t in per_target) / len(per_target)
 
@@ -98,6 +141,17 @@ def main() -> None:
                 f"| {name} | {m} | {pub[m]} | {avg(m, which):.4f} |"
             )
     lines += [
+        "",
+        "### Held-out walk-forward (directly comparable protocol)",
+        "",
+        "Linear+Ridge R²-weighted ensemble under 3-fold expanding walk-forward "
+        "(the published 'Ridge & Linear Regression baseline' row is a held-out "
+        "number — BASELINE.md, slide 18):",
+        "",
+        "| metric | published baseline | this engine (walk-forward, all targets) |",
+        "|---|---|---|",
+        f"| directional accuracy | 0.72 | {wf_dir_acc:.4f} |",
+        f"| R² (best single ~0.55 / hybrid ~0.42) | — | {wf_r2:.4f} |",
         "",
         "Published numbers are the team's offline **held-out** evaluation "
         "(source notebooks missing from the repo, see SURVEY.md §0); this "
