@@ -441,3 +441,91 @@ def a3_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return pieces[0].unionAll(pieces[1])
+
+
+@register("a6_dtype_histogram", oracle=None, tags=("profiling", "metadata"))
+def a6_dtype_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dtype histogram (A6, MC:57490 cell 55): counts per Spark type
+    over the lineitem schema. A metadata operation — computed from
+    ``df.schema`` on the driver, zero data scanned (the reference's
+    ``df.dtypes.value_counts()``). Rows-only check by nature."""
+    from collections import Counter
+
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = Counter(f.dataType.simpleString() for f in li.schema.fields)
+    return spark.createDataFrame(
+        sorted(counts.items()), "dtype STRING, n_columns INT"
+    )
+
+
+# --- E2: the EDA fan-out as one long profile table ----------------------
+
+_E2_ORACLE = (
+    _DAILY_CTE
+    + """
+, gapped AS (
+  SELECT instrument, day,
+         CASE WHEN EXTRACT(day FROM day) % 7 = 0 THEN NULL ELSE px END AS px_raw
+  FROM daily
+), lagged AS (
+  SELECT px, LAG(px) OVER (PARTITION BY instrument ORDER BY day) AS px_prev
+  FROM daily
+)
+SELECT 'shape' AS section, 'n_rows' AS key, CAST(count(*) AS DOUBLE) AS value FROM daily
+UNION ALL
+SELECT 'shape', 'n_instruments', CAST(count(DISTINCT instrument) AS DOUBLE) FROM daily
+UNION ALL
+SELECT 'describe', 'mean_px', ROUND(avg(px), 6) FROM daily
+UNION ALL
+SELECT 'describe', 'std_px', ROUND(stddev_samp(px), 6) FROM daily
+UNION ALL
+SELECT 'describe', 'min_px', ROUND(min(px), 6) FROM daily
+UNION ALL
+SELECT 'describe', 'max_px', ROUND(max(px), 6) FROM daily
+UNION ALL
+SELECT 'nulls', 'n_null_px_raw', CAST(count(*) FILTER (WHERE px_raw IS NULL) AS DOUBLE) FROM gapped
+UNION ALL
+SELECT 'corr', 'autocorr_lag1', ROUND(corr(px, px_prev), 6) FROM lagged
+"""
+)
+
+
+@register("e2_eda_profile", oracle=_E2_ORACLE, tags=("profiling", "eda"))
+def e2_eda_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EDA pipeline (SURVEY.md §3 E2, SE cells 71-86) as a
+    fan-out of independent aggregates over ONE cached frame, unioned
+    into a long (section, key, value) profile — shape, describe,
+    null census, lag-1 autocorrelation. Each branch is a separate
+    job over the shared cache, the E2 execution shape."""
+    from commodity_price_forecasting_spark.plans.e1_pipeline import with_gaps
+
+    daily = daily_bars(spark, sf_dir).cache()
+    gapped = with_gaps(daily)
+    w = Window.partitionBy("instrument").orderBy("day")
+    lagged = daily.select("px", F.lag("px").over(w).alias("px_prev"))
+
+    def row(section: str, key: str, value):
+        return F.struct(
+            F.lit(section).alias("section"), F.lit(key).alias("key"), value.alias("value")
+        )
+
+    shape = daily.agg(
+        row("shape", "n_rows", F.count(F.lit(1)).cast("double")).alias("r1"),
+        row(
+            "shape", "n_instruments", F.countDistinct("instrument").cast("double")
+        ).alias("r2"),
+        row("describe", "mean_px", F.round(F.avg("px"), 6)).alias("r3"),
+        row("describe", "std_px", F.round(F.stddev_samp("px"), 6)).alias("r4"),
+        row("describe", "min_px", F.round(F.min("px"), 6)).alias("r5"),
+        row("describe", "max_px", F.round(F.max("px"), 6)).alias("r6"),
+    )
+    shape_long = shape.select(
+        F.explode(F.array(*[F.col(f"r{i}") for i in range(1, 7)])).alias("s")
+    ).select("s.section", "s.key", "s.value")
+    nulls = gapped.agg(
+        F.sum(F.col("px_raw").isNull().cast("double")).alias("value")
+    ).select(F.lit("nulls").alias("section"), F.lit("n_null_px_raw").alias("key"), "value")
+    corr = lagged.agg(F.round(F.corr("px", "px_prev"), 6).alias("value")).select(
+        F.lit("corr").alias("section"), F.lit("autocorr_lag1").alias("key"), "value"
+    )
+    return shape_long.unionAll(nulls).unionAll(corr)
