@@ -24,7 +24,12 @@ from commodity_price_forecasting_spark.functions.stats import regression_metrics
 
 def _rotated(df: DataFrame, col: str, order_col: str) -> DataFrame:
     """Replace ``col`` with the value from the row ``n//2 + 1``
-    positions later (cyclically) in ``order_col`` order."""
+    positions later (cyclically) in ``order_col`` order.
+
+    Scale note: the global row numbering is a single-partition window
+    — fine for evaluation frames (they are sampled/bounded in any
+    importance protocol); for full-corpus attribution, rotate within
+    a partition key instead (pass a composite order_col)."""
     n = df.count()
     shift = n // 2 + 1
     w = Window.orderBy(order_col)

@@ -44,11 +44,19 @@ def exact_dedup_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def char_shingles(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 5
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct character k-gram shingles per document:
-    ``(doc_id, shingle)``. explode(sequence) + substring — all
-    JVM-side; output is |text|·distinct rows, partitioned by doc."""
+    """Character k-gram shingles per document: ``(doc_id, shingle)``.
+    explode(sequence) + substring — all JVM-side.
+
+    ``distinct=True`` gives set semantics (required for exact
+    Jaccard); pass ``distinct=False`` for consumers that are
+    duplicate-invariant — MIN-based minhashing — to skip the
+    full-shingle-table dedup shuffle entirely."""
     pos = F.explode(
         F.sequence(F.lit(1), F.greatest(F.length("_text") - (k - 1), F.lit(1)))
     ).alias("pos")
@@ -56,13 +64,13 @@ def char_shingles(
     # one partition, which would serialize the |text|-fold row blowup
     # onto one core regardless of cluster size.
     par = docs.sparkSession.sparkContext.defaultParallelism
-    return (
+    sh = (
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
         .repartition(par, "doc_id")
         .select("doc_id", "_text", pos)
         .select("doc_id", F.expr(f"substring(_text, pos, {k})").alias("shingle"))
-        .distinct()
     )
+    return sh.distinct() if distinct else sh
 
 
 def minhash_wide(shingles: DataFrame, num_hashes: int = 12) -> DataFrame:

@@ -290,7 +290,12 @@ def s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-scanned copy with an explicit schema. Java's double formatting
     is round-trippable, so the oracle over the parquet source must
     match exactly."""
-    out = os.path.join(tempfile.gettempdir(), "spark_graft_csv_roundtrip")
+    # per-application path: concurrent driver/test sessions must not
+    # overwrite each other's round-trip output mid-read
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_csv_roundtrip_{spark.sparkContext.applicationId}",
+    )
     daily_bars(spark, sf_dir).write.mode("overwrite").option("header", True).csv(out)
     back = spark.read.option("header", True).schema(
         "instrument BIGINT, day DATE, px DOUBLE"

@@ -100,7 +100,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard per candidate pair. No O(n²) stage anywhere: pairs exist
     only where a band bucket collides."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = char_shingles(docs, k=5)
+    # distinct=False: MIN-minhash is duplicate-invariant, so the
+    # shingle-table dedup shuffle is pure waste on this path.
+    sh = char_shingles(docs, k=5, distinct=False)
     # The signature table is tiny (k hashes x 32B per doc) but costs a
     # full shingle pass to build - cache it: it feeds banding AND both
     # sides of the estimate join (3 consumers).

@@ -45,6 +45,15 @@ def main() -> None:
     spark = get_spark(app_name="cpf-parity")
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.option("header", True).option("inferSchema", True).csv(path)
+    # The artifact's date_id carries the reference's nanosecond-epoch
+    # bug (SURVEY.md §1.2): the integer day ids became ns timestamps,
+    # which Spark's microsecond TimestampType truncates to EQUAL
+    # values — the column is useless as a key. The file's physical row
+    # order IS the day order (the reference wrote it sorted), so
+    # restore a numeric index from a single-partition sequential scan.
+    from pyspark.sql import functions as F
+
+    df = df.coalesce(1).withColumn("date_id", F.monotonically_increasing_id())
     # column classification by name predicate (app.py:96-97, P2)
     feature_cols = [
         c for c, t in df.dtypes if " - " not in c and c != "date_id" and t == "double"
