@@ -424,3 +424,25 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from commodity_price_forecasting_spark.operators.textops import tf_idf
 
     return tf_idf(load_table(spark, sf_dir, "documents"), min_doc_freq=2)
+
+
+@register("sketch_hll_distinct", oracle=None, tags=("datapipe", "sketch"))
+def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event_type (Spark 3.5+
+    datasketches ``hll_sketch_agg``) next to the exact count — the
+    sketch path for cardinality at 100 TB, where exact countDistinct
+    shuffles every key and HLL shuffles ~KB-sized sketches that also
+    MERGE across partitions/days (re-aggregatable). Estimates are
+    approximate → rows-only driver check; the ≤5% error bound vs
+    exact is asserted in tests/test_edge_cases.py."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select("event_type", "approx_users", "exact_users")
+    )

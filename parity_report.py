@@ -84,27 +84,47 @@ def main() -> None:
 
     # Held-out walk-forward pass: Linear + Ridge only (the published
     # "Ridge & Linear baseline" row, slide 18, IS a held-out number —
-    # directly comparable, unlike the in-sample table above). RF is
-    # excluded: 19 targets × 3 folds × deep-forest fits is minutes of
-    # runtime for a number the slides don't report per-model.
+    # directly comparable, unlike the in-sample table above). Features
+    # are the reference's documented engineering (README.md:31,
+    # slides 13-14: lags + rolling averages + volatility — the W5/W6
+    # operators) over each target's own history; the artifact's raw
+    # price levels alone walk-forward at ~0.48 dir-acc (no signal),
+    # which is why the team engineered features in the first place.
+    # RF is excluded: 19 targets × 3 folds × deep-forest fits is
+    # minutes of runtime for a number the slides don't report
+    # per-model.
+    from pyspark.sql import Window as W
     from pyspark.sql import functions as Fn
 
     from commodity_price_forecasting_spark.ml.ensemble import default_models
     from commodity_price_forecasting_spark.ml.walkforward import walk_forward
 
     wf_rows = []
+    wf_feats = ["ar1", "ar2", "ar3", "ma5", "vol10"]
+    wo = W.orderBy("date_id")
     for tgt in target_cols:
-        sub = df.na.drop(subset=[tgt])
+        sub = (
+            df.select(
+                "date_id",
+                Fn.col(tgt).alias("label"),
+                Fn.lag(tgt, 1).over(wo).alias("ar1"),
+                Fn.lag(tgt, 2).over(wo).alias("ar2"),
+                Fn.lag(tgt, 3).over(wo).alias("ar3"),
+                Fn.avg(tgt).over(wo.rowsBetween(-5, -1)).alias("ma5"),
+                Fn.stddev_samp(tgt).over(wo.rowsBetween(-10, -1)).alias("vol10"),
+            )
+            .dropna()
+        )
 
-        def fit_eval(tr, te, _tgt=tgt):
+        def fit_eval(tr, te):
             if te.isEmpty():
                 return {}
             stats = tr.agg(
-                Fn.count(Fn.lit(1)).alias("n"), Fn.stddev_pop(_tgt).alias("sy")
+                Fn.count(Fn.lit(1)).alias("n"), Fn.stddev_pop("label").alias("sy")
             ).first()
             models = default_models(n_rows=stats["n"], label_std=stats["sy"])
             models.pop("random_forest")
-            res = run_ensemble(tr, feature_cols, _tgt, models=models, eval_df=te)
+            res = run_ensemble(tr, wf_feats, "label", models=models, eval_df=te)
             return {
                 "r2": res.ensemble_metrics["r2"],
                 "dir_acc": res.ensemble_metrics["dir_acc"],
@@ -153,14 +173,17 @@ def main() -> None:
         "",
         "### Held-out walk-forward (directly comparable protocol)",
         "",
-        "Linear+Ridge R²-weighted ensemble under 3-fold expanding walk-forward "
-        "(the published 'Ridge & Linear Regression baseline' row is a held-out "
-        "number — BASELINE.md, slide 18):",
+        "Linear+Ridge R²-weighted ensemble under 3-fold expanding walk-forward, "
+        "with the reference's documented feature engineering (lags + rolling "
+        "mean + volatility per target, README.md:31 / slides 13-14 — the "
+        "engine's W5/W6 operators). The published 'Ridge & Linear Regression "
+        "baseline' row is a held-out number (BASELINE.md, slide 18); the "
+        "SARIMA+Ridge hybrid's R²≈0.42 is the published held-out R² anchor:",
         "",
-        "| metric | published baseline | this engine (walk-forward, all targets) |",
+        "| metric | published | this engine (walk-forward, all targets) |",
         "|---|---|---|",
-        f"| directional accuracy | 0.72 | {wf_dir_acc:.4f} |",
-        f"| R² (best single ~0.55 / hybrid ~0.42) | — | {wf_r2:.4f} |",
+        f"| directional accuracy (baseline 0.72) | 0.72 | {wf_dir_acc:.4f} |",
+        f"| R² (hybrid ≈0.42) | ≈0.42 | {wf_r2:.4f} |",
         "",
         "Published numbers are the team's offline **held-out** evaluation "
         "(source notebooks missing from the repo, see SURVEY.md §0); this "

@@ -125,3 +125,14 @@ def test_session_window_single_event_per_user(spark):
     out = session_stats(spark.createDataFrame(pdf)).toPandas()
     assert len(out) == 2
     assert set(out["n_events"]) == {1}
+
+
+def test_hll_sketch_within_error_bound(spark):
+    from commodity_price_forecasting_spark.plans.queries_datapipe import (
+        sketch_hll_distinct,
+    )
+
+    rows = sketch_hll_distinct(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert abs(r["approx_users"] - r["exact_users"]) / r["exact_users"] < 0.05
