@@ -151,3 +151,52 @@ def tail_slice(
         return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= n).drop("_rn")
     mx = df.agg(F.max(time_col)).first()[0]
     return df.filter(F.col(time_col) >= F.lit(mx) - (n - 1))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    out_col: str = "asof_value",
+) -> DataFrame:
+    """AS-OF join: for every left row, the most recent ``value_col``
+    from ``right`` with ``right.time <= left.time`` within the same
+    key (trades-to-quotes alignment; not in the reference, which
+    aligns by exact equality after shifting — this is the general
+    operator a multi-market engine needs).
+
+    Scalable single-shuffle form: union both sides tagged, one window
+    pass per key ordered by (time, side) with right rows sorting
+    before left rows at equal timestamps (ties are inclusive), then
+    keep the left rows with the last seen right value. No per-row
+    Python, no range-join explosion; skewed keys split by AQE."""
+    l_tag = left.select(
+        F.col(key_col).alias("_k"),
+        F.col(time_col).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast(right.schema[value_col].dataType).alias("_rv"),
+    )
+    r_tag = right.select(
+        F.col(key_col).alias("_k"),
+        F.col(time_col).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields) + ">"
+        ).alias("_lrow"),
+        F.col(value_col).alias("_rv"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l_tag.unionByName(r_tag).withColumn(
+        out_col, F.last("_rv", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter(F.col("_side") == 1)
+        .select("_lrow.*", out_col)
+    )

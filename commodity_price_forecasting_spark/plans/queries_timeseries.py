@@ -321,3 +321,40 @@ def f7_trade_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig["confidence"].alias("confidence"),
         sig["strength"].alias("strength"),
     )
+
+
+_ASOF_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+), purchases AS (
+  SELECT event_id, user_id, CAST(ts AS DATE) AS day, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       ROUND(d.px, 6) AS asof_px
+FROM purchases p
+ASOF JOIN daily d
+  ON p.user_id = d.instrument AND p.day >= d.day
+"""
+
+
+@register("ts_asof_join", oracle=_ASOF_ORACLE, tags=("timeseries", "join"))
+def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (trades-to-quotes): each purchase event gets the
+    most recent daily bar px of its user at or before the event's
+    day — operators/timeseries.asof_join (union + one partitioned
+    window pass, single shuffle), checked against DuckDB's native
+    ASOF JOIN. Inner-ASOF semantics: rows with no earlier bar drop."""
+    from commodity_price_forecasting_spark.operators.timeseries import asof_join
+    from commodity_price_forecasting_spark.plans.e1_pipeline import daily_bars
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    daily = daily_bars(spark, sf_dir).withColumnRenamed("instrument", "user_id")
+    joined = asof_join(purchases, daily, "user_id", "day", "px", out_col="asof_px")
+    return joined.filter(F.col("asof_px").isNotNull()).select(
+        "event_id", "user_id", F.round("asof_px", 6).alias("asof_px")
+    )

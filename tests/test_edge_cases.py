@@ -136,3 +136,25 @@ def test_hll_sketch_within_error_bound(spark):
     assert rows
     for r in rows:
         assert abs(r["approx_users"] - r["exact_users"]) / r["exact_users"] < 0.05
+
+
+def test_asof_join_semantics(spark):
+    """Ties are inclusive (right row at the same time is taken),
+    earlier rows win over older ones, no earlier row => null."""
+    from commodity_price_forecasting_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 2, "c"), (2, 7, "d")],
+        ["k", "t", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 50.0), (1, 8, 80.0), (2, 9, 90.0)], ["k", "t", "v"]
+    )
+    out = {
+        r["tag"]: r["asof_v"]
+        for r in asof_join(left, right, "k", "t", "v", out_col="asof_v").collect()
+    }
+    assert out["a"] == 50.0   # tie at t=5 is inclusive
+    assert out["b"] == 80.0   # most recent of {5, 8}
+    assert out["c"] is None   # nothing at or before t=2
+    assert out["d"] is None   # key 2 has no right row before t=7
