@@ -125,7 +125,8 @@ _J5_ORACLE = (
   FROM (SELECT DISTINCT instrument FROM daily) a
   JOIN (SELECT DISTINCT instrument FROM daily) b ON a.instrument + 1 = b.instrument
 )
-SELECT m.pair, count(*) AS n_days, ROUND(avg(a.px - b.px), 6) AS avg_spread
+SELECT m.pair, count(*) AS n_days,
+       CAST(ROUND(SUM(CAST(a.px - b.px AS DECIMAL(28,10))), 6) AS DOUBLE) AS sum_spread
 FROM mapping m
 JOIN filled a ON m.leg_a = a.instrument
 JOIN filled b ON m.leg_b = b.instrument AND a.day = b.day
@@ -142,13 +143,19 @@ def j5_spread_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     daily = daily_bars(spark, sf_dir)
     filled = imputed(with_gaps(daily))
-    # round_to=None: aggregate the raw difference; round once at the
-    # output edge (rounded intermediates hit decimal midpoints where
-    # engines disagree).
+    # round_to=None + DECIMAL aggregation: avg(double) here can land
+    # EXACTLY on a 6dp rounding midpoint (the pxs are averages of
+    # 2dp-ish values — small-denominator rationals), where Spark's
+    # HALF_UP and DuckDB's float rounding legitimately disagree and
+    # ~1e-16 summation noise flips the hash. Casting each spread to
+    # DECIMAL(28,10) absorbs the float noise, and a decimal SUM is
+    # exact and order-independent in both engines.
     sp = spreads(filled, pair_mapping(daily), round_to=None)
     return sp.groupBy("pair").agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.round(F.avg(F.col("spread")), 6).alias("avg_spread"),
+        F.round(
+            F.sum(F.col("spread").cast("decimal(28,10)")), 6
+        ).cast("double").alias("sum_spread"),
     )
 
 

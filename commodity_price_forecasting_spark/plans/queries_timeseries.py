@@ -358,3 +358,70 @@ def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(F.col("asof_px").isNotNull()).select(
         "event_id", "user_id", F.round("asof_px", 6).alias("asof_px")
     )
+
+
+_INTERVAL_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), sessions AS (
+  SELECT user_id, session_id, min(ts) AS s_start, max(ts) AS s_end
+  FROM numbered GROUP BY 1, 2
+)
+SELECT s.user_id, s.s_start,
+       count(*) AS n_purchases,
+       ROUND(sum(e.value), 6) AS purchase_value
+FROM sessions s
+JOIN events e
+  ON e.user_id = s.user_id
+ AND e.ts >= s.s_start AND e.ts <= s.s_end
+ AND e.event_type = 'purchase'
+GROUP BY 1, 2
+"""
+
+
+@register("ts_interval_join", oracle=_INTERVAL_ORACLE, tags=("timeseries", "join"))
+def ts_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join: purchases matched into their user's
+    session windows. The SCALABLE form — equi-join on the key
+    (hash-partitioned) with the range predicate as a post-join
+    filter — never a nested-loop range join; per-user interval
+    counts stay bounded so the filter is cheap."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    numbered = ev.withColumn(
+        "session_id",
+        F.sum(
+            F.when(gap <= 30 * 60, F.lit(0)).otherwise(F.lit(1))
+        ).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("_u"), F.col("ts").alias("_t"), "value"
+    )
+    return (
+        sessions.join(
+            purchases,
+            (F.col("user_id") == F.col("_u"))
+            & (F.col("_t") >= F.col("s_start"))
+            & (F.col("_t") <= F.col("s_end")),
+            "inner",
+        )
+        .groupBy("user_id", "s_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 6).alias("purchase_value"),
+        )
+    )
