@@ -541,3 +541,39 @@ def e2_eda_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("corr").alias("section"), F.lit("autocorr_lag1").alias("key"), "value"
     )
     return shape_long.unionAll(nulls).unionAll(corr)
+
+
+# --- layout bridge: wide → long unpivot (SURVEY.md §1.4) ----------------
+
+_UNPIVOT_ORACLE = """
+WITH wide AS (
+  SELECT l_orderkey,
+         ROUND(SUM(l_quantity), 6) AS qty,
+         ROUND(SUM(l_extendedprice), 6) AS price,
+         ROUND(SUM(l_discount), 6) AS disc
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey, field, value
+FROM wide
+UNPIVOT (value FOR field IN (qty, price, disc))
+"""
+
+
+@register("layout_unpivot", oracle=_UNPIVOT_ORACLE, tags=("layout",))
+def layout_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (melt) — the layout bridge between the
+    reference's wide frames and this engine's scalable long form
+    (SURVEY.md §1.4): native ``DataFrame.unpivot`` (codegen'd stack,
+    no shuffle beyond the source aggregate)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_orderkey").agg(
+        F.round(F.sum("l_quantity"), 6).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 6).alias("price"),
+        F.round(F.sum("l_discount"), 6).alias("disc"),
+    )
+    return wide.unpivot(
+        ids=["l_orderkey"],
+        values=["qty", "price", "disc"],
+        variableColumnName="field",
+        valueColumnName="value",
+    )
