@@ -577,3 +577,38 @@ def layout_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="field",
         valueColumnName="value",
     )
+
+
+# --- layout bridge: long → wide pivot (SURVEY.md §1.4) ------------------
+
+_PIVOT_WIDE_ORACLE = (
+    _DAILY_CTE
+    + """
+SELECT day,
+       ROUND(MAX(CASE WHEN instrument = 1 THEN px END), 6) AS i1,
+       ROUND(MAX(CASE WHEN instrument = 2 THEN px END), 6) AS i2,
+       ROUND(MAX(CASE WHEN instrument = 3 THEN px END), 6) AS i3,
+       ROUND(MAX(CASE WHEN instrument = 4 THEN px END), 6) AS i4
+FROM daily
+WHERE instrument IN (1, 2, 3, 4)
+GROUP BY day
+"""
+)
+
+
+@register("layout_pivot_wide", oracle=_PIVOT_WIDE_ORACLE, tags=("layout",))
+def layout_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot — the model-assembly step (SURVEY.md §1.4:
+    "wide layout produced by groupBy(date_id).pivot(...) only at
+    model-assembly time"). The pivot VALUES ARE DECLARED, so Spark
+    skips the extra distinct-scan and the output schema is static."""
+    daily = daily_bars(spark, sf_dir).filter(F.col("instrument").isin(1, 2, 3, 4))
+    return (
+        daily.groupBy("day")
+        .pivot("instrument", [1, 2, 3, 4])
+        .agg(F.round(F.max("px"), 6))
+        .select(
+            "day",
+            *[F.col(str(i)).alias(f"i{i}") for i in (1, 2, 3, 4)],
+        )
+    )
