@@ -101,3 +101,33 @@ def dedup_rows(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
     """Exact row dedup — ``drop_duplicates`` (reference: MC:59373
     (cell 64) dedup before the mapping join)."""
     return df.dropDuplicates(list(subset)) if subset else df.distinct()
+
+
+def upsert_latest(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    version_col: str,
+) -> DataFrame:
+    """Last-writer-wins upsert (CDC/merge emulation without a table
+    format): union base and updates, keep the highest-``version_col``
+    row per key. One shuffle on the key; ties broken toward the
+    updates side (it is unioned second and max_by is order-stable on
+    equal versions via the added ``_src`` ordinal).
+
+    The scalable MERGE pattern when no Delta/Iceberg layer exists:
+    at 100 TB, partition both sides by key range so the window
+    touches co-located partitions only."""
+    from pyspark.sql import Window as W
+
+    b = base.withColumn("_src", F.lit(0))
+    u = updates.withColumn("_src", F.lit(1))
+    w = W.partitionBy(*key_cols).orderBy(
+        F.col(version_col).desc(), F.col("_src").desc()
+    )
+    return (
+        b.unionByName(u)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_src")
+    )

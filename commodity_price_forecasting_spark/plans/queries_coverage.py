@@ -619,3 +619,45 @@ def layout_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.col(str(i)).alias(f"i{i}") for i in (1, 2, 3, 4)],
         )
     )
+
+
+# --- CDC upsert: last-writer-wins merge ---------------------------------
+
+_UPSERT_ORACLE = """
+WITH base AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ts, value
+  FROM events WHERE event_type <> 'error'
+), updates AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ts, value * 2 AS value
+  FROM events WHERE event_type = 'purchase'
+), unioned AS (
+  SELECT *, 0 AS src FROM base
+  UNION ALL
+  SELECT *, 1 AS src FROM updates
+), ranked AS (
+  SELECT user_id, day, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, day
+                            ORDER BY ts DESC, src DESC) AS rn
+  FROM unioned
+)
+SELECT user_id, day, ROUND(value, 6) AS value
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("cdc_upsert_latest", oracle=_UPSERT_ORACLE, tags=("pipeline", "dedup"))
+def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins upsert of an updates feed onto a base table
+    keyed by (user, day), versioned by event time — the MERGE pattern
+    without a table format (operators/cleaning.upsert_latest)."""
+    from commodity_price_forecasting_spark.operators.cleaning import upsert_latest
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type") != "error").select(
+        "user_id", F.to_date("ts").alias("day"), "ts", "value"
+    )
+    updates = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.to_date("ts").alias("day"), "ts", (F.col("value") * 2).alias("value")
+    )
+    merged = upsert_latest(base, updates, ["user_id", "day"], "ts")
+    return merged.select("user_id", "day", F.round("value", 6).alias("value"))

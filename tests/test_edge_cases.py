@@ -158,3 +158,16 @@ def test_asof_join_semantics(spark):
     assert out["b"] == 80.0   # most recent of {5, 8}
     assert out["c"] is None   # nothing at or before t=2
     assert out["d"] is None   # key 2 has no right row before t=7
+
+
+def test_upsert_latest_tie_prefers_update(spark):
+    from commodity_price_forecasting_spark.operators.cleaning import upsert_latest
+
+    base = spark.createDataFrame(
+        [(1, 10, 100.0), (2, 10, 200.0)], ["k", "v", "x"]
+    )
+    updates = spark.createDataFrame(
+        [(1, 10, 111.0), (3, 5, 300.0)], ["k", "v", "x"]
+    )
+    out = {r["k"]: r["x"] for r in upsert_latest(base, updates, ["k"], "v").collect()}
+    assert out == {1: 111.0, 2: 200.0, 3: 300.0}  # tie at v=10 -> update wins
