@@ -425,3 +425,83 @@ def ts_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("purchase_value"),
         )
     )
+
+
+_LOG_RETURNS_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+)
+SELECT instrument, day,
+       ROUND(ln(px / lag(px) OVER (PARTITION BY instrument ORDER BY day)), 6)
+         AS log_return
+FROM daily
+QUALIFY lag(px) OVER (PARTITION BY instrument ORDER BY day) IS NOT NULL
+"""
+
+
+@register("w7_log_returns", oracle=_LOG_RETURNS_ORACLE, tags=("timeseries", "window"))
+def w7_log_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily log returns per instrument — ln(px_t / px_{t-1}), the
+    reference's target unit (its labels are log returns / spread
+    log-returns, MC:24008 cell 4). Partitioned lag window + ln."""
+    from pyspark.sql import Window as W
+
+    from commodity_price_forecasting_spark.plans.e1_pipeline import daily_bars
+
+    w = W.partitionBy("instrument").orderBy("day")
+    daily = daily_bars(spark, sf_dir)
+    prev = F.lag("px").over(w)
+    return (
+        daily.withColumn("_prev", prev)
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "instrument",
+            "day",
+            F.round(F.log(F.col("px") / F.col("_prev")), 6).alias("log_return"),
+        )
+    )
+
+
+_ROLLING_CORR_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events WHERE user_id IN (1, 2) GROUP BY 1, 2
+), paired AS (
+  SELECT a.day, a.px AS px_a, b.px AS px_b
+  FROM daily a JOIN daily b ON a.day = b.day
+  WHERE a.instrument = 1 AND b.instrument = 2
+)
+SELECT day,
+       ROUND(corr(px_a, px_b) OVER (
+         ORDER BY day ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6)
+         AS rolling_corr_10d,
+       count(*) OVER (
+         ORDER BY day ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS n_obs
+FROM paired
+"""
+
+
+@register("w8_rolling_corr", oracle=_ROLLING_CORR_ORACLE, tags=("timeseries", "window"))
+def w8_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-day rolling Pearson correlation between two instruments'
+    prices — the cross-asset co-movement monitor behind spread
+    selection (A7's rolling form). corr as a frame-bounded window
+    aggregate; per-pair windows partition naturally when run over the
+    full pair universe."""
+    from pyspark.sql import Window as W
+
+    from commodity_price_forecasting_spark.plans.e1_pipeline import daily_bars
+
+    daily = daily_bars(spark, sf_dir).filter(F.col("instrument").isin(1, 2))
+    a = daily.filter(F.col("instrument") == 1).select("day", F.col("px").alias("px_a"))
+    b = daily.filter(F.col("instrument") == 2).select(
+        F.col("day").alias("_d"), F.col("px").alias("px_b")
+    )
+    paired = a.join(b, F.col("day") == F.col("_d"), "inner")
+    w = W.orderBy("day").rowsBetween(-9, 0)
+    return paired.select(
+        "day",
+        F.round(F.corr("px_a", "px_b").over(w), 6).alias("rolling_corr_10d"),
+        F.count(F.lit(1)).over(w).alias("n_obs"),
+    )
