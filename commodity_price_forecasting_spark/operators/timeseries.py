@@ -200,3 +200,40 @@ def asof_join(
         merged.filter(F.col("_side") == 1)
         .select("_lrow.*", out_col)
     )
+
+
+def ewma_by_group(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Exponentially weighted moving average + EW volatility per key
+    (slides 13-14's "volatility measures" beyond plain rolling
+    stddev, W6). The recursion s_t = α·x_t + (1-α)·s_{t-1} is not
+    window-expressible, so each series runs as one Arrow batch via
+    applyInPandas (pandas ``ewm(alpha, adjust=True)`` semantics) —
+    per-instrument parallel, deterministic.
+
+    Returns ``(key, time, value, ewma, ew_vol)``.
+    """
+    import pandas as pd
+
+    def _per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col)
+        ew = pdf[value_col].ewm(alpha=alpha, adjust=True)
+        out = pdf[[key_col, time_col, value_col]].copy()
+        out["ewma"] = ew.mean()
+        out["ew_vol"] = ew.std()
+        return out
+
+    schema = (
+        f"{key_col} long, {time_col} date, {value_col} double, "
+        "ewma double, ew_vol double"
+    )
+    return (
+        df.select(key_col, time_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(_per_group, schema=schema)
+    )

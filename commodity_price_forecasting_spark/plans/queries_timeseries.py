@@ -505,3 +505,22 @@ def w8_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("px_a", "px_b").over(w), 6).alias("rolling_corr_10d"),
         F.count(F.lit(1)).over(w).alias("n_obs"),
     )
+
+
+@register("w9_ewma_volatility", oracle=None, tags=("timeseries", "window"))
+def w9_ewma_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA price + exponentially weighted volatility per instrument
+    (operators/timeseries.ewma_by_group). The recursion is not
+    SQL-window-expressible → rows-only driver check; exact agreement
+    with pandas ewm is tested in tests/test_edge_cases.py."""
+    from commodity_price_forecasting_spark.operators.timeseries import ewma_by_group
+    from commodity_price_forecasting_spark.plans.e1_pipeline import daily_bars
+
+    out = ewma_by_group(daily_bars(spark, sf_dir), "instrument", "day", "px", alpha=0.2)
+    return out.select(
+        "instrument",
+        "day",
+        F.round("px", 6).alias("px"),
+        F.round("ewma", 6).alias("ewma"),
+        F.round("ew_vol", 6).alias("ew_vol"),
+    )

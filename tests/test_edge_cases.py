@@ -171,3 +171,38 @@ def test_upsert_latest_tie_prefers_update(spark):
     )
     out = {r["k"]: r["x"] for r in upsert_latest(base, updates, ["k"], "v").collect()}
     assert out == {1: 111.0, 2: 200.0, 3: 300.0}  # tie at v=10 -> update wins
+
+
+def test_ewma_matches_pandas(spark):
+    import pandas as pd
+
+    from commodity_price_forecasting_spark.operators.timeseries import ewma_by_group
+
+    rng = np.random.default_rng(21)
+    pdf = pd.DataFrame(
+        {
+            "k": [1] * 50 + [2] * 50,
+            "d": pd.to_datetime(list(pd.date_range("2024-01-01", periods=50)) * 2),
+            "v": rng.normal(size=100).cumsum(),
+        }
+    )
+    from pyspark.sql import functions as F
+
+    sdf = spark.createDataFrame(pdf).select("k", F.to_date("d").alias("d"), "v")
+    out = (
+        ewma_by_group(sdf, "k", "d", "v", alpha=0.3)
+        .toPandas()
+        .sort_values(["k", "d"])
+        .reset_index(drop=True)
+    )
+    for key in (1, 2):
+        want = (
+            pdf[pdf["k"] == key].sort_values("d")["v"].ewm(alpha=0.3, adjust=True)
+        )
+        got = out[out["k"] == key]
+        assert np.allclose(got["ewma"].to_numpy(), want.mean().to_numpy(), atol=1e-9)
+        vol_w = want.std().to_numpy()
+        vol_g = got["ew_vol"].to_numpy()
+        mask = ~np.isnan(vol_w)
+        assert np.allclose(vol_g[mask], vol_w[mask], atol=1e-9)
+        assert np.isnan(vol_g[~mask]).all()
