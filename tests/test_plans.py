@@ -21,6 +21,7 @@ PYTHON_OK = {
     "m5_ar_forecast",
     "m6_ensemble_weights",
     "sim_ivf_topk",
+    "w9_ewma_volatility",
 }
 #: queries that fit models / write files at plan-build time — too heavy
 #: or side-effectful for a plan-only sweep.
