@@ -208,3 +208,58 @@ def simhash32(tokens: DataFrame, id_col: str = "doc_id", token_col: str = "token
     return per_bit.select("doc_id", "j", final_bit.alias("b")).groupBy("doc_id").agg(
         F.sum(F.col("b") * F.pow(F.lit(2), F.col("j")).cast("bigint")).cast("bigint").alias("simhash")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected edge list via iterative
+    min-label propagation: every node's label converges to the
+    smallest node id in its component. ``(node, component)``.
+
+    The dedup-pipeline closer: LSH candidate pairs above a similarity
+    threshold form edges; components are the duplicate CLUSTERS from
+    which one canonical document survives. Each iteration is one
+    hash-partitioned join + aggregate; lineage is cut per iteration
+    with an eager localCheckpoint so the plan stays O(1) deep.
+    Iterations needed = graph diameter (near-dup clusters are
+    shallow); hard-capped at ``max_iter``."""
+    sym = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nb_min = (
+            sym.join(labels, sym["v"] == labels["node"], "inner")
+            .groupBy(F.col("u").alias("node2"))
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(nb_min, labels["node"] == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))

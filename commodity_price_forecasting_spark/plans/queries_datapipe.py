@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from commodity_price_forecasting_spark.operators.dedup import (
     band_signatures,
+    connected_components,
     char_shingles,
     estimated_jaccard,
     exact_dedup_summary,
@@ -445,4 +446,57 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("exact_users"),
         )
         .select("event_type", "approx_users", "exact_users")
+    )
+
+
+_COMPONENTS_ORACLE = (
+    _SHINGLE_CTE.replace("WITH pos AS", "WITH RECURSIVE pos AS", 1)
+    + """
+, edges AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN mh a ON a.doc_id = c.doc_a
+  JOIN mh b ON b.doc_id = c.doc_b AND a.i = b.i
+  GROUP BY c.doc_a, c.doc_b
+  HAVING SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 12.0 >= 0.5
+), sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM edges
+  UNION
+  SELECT doc_b, doc_a FROM edges
+), walk(node, label) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.v, w.label FROM walk w JOIN sym s ON s.u = w.node
+), labels AS (
+  SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+)
+SELECT doc_id, component,
+       count(*) OVER (PARTITION BY component) AS component_size
+FROM labels
+"""
+)
+
+
+@register("dedup_components", oracle=_COMPONENTS_ORACLE, tags=("datapipe", "dedup"))
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: LSH candidate pairs with estimated
+    Jaccard >= 0.5 form edges; connected components (iterative
+    min-label propagation, operators/dedup.connected_components)
+    give the clusters a canonical representative (the min doc_id) —
+    the final stage of a near-dedup pipeline. Oracle: DuckDB
+    recursive CTE reachability."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = char_shingles(docs, k=5, distinct=False)
+    wide = minhash_wide(sh, num_hashes=12).cache()
+    cand = lsh_candidate_pairs(band_signatures(wide, num_hashes=12, rows_per_band=3))
+    edges = estimated_jaccard(wide, cand, num_hashes=12).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    comp = connected_components(edges, "doc_a", "doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.count(F.lit(1)).over(W.partitionBy("component")).alias("component_size"),
     )

@@ -206,3 +206,19 @@ def test_ewma_matches_pandas(spark):
         mask = ~np.isnan(vol_w)
         assert np.allclose(vol_g[mask], vol_w[mask], atol=1e-9)
         assert np.isnan(vol_g[~mask]).all()
+
+
+def test_connected_components_known_graph(spark):
+    from commodity_price_forecasting_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # components: {1,2,3,4} (chain), {7,8}, isolated-with-self? none
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], ["doc_a", "doc_b"]
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "doc_a", "doc_b").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
