@@ -1,0 +1,57 @@
+"""Driver-contract meta-tests: __spark_entry__ must expose consistent
+queries()/oracle_sql() mappings and a working entry() regardless of
+caller cwd (the driver does not run from the repo root).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+
+def _load_entry():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry_test__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["__spark_entry_test__"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_oracle_keys_subset_of_queries():
+    e = _load_entry()
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 80
+    # rows-only set stays small and intentional
+    rows_only = set(qs) - set(oracles)
+    assert rows_only <= {
+        "mm_decode_features",
+        "m6_ensemble_weights",
+        "m11_stationarity_tests",
+        "m5_ar_forecast",
+        "a6_dtype_histogram",
+        "sim_ivf_topk",
+        "sketch_hll_distinct",
+        "w9_ewma_volatility",
+    }
+
+
+def test_oracles_are_single_statements():
+    e = _load_entry()
+    for name, sql in e.oracle_sql().items():
+        assert sql.strip(), name
+        # a trailing semicolon or multiple statements would break the
+        # driver's execute()
+        assert ";" not in sql.strip().rstrip(";"), name
+
+
+def test_entry_runs_and_is_deterministic(spark):
+    e = _load_entry()
+    df = e.entry(spark)
+    rows1 = [tuple(r) for r in df.collect()]
+    rows2 = [tuple(r) for r in e.entry(spark).collect()]
+    assert len(rows1) >= 1
+    assert rows1 == rows2
+    assert df.columns == ["pair", "lag", "variance", "n"]
