@@ -500,3 +500,47 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         F.count(F.lit(1)).over(W.partitionBy("component")).alias("component_size"),
     )
+
+
+_STRATIFIED_ORACLE = """
+WITH rates(lang, pct) AS (VALUES ('en', 50), ('de', 20), ('fr', 10))
+SELECT d.lang, count(*) AS n_sampled,
+       sum(octet_length(encode(d.text))) AS sampled_bytes
+FROM documents d
+JOIN rates r ON d.lang = r.lang
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+      < r.pct
+GROUP BY d.lang
+"""
+
+
+@register("curation_stratified_sample", oracle=_STRATIFIED_ORACLE, tags=("datapipe", "sampling"))
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus curation:
+    keep-rate per language decided by a uniform md5-of-id hash bucket
+    (reproducible across engines/runs — no RNG), the standard
+    down-sample/re-balance step of a pre-training pipeline.
+    Spark's sampleBy is the RNG-based alternative when cross-engine
+    determinism is not required."""
+    rates = {"en": 50, "de": 20, "fr": 10}
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 100
+    )
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in rates.items()],
+        F.lit(0),
+    )
+    return (
+        docs.filter(F.col("lang").isin(*rates))
+        .filter(bucket < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.octet_length(F.encode(F.col("text"), "UTF-8"))).alias(
+                "sampled_bytes"
+            ),
+        )
+    )
