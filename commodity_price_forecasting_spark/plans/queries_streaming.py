@@ -133,3 +133,43 @@ def st_running_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("total_value", 6).alias("total_value"),
         F.round("mean_value", 6).alias("mean_value"),
     )
+
+
+_FUNNEL_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       count(first_signup) AS n_signed_up,
+       count(CASE WHEN first_purchase > first_signup THEN 1 END) AS n_converted,
+       ROUND(count(CASE WHEN first_purchase > first_signup THEN 1 END) * 1.0
+             / count(first_signup), 6) AS conversion_rate
+FROM firsts
+"""
+
+
+@register("funnel_signup_purchase", oracle=_FUNNEL_ORACLE, tags=("streaming", "funnel"))
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel: users whose first purchase follows their first
+    signup — two conditional MIN aggregates per user, then one
+    funnel-ratio pass (no self-join, no window; the standard
+    sequence-conversion shape over an event stream)."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    converted = (F.col("first_purchase") > F.col("first_signup")).cast("int")
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_signup").alias("n_signed_up"),
+        F.sum(converted).alias("n_converted"),
+        F.round(F.sum(converted) / F.count("first_signup"), 6).alias("conversion_rate"),
+    )

@@ -439,3 +439,48 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+# --- q15-style: top supplier(s) by revenue (argmax over aggregate) ------
+
+_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       ROUND(r.total_revenue, 2) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15_ORACLE, tags=("join", "agg", "topk"))
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) achieving the maximum quarterly
+    revenue — argmax over an aggregate via a rank window on the
+    aggregated (small) frame, not a self-join against a scalar
+    subquery re-scan."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    top = (
+        revenue.withColumn("_rk", F.rank().over(W.orderBy(F.desc("total_revenue"))))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return top.join(s, F.col("supplier_no") == F.col("s_suppkey")).select(
+        "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
+    )
