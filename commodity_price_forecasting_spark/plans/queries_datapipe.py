@@ -505,7 +505,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STRATIFIED_ORACLE = """
 WITH rates(lang, pct) AS (VALUES ('en', 50), ('de', 20), ('fr', 10))
 SELECT d.lang, count(*) AS n_sampled,
-       sum(octet_length(encode(d.text))) AS sampled_bytes
+       CAST(sum(octet_length(encode(d.text))) AS BIGINT) AS sampled_bytes
 FROM documents d
 JOIN rates r ON d.lang = r.lang
 WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
