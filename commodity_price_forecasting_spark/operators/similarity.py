@@ -199,3 +199,86 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_seed_assign(
+    vectors: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Deterministic IVF coarse quantization: the ``k`` cell centers
+    are the corpus vectors with the smallest ``md5(vec_id)`` (an
+    engine-reproducible pseudo-random sample — a 0-iteration kmeans
+    init; IVF does not require kmeans, only a fixed coarse quantizer).
+    Every vector goes to the center with the highest 6dp-rounded
+    cosine, ties to the smallest center id — fully reproducible in
+    ANSI SQL, unlike the MLlib-KMeans variant (``ivf_assign``) whose
+    centers depend on the clustering run.
+
+    Returns ``(assigned_df, seeds)``; ``seeds`` is the k×dim python
+    list (broadcast-sized). Assignment is a pure column expression
+    over literal seed vectors — no Python in the scan path, and at
+    100 TB the assignment is one map-side pass (no shuffle)."""
+    seeds_rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    seeds = [(int(r[0]), [float(x) for x in r[1]]) for r in seeds_rows]
+
+    def seed_cos(vec: list[float]) -> Column:
+        q = F.array(*[F.lit(float(x)) for x in vec])
+        return F.round(
+            _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q)), 6
+        )
+
+    # argmax via array_max over (cosine, -seed_id) structs: max cosine,
+    # ties resolved to the smallest seed id
+    scored = F.array(
+        *[
+            F.struct(seed_cos(vec).alias("c"), F.lit(-sid).alias("negid"))
+            for sid, vec in seeds
+        ]
+    )
+    assigned = vectors.withColumn("cell", -F.array_max(scored)["negid"])
+    return assigned, seeds
+
+
+def ivf_seed_topk(
+    assigned: DataFrame,
+    seeds: list[tuple[int, list[float]]],
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k cosine neighbours of ``query`` probing only the
+    ``n_probe`` cells whose seed is nearest the query (6dp-rounded
+    cosine, ties to smallest seed id) — scans ~n_probe/k of the
+    corpus; with the corpus written bucketed by cell the probe is a
+    partition-pruned read."""
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    probe = [
+        sid
+        for sid, _ in sorted(
+            seeds, key=lambda s: (-round(cos(s[1], query), 6), s[0])
+        )[:n_probe]
+    ]
+    q = F.array(*[F.lit(float(x)) for x in query])
+    sim = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    return (
+        assigned.filter(F.col("cell").isin(probe))
+        .select(id_col, "cell", F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -373,16 +373,74 @@ def sim_near_dup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_pairs_cosine(emb, b, threshold=0.3)
 
 
-@register("sim_ivf_topk", oracle=None, tags=("datapipe", "similarity"))
+_IVF_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+), seeds AS (
+  SELECT vec_id AS sid, embedding AS semb
+  FROM corpus
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+), q AS (
+  SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0
+), assign_x AS (
+  SELECT c.vec_id, s.sid,
+         UNNEST(CAST(c.embedding AS DOUBLE[])) AS x,
+         UNNEST(CAST(s.semb AS DOUBLE[])) AS y
+  FROM corpus c CROSS JOIN seeds s
+), assign_cs AS (
+  SELECT vec_id, sid, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+  FROM assign_x GROUP BY vec_id, sid
+), assign_rk AS (
+  SELECT vec_id, sid AS cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY ROUND(dot / (SQRT(nx) * SQRT(ny)), 6) DESC, sid) AS rk
+  FROM assign_cs
+), cells AS (
+  SELECT vec_id, cell FROM assign_rk WHERE rk = 1
+), probe_x AS (
+  SELECT s.sid,
+         UNNEST(CAST(s.semb AS DOUBLE[])) AS x,
+         UNNEST(CAST(q.qemb AS DOUBLE[])) AS y
+  FROM seeds s CROSS JOIN q
+), probe_cs AS (
+  SELECT sid, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+  FROM probe_x GROUP BY sid
+), probe AS (
+  SELECT sid FROM probe_cs
+  ORDER BY ROUND(dot / (SQRT(nx) * SQRT(ny)), 6) DESC, sid
+  LIMIT 2
+), scan_x AS (
+  SELECT c.vec_id, cl.cell,
+         UNNEST(CAST(c.embedding AS DOUBLE[])) AS x,
+         UNNEST(CAST(q.qemb AS DOUBLE[])) AS y
+  FROM corpus c
+  JOIN cells cl ON cl.vec_id = c.vec_id
+  JOIN probe p ON p.sid = cl.cell
+  CROSS JOIN q
+), scan_cs AS (
+  SELECT vec_id, cell, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+  FROM scan_x GROUP BY vec_id, cell
+)
+SELECT vec_id, cell, ROUND(dot / (SQRT(nx) * SQRT(ny)), 6) AS cosine
+FROM scan_cs ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+@register("sim_ivf_topk", oracle=_IVF_ORACLE, tags=("datapipe", "similarity"))
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-pruned ANN: KMeans(16) coarse cells, probe the 2 cells
-    nearest the query, exact cosine inside the probed cells only —
-    the inverted-file scale path next to the LSH-bucket variant.
-    KMeans is not SQL-expressible → rows-only driver check; recall
-    vs the exact brute force is asserted in tests/test_similarity_ivf.py."""
+    """IVF-pruned ANN with a deterministic coarse quantizer: 16 cells
+    seeded by the corpus vectors with smallest md5(vec_id) (a
+    0-iteration kmeans init — engine-reproducible, so the whole
+    assign→probe→in-cell-exact-search path has an ANSI-SQL oracle),
+    probe the 2 cells nearest the query, exact cosine inside the
+    probed cells only. The MLlib-KMeans quantizer variant
+    (operators/similarity.ivf_assign) remains the refined-centroid
+    path; its recall vs exact brute force is asserted in
+    tests/test_similarity_ivf.py."""
     from commodity_price_forecasting_spark.operators.similarity import (
-        ivf_assign,
-        ivf_topk,
+        ivf_seed_assign,
+        ivf_seed_topk,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -390,8 +448,8 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(x)
         for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     ]
-    assigned, centers = ivf_assign(emb.filter(F.col("vec_id") != 0), k=16)
-    return ivf_topk(assigned, centers, qvec, k=10, n_probe=2)
+    assigned, seeds = ivf_seed_assign(emb.filter(F.col("vec_id") != 0), k=16)
+    return ivf_seed_topk(assigned, seeds, qvec, k=10, n_probe=2)
 
 
 _TFIDF_ORACLE = """
@@ -427,25 +485,41 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf_idf(load_table(spark, sf_dir, "documents"), min_doc_freq=2)
 
 
-@register("sketch_hll_distinct", oracle=None, tags=("datapipe", "sketch"))
+_HLL_ORACLE = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_within_5pct
+FROM events GROUP BY event_type
+"""
+
+
+@register("sketch_hll_distinct", oracle=_HLL_ORACLE, tags=("datapipe", "sketch"))
 def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user estimate per event_type (Spark 3.5+
     datasketches ``hll_sketch_agg``) next to the exact count — the
     sketch path for cardinality at 100 TB, where exact countDistinct
     shuffles every key and HLL shuffles ~KB-sized sketches that also
-    MERGE across partitions/days (re-aggregatable). Estimates are
-    approximate → rows-only driver check; the ≤5% error bound vs
-    exact is asserted in tests/test_edge_cases.py."""
+    MERGE across partitions/days (re-aggregatable). The estimate's
+    raw value is engine-specific, so the oracle-checked surface is
+    the exact count plus the sketch's ≤5% error bound as a column
+    (deterministic: datasketches HLL is order-independent under
+    merge); the same bound is asserted in tests/test_edge_cases.py."""
     from pyspark.sql import functions as F
 
     ev = load_table(spark, sf_dir, "events")
+    est = F.hll_sketch_estimate(F.hll_sketch_agg("user_id"))
+    exact = F.countDistinct("user_id")
     return (
         ev.groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("approx_users"),
-            F.countDistinct("user_id").alias("exact_users"),
+        .agg(est.alias("_approx"), exact.alias("exact_users"))
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("hll_within_5pct"),
         )
-        .select("event_type", "approx_users", "exact_users")
     )
 
 

@@ -507,20 +507,60 @@ def w8_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("w9_ewma_volatility", oracle=None, tags=("timeseries", "window"))
+_EWMA_ORACLE = (
+    _DAILY_CTE
+    + """
+, ranked AS (
+  SELECT instrument, day, px,
+         ROW_NUMBER() OVER (PARTITION BY instrument ORDER BY day) AS rn
+  FROM daily
+), agg AS (
+  SELECT a.instrument, a.day, a.px, a.rn,
+         SUM(POWER(0.8, a.rn - b.rn)) AS sw,
+         SUM(POWER(0.8, 2 * (a.rn - b.rn))) AS sw2,
+         SUM(POWER(0.8, a.rn - b.rn) * b.px) AS swx
+  FROM ranked a JOIN ranked b
+    ON a.instrument = b.instrument AND b.rn <= a.rn
+  GROUP BY a.instrument, a.day, a.px, a.rn
+), dev AS (
+  SELECT m.instrument, m.day, m.px, m.rn, m.sw, m.sw2, m.swx / m.sw AS ew_mean,
+         SUM(POWER(0.8, m.rn - b.rn)
+             * (b.px - m.swx / m.sw) * (b.px - m.swx / m.sw)) AS swd
+  FROM agg m JOIN ranked b
+    ON m.instrument = b.instrument AND b.rn <= m.rn
+  GROUP BY m.instrument, m.day, m.px, m.rn, m.sw, m.sw2, m.swx
+)
+SELECT instrument, day,
+       ROUND(px, 6) AS px,
+       ROUND(ew_mean, 6) AS ewma,
+       CASE WHEN rn = 1 THEN NULL
+            ELSE ROUND(SQRT(sw * sw / (sw * sw - sw2) * swd / sw), 6)
+       END AS ew_vol
+FROM dev
+"""
+)
+
+
+@register("w9_ewma_volatility", oracle=_EWMA_ORACLE, tags=("timeseries", "window"))
 def w9_ewma_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EWMA price + exponentially weighted volatility per instrument
-    (operators/timeseries.ewma_by_group). The recursion is not
-    SQL-window-expressible → rows-only driver check; exact agreement
-    with pandas ewm is tested in tests/test_edge_cases.py."""
+    (operators/timeseries.ewma_by_group, pandas ewm(adjust=True)
+    semantics). Oracle: adjust=True has a closed weighted form
+    (no recursion) — w_i = (1-α)^(t-i), mean = Σw·x/Σw, var debiased
+    by (Σw)²/((Σw)²-Σw²) — expressible as an O(n²)-per-series
+    self-join in DuckDB; exact agreement with pandas ewm is also
+    tested in tests/test_edge_cases.py."""
     from commodity_price_forecasting_spark.operators.timeseries import ewma_by_group
     from commodity_price_forecasting_spark.plans.e1_pipeline import daily_bars
 
     out = ewma_by_group(daily_bars(spark, sf_dir), "instrument", "day", "px", alpha=0.2)
+    ew_vol = F.round("ew_vol", 6)
     return out.select(
         "instrument",
         "day",
         F.round("px", 6).alias("px"),
         F.round("ewma", 6).alias("ewma"),
-        F.round("ew_vol", 6).alias("ew_vol"),
+        # pandas emits NaN for the first observation's std; surface it
+        # as SQL NULL so the result is engine-comparable
+        F.when(F.isnan("ew_vol"), F.lit(None)).otherwise(ew_vol).alias("ew_vol"),
     )

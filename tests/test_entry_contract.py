@@ -32,9 +32,6 @@ def test_oracle_keys_subset_of_queries():
         "m11_stationarity_tests",
         "m5_ar_forecast",
         "a6_dtype_histogram",
-        "sim_ivf_topk",
-        "sketch_hll_distinct",
-        "w9_ewma_volatility",
     }
 
 

@@ -20,7 +20,6 @@ PYTHON_OK = {
     "m11_stationarity_tests",
     "m5_ar_forecast",
     "m6_ensemble_weights",
-    "sim_ivf_topk",
     "w9_ewma_volatility",
 }
 #: queries that fit models / write files at plan-build time — too heavy
