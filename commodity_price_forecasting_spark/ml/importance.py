@@ -68,3 +68,36 @@ def permutation_importance(
         m = regression_metrics(scored, label_col, "prediction").first()[metric]
         out.append((c, float(m - baseline)))
     return sorted(out, key=lambda t: -t[1])
+
+
+def linear_shap(
+    df: DataFrame,
+    feature_cols: list[str],
+    coefficients: dict[str, float],
+    intercept: float,
+    means: dict[str, float] | None = None,
+) -> DataFrame:
+    """Exact SHAP values for a LINEAR model (Lundberg & Lee 2017,
+    "Linear SHAP": under feature independence the Shapley value of
+    feature j at instance x is closed-form, φⱼ = βⱼ·(xⱼ − E[xⱼ]))
+    — the true-SHAP path for the reference's missing SHAP notebook
+    (README.md:53); permutation_importance above remains the
+    model-agnostic stand-in for non-linear models.
+
+    Adds one ``phi_<col>`` column per feature plus ``base_value``
+    (= E[f(X)] = intercept + Σ βⱼ·E[xⱼ]), all as pure column
+    expressions (one aggregate for the means, no Python in the row
+    path; additivity base_value + Σφⱼ = prediction holds exactly).
+    """
+    if means is None:
+        row = df.agg(*[F.avg(c).alias(c) for c in feature_cols]).first()
+        means = {c: float(row[c]) for c in feature_cols}
+    base = float(intercept) + sum(
+        float(coefficients[c]) * means[c] for c in feature_cols
+    )
+    out = df
+    for c in feature_cols:
+        out = out.withColumn(
+            f"phi_{c}", F.lit(float(coefficients[c])) * (F.col(c) - F.lit(means[c]))
+        )
+    return out.withColumn("base_value", F.lit(base))

@@ -661,3 +661,96 @@ def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = upsert_latest(base, updates, ["user_id", "day"], "ts")
     return merged.select("user_id", "day", F.round("value", 6).alias("value"))
+
+
+# --- M13: exact SHAP for a linear model (closed form) -------------------
+
+_SHAP_LINEAR_ORACLE = (
+    _DAILY_CTE
+    + """
+, sup AS (
+  SELECT label, f_lag1, f_lag2, f_ma5 FROM (
+    SELECT px AS label,
+           LAG(px, 1) OVER w AS f_lag1,
+           LAG(px, 2) OVER w AS f_lag2,
+           AVG(px) OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS f_ma5
+    FROM daily
+    WINDOW w AS (PARTITION BY instrument ORDER BY day)
+  ) WHERE f_lag1 IS NOT NULL AND f_lag2 IS NOT NULL AND f_ma5 IS NOT NULL
+), m AS (
+  SELECT AVG(f_lag1) AS m1, AVG(f_lag2) AS m2, AVG(f_ma5) AS m3,
+         AVG(label) AS my
+  FROM sup
+), d AS (
+  SELECT f_lag1 - m1 AS a1, f_lag2 - m2 AS a2, f_ma5 - m3 AS a3,
+         label - my AS ay
+  FROM sup, m
+), s AS (
+  SELECT SUM(a1*a1) AS s11, SUM(a1*a2) AS s12, SUM(a1*a3) AS s13,
+         SUM(a2*a2) AS s22, SUM(a2*a3) AS s23, SUM(a3*a3) AS s33,
+         SUM(a1*ay) AS c1, SUM(a2*ay) AS c2, SUM(a3*ay) AS c3,
+         AVG(ABS(a1)) AS mad1, AVG(ABS(a2)) AS mad2, AVG(ABS(a3)) AS mad3
+  FROM d
+), b AS (
+  -- OLS on centered data via Cramer's rule on the 3x3 normal equations
+  SELECT
+    (s11*(s22*s33 - s23*s23) - s12*(s12*s33 - s23*s13)
+       + s13*(s12*s23 - s22*s13)) AS det,
+    (c1*(s22*s33 - s23*s23) - s12*(c2*s33 - s23*c3)
+       + s13*(c2*s23 - s22*c3)) AS det1,
+    (s11*(c2*s33 - s23*c3) - c1*(s12*s33 - s23*s13)
+       + s13*(s12*c3 - c2*s13)) AS det2,
+    (s11*(s22*c3 - c2*s23) - s12*(s12*c3 - c2*s13)
+       + c1*(s12*s23 - s22*s13)) AS det3,
+    mad1, mad2, mad3
+  FROM s
+)
+SELECT 'f_lag1' AS feature, ROUND(det1/det, 6) AS beta,
+       ROUND(ABS(det1/det) * mad1, 6) AS mean_abs_shap FROM b
+UNION ALL
+SELECT 'f_lag2', ROUND(det2/det, 6), ROUND(ABS(det2/det) * mad2, 6) FROM b
+UNION ALL
+SELECT 'f_ma5', ROUND(det3/det, 6), ROUND(ABS(det3/det) * mad3, 6) FROM b
+"""
+)
+
+
+@register("m13_shap_linear", oracle=_SHAP_LINEAR_ORACLE, tags=("ml", "shap"))
+def m13_shap_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True SHAP for the linear model (M13, README.md:53's missing
+    SHAP notebook): for OLS, Shapley values are closed-form
+    φⱼ = βⱼ·(xⱼ − E[xⱼ]) — computed as column expressions over the
+    lag-feature frame (ml/importance.linear_shap), reported as global
+    attribution mean|φⱼ| per feature. Oracle solves the same 3-feature
+    OLS in ANSI SQL via Cramer's rule on the centered normal
+    equations, so beta AND attribution are hash-checked; additivity
+    (base + Σφ = prediction) is asserted in tests/test_ml.py."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    from commodity_price_forecasting_spark.ml.importance import linear_shap
+
+    feats = ["f_lag1", "f_lag2", "f_ma5"]
+    daily = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("instrument").orderBy("day")
+    sup = (
+        daily.select(
+            F.col("px").alias("label"),
+            F.lag("px", 1).over(w).alias("f_lag1"),
+            F.lag("px", 2).over(w).alias("f_lag2"),
+            F.avg("px").over(w.rowsBetween(-5, -1)).alias("f_ma5"),
+        )
+        .dropna()
+        .cache()
+    )
+    assembled = VectorAssembler(inputCols=feats, outputCol="features").transform(sup)
+    model = LinearRegression(featuresCol="features", labelCol="label").fit(assembled)
+    coefs = {c: float(model.coefficients[i]) for i, c in enumerate(feats)}
+    shap = linear_shap(sup, feats, coefs, float(model.intercept))
+    agg = shap.agg(
+        *[F.avg(F.abs(F.col(f"phi_{c}"))).alias(c) for c in feats]
+    ).first()
+    rows = [(c, round(coefs[c], 6), round(float(agg[c]), 6)) for c in feats]
+    return spark.createDataFrame(
+        rows, "feature STRING, beta DOUBLE, mean_abs_shap DOUBLE"
+    )

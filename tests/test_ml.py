@@ -321,3 +321,36 @@ def test_standard_scaler_pipeline_is_ols_invariant(spark):
     raw_coef = np.array(plain_pipe.stages[-1].coefficients)
     scaled_coef = np.array(scaled_pipe.stages[-1].coefficients)
     assert np.allclose(scaled_coef, raw_coef * stds, rtol=1e-6)
+
+
+def test_linear_shap_additivity_and_closed_form(spark):
+    """Linear SHAP must satisfy additivity (base_value + Σφⱼ equals
+    the model prediction exactly) and match the closed form
+    φⱼ = βⱼ·(xⱼ − mean(xⱼ)) computed in numpy."""
+    import pandas as pd
+
+    from commodity_price_forecasting_spark.ml.importance import linear_shap
+
+    rng = np.random.default_rng(5)
+    n, k = 150, 3
+    X = rng.normal(size=(n, k))
+    beta = np.array([2.0, -1.0, 0.25])
+    y = X @ beta + 3.0 + rng.normal(scale=0.05, size=n)
+    cols = [f"f{i}" for i in range(k)]
+    pdf = pd.DataFrame({c: X[:, i] for i, c in enumerate(cols)})
+    pdf["label"] = y
+    df = spark.createDataFrame(pdf)
+
+    coefs = {c: float(beta[i]) for i, c in enumerate(cols)}
+    out = linear_shap(df, cols, coefs, 3.0).toPandas()
+
+    mu = X.mean(axis=0)
+    phi_np = (X - mu) * beta  # n×k closed form
+    got = out[[f"phi_{c}" for c in cols]].to_numpy()
+    # row order from toPandas matches input order (narrow plan, no shuffle)
+    assert np.allclose(np.sort(got, axis=0), np.sort(phi_np, axis=0), atol=1e-10)
+    # additivity: base + Σφ = f(x) for every row
+    pred = X @ beta + 3.0
+    total = out["base_value"].to_numpy() + got.sum(axis=1)
+    assert np.allclose(np.sort(total), np.sort(pred), atol=1e-10)
+    assert math.isclose(out["base_value"].iloc[0], 3.0 + mu @ beta, abs_tol=1e-10)

@@ -24,7 +24,12 @@ PYTHON_OK = {
 }
 #: queries that fit models / write files at plan-build time — too heavy
 #: or side-effectful for a plan-only sweep.
-SKIP_BUILD = {"m6_ensemble_weights", "sim_ivf_topk", "s1_csv_roundtrip"}
+SKIP_BUILD = {
+    "m6_ensemble_weights",
+    "m13_shap_linear",
+    "sim_ivf_topk",
+    "s1_csv_roundtrip",
+}
 
 
 def _plan(spark, name: str) -> str:
