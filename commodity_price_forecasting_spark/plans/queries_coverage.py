@@ -754,3 +754,48 @@ def m13_shap_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "feature STRING, beta DOUBLE, mean_abs_shap DOUBLE"
     )
+
+
+@register("m4_svr_mlp", oracle=None, tags=("ml",))
+def m4_svr_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: SVR + MLPRegressor (MC:34 cell 1 imports, slide 20) fit
+    per instrument over the lag-feature frame — numpy estimators
+    (sklearn absent here; ml/extra_models mirrors the defaults),
+    distributed one-model-per-group via applyInPandas, in-sample
+    R²/MAE per (instrument, model). Iterative fits are not
+    SQL-expressible → rows-only driver check; determinism and
+    better-than-linear fit quality are asserted in tests/test_ml.py."""
+    from commodity_price_forecasting_spark.ml.extra_models import (
+        NumpyMLP,
+        NumpySVR,
+        fit_predict_by_group,
+    )
+
+    feats = ["f_lag1", "f_lag2", "f_ma5"]
+    daily = daily_bars(spark, sf_dir).filter(F.col("instrument") <= 150)
+    w = Window.partitionBy("instrument").orderBy("day")
+    sup = daily.select(
+        "instrument",
+        F.col("px").alias("label"),
+        F.lag("px", 1).over(w).alias("f_lag1"),
+        F.lag("px", 2).over(w).alias("f_lag2"),
+        F.avg("px").over(w.rowsBetween(-5, -1)).alias("f_ma5"),
+    ).dropna()
+    out = []
+    for name, make in (
+        ("svr", lambda: NumpySVR()),
+        ("mlp", lambda: NumpyMLP(epochs=100, seed=42)),
+    ):
+        scored = fit_predict_by_group(sup, "instrument", feats, "label", make)
+        out.append(scored.withColumn("model", F.lit(name)))
+    return (
+        out[0]
+        .unionAll(out[1])
+        .select(
+            "instrument",
+            "model",
+            "n",
+            F.round("r2", 6).alias("r2"),
+            F.round("mae", 6).alias("mae"),
+        )
+    )

@@ -30,6 +30,7 @@ def test_oracle_keys_subset_of_queries():
         "mm_decode_features",
         "m6_ensemble_weights",
         "m11_stationarity_tests",
+        "m4_svr_mlp",
         "m5_ar_forecast",
         "a6_dtype_histogram",
     }

@@ -354,3 +354,61 @@ def test_linear_shap_additivity_and_closed_form(spark):
     total = out["base_value"].to_numpy() + got.sum(axis=1)
     assert np.allclose(np.sort(total), np.sort(pred), atol=1e-10)
     assert math.isclose(out["base_value"].iloc[0], 3.0 + mu @ beta, abs_tol=1e-10)
+
+
+def test_svr_and_mlp_beat_linear_on_nonlinear_target(spark):
+    """M4 estimators (numpy SVR/MLP, ml/extra_models) must fit a
+    nonlinear signal substantially better than the linear baseline,
+    and the MLP must be bit-deterministic for a fixed seed."""
+    from commodity_price_forecasting_spark.ml.extra_models import (
+        NumpyMLP,
+        NumpySVR,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 300
+    X = rng.uniform(-3, 3, size=(n, 2))
+    y = np.sin(X[:, 0]) + 0.5 * np.cos(2 * X[:, 1]) + rng.normal(
+        scale=0.05, size=n
+    )
+
+    def r2(p):
+        return 1 - ((y - p) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+
+    A = np.column_stack([np.ones(n), X])
+    lin = r2(A @ np.linalg.lstsq(A, y, rcond=None)[0])
+
+    svr_pred = NumpySVR().fit(X, y).predict(X)
+    mlp_pred = NumpyMLP(seed=7).fit(X, y).predict(X)
+    assert r2(svr_pred) > lin + 0.2
+    assert r2(mlp_pred) > lin + 0.1
+    assert np.array_equal(mlp_pred, NumpyMLP(seed=7).fit(X, y).predict(X))
+
+
+def test_numpy_adapter_slots_into_run_ensemble(spark):
+    """The duck-typed adapter must run inside run_ensemble next to
+    MLlib models, score distributed, and land a sane in-sample R²."""
+    import pandas as pd
+
+    from commodity_price_forecasting_spark.ml.extra_models import (
+        NumpyRegressorAdapter,
+        NumpySVR,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 200
+    X = rng.normal(size=(n, 2))
+    y = X[:, 0] ** 2 - X[:, 1] + rng.normal(scale=0.05, size=n)
+    pdf = pd.DataFrame({"f0": X[:, 0], "f1": X[:, 1], "label": y})
+    df = spark.createDataFrame(pdf)
+
+    from pyspark.ml.regression import LinearRegression
+
+    models = {
+        "linear": LinearRegression(featuresCol="features", labelCol="label"),
+        "svr": NumpyRegressorAdapter(NumpySVR, ["f0", "f1"]),
+    }
+    res = run_ensemble(df, ["f0", "f1"], "label", models=models)
+    assert res.model_metrics["svr"]["r2"] > res.model_metrics["linear"]["r2"]
+    assert set(res.weights) == {"linear", "svr"}
+    assert abs(sum(res.weights.values()) - 1.0) < 1e-9
