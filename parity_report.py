@@ -148,6 +148,34 @@ def main() -> None:
     def avg(key: str, which: str) -> float:
         return sum(t[which][key] for t in per_target) / len(per_target)
 
+    # Reproducibility bound for the published in-sample table (see the
+    # "Why the in-sample table cannot converge" section below): implied
+    # eval-set sigma from each published (rmse, r2) pair, the artifact's
+    # actual target stds, and the Mean-Top3 R² upper bound obtained by
+    # replacing the RF with a PERFECT oracle while keeping the
+    # closed-form-exact linear/ridge predictions.
+    import numpy as np
+
+    pdf = df.toPandas()
+    X = np.column_stack(
+        [np.ones(len(pdf))] + [pdf[c].to_numpy() for c in feature_cols]
+    )
+    tgt_stds, mean_top3_ub, lin_r2s = [], [], []
+    for tgt in target_cols:
+        m = pdf[tgt].notna().to_numpy()
+        y = pdf.loc[m, tgt].to_numpy()
+        beta, *_ = np.linalg.lstsq(X[m], y, rcond=None)
+        pred = X[m] @ beta
+        sst = ((y - y.mean()) ** 2).sum()
+        lin_r2s.append(1 - ((y - pred) ** 2).sum() / sst)
+        perfect_mean = (2.0 * pred + y) / 3.0
+        mean_top3_ub.append(1 - ((y - perfect_mean) ** 2).sum() / sst)
+        tgt_stds.append(y.std(ddof=1))
+    implied = {
+        name: PUBLISHED[name]["rmse"] / (1 - PUBLISHED[name]["r2"]) ** 0.5
+        for name in PUBLISHED
+    }
+
     lines = [
         "# PARITY — MLlib ensemble vs the reference's published numbers",
         "",
@@ -170,6 +198,34 @@ def main() -> None:
                 f"| {name} | {m} | {pub[m]} | {avg(m, which):.4f} |"
             )
     lines += [
+        "",
+        "### Why the in-sample table cannot converge to the published one",
+        "",
+        "The published table (app.py:601-607) is **not reproducible from this "
+        "artifact under any estimator configuration** — two independent proofs:",
+        "",
+        "1. **Implied eval-set scale.** From RMSE = σ·√(1−R²), the published "
+        f"rows imply eval-set σ = {implied['Ensemble-Mean-Top3']:.4f} "
+        f"(Mean-Top3) and {implied['Ensemble-Weighted-Top3']:.4f} "
+        "(Weighted-Top3) — mutually consistent, so the rows share one eval "
+        "set. But this artifact's 19 target columns have std "
+        f"{min(tgt_stds):.4f}–{max(tgt_stds):.4f} "
+        f"(mean {sum(tgt_stds)/len(tgt_stds):.4f}): every target is ≥37% more "
+        "volatile than the published eval set. The published MAE/RMSE cannot "
+        "be produced from these columns, in-sample or held-out.",
+        "2. **Mean-Top3 upper bound.** Linear and Ridge are verified "
+        "closed-form-exact (tests/test_ml.py), and their in-sample R² on this "
+        f"artifact averages {sum(lin_r2s)/len(lin_r2s):.4f}. Replacing the "
+        "third model with a PERFECT oracle (predictions ≡ y) bounds the "
+        "equal-weight Mean-Top3 ensemble at R² = "
+        f"{sum(mean_top3_ub)/len(mean_top3_ub):.4f} < published 0.6716. No RF "
+        "depth / bins / tree count can cross that bound (measured: depth 20 "
+        "'all'-features ≈ sklearn-default; larger maxBins made R² worse).",
+        "",
+        "Conclusion: the published table came from the missing offline "
+        "notebooks' own evaluation split/features (SURVEY.md §0), not from "
+        "df_transformed.csv. The reproducible anchors are the held-out "
+        "walk-forward numbers below, which this engine matches.",
         "",
         "### Held-out walk-forward (directly comparable protocol)",
         "",
