@@ -1,0 +1,179 @@
+"""Seasonal ARIMA per series (SURVEY.md §2.9 M5, slides 21-22).
+
+The reference's hybrid used statsmodels SARIMAX (MC:34 cell 1;
+README.md:29); statsmodels is not in this container, so the model is
+fit with the Hannan-Rissanen two-stage algorithm (Hannan & Rissanen
+1982, "Recursive estimation of mixed autoregressive-moving average
+order") in pure numpy:
+
+1. Difference the series: ``d`` regular + ``D`` seasonal (period s).
+2. Fit a long AR by OLS to the differenced series; its residuals are
+   a consistent proxy for the unobserved MA innovations.
+3. Regress the differenced series on p regular + P seasonal AR lags
+   and q regular + Q seasonal lagged residuals (one OLS solve).
+4. Forecast iteratively with future innovations set to 0 (their
+   conditional expectation), then invert the differencing.
+
+Everything is deterministic (least squares only — no random starts),
+so the operator is safe for the driver's value-hash determinism
+probe. Distribution model: one series = one ``applyInPandas`` group
+(Arrow batch) — embarrassingly parallel across executors, no shuffle
+beyond the groupBy hash; the per-series state (a few hundred floats)
+never touches the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def _difference(y: np.ndarray, d: int, D: int, s: int) -> np.ndarray:
+    for _ in range(d):
+        y = np.diff(y)
+    for _ in range(D):
+        y = y[s:] - y[:-s]
+    return y
+
+
+def _lagmat(y: np.ndarray, lags: list[int]) -> tuple[np.ndarray, np.ndarray]:
+    """Design matrix of ``y`` shifted by each lag in ``lags`` plus an
+    intercept, aligned with the response ``y[m:]`` (m = max lag)."""
+    m = max(lags) if lags else 0
+    n = len(y) - m
+    cols = [np.ones(n)] + [y[m - k : len(y) - k] for k in lags]
+    return np.column_stack(cols), y[m:]
+
+
+def sarima_fit_forecast(
+    y: np.ndarray,
+    order: tuple[int, int, int] = (1, 0, 0),
+    seasonal_order: tuple[int, int, int, int] = (0, 0, 0, 0),
+    horizon: int = 3,
+) -> np.ndarray:
+    """Fit SARIMA(p,d,q)(P,D,Q,s) by Hannan-Rissanen and return the
+    ``horizon``-step mean forecast on the ORIGINAL scale."""
+    p, d, q = order
+    P, D, Q, s = seasonal_order
+    y = np.asarray(y, dtype=float)
+    y = y[~np.isnan(y)]
+
+    w = _difference(y, d, D, s)
+    ar_lags = list(range(1, p + 1)) + [s * j for j in range(1, P + 1) if s > 0]
+    ma_lags = list(range(1, q + 1)) + [s * j for j in range(1, Q + 1) if s > 0]
+    ar_lags = sorted(set(ar_lags))
+    ma_lags = sorted(set(ma_lags))
+    max_lag = max(ar_lags + ma_lags + [1])
+    if len(w) < 2 * max_lag + 10:
+        raise ValueError(f"series too short: {len(w)} diffed obs for lag {max_lag}")
+
+    # Stage 1: long AR -> innovation proxies. Long-AR order grows with
+    # n^(1/3) (HR's consistency rate), floored to cover every model lag.
+    if ma_lags:
+        h = max(max_lag + 1, int(round(len(w) ** (1.0 / 3.0))) + max_lag)
+        h = min(h, (len(w) - 2) // 2)
+        Xh, yh = _lagmat(w, list(range(1, h + 1)))
+        beta_h, *_ = np.linalg.lstsq(Xh, yh, rcond=None)
+        eps = np.concatenate([np.zeros(h), yh - Xh @ beta_h])
+    else:
+        eps = np.zeros(len(w))
+
+    # Stage 2: OLS of w_t on AR lags of w and MA lags of eps.
+    m = max_lag
+    n = len(w) - m
+    cols = [np.ones(n)]
+    cols += [w[m - k : len(w) - k] for k in ar_lags]
+    cols += [eps[m - k : len(eps) - k] for k in ma_lags]
+    X = np.column_stack(cols)
+    beta, *_ = np.linalg.lstsq(X, w[m:], rcond=None)
+    c = beta[0]
+    phi = beta[1 : 1 + len(ar_lags)]
+    theta = beta[1 + len(ar_lags) :]
+
+    # In-sample innovations under the fitted model (for MA forecasts).
+    resid = w[m:] - X @ beta
+    eps_full = np.concatenate([np.zeros(m), resid])
+
+    # Iterative forecast on the differenced scale; future eps = 0.
+    w_ext = list(w)
+    eps_ext = list(eps_full)
+    for _ in range(horizon):
+        nxt = c
+        for k, ph in zip(ar_lags, phi):
+            nxt += ph * w_ext[-k]
+        for k, th in zip(ma_lags, theta):
+            nxt += th * eps_ext[-k]
+        w_ext.append(nxt)
+        eps_ext.append(0.0)
+    w_fc = np.array(w_ext[len(w) :])
+
+    # Invert seasonal then regular differencing (reverse of _difference).
+    def _undiff(fc: np.ndarray, hist: np.ndarray, lag: int) -> np.ndarray:
+        out, ext = [], list(hist)
+        for v in fc:
+            nxt = v + ext[-lag]
+            out.append(nxt)
+            ext.append(nxt)
+        return np.array(out)
+
+    # Rebuild the intermediate histories the differencing pass produced.
+    levels = [y]
+    cur = y
+    for _ in range(d):
+        cur = np.diff(cur)
+        levels.append(cur)
+    for _ in range(D):
+        cur = cur[s:] - cur[:-s]
+        levels.append(cur)
+    fc = w_fc
+    for i in range(D):
+        fc = _undiff(fc, levels[-(i + 2)], s)
+    for i in range(d):
+        fc = _undiff(fc, levels[d - 1 - i], 1)
+    return fc
+
+
+def sarima_forecast_by_group(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    order: tuple[int, int, int] = (1, 0, 0),
+    seasonal_order: tuple[int, int, int, int] = (0, 0, 0, 0),
+    horizon: int = 3,
+    key_type: str = "long",
+) -> DataFrame:
+    """Distributed per-series SARIMA: one group per key, deterministic
+    ``(key, step, forecast)`` output rows. ``key_type`` is the Spark
+    DDL type of ``key_col`` (e.g. ``"long"``, ``"string"``)."""
+    key_np = "int64" if key_type in ("long", "int", "bigint") else "object"
+
+    def _per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col)
+        key = pdf[key_col].iloc[0]
+        try:
+            fc = sarima_fit_forecast(
+                pdf[value_col].to_numpy(dtype=float),
+                order=order,
+                seasonal_order=seasonal_order,
+                horizon=horizon,
+            )
+        except (ValueError, np.linalg.LinAlgError):
+            return pd.DataFrame({key_col: [], "step": [], "forecast": []}).astype(
+                {key_col: key_np, "step": "int64", "forecast": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                key_col: [key] * horizon,
+                "step": np.arange(1, horizon + 1, dtype="int64"),
+                "forecast": fc.astype(float),
+            }
+        )
+
+    schema = f"{key_col} {key_type}, step long, forecast double"
+    return (
+        df.select(key_col, time_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(_per_group, schema=schema)
+    )

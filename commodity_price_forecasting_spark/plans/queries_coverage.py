@@ -422,6 +422,35 @@ def m5_ar_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("instrument", "step", F.round("forecast", 6).alias("forecast"))
 
 
+@register("m5_sarima_forecast", oracle=None, tags=("ml", "timeseries"))
+def m5_sarima_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full seasonal SARIMA(1,1,1)(1,1,1,12) per order-priority over
+    MONTHLY revenue (M5 — the reference's statsmodels SARIMAX hybrid,
+    slides 21-22; README.md:29), fit with the Hannan-Rissanen
+    two-stage algorithm in pure numpy (ml/sarima.py). The orders
+    table's ~7-year span gives ~78 monthly points per series — enough
+    for an annual (s=12) seasonal difference. Deterministic (pure
+    least squares), rows-only: the two-stage CSS fit is not
+    SQL-expressible. One applyInPandas group per series; the monthly
+    pre-aggregation is JVM-side, so Python sees ~80 rows per key."""
+    from commodity_price_forecasting_spark.ml.sarima import sarima_forecast_by_group
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        "o_orderpriority", F.date_trunc("month", "o_orderdate").alias("month")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    return sarima_forecast_by_group(
+        monthly,
+        "o_orderpriority",
+        "month",
+        "revenue",
+        order=(1, 1, 1),
+        seasonal_order=(1, 1, 1, 12),
+        horizon=6,
+        key_type="string",
+    ).select("o_orderpriority", "step", F.round("forecast", 4).alias("forecast"))
+
+
 # --- A3 quartiles: exact percentiles with a DuckDB oracle ----------------
 
 _QUANTILE_ORACLE = """

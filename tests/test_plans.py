@@ -19,6 +19,7 @@ PYTHON_OK = {
     "mm_decode_features",
     "m11_stationarity_tests",
     "m5_ar_forecast",
+    "m5_sarima_forecast",
     "m4_svr_mlp",
     "m6_ensemble_weights",
     "w9_ewma_volatility",

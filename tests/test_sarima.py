@@ -1,0 +1,97 @@
+"""M5 seasonal SARIMA (ml/sarima.py) — Hannan-Rissanen fit quality,
+exactness on noiseless series, determinism, and the registry query."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from commodity_price_forecasting_spark.ml.sarima import (
+    sarima_fit_forecast,
+    sarima_forecast_by_group,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def _seasonal_series(n: int, s: int = 7, noise: float = 0.3, seed: int = 42):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n)
+    season = 2.0 * np.sin(2 * np.pi * t / s) + np.cos(4 * np.pi * t / s)
+    ar = np.zeros(n)
+    for i in range(1, n):
+        ar[i] = 0.6 * ar[i - 1] + rng.normal(0, noise)
+    return 10 + 0.01 * t + season + ar
+
+
+def test_sarima_beats_nonseasonal_ar_on_seasonal_data():
+    y_full = _seasonal_series(414)
+    y, future = y_full[:400], y_full[400:]
+    fc_sar = sarima_fit_forecast(y, (1, 1, 1), (1, 1, 1, 7), horizon=14)
+    fc_ar = sarima_fit_forecast(y, (2, 0, 0), (0, 0, 0, 0), horizon=14)
+    rmse = lambda a: float(np.sqrt(np.mean((a - future) ** 2)))  # noqa: E731
+    assert rmse(fc_sar) < 0.7 * rmse(fc_ar)
+
+
+def test_sarima_exact_on_noiseless_seasonal_trend():
+    # y = trend + pure seasonal: (0,1,0)(0,1,0,s) differencing alone
+    # reduces it to a constant 0, so the forecast must continue the
+    # pattern exactly (up to float error).
+    t = np.arange(120)
+    y_full = 5 + 0.5 * t + 3 * np.sin(2 * np.pi * t / 12)
+    y, future = y_full[:108], y_full[108:]
+    fc = sarima_fit_forecast(y, (0, 1, 0), (0, 1, 0, 12), horizon=12)
+    np.testing.assert_allclose(fc, future, atol=1e-8)
+
+
+def test_sarima_deterministic():
+    y = _seasonal_series(300)
+    a = sarima_fit_forecast(y, (1, 1, 1), (1, 1, 1, 7), horizon=10)
+    b = sarima_fit_forecast(y, (1, 1, 1), (1, 1, 1, 7), horizon=10)
+    assert np.array_equal(a, b)
+
+
+def test_sarima_short_series_raises():
+    with pytest.raises(ValueError):
+        sarima_fit_forecast(np.arange(20.0), (1, 0, 0), (1, 1, 0, 12))
+
+
+def test_sarima_by_group_spark(spark):
+    import pandas as pd
+
+    y = _seasonal_series(200, s=7, seed=1)
+    pdf = pd.DataFrame(
+        {
+            "k": np.repeat([1, 2], 200),
+            "t": np.tile(np.arange(200), 2),
+            "v": np.concatenate([y, y * 2.0]),
+        }
+    )
+    out = sarima_forecast_by_group(
+        spark.createDataFrame(pdf), "k", "t", "v", (1, 0, 0), (1, 1, 0, 7), horizon=4
+    ).toPandas()
+    assert len(out) == 8
+    assert set(out["k"]) == {1, 2}
+    # group 2 is an exact 2x scaling of group 1 -> linear model scales
+    g1 = out[out["k"] == 1].sort_values("step")["forecast"].to_numpy()
+    g2 = out[out["k"] == 2].sort_values("step")["forecast"].to_numpy()
+    np.testing.assert_allclose(g2, 2.0 * g1, rtol=1e-6)
+
+
+def test_m5_sarima_query(spark):
+    from commodity_price_forecasting_spark.plans.queries_coverage import (
+        m5_sarima_forecast,
+    )
+
+    out = m5_sarima_forecast(spark, SF_SMOKE).toPandas()
+    # 5 order priorities x 6 steps, all finite
+    assert len(out) == 30
+    assert out["forecast"].notna().all()
+    assert np.isfinite(out["forecast"]).all()
+    out2 = m5_sarima_forecast(spark, SF_SMOKE).toPandas()
+    pd_sorted = lambda d: d.sort_values(["o_orderpriority", "step"]).reset_index(  # noqa: E731
+        drop=True
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(pd_sorted(out), pd_sorted(out2))
