@@ -223,3 +223,75 @@ def test_connected_components_known_graph(spark):
         for r in connected_components(edges, "doc_a", "doc_b").collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+
+def test_connected_components_long_chain(spark):
+    """Diameter >> 2: a 200-node path must fully converge within the
+    default max_iter=20 — only possible with pointer halving
+    (O(log diameter)); plain 1-hop propagation would need ~200."""
+    from commodity_price_forecasting_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["doc_a", "doc_b"]
+    )
+    out = connected_components(edges, "doc_a", "doc_b").collect()
+    assert len(out) == 201
+    assert {r["component"] for r in out} == {0}
+
+
+def test_connected_components_random_graph_vs_union_find(spark):
+    import random
+
+    from commodity_price_forecasting_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(300), rng.randrange(300)) for _ in range(180)]
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(300))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # oracle: min node id per component, only for nodes with an edge
+    touched = {a for e in edges for a in e}
+    comp_min = {}
+    for n in sorted(touched):
+        comp_min.setdefault(find(n), n)
+    want = {n: comp_min[find(n)] for n in touched}
+
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(edges, ["doc_a", "doc_b"]), "doc_a", "doc_b"
+        ).collect()
+    }
+    assert out == want
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    from commodity_price_forecasting_spark.operators.dedup import (
+        connected_components,
+    )
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        edges = spark.createDataFrame([(1, 2), (2, 3), (9, 10)], ["doc_a", "doc_b"])
+        out = {
+            r["node"]: r["component"]
+            for r in connected_components(edges, "doc_a", "doc_b").collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 1, 9: 9, 10: 9}
+    finally:
+        spark.sparkContext.setCheckpointDir(None)
