@@ -258,7 +258,7 @@ FROM scored WHERE pred IS NOT NULL
 )
 
 
-@register("m7_forecast_metrics", oracle=_M7_ORACLE, tags=("ml", "metrics"))
+@register("m7_forecast_metrics", oracle=_M7_ORACLE, tags=("ml", "metrics", "bench"))
 def m7_forecast_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full metric surface (M7 MAE/RMSE/R², M8 directional
     accuracy/SMAPE) over a deterministic naive (lag-1) forecast — one
@@ -595,7 +595,7 @@ UNPIVOT (value FOR field IN (qty, price, disc))
 """
 
 
-@register("layout_unpivot", oracle=_UNPIVOT_ORACLE, tags=("layout",))
+@register("layout_unpivot", oracle=_UNPIVOT_ORACLE, tags=("layout", "bench"))
 def layout_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide→long unpivot (melt) — the layout bridge between the
     reference's wide frames and this engine's scalable long form
@@ -674,7 +674,7 @@ FROM ranked WHERE rn = 1
 """
 
 
-@register("cdc_upsert_latest", oracle=_UPSERT_ORACLE, tags=("pipeline", "dedup"))
+@register("cdc_upsert_latest", oracle=_UPSERT_ORACLE, tags=("pipeline", "dedup", "bench"))
 def cdc_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-writer-wins upsert of an updates feed onto a base table
     keyed by (user, day), versioned by event time — the MERGE pattern

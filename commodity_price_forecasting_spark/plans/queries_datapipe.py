@@ -551,7 +551,7 @@ FROM labels
 )
 
 
-@register("dedup_components", oracle=_COMPONENTS_ORACLE, tags=("datapipe", "dedup"))
+@register("dedup_components", oracle=_COMPONENTS_ORACLE, tags=("datapipe", "dedup", "bench"))
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster formation: LSH candidate pairs with estimated
     Jaccard >= 0.5 form edges; connected components (iterative

@@ -98,7 +98,7 @@ JOIN lagged f ON l.instrument = f.instrument AND l.day + l.lag = f.day
 )
 
 
-@register("w2_heterogeneous_lead", oracle=_W2_ORACLE, tags=("window", "join"))
+@register("w2_heterogeneous_lead", oracle=_W2_ORACLE, tags=("window", "join", "bench"))
 def w2_heterogeneous_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row heterogeneous lead — the reference's per-target
     ``shift(-lag)`` with lag from a mapping row (MC:59845 (cell 67),
@@ -339,7 +339,7 @@ ASOF JOIN daily d
 """
 
 
-@register("ts_asof_join", oracle=_ASOF_ORACLE, tags=("timeseries", "join"))
+@register("ts_asof_join", oracle=_ASOF_ORACLE, tags=("timeseries", "join", "bench"))
 def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join (trades-to-quotes): each purchase event gets the
     most recent daily bar px of its user at or before the event's
