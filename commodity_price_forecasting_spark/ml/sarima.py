@@ -134,6 +134,91 @@ def sarima_fit_forecast(
     return fc
 
 
+def sarima_one_step_ahead(
+    y: np.ndarray,
+    n_test: int,
+    order: tuple[int, int, int] = (1, 0, 0),
+    seasonal_order: tuple[int, int, int, int] = (0, 0, 0, 0),
+    return_all: bool = False,
+) -> np.ndarray:
+    """Held-out ONE-step-ahead predictions for the last ``n_test``
+    points: fit Hannan-Rissanen on ``y[:-n_test]``, then predict each
+    test point from the ACTUAL history up to t-1 with recursively
+    updated innovations (statsmodels' ``dynamic=False`` protocol).
+    Returns the ``n_test`` predictions on the original scale; with
+    ``return_all`` returns the full-length one-step series instead
+    (NaN head where lags are unavailable) — train region included,
+    for residual-hybrid second-stage models."""
+    p, d, q = order
+    P, D, Q, s = seasonal_order
+    y = np.asarray(y, dtype=float)
+    if n_test <= 0 or n_test >= len(y):
+        raise ValueError(f"n_test {n_test} out of range for {len(y)} obs")
+    y_train = y[:-n_test]
+
+    ar_lags = sorted(
+        set(list(range(1, p + 1)) + [s * j for j in range(1, P + 1) if s > 0])
+    )
+    ma_lags = sorted(
+        set(list(range(1, q + 1)) + [s * j for j in range(1, Q + 1) if s > 0])
+    )
+    max_lag = max(ar_lags + ma_lags + [1])
+
+    w_train = _difference(y_train, d, D, s)
+    if len(w_train) < 2 * max_lag + 10:
+        raise ValueError("train series too short")
+
+    # Fit on train only (same two stages as sarima_fit_forecast).
+    if ma_lags:
+        h = max(max_lag + 1, int(round(len(w_train) ** (1.0 / 3.0))) + max_lag)
+        h = min(h, (len(w_train) - 2) // 2)
+        Xh, yh = _lagmat(w_train, list(range(1, h + 1)))
+        beta_h, *_ = np.linalg.lstsq(Xh, yh, rcond=None)
+        eps_tr = np.concatenate([np.zeros(h), yh - Xh @ beta_h])
+    else:
+        eps_tr = np.zeros(len(w_train))
+    m = max_lag
+    n = len(w_train) - m
+    cols = [np.ones(n)]
+    cols += [w_train[m - k : len(w_train) - k] for k in ar_lags]
+    cols += [eps_tr[m - k : len(eps_tr) - k] for k in ma_lags]
+    X = np.column_stack(cols)
+    beta, *_ = np.linalg.lstsq(X, w_train[m:], rcond=None)
+    c = beta[0]
+    phi = beta[1 : 1 + len(ar_lags)]
+    theta = beta[1 + len(ar_lags) :]
+
+    # Recursive one-step pass over the FULL differenced series with
+    # frozen coefficients; eps updates from actual w.
+    w_full = _difference(y, d, D, s)
+    offset = len(y) - len(w_full)  # obs consumed by differencing
+    eps = np.zeros(len(w_full))
+    pred_w = np.full(len(w_full), np.nan)
+    for t in range(m, len(w_full)):
+        v = c
+        for k, ph in zip(ar_lags, phi):
+            v += ph * w_full[t - k]
+        for k, th in zip(ma_lags, theta):
+            v += th * eps[t - k]
+        pred_w[t] = v
+        eps[t] = w_full[t] - v
+
+    # One-step undifferencing with actual history: w_t = y_t - g(past y)
+    # => ŷ_t = ŵ_t + (y_t - w_t), where (y_t - w_t) is past-only.
+    if return_all:
+        full = np.full(len(y), np.nan)
+        for t in range(offset + m, len(y)):
+            wt = t - offset
+            full[t] = pred_w[wt] + (y[t] - w_full[wt])
+        return full
+    test_idx = np.arange(len(y) - n_test, len(y))
+    out = np.empty(n_test)
+    for i, t in enumerate(test_idx):
+        wt = t - offset
+        out[i] = pred_w[wt] + (y[t] - w_full[wt])
+    return out
+
+
 def sarima_forecast_by_group(
     df: DataFrame,
     key_col: str,

@@ -145,6 +145,78 @@ def main() -> None:
     wf_dir_acc = sum(r["dir_acc"] for r in wf_rows) / len(wf_rows)
     wf_r2 = sum(r["r2"] for r in wf_rows) / len(wf_rows)
 
+    # SARIMA+Ridge hybrid — the reference's published approach
+    # (slides 21-22): SARIMA one-step-ahead on each target (ml/sarima,
+    # Hannan-Rissanen), Ridge(α=1) on the SARIMA residuals over the
+    # same engineered features, same 3 expanding folds. Computed
+    # driver-side in numpy: the artifact is 1127 rows, and the numpy
+    # ridge is bit-equivalent to the MLlib path by
+    # tests/test_ml.py::test_linear_and_ridge_match_closed_form.
+    import numpy as _np
+    import pandas as _pd
+
+    from commodity_price_forecasting_spark.ml.sarima import sarima_one_step_ahead
+    from commodity_price_forecasting_spark.ml.walkforward import expanding_folds
+
+    art = df.select("date_id", *target_cols).toPandas().sort_values("date_id")
+
+    def _ridge_fit_predict(Xtr, ytr, Xte, alpha=1.0):
+        mu, sd = Xtr.mean(axis=0), Xtr.std(axis=0)
+        sd[sd == 0] = 1.0
+        Z = (Xtr - mu) / sd
+        A = Z.T @ Z + alpha * _np.eye(Z.shape[1])
+        coef = _np.linalg.solve(A, Z.T @ (ytr - ytr.mean()))
+        return ytr.mean() + ((Xte - mu) / sd) @ coef
+
+    hyb_pool_act, hyb_pool_pred, hyb_pool_prev = [], [], []
+    for tgt in target_cols:
+        y = art[tgt].to_numpy(dtype=float)
+        y = y[~_np.isnan(y)]
+        t = _np.arange(len(y))
+        ys = _pd.Series(y)
+        feats = _np.column_stack(
+            [_np.concatenate([[_np.nan] * k, y[:-k]]) for k in (1, 2, 3)]
+            + [
+                ys.rolling(5).mean().shift(1).to_numpy(),
+                ys.rolling(10).std().shift(1).to_numpy(),
+            ]
+        )
+        ok = ~_np.isnan(feats).any(axis=1)
+        for fold in expanding_folds(0, len(y) - 1, 3):
+            try:
+                sar = sarima_one_step_ahead(
+                    y[: fold.test_end + 1],
+                    n_test=fold.test_end - fold.train_end,
+                    order=(1, 0, 1),
+                    seasonal_order=(1, 0, 0, 5),
+                    return_all=True,
+                )
+            except (ValueError, _np.linalg.LinAlgError):
+                continue
+            tr_idx = _np.where(
+                ok[: len(sar)] & (t[: len(sar)] <= fold.train_end) & ~_np.isnan(sar)
+            )[0]
+            te_idx = _np.arange(fold.train_end + 1, fold.test_end + 1)
+            te_idx = te_idx[ok[te_idx]]
+            if len(tr_idx) < 30 or len(te_idx) == 0:
+                continue
+            resid_tr = y[tr_idx] - sar[tr_idx]
+            resid_pred = _ridge_fit_predict(
+                feats[tr_idx], resid_tr, feats[te_idx]
+            )
+            pred = sar[te_idx] + resid_pred
+            hyb_pool_act.append(y[te_idx])
+            hyb_pool_pred.append(pred)
+            hyb_pool_prev.append(y[te_idx - 1])
+    act = _np.concatenate(hyb_pool_act)
+    prd = _np.concatenate(hyb_pool_pred)
+    prev = _np.concatenate(hyb_pool_prev)
+    hyb_r2 = 1 - ((act - prd) ** 2).sum() / ((act - act.mean()) ** 2).sum()
+    hyb_dir = float(
+        _np.mean(_np.sign(prd - prev) == _np.sign(act - prev))
+    )
+    print(f"hybrid SARIMA+Ridge: R2={hyb_r2:.4f} dir_acc={hyb_dir:.4f}")
+
     def avg(key: str, which: str) -> float:
         return sum(t[which][key] for t in per_target) / len(per_target)
 
@@ -240,6 +312,8 @@ def main() -> None:
         "|---|---|---|",
         f"| directional accuracy (baseline 0.72) | 0.72 | {wf_dir_acc:.4f} |",
         f"| R² (hybrid ≈0.42) | ≈0.42 | {wf_r2:.4f} |",
+        f"| SARIMA+Ridge hybrid R² (ml/sarima one-step + ridge-on-residuals) | ≈0.42 | {hyb_r2:.4f} |",
+        f"| SARIMA+Ridge hybrid dir. acc. | 0.72–0.80 | {hyb_dir:.4f} |",
         "",
         "Published numbers are the team's offline **held-out** evaluation "
         "(source notebooks missing from the repo, see SURVEY.md §0); this "

@@ -51,6 +51,34 @@ def test_sarima_deterministic():
     assert np.array_equal(a, b)
 
 
+def test_one_step_ahead_exact_on_noiseless():
+    from commodity_price_forecasting_spark.ml.sarima import sarima_one_step_ahead
+
+    t = np.arange(150)
+    y = 5 + 0.5 * t + 3 * np.sin(2 * np.pi * t / 12)
+    pred = sarima_one_step_ahead(y, 24, (0, 1, 0), (0, 1, 0, 12))
+    np.testing.assert_allclose(pred, y[-24:], atol=1e-10)
+
+
+def test_one_step_ahead_recovers_arma_signal():
+    from commodity_price_forecasting_spark.ml.sarima import sarima_one_step_ahead
+
+    rng = np.random.default_rng(3)
+    n = 600
+    e = rng.normal(0, 1, n)
+    x = np.zeros(n)
+    for i in range(1, n):
+        x[i] = 0.7 * x[i - 1] + e[i] + 0.4 * e[i - 1]
+    pred = sarima_one_step_ahead(x, 100, (1, 0, 1))
+    act = x[-100:]
+    r2 = 1 - ((act - pred) ** 2).sum() / ((act - act.mean()) ** 2).sum()
+    # theoretical one-step R2 for this ARMA(1,1) is ~0.64
+    assert 0.5 < r2 < 0.75
+    # return_all agrees with the test-slice variant on the test region
+    full = sarima_one_step_ahead(x, 100, (1, 0, 1), return_all=True)
+    np.testing.assert_allclose(full[-100:], pred)
+
+
 def test_sarima_short_series_raises():
     with pytest.raises(ValueError):
         sarima_fit_forecast(np.arange(20.0), (1, 0, 0), (1, 1, 0, 12))
