@@ -484,3 +484,283 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(s, F.col("supplier_no") == F.col("s_suppkey")).select(
         "s_suppkey", "s_name", F.round("total_revenue", 2).alias("total_revenue")
     )
+
+
+# --- q9-style: profit by supplier nation and year -----------------------
+
+_Q9_ORACLE = """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS INTEGER) AS o_year,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           - 0.5 * p.p_retailprice * l.l_quantity
+                           AS DECIMAL(28,10))) AS DOUBLE), 2) AS profit
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+@register("q9_profit_nation_year", oracle=_Q9_ORACLE, tags=("join", "agg"))
+def q9_profit_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no partsupp in the fixture, so supply cost is
+    modeled as half the part retail price): pseudo-profit per supplier
+    nation per order year, part-name LIKE filter pushed to the part
+    scan. Fact-to-fact joins (lineitem⋈orders) hash-shuffle on the
+    key; part/supplier/nation are broadcast. DECIMAL aggregation for
+    cross-engine midpoint-exact rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(28,10)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount).cast("double"), 2).alias("profit"))
+    )
+
+
+# --- q13-style: customer order-count distribution -----------------------
+
+_Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+"""
+
+
+@register("q13_custdist", oracle=_Q13_ORACLE, tags=("join", "agg"))
+def q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: double aggregation — orders per customer
+    (LEFT join keeps the zero-order customers), then the histogram of
+    those counts. First agg shuffles on custkey; the second input is
+    |customers| rows of two ints, so its shuffle is trivial."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --- q17-style: small-quantity revenue vs per-part average --------------
+
+_Q17_ORACLE = """
+WITH pa AS (
+  SELECT l_partkey, SUM(l_quantity) AS sum_qty, COUNT(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+       AS avg_yearly
+FROM lineitem l
+JOIN pa ON l.l_partkey = pa.l_partkey
+WHERE 2 * l.l_quantity * pa.cnt < pa.sum_qty
+"""
+
+
+@register("q17_small_qty_revenue", oracle=_Q17_ORACLE, tags=("join", "agg"))
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lines whose quantity is below
+    half the part's average. The threshold compare is cross-multiplied
+    (2·qty·cnt < sum_qty) so both engines compare EXACT integers —
+    no float-average boundary ties. The per-part aggregate is tiny
+    (|parts| rows) and broadcast back against lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = F.broadcast(
+        li.groupBy("l_partkey").agg(
+            F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+        ).withColumnRenamed("l_partkey", "pa_partkey")
+    )
+    return (
+        li.join(pa, li.l_partkey == F.col("pa_partkey"))
+        .filter(2 * F.col("l_quantity") * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+# --- q20-style: suppliers providing the majority of a part's volume ------
+
+_Q20_ORACLE = """
+WITH pq AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS sq
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY 1, 2
+), pt AS (
+  SELECT l_partkey, SUM(sq) AS total_q FROM pq GROUP BY 1
+)
+SELECT s.s_name, COUNT(*) AS n_dominated_parts
+FROM pq
+JOIN pt ON pq.l_partkey = pt.l_partkey
+JOIN supplier s ON pq.l_suppkey = s.s_suppkey
+WHERE 2 * pq.sq > pt.total_q
+GROUP BY s.s_name
+"""
+
+
+@register("q20_dominant_supplier", oracle=_Q20_ORACLE, tags=("join", "agg"))
+def q20_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers that shipped more than half of a
+    part's 1996 volume, with how many parts they dominate. Both
+    aggregates reuse the SAME shuffle key prefix (partkey), so the
+    second agg is a near-free re-shuffle of pre-combined rows;
+    supplier is broadcast. Quantity sums are integral doubles —
+    exact in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    pq = li.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("sq"))
+    pt = pq.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        F.sum("sq").alias("total_q")
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        pq.join(pt, pq.l_partkey == F.col("pt_partkey"))
+        .filter(2 * F.col("sq") > F.col("total_q"))
+        .join(s, pq.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n_dominated_parts"))
+    )
+
+
+# --- q21-style: sole late supplier on multi-supplier orders -------------
+
+_Q21_ORACLE = """
+WITH ol AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), agg AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp, SUM(is_late) AS n_late
+  FROM ol GROUP BY 1
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM ol
+JOIN agg ON ol.l_orderkey = agg.l_orderkey
+JOIN supplier s ON ol.l_suppkey = s.s_suppkey
+WHERE ol.is_late = 1 AND agg.n_supp >= 2 AND agg.n_late = 1
+GROUP BY s.s_name
+"""
+
+
+@register("q21_sole_late_supplier", oracle=_Q21_ORACLE, tags=("join", "agg"))
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on
+    orders involving ≥2 suppliers. The exists/not-exists pair is
+    expressed as one (orderkey, suppkey) aggregate plus a per-order
+    rollup — two shuffles on the same leading key instead of two
+    correlated self-joins over lineitem."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    ol = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90), 1
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    agg = ol.groupBy(F.col("l_orderkey").alias("a_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        ol.join(agg, ol.l_orderkey == F.col("a_orderkey"))
+        .filter((F.col("is_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(s, ol.l_suppkey == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# --- q22-style: high-balance customers with no orders -------------------
+
+_Q22_ORACLE = """
+WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_bal, COUNT(*) AS cnt
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey AS cntrycode, COUNT(*) AS numcust,
+       ROUND(CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2)
+         AS totacctbal
+FROM customer c, pos
+WHERE 2 * CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.cnt > pos.sum_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY 1
+"""
+
+
+@register("q22_idle_rich_customers", oracle=_Q22_ORACLE, tags=("join", "anti", "agg"))
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers above half the positive-balance
+    average with NO orders since 1999 (every fixture customer has
+    ordered at least once, so "lapsed" replaces "never ordered" to
+    keep the anti-join non-vacuous), grouped by nation. The average compare is cross-multiplied in DECIMAL
+    (2·bal·cnt > sum) so both engines
+    compare exact decimals — no float-average boundary. Anti-join
+    against orders carries only custkeys."""
+    c = load_table(spark, sf_dir, "customer")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("sum_bal"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = c.join(F.broadcast(pos)).filter(
+        2 * F.col("c_acctbal").cast("decimal(18,2)") * F.col("cnt") > F.col("sum_bal")
+    )
+    return (
+        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("totacctbal"),
+        )
+    )

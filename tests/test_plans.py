@@ -56,7 +56,11 @@ def test_q5_broadcasts_every_dimension(spark):
 #: single-row broadcast crossJoin by design (query vector against the
 #: corpus) — a BroadcastNestedLoopJoin whose build side is ONE row is
 #: a per-row closure, not an O(n·m) blowup.
-SINGLE_ROW_BROADCAST_OK = {"sim_topk_bruteforce"}
+SINGLE_ROW_BROADCAST_OK = {
+    "sim_topk_bruteforce",
+    # scalar aggregate (1 row: sum_bal, cnt) broadcast against customer
+    "q22_idle_rich_customers",
+}
 
 
 def test_no_cartesian_products_anywhere(spark):
