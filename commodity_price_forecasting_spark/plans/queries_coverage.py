@@ -828,3 +828,38 @@ def m4_svr_mlp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mae", 6).alias("mae"),
         )
     )
+
+
+# --- S6+: partitioned parquet sink with partition-pruned rescan ---------
+
+_PARTITIONED_SINK_ORACLE = """
+SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+
+@register("s7_partitioned_parquet_sink", oracle=_PARTITIONED_SINK_ORACLE, tags=("source", "sink"))
+def s7_partitioned_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + partition-PRUNED rescan (the 100 TB
+    layout pattern: hive-partition the lake by a low-cardinality
+    column so per-slice consumers touch one directory). Writes events
+    partitioned by event_type, re-reads ONLY the 'purchase' partition
+    (partition pruning: the other directories are never opened —
+    asserted in tests/test_sources_scale.py), and aggregates per day.
+    Oracle computes the same from the raw parquet."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_part_sink_{spark.sparkContext.applicationId}",
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    return back.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -618,3 +618,85 @@ def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- canonical pick: best-quality doc per duplicate cluster -------------
+
+_CANONICAL_ORACLE = (
+    _COMPONENTS_ORACLE.replace(
+        """SELECT doc_id, component,
+       count(*) OVER (PARTITION BY component) AS component_size
+FROM labels
+""",
+        """, quality AS (
+  SELECT t.doc_id, ROUND(0.4 * LEAST(n_tokens / 50.0, 1.0)
+       + 0.3 * (n_distinct * 1.0 / n_tokens)
+       + 0.3 * (1 - ABS(n_stop * 1.0 / n_tokens - 0.10) / 0.9), 6) AS quality
+  FROM (
+    SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS n_distinct,
+           SUM(CASE WHEN token IN ('the','a','of','and','in') THEN 1 ELSE 0 END)
+             AS n_stop
+    FROM (SELECT d.doc_id, UNNEST(string_split(trim(d.text), ' ')) AS token
+          FROM documents d) tk
+    WHERE token <> ''
+    GROUP BY doc_id
+  ) t
+), ranked AS (
+  SELECT l.component, l.doc_id, q.quality,
+         COUNT(*) OVER (PARTITION BY l.component) AS n_members,
+         ROW_NUMBER() OVER (
+           PARTITION BY l.component
+           ORDER BY q.quality DESC, l.doc_id ASC) AS rk
+  FROM labels l JOIN quality q ON l.doc_id = q.doc_id
+)
+SELECT component, doc_id AS canonical_doc_id, n_members,
+       quality AS canonical_quality
+FROM ranked WHERE rk = 1
+""",
+    )
+)
+
+
+@register("dedup_canonical_pick", oracle=_CANONICAL_ORACLE, tags=("datapipe", "dedup"))
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final decision: for each near-duplicate
+    cluster (LSH edges → connected components), KEEP the
+    highest-quality member (tie → lowest doc_id) — quality-aware
+    canonicalization rather than arbitrary min-id survival, the form
+    a pre-training curation pipeline actually wants. The ranking
+    orders by the 6dp-ROUNDED quality (bit-identical across engines,
+    proven by text_quality_score's hash match) so the argmax is
+    engine-deterministic. Scale: components O(log diameter)
+    (operators/dedup.connected_components), quality one token pass,
+    final pick a per-component window over |clustered docs| rows."""
+    from pyspark.sql import Window as W
+
+    from commodity_price_forecasting_spark.operators.textops import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = char_shingles(docs, k=5, distinct=False)
+    wide = minhash_wide(sh, num_hashes=12).cache()
+    cand = lsh_candidate_pairs(band_signatures(wide, num_hashes=12, rows_per_band=3))
+    edges = estimated_jaccard(wide, cand, num_hashes=12).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    comp = connected_components(edges, "doc_a", "doc_b")
+    q = quality_score(docs).select("doc_id", "quality")
+    joined = comp.join(q, comp.node == q.doc_id, "inner")
+    w = W.partitionBy("component").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        joined.select(
+            "component",
+            "doc_id",
+            "quality",
+            F.count(F.lit(1)).over(W.partitionBy("component")).alias("n_members"),
+            F.row_number().over(w).alias("_rk"),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("canonical_doc_id"),
+            "n_members",
+            F.col("quality").alias("canonical_quality"),
+        )
+    )

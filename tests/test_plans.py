@@ -31,6 +31,7 @@ SKIP_BUILD = {
     "m13_shap_linear",
     "sim_ivf_topk",
     "s1_csv_roundtrip",
+    "s7_partitioned_parquet_sink",
 }
 
 

@@ -90,3 +90,20 @@ def test_bucketed_tables_join_without_exchange(spark, tmp_path_factory):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_partitioned_sink_prunes_partitions(spark):
+    """s7: the rescan of one event_type must read ONE hive partition —
+    PartitionFilters in the scan, and the other event_type directories
+    absent from the selected partitions count."""
+    from commodity_price_forecasting_spark.plans.queries_coverage import (
+        s7_partitioned_parquet_sink,
+    )
+
+    df = s7_partitioned_parquet_sink(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters")[1][:200]
+    # value sanity: counts equal the unpartitioned path
+    ev = load_table(spark, SF_DIR, "events").filter("event_type = 'purchase'")
+    assert df.agg({"n_events": "sum"}).first()[0] == ev.count()
