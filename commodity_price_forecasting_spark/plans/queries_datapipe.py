@@ -700,3 +700,104 @@ def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("quality").alias("canonical_quality"),
         )
     )
+
+
+# --- per-label embedding centroids (long layout) ------------------------
+
+_CENTROID_ORACLE = """
+SELECT label, pos, ROUND(AVG(val), 6) AS centroid_val, COUNT(*) AS n_vectors
+FROM (
+  SELECT label,
+         UNNEST(embedding) AS val,
+         UNNEST(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings
+) t
+GROUP BY label, pos
+"""
+
+
+@register("sim_label_centroids", oracle=_CENTROID_ORACLE, tags=("datapipe", "similarity"))
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroid in LONG layout (label, dim-pos,
+    mean component) — the training step of IVF/nearest-centroid
+    classification and the usual cluster-quality probe. posexplode →
+    groupBy(label, pos): the shuffle carries partial (sum, count)
+    aggregates per (label, pos), i.e. |labels|·dim rows, NOT
+    |vectors|·dim — map-side combine does the heavy lifting."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            F.round(F.avg("val"), 6).alias("centroid_val"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
+# --- per-language quality-filter survival -------------------------------
+
+_SURVIVAL_ORACLE = """
+WITH t AS (
+  SELECT d.doc_id, d.lang, UNNEST(string_split(trim(d.text), ' ')) AS token
+  FROM documents d
+), per_doc AS (
+  SELECT t.doc_id, MIN(t.lang) AS lang,
+         COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS n_distinct,
+         SUM(CASE WHEN token IN ('the','a','of','and','in') THEN 1 ELSE 0 END)
+           AS n_stop
+  FROM t WHERE token <> ''
+  GROUP BY t.doc_id
+), scored AS (
+  SELECT lang,
+         0.4 * LEAST(n_tokens / 50.0, 1.0)
+         + 0.3 * (n_distinct * 1.0 / n_tokens)
+         + 0.3 * (1 - ABS(n_stop * 1.0 / n_tokens - 0.10) / 0.9) AS q
+  FROM per_doc
+)
+SELECT lang, COUNT(*) AS n_docs,
+       SUM(CASE WHEN q >= 0.7 THEN 1 ELSE 0 END) AS n_kept,
+       ROUND(SUM(CASE WHEN q >= 0.7 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+         AS survival_rate
+FROM scored
+GROUP BY lang
+"""
+
+
+@register("curation_quality_survival", oracle=_SURVIVAL_ORACLE, tags=("datapipe", "sampling"))
+def curation_quality_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-threshold curation audit: per language, how many docs
+    survive the q >= 0.7 filter — the go/no-go dashboard number
+    before a corpus-wide drop. The quality expression is the same
+    integer-ratio arithmetic as text_quality_score (engine-exact);
+    the threshold compares the UNROUNDED score identically on both
+    sides."""
+    from commodity_price_forecasting_spark.operators.textops import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = tokens(docs)
+    # aggregate the (big) token table FIRST, then join lang onto the
+    # |docs|-row result — never join the exploded side
+    per_doc = t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+        F.sum(
+            F.col("token").isin("the", "a", "of", "and", "in").cast("int")
+        ).alias("n_stop"),
+    ).join(docs.select("doc_id", "lang"), "doc_id")
+    q = (
+        0.4 * F.least(F.col("n_tokens") / 50.0, F.lit(1.0))
+        + 0.3 * (F.col("n_distinct") / F.col("n_tokens"))
+        + 0.3 * (1 - F.abs(F.col("n_stop") / F.col("n_tokens") - 0.10) / 0.9)
+    )
+    return (
+        per_doc.select("lang", q.alias("q"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("q") >= 0.7).cast("bigint")).alias("n_kept"),
+            F.round(
+                F.sum((F.col("q") >= 0.7).cast("bigint")) / F.count(F.lit(1)), 6
+            ).alias("survival_rate"),
+        )
+    )

@@ -564,3 +564,47 @@ def w9_ewma_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         # as SQL NULL so the result is engine-comparable
         F.when(F.isnan("ew_vol"), F.lit(None)).otherwise(ew_vol).alias("ew_vol"),
     )
+
+
+# --- W10: running peak and maximum drawdown per instrument --------------
+
+_DRAWDOWN_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+), dd AS (
+  SELECT instrument, day, px,
+         MAX(px) OVER (PARTITION BY instrument ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS peak
+  FROM daily
+)
+SELECT instrument,
+       ROUND(MIN(px / peak - 1), 6) AS max_drawdown,
+       COUNT(*) AS n_days
+FROM dd
+GROUP BY instrument
+"""
+
+
+@register("w10_max_drawdown", oracle=_DRAWDOWN_ORACLE, tags=("window", "timeseries"))
+def w10_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per instrument: running peak (cumulative max
+    over the per-instrument time window) then the worst px/peak - 1 —
+    the risk metric every commodity desk tracks next to volatility.
+    Window is partitioned per instrument (no global sort); one
+    follow-up aggregate on the same key, so the window's shuffle is
+    reused."""
+    daily = daily_bars(spark, sf_dir)
+    w = (
+        Window.partitionBy("instrument")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = daily.select(
+        "instrument", "px", F.max("px").over(w).alias("peak")
+    )
+    return dd.groupBy("instrument").agg(
+        F.round(F.min(F.col("px") / F.col("peak") - 1), 6).alias("max_drawdown"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
