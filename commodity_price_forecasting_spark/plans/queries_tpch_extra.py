@@ -692,6 +692,11 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     ol = (
         li.join(o, li.l_orderkey == o.o_orderkey)
+        # one explicit hash partitioning on the LEADING key: the
+        # (orderkey, suppkey) aggregate, the per-order rollup, and the
+        # ol⋈agg self-join are all clustered by l_orderkey, so this
+        # single exchange serves all three (5 -> 3 exchanges total)
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(
             F.max(
