@@ -344,3 +344,34 @@ def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.sum(k).cast("bigint").alias("sum_k"), F.round(F.avg(k), 6).alias("avg_k")
     )
+
+
+# --- ANSI SQL front-end: the same engine through spark.sql() ------------
+
+_SQL_API_TEXT = """
+SELECT r.r_name AS region, CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders,
+       ROUND(CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(28,10))) AS DOUBLE), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, CAST(EXTRACT(year FROM o.o_orderdate) AS INT)
+HAVING COUNT(DISTINCT o.o_orderkey) >= 5
+"""
+
+
+@register("sql_api_region_revenue", oracle=_SQL_API_TEXT, tags=("sql", "join", "agg"))
+def sql_api_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI front door: register the fixture tables as temp views
+    and run ONE SQL text through ``spark.sql`` — the exact string the
+    DuckDB oracle runs, proving the engine's SQL surface (not just
+    the DataFrame API) is usable and engine-portable. Catalyst plans
+    this identically to the DataFrame form: dimension joins broadcast,
+    fact join shuffles on the key."""
+    from commodity_price_forecasting_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_API_TEXT)
