@@ -89,3 +89,35 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "checksum",
         F.round(F.element_at("features", 1), 9).alias("feat_0"),
     )
+
+
+_RESIZE_ORACLE = """
+SELECT doc_id AS media_id,
+       ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+       224 AS width, 224 AS height,
+       round(octet_length(encode(text)) / 1000.0, 6) AS duration_s,
+       octet_length(encode(text)) AS payload_bytes
+FROM documents
+WHERE doc_id % 7 = 0
+"""
+
+
+@register("mm_resize_meta", oracle=_RESIZE_ORACLE, tags=("multimodal",))
+def mm_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing (stub codec): rewrite the typed metadata to the
+    224×224 target while PRESERVING payload bytes and duration — the
+    schema/partitioning contract a real codec UDF plugs into
+    (operators/multimodal.resize_stub, pure projection, no Python).
+    The oracle checks each surviving row's rewritten meta plus the
+    untouched payload length."""
+    from commodity_price_forecasting_spark.operators.multimodal import resize_stub
+
+    m = resize_stub(_media(spark, sf_dir).filter(F.col("media_id") % 7 == 0), 224, 224)
+    return m.select(
+        "media_id",
+        "media_type",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.round("meta.duration_s", 6).alias("duration_s"),
+        F.octet_length("payload").alias("payload_bytes"),
+    )
