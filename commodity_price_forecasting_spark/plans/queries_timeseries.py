@@ -608,3 +608,45 @@ def w10_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(F.col("px") / F.col("peak") - 1), 6).alias("max_drawdown"),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+
+# --- W11: per-instrument z-score normalization --------------------------
+
+_ZSCORE_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT instrument, AVG(px) AS mu, STDDEV_SAMP(px) AS sd, COUNT(*) AS n
+  FROM daily GROUP BY instrument
+)
+SELECT d.instrument, d.day,
+       ROUND((d.px - s.mu) / s.sd, 6) AS z
+FROM daily d JOIN stats s ON d.instrument = s.instrument
+WHERE s.n >= 2 AND s.sd > 0
+"""
+
+
+@register("w11_zscore_normalize", oracle=_ZSCORE_ORACLE, tags=("window", "timeseries"))
+def w11_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series z-score normalization (the distributed form of
+    StandardScaler per group, M10/W family): group stats joined back
+    to the series. Expressed as an aggregate + same-key join rather
+    than two whole-partition window passes — the agg output is
+    |instruments| rows (broadcastable at any scale), and the join
+    reuses the daily frame's hash partitioning."""
+    daily = daily_bars(spark, sf_dir)
+    stats = daily.groupBy(F.col("instrument").alias("_i")).agg(
+        F.avg("px").alias("mu"),
+        F.stddev_samp("px").alias("sd"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        daily.join(F.broadcast(stats), daily.instrument == F.col("_i"))
+        .filter((F.col("n") >= 2) & (F.col("sd") > 0))
+        .select(
+            "instrument",
+            "day",
+            F.round((F.col("px") - F.col("mu")) / F.col("sd"), 6).alias("z"),
+        )
+    )
