@@ -256,10 +256,14 @@ def connected_components(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
     sym = _cut(sym.distinct())
+    # Initialize at the 1-hop fixpoint directly: label = min(self,
+    # neighbors). While labels ≡ nodes the neighbor-min needs NO join —
+    # one aggregate replaces what would otherwise be the first
+    # iteration's join + halving round.
     labels = _cut(
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.min("v").alias("_mv"))
+        .select("node", F.least("node", "_mv").alias("label"))
     )
     for _ in range(max_iter):
         # 1-hop: min label over direct neighbors.
