@@ -225,6 +225,22 @@ def test_connected_components_known_graph(spark):
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
 
 
+def test_connected_components_degenerate_inputs(spark):
+    from commodity_price_forecasting_spark.operators.dedup import (
+        connected_components,
+    )
+
+    empty = spark.createDataFrame([], "doc_a LONG, doc_b LONG")
+    assert connected_components(empty, "doc_a", "doc_b").count() == 0
+    # self-loop plus a normal edge: self-loop must not distort labels
+    edges = spark.createDataFrame([(5, 5), (5, 6)], ["doc_a", "doc_b"])
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "doc_a", "doc_b").collect()
+    }
+    assert out == {5: 5, 6: 5}
+
+
 def test_connected_components_long_chain(spark):
     """Diameter >> 2: a 200-node path must fully converge within the
     default max_iter=20 — only possible with pointer halving
