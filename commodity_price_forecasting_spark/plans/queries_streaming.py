@@ -173,3 +173,31 @@ def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(converted).alias("n_converted"),
         F.round(F.sum(converted) / F.count("first_signup"), 6).alias("conversion_rate"),
     )
+
+
+_ATTRIBUTION_ORACLE = """
+SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+       p.user_id AS user_id,
+       ROUND(p.value, 6) AS purchase_value,
+       CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS gap_seconds
+FROM events p
+JOIN events v
+  ON p.user_id = v.user_id
+ AND p.event_type = 'purchase' AND v.event_type = 'view'
+ AND v.ts >= p.ts - INTERVAL 12 HOUR AND v.ts < p.ts
+"""
+
+
+@register("st_view_purchase_attribution", oracle=_ATTRIBUTION_ORACLE, tags=("streaming", "join"))
+def st_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (view→purchase last-touch
+    attribution, 12 h lookback) on the batch plan; the streaming
+    replay of the SAME transform is proven equal in
+    tests/test_streaming.py. Watermark + bounded time-range keeps
+    join state finite on a real stream."""
+    from commodity_price_forecasting_spark.streaming.events_stream import (
+        view_purchase_attribution,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return view_purchase_attribution(ev)

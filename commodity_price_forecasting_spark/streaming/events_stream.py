@@ -205,6 +205,55 @@ def running_user_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def view_purchase_attribution(
+    events: DataFrame, lookback: str = "12 hours", watermark: str = "1 day"
+) -> DataFrame:
+    """STREAM-STREAM interval join: attribute each purchase to the
+    same user's views in the preceding ``lookback`` window —
+    last-touch attribution, the canonical streaming join shape.
+
+    Both sides carry watermarks plus a bounded time-range predicate,
+    which is exactly what Structured Streaming requires to size the
+    join state: view rows are dropped from state once the watermark
+    passes ``v_ts + lookback``, so state is bounded by (lookback +
+    watermark) × ingest rate. On batch input the watermarks are no-ops
+    and the same plan is a plain interval join (oracle-checkable)."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("v_ts") < F.col("p_ts")),
+        "inner",
+    ).select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        F.round("purchase_value", 6).alias("purchase_value"),
+        (
+            F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")
+        ).alias("gap_seconds"),
+    )
+
+
 # --- test/driver helper -------------------------------------------------
 
 def run_stream_to_memory(

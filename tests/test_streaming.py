@@ -211,3 +211,23 @@ def test_parquet_sink_with_checkpoint_is_exactly_once(spark, tmp_path_factory):
     again = spark.read.parquet(out)
     assert again.count() == n_batch  # no duplicates
     assert again.select("event_id").distinct().count() == n_batch
+
+
+def test_stream_stream_attribution_equals_batch(spark, events_batch):
+    """The stream-stream interval join (view→purchase attribution)
+    must produce the same pairs when executed incrementally with
+    bounded join state as on the batch scan."""
+    from commodity_price_forecasting_spark.streaming.events_stream import (
+        view_purchase_attribution,
+    )
+
+    cols = ["purchase_id", "view_id", "user_id", "purchase_value", "gap_seconds"]
+    run_stream_to_memory(
+        view_purchase_attribution(read_events_stream(spark, SF_DIR)),
+        "mem_attr",
+        output_mode="append",
+    )
+    got = _rows(spark.table("mem_attr"), cols)
+    want = _rows(view_purchase_attribution(events_batch), cols)
+    assert got == want
+    assert len(got) > 0
