@@ -801,3 +801,95 @@ def curation_quality_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("survival_rate"),
         )
     )
+
+
+# --- PSI drift detection between time halves ----------------------------
+
+_PSI_ORACLE = """
+WITH half AS (
+  SELECT event_type, value,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END AS h
+  FROM events
+), bucketed AS (
+  SELECT event_type, h,
+         LEAST(CAST(FLOOR(value / 50.0) AS INTEGER), 9) AS bucket,
+         COUNT(*) AS n
+  FROM half GROUP BY 1, 2, 3
+), grid AS (
+  SELECT DISTINCT b.event_type, g.bucket, h.h
+  FROM (SELECT DISTINCT event_type FROM bucketed) b,
+       (SELECT UNNEST(range(0, 10)) AS bucket) g,
+       (SELECT 0 AS h UNION ALL SELECT 1) h
+), filled AS (
+  SELECT g.event_type, g.bucket, g.h, COALESCE(b.n, 0) AS n
+  FROM grid g LEFT JOIN bucketed b
+    ON g.event_type = b.event_type AND g.bucket = b.bucket AND g.h = b.h
+), tot AS (
+  SELECT event_type, h, SUM(n) AS tot_n FROM filled GROUP BY 1, 2
+), probs AS (
+  SELECT f.event_type, f.bucket,
+         MAX(CASE WHEN f.h = 0 THEN (f.n + 0.5) / (t.tot_n + 5.0) END) AS p,
+         MAX(CASE WHEN f.h = 1 THEN (f.n + 0.5) / (t.tot_n + 5.0) END) AS q
+  FROM filled f JOIN tot t ON f.event_type = t.event_type AND f.h = t.h
+  GROUP BY 1, 2
+)
+SELECT event_type, ROUND(SUM((p - q) * LN(p / q)), 6) AS psi
+FROM probs GROUP BY event_type
+"""
+
+
+@register("drift_psi_value", oracle=_PSI_ORACLE, tags=("datapipe", "profiling"))
+def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the value distribution per
+    event_type between the first and second half of the month — the
+    standard drift monitor a training pipeline runs before refitting
+    on new data (PSI > 0.2 ⇒ investigate). Fixed-width buckets with
+    Laplace 0.5 smoothing so empty buckets are defined; ALL counts
+    are exact integers, so p/q are identical across engines and the
+    6dp-rounded PSI hash-matches. One shuffle: the (type, half,
+    bucket) count aggregate; everything after runs on ≤ |types|·20
+    rows."""
+    ev = load_table(spark, sf_dir, "events")
+    half = ev.select(
+        "event_type",
+        "value",
+        F.when(F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("h"),
+    )
+    bucketed = half.groupBy(
+        "event_type",
+        "h",
+        F.least(F.floor(F.col("value") / 50.0).cast("int"), F.lit(9)).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        bucketed.select("event_type")
+        .distinct()
+        .select("event_type", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bucket"))
+        .select("event_type", "bucket", F.explode(F.array(F.lit(0), F.lit(1))).alias("h"))
+    )
+    filled = grid.join(bucketed, ["event_type", "bucket", "h"], "left").select(
+        "event_type", "bucket", "h", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    tot = filled.groupBy(F.col("event_type").alias("_t"), F.col("h").alias("_h")).agg(
+        F.sum("n").alias("tot_n")
+    )
+    probs = (
+        filled.join(
+            tot, (F.col("event_type") == F.col("_t")) & (F.col("h") == F.col("_h"))
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.max(
+                F.when(F.col("h") == 0, (F.col("n") + 0.5) / (F.col("tot_n") + 5.0))
+            ).alias("p"),
+            F.max(
+                F.when(F.col("h") == 1, (F.col("n") + 0.5) / (F.col("tot_n") + 5.0))
+            ).alias("q"),
+        )
+    )
+    return probs.groupBy("event_type").agg(
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6
+        ).alias("psi")
+    )
