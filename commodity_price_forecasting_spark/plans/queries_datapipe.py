@@ -893,3 +893,118 @@ def drift_psi_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))), 6
         ).alias("psi")
     )
+
+
+# --- vocabulary heavy hitters -------------------------------------------
+
+_VOCAB_ORACLE = """
+WITH t AS (
+  SELECT d.doc_id, UNNEST(string_split(trim(d.text), ' ')) AS token FROM documents d
+), counts AS (
+  SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+  FROM t WHERE token <> '' GROUP BY token
+), ranked AS (
+  SELECT token, tf, df,
+         ROW_NUMBER() OVER (ORDER BY tf DESC, token ASC) AS rk
+  FROM counts
+)
+SELECT CAST(rk AS BIGINT) AS rank, token, tf, df
+FROM ranked WHERE rk <= 50
+"""
+
+
+@register("text_vocab_topk", oracle=_VOCAB_ORACLE, tags=("datapipe", "text", "topk"))
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: top-50 tokens by corpus frequency
+    (deterministic tie-break on the token string) with document
+    frequency — the cut a tokenizer/vocab builder makes. The token
+    count aggregate is the only big shuffle; ranking runs on the
+    aggregated |vocab| rows, and Spark's TakeOrdered avoids a full
+    sort materialization."""
+    from pyspark.sql import Window as W
+
+    t = tokens(load_table(spark, sf_dir, "documents"))
+    counts = t.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    w = W.orderBy(F.desc("tf"), F.asc("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("rank", "token", "tf", "df")
+    )
+
+
+# --- bigram language-model perplexity per document ----------------------
+
+_BIGRAM_PPL_ORACLE = """
+WITH raw AS (
+  SELECT d.doc_id,
+         UNNEST(string_split(trim(d.text), ' ')) AS token,
+         UNNEST(range(1, len(string_split(trim(d.text), ' ')) + 1)) AS raw_pos
+  FROM documents d
+), t AS (
+  -- renumber AFTER dropping empty tokens so adjacency matches a
+  -- whitespace-collapsing tokenizer
+  SELECT doc_id, token,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY raw_pos) - 1 AS pos
+  FROM raw WHERE token <> ''
+), big AS (
+  SELECT a.doc_id, a.token AS w1, b.token AS w2
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), uni AS (
+  SELECT token AS w1, COUNT(*) AS c1 FROM t GROUP BY token
+), bi AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+), v AS (
+  SELECT COUNT(DISTINCT token) AS vsize FROM t
+)
+SELECT big.doc_id,
+       COUNT(*) AS n_bigrams,
+       ROUND(EXP(AVG(-LN((bi.c12 + 1.0) / (uni.c1 + v.vsize)))), 6) AS perplexity
+FROM big
+JOIN bi ON big.w1 = bi.w1 AND big.w2 = bi.w2
+JOIN uni ON big.w1 = uni.w1
+CROSS JOIN v
+GROUP BY big.doc_id
+"""
+
+
+@register("text_bigram_perplexity", oracle=_BIGRAM_PPL_ORACLE, tags=("datapipe", "text"))
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-1-smoothed bigram LM, scored back over every
+    document as perplexity — the classic model-based quality signal
+    (low perplexity ≈ fluent/in-domain) next to the heuristic
+    quality_score. All counts exact integers; the LN/EXP happen once
+    per bigram/doc at the output edge, rounded 6dp. Shuffles: token
+    window per doc, two count aggregates, then broadcast-sized joins
+    of the bigram table against the counts keyed on the bigram."""
+    from pyspark.sql import Window as W
+
+    t = tokens(load_table(spark, sf_dir, "documents"))  # (doc_id, pos, token)
+    wo = W.partitionBy("doc_id").orderBy("pos")
+    big = t.select(
+        "doc_id",
+        F.col("token").alias("w1"),
+        F.lead("token").over(wo).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    uni = t.groupBy(F.col("token").alias("u_w1")).agg(F.count(F.lit(1)).alias("c1"))
+    bi = big.groupBy(F.col("w1").alias("b_w1"), F.col("w2").alias("b_w2")).agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    vsize = t.agg(F.countDistinct("token").alias("vsize"))
+    scored = (
+        big.join(bi, (big.w1 == F.col("b_w1")) & (big.w2 == F.col("b_w2")))
+        .join(uni, big.w1 == F.col("u_w1"))
+        .join(F.broadcast(vsize))
+        .select(
+            "doc_id",
+            (-F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("vsize")))).alias(
+                "nll"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.exp(F.avg("nll")), 6).alias("perplexity"),
+    )
