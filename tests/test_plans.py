@@ -61,6 +61,8 @@ SINGLE_ROW_BROADCAST_OK = {
     "sim_topk_bruteforce",
     # scalar aggregate (1 row: sum_bal, cnt) broadcast against customer
     "q22_idle_rich_customers",
+    # scalar vocabulary-size aggregate (1 row) broadcast into scoring
+    "text_bigram_perplexity",
 }
 
 
