@@ -650,3 +650,43 @@ def w11_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("px") - F.col("mu")) / F.col("sd"), 6).alias("z"),
         )
     )
+
+
+# --- T5: calendar resampling to weekly OHLC bars ------------------------
+
+_OHLC_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+)
+SELECT instrument,
+       CAST(date_trunc('week', day) AS TIMESTAMP) AS week,
+       ROUND(arg_min(px, day), 6) AS open,
+       ROUND(MAX(px), 6) AS high,
+       ROUND(MIN(px), 6) AS low,
+       ROUND(arg_max(px, day), 6) AS close,
+       COUNT(*) AS n_days
+FROM daily
+GROUP BY 1, 2
+"""
+
+
+@register("ts_resample_ohlc", oracle=_OHLC_ORACLE, tags=("timeseries", "agg"))
+def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar resampling daily → weekly OHLC bars (open = first px
+    of the week, close = last, high/low = extrema) — pandas
+    ``resample('W').ohlc()`` re-expressed as ONE hash aggregate with
+    ``min_by``/``max_by`` ordered selectors: no window, no sort, one
+    shuffle on (instrument, week). The group-by key count is
+    |instruments|·|weeks|, so partial aggregation collapses almost
+    everything map-side."""
+    daily = daily_bars(spark, sf_dir)
+    return daily.groupBy(
+        "instrument", F.date_trunc("week", "day").alias("week")
+    ).agg(
+        F.round(F.min_by("px", "day"), 6).alias("open"),
+        F.round(F.max("px"), 6).alias("high"),
+        F.round(F.min("px"), 6).alias("low"),
+        F.round(F.max_by("px", "day"), 6).alias("close"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
