@@ -258,3 +258,106 @@ def j4_parse_explode_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     known = part.select(F.col("p_brand").alias("name")).distinct()
     return legs.join(known, legs["leg"] == known["name"], "left_anti").select("leg")
+
+
+# --- A11: deterministic mode (most frequent value) per group ------------
+
+_MODE_ORACLE = """
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type ASC) AS rk
+  FROM counts
+)
+SELECT user_id, event_type AS mode_event, n AS mode_count
+FROM ranked WHERE rk = 1
+"""
+
+
+@register("a11_mode_per_group", oracle=_MODE_ORACLE, tags=("profiling", "agg"))
+def a11_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent event_type per user, DETERMINISTIC (count desc,
+    value asc tie-break) — unlike the engines' native mode(), whose
+    tie behavior is unspecified and engine-dependent. Count aggregate
+    then a per-user rank over |users|·|types| rows."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = W.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("mode_event"), F.col("n").alias("mode_count"))
+    )
+
+
+# --- A12: Shannon entropy of the event-type mix per user ----------------
+
+_ENTROPY_ORACLE = """
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT user_id, SUM(n) AS tot_n FROM counts GROUP BY user_id
+)
+SELECT c.user_id,
+       ROUND(SUM(-(c.n * 1.0 / t.tot_n) * LN(c.n * 1.0 / t.tot_n)), 6)
+         AS type_entropy,
+       COUNT(*) AS n_types
+FROM counts c JOIN tot t ON c.user_id = t.user_id
+GROUP BY c.user_id
+"""
+
+
+@register("a12_type_entropy", oracle=_ENTROPY_ORACLE, tags=("profiling", "agg"))
+def a12_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity profile column. Exact integer counts feed the
+    LN, rounded once at the edge; two aggregates clustered on the
+    same user_id key, so the second reuses the first's partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.groupBy(F.col("user_id").alias("_u")).agg(F.sum("n").alias("tot_n"))
+    p = F.col("n") / F.col("tot_n")
+    return (
+        counts.join(tot, counts.user_id == F.col("_u"))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum(-p * F.log(p)), 6).alias("type_entropy"),
+            F.count(F.lit(1)).alias("n_types"),
+        )
+    )
+
+
+# --- A13: exact per-group median ----------------------------------------
+
+_GROUP_MEDIAN_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+)
+SELECT instrument,
+       ROUND(quantile_cont(px, 0.5), 6) AS median_px,
+       COUNT(*) AS n_days
+FROM daily GROUP BY instrument
+"""
+
+
+@register("a13_group_median", oracle=_GROUP_MEDIAN_ORACLE, tags=("profiling", "agg"))
+def a13_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median per instrument (Spark ``percentile``
+    == DuckDB ``quantile_cont``). Exact percentile buffers each
+    group's values on the reducer — fine for bounded series length;
+    ``percentile_approx`` (t-digest, mergeable) is the unbounded-group
+    scale path (operators/profiling)."""
+    from commodity_price_forecasting_spark.plans.e1_pipeline import daily_bars
+
+    daily = daily_bars(spark, sf_dir)
+    return daily.groupBy("instrument").agg(
+        F.round(F.percentile("px", F.lit(0.5)), 6).alias("median_px"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
