@@ -690,3 +690,59 @@ def ts_resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max_by("px", "day"), 6).alias("close"),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+
+# --- W12: rolling market beta per instrument ----------------------------
+
+_ROLLING_BETA_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+), rets AS (
+  SELECT instrument, day,
+         LN(px / LAG(px) OVER (PARTITION BY instrument ORDER BY day)) AS r
+  FROM daily
+), mkt AS (
+  SELECT day, AVG(r) AS rm FROM rets WHERE r IS NOT NULL GROUP BY day
+), joined AS (
+  SELECT re.instrument, re.day, re.r, m.rm
+  FROM rets re JOIN mkt m ON re.day = m.day
+  WHERE re.r IS NOT NULL
+)
+SELECT instrument, day,
+       ROUND(covar_samp(r, rm) OVER w / var_samp(rm) OVER w, 6) AS beta_10d
+FROM joined
+WINDOW w AS (PARTITION BY instrument ORDER BY day
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+QUALIFY count(*) OVER w = 10
+"""
+
+
+@register("w12_rolling_beta", oracle=_ROLLING_BETA_ORACLE, tags=("timeseries", "window"))
+def w12_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-10-day market beta per instrument: cov(rᵢ, r_m)/var(r_m)
+    over a per-instrument window, with the market return (equal-weight
+    cross-instrument mean) joined back as a broadcast of |days| rows.
+    Emitted only for full windows so the statistic is well-defined."""
+    from pyspark.sql import Window as W
+
+    daily = daily_bars(spark, sf_dir)
+    wo = W.partitionBy("instrument").orderBy("day")
+    rets = daily.select(
+        "instrument", "day", F.log(F.col("px") / F.lag("px").over(wo)).alias("r")
+    ).filter(F.col("r").isNotNull())
+    mkt = rets.groupBy(F.col("day").alias("_d")).agg(F.avg("r").alias("rm"))
+    joined = rets.join(F.broadcast(mkt), rets.day == F.col("_d")).select(
+        "instrument", "day", "r", "rm"
+    )
+    w = wo.rowsBetween(-9, 0)
+    return (
+        joined.select(
+            "instrument",
+            "day",
+            (F.covar_samp("r", "rm").over(w) / F.var_samp("rm").over(w)).alias("_b"),
+            F.count(F.lit(1)).over(w).alias("_n"),
+        )
+        .filter(F.col("_n") == 10)
+        .select("instrument", "day", F.round("_b", 6).alias("beta_10d"))
+    )
