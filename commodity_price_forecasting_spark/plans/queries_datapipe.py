@@ -1008,3 +1008,114 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.exp(F.avg("nll")), 6).alias("perplexity"),
     )
+
+
+# --- the curation pipeline end-to-end: staged survivor counts -----------
+
+_E2E_ORACLE = (
+    _CANONICAL_ORACLE.replace(
+        """SELECT component, doc_id AS canonical_doc_id, n_members,
+       quality AS canonical_quality
+FROM ranked WHERE rk = 1
+""",
+        """, s1 AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), canon AS (
+  SELECT component, doc_id AS cid FROM ranked WHERE rk = 1
+), dropped AS (
+  SELECT l.doc_id FROM labels l
+  JOIN canon c ON l.component = c.component AND l.doc_id <> c.cid
+), s2 AS (
+  SELECT s1.doc_id FROM s1
+  WHERE s1.doc_id NOT IN (SELECT doc_id FROM dropped)
+), s3 AS (
+  SELECT s2.doc_id FROM s2 JOIN quality q ON s2.doc_id = q.doc_id
+  WHERE q.quality >= 0.7
+), rates(lang, pct) AS (VALUES ('en', 50), ('de', 20), ('fr', 10)
+), s4 AS (
+  SELECT s3.doc_id FROM s3
+  JOIN documents d ON s3.doc_id = d.doc_id
+  JOIN rates r ON d.lang = r.lang
+  WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % 100 < r.pct
+)
+SELECT CAST(0 AS INT) AS stage_no, 'raw' AS stage, COUNT(*) AS n_docs FROM documents
+UNION ALL SELECT 1, 'exact_dedup', COUNT(*) FROM s1
+UNION ALL SELECT 2, 'near_dedup_canonical', COUNT(*) FROM s2
+UNION ALL SELECT 3, 'quality_filter', COUNT(*) FROM s3
+UNION ALL SELECT 4, 'lang_stratified_sample', COUNT(*) FROM s4
+""",
+    )
+)
+
+
+@register("curation_pipeline_e2e", oracle=_E2E_ORACLE, tags=("datapipe", "pipeline"))
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE pre-training curation pipeline chained in one plan,
+    reporting survivors after each stage: exact dedup (min doc_id per
+    md5), near-dup canonicalization (LSH → components → quality
+    argmax; ties inside an exact-dup group resolve to its exact
+    survivor, so the stages compose), quality filter (rounded
+    q >= 0.7), and the deterministic per-language hash downsample.
+    Every stage carries only doc_id sets once its predicate is
+    computed — the text/shingle heavy lifting happens exactly once."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs).select(F.col("doc_id").alias("q_doc"), "quality")
+
+    s1 = (
+        docs.groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    sh = char_shingles(docs, k=5, distinct=False)
+    wide = minhash_wide(sh, num_hashes=12).cache()
+    cand = lsh_candidate_pairs(band_signatures(wide, num_hashes=12, rows_per_band=3))
+    edges = estimated_jaccard(wide, cand, num_hashes=12).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    comp = connected_components(edges, "doc_a", "doc_b")
+    ranked = comp.join(q, comp.node == F.col("q_doc")).select(
+        "component",
+        F.col("node").alias("doc_id"),
+        F.row_number()
+        .over(W.partitionBy("component").orderBy(F.desc("quality"), F.asc("node")))
+        .alias("rk"),
+    )
+    dropped = ranked.filter(F.col("rk") > 1).select("doc_id")
+    s2 = s1.join(dropped, "doc_id", "left_anti")
+    s3 = (
+        s2.join(q, s2.doc_id == F.col("q_doc"))
+        .filter(F.col("quality") >= 0.7)
+        .select("doc_id")
+    )
+    pct = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    rate = (
+        F.when(F.col("lang") == "en", 50)
+        .when(F.col("lang") == "de", 20)
+        .when(F.col("lang") == "fr", 10)
+        .otherwise(0)
+    )
+    s4 = (
+        s3.join(docs.select(F.col("doc_id").alias("d_doc"), "lang"), s3.doc_id == F.col("d_doc"))
+        .filter(pct < rate)
+        .select("doc_id")
+    )
+
+    def stage(no: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(no).cast("int").alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+
+    return (
+        stage(0, "raw", docs)
+        .unionAll(stage(1, "exact_dedup", s1))
+        .unionAll(stage(2, "near_dedup_canonical", s2))
+        .unionAll(stage(3, "quality_filter", s3))
+        .unionAll(stage(4, "lang_stratified_sample", s4))
+    )
