@@ -1,0 +1,434 @@
+"""Technical-analysis signal queries over the ``events`` daily-bar
+series (instrument=user_id, day=date(ts), px=daily mean value).
+
+The reference forecasts commodity prices and derives trade signals
+from engineered features (SURVEY.md §2.8 F2–F8; slides 13–14 build
+rolling volatility / momentum features before modeling). This module
+widens that surface with the standard desk indicators — RSI,
+Bollinger bands, MACD, autocorrelation, Sharpe, cross-sectional
+momentum, seasonal decomposition — each as a per-instrument window
+program (no global sort; every frame partitions on the series key,
+so at 100 TB each instrument's indicator computes independently
+across executors).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from commodity_price_forecasting_spark.plans.e1_pipeline import daily_bars
+from commodity_price_forecasting_spark.plans.registry import register
+from commodity_price_forecasting_spark.sources.readers import load_table
+
+_DAILY = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+)
+"""
+
+
+# --- W13: Cutler's RSI (simple-average gains/losses) --------------------
+
+_RSI_N = 7
+
+_RSI_ORACLE = (
+    _DAILY
+    + f"""
+, d AS (
+  SELECT instrument, day, px,
+         px - LAG(px) OVER (PARTITION BY instrument ORDER BY day) AS diff
+  FROM daily
+), nn AS (
+  SELECT * FROM d WHERE diff IS NOT NULL
+), r AS (
+  SELECT instrument, day,
+         AVG(CASE WHEN diff > 0 THEN diff ELSE 0 END) OVER w AS g,
+         AVG(CASE WHEN diff < 0 THEN -diff ELSE 0 END) OVER w AS l,
+         COUNT(*) OVER w AS cnt
+  FROM nn
+  WINDOW w AS (PARTITION BY instrument ORDER BY day
+               ROWS BETWEEN {_RSI_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT instrument, day,
+       ROUND(CASE WHEN l = 0 THEN 100.0
+                  ELSE 100.0 - 100.0 / (1.0 + g / l) END, 6) AS rsi
+FROM r WHERE cnt = {_RSI_N}
+"""
+)
+
+
+@register("w13_rsi", oracle=_RSI_ORACLE, tags=("signals", "window"))
+def w13_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI (7-day simple average of gains vs losses) per
+    instrument — the momentum oscillator the reference's trade-signal
+    rules (F7, `functions/signals.py`) would consume. One day-ordered
+    window per instrument; null first-diffs are filtered before the
+    frame so both engines average exactly _RSI_N real diffs."""
+    w_ord = Window.partitionBy("instrument").orderBy("day")
+    w_frame = w_ord.rowsBetween(-(_RSI_N - 1), 0)
+    d = (
+        daily_bars(spark, sf_dir)
+        .withColumn("diff", F.col("px") - F.lag("px").over(w_ord))
+        .filter(F.col("diff").isNotNull())
+    )
+    r = d.select(
+        "instrument",
+        "day",
+        F.avg(F.when(F.col("diff") > 0, F.col("diff")).otherwise(F.lit(0.0)))
+        .over(w_frame)
+        .alias("g"),
+        F.avg(F.when(F.col("diff") < 0, -F.col("diff")).otherwise(F.lit(0.0)))
+        .over(w_frame)
+        .alias("l"),
+        F.count(F.lit(1)).over(w_frame).alias("cnt"),
+    ).filter(F.col("cnt") == _RSI_N)
+    return r.select(
+        "instrument",
+        "day",
+        F.round(
+            F.when(F.col("l") == 0, F.lit(100.0)).otherwise(
+                F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + F.col("g") / F.col("l"))
+            ),
+            6,
+        ).alias("rsi"),
+    )
+
+
+# --- W14: Bollinger bands + breakout classification ---------------------
+
+_BOLL_N = 10
+
+_BOLL_ORACLE = (
+    _DAILY
+    + f"""
+, b AS (
+  SELECT instrument, day, px,
+         AVG(px) OVER w AS mid,
+         STDDEV_SAMP(px) OVER w AS sd,
+         COUNT(*) OVER w AS cnt
+  FROM daily
+  WINDOW w AS (PARTITION BY instrument ORDER BY day
+               ROWS BETWEEN {_BOLL_N - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT instrument, day, ROUND(px, 6) AS px,
+       ROUND(mid, 6) AS mid,
+       ROUND(mid + 2 * sd, 6) AS upper_band,
+       ROUND(mid - 2 * sd, 6) AS lower_band,
+       CASE WHEN px > mid + 2 * sd THEN 'breakout_up'
+            WHEN px < mid - 2 * sd THEN 'breakout_down'
+            ELSE 'in_band' END AS band_signal
+FROM b WHERE cnt = {_BOLL_N}
+"""
+)
+
+
+@register("w14_bollinger", oracle=_BOLL_ORACLE, tags=("signals", "window"))
+def w14_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (10-day mean ± 2·sample-stddev) with a
+    CASE-rule breakout label — mean-reversion counterpart to the
+    reference's threshold trade signals (F7). Only full windows are
+    emitted, so band math never runs on a warm-up frame."""
+    w_frame = (
+        Window.partitionBy("instrument").orderBy("day").rowsBetween(-(_BOLL_N - 1), 0)
+    )
+    b = daily_bars(spark, sf_dir).select(
+        "instrument",
+        "day",
+        "px",
+        F.avg("px").over(w_frame).alias("mid"),
+        F.stddev_samp("px").over(w_frame).alias("sd"),
+        F.count(F.lit(1)).over(w_frame).alias("cnt"),
+    ).filter(F.col("cnt") == _BOLL_N)
+    upper = F.col("mid") + 2 * F.col("sd")
+    lower = F.col("mid") - 2 * F.col("sd")
+    return b.select(
+        "instrument",
+        "day",
+        F.round("px", 6).alias("px"),
+        F.round("mid", 6).alias("mid"),
+        F.round(upper, 6).alias("upper_band"),
+        F.round(lower, 6).alias("lower_band"),
+        F.when(F.col("px") > upper, F.lit("breakout_up"))
+        .when(F.col("px") < lower, F.lit("breakout_down"))
+        .otherwise(F.lit("in_band"))
+        .alias("band_signal"),
+    )
+
+
+# --- W15: MACD (EWM fast/slow + signal line) ----------------------------
+
+_MACD_FAST, _MACD_SLOW, _MACD_SIG = 5, 10, 4
+_A_FAST = 2.0 / (_MACD_FAST + 1)
+_A_SLOW = 2.0 / (_MACD_SLOW + 1)
+_A_SIG = 2.0 / (_MACD_SIG + 1)
+
+# pandas ewm(adjust=True) has the closed weighted form
+# s_t = Σ_i (1-α)^(t-i)·x_i / Σ_i (1-α)^(t-i); the signal line is the
+# same form applied to the macd series — two O(n²)-per-series
+# self-joins, exact (same precedent as the w9 EWMA oracle).
+_MACD_ORACLE = (
+    _DAILY
+    + f"""
+, d AS (
+  SELECT instrument, day, px,
+         ROW_NUMBER() OVER (PARTITION BY instrument ORDER BY day) AS rn
+  FROM daily
+), ema AS (
+  SELECT a.instrument, a.day, a.rn,
+         SUM(POWER(1 - {_A_FAST}, a.rn - b.rn) * b.px)
+           / SUM(POWER(1 - {_A_FAST}, a.rn - b.rn)) AS ema_fast,
+         SUM(POWER(1 - {_A_SLOW}, a.rn - b.rn) * b.px)
+           / SUM(POWER(1 - {_A_SLOW}, a.rn - b.rn)) AS ema_slow
+  FROM d a JOIN d b ON a.instrument = b.instrument AND b.rn <= a.rn
+  GROUP BY a.instrument, a.day, a.rn
+), macd AS (
+  SELECT instrument, day, rn, ema_fast - ema_slow AS macd FROM ema
+), sig AS (
+  SELECT a.instrument, a.day, a.macd,
+         SUM(POWER(1 - {_A_SIG}, a.rn - b.rn) * b.macd)
+           / SUM(POWER(1 - {_A_SIG}, a.rn - b.rn)) AS signal_line
+  FROM macd a JOIN macd b ON a.instrument = b.instrument AND b.rn <= a.rn
+  GROUP BY a.instrument, a.day, a.macd
+)
+SELECT s.instrument, s.day, ROUND(s.macd, 6) AS macd,
+       ROUND(s.signal_line, 6) AS signal_line,
+       ROUND(s.macd - s.signal_line, 6) AS histogram
+FROM sig s JOIN d ON d.instrument = s.instrument AND d.day = s.day
+WHERE d.rn > {_MACD_SLOW}
+"""
+)
+
+
+@register("w15_macd", oracle=_MACD_ORACLE, tags=("signals", "timeseries"))
+def w15_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(5,10) with a 4-period signal line per instrument. The EWM
+    recursion is not window-expressible, so each series runs as one
+    Arrow batch via applyInPandas (pandas ewm(adjust=True), same
+    engine as operators/timeseries.ewma_by_group) — per-instrument
+    parallel, deterministic. The first ``slow``(=10) rows are
+    discarded: standard MACD warm-up, and those rows' dyadic EWM
+    weights put values exactly on 6dp rounding midpoints where
+    engines legitimately disagree."""
+    import pandas as pd
+
+    def _per_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day")
+        fast = pdf["px"].ewm(alpha=_A_FAST, adjust=True).mean()
+        slow = pdf["px"].ewm(alpha=_A_SLOW, adjust=True).mean()
+        macd = fast - slow
+        sig = macd.ewm(alpha=_A_SIG, adjust=True).mean()
+        out = pdf[["instrument", "day"]].copy()
+        out["macd"] = macd
+        out["signal_line"] = sig
+        out["histogram"] = macd - sig
+        return out.iloc[_MACD_SLOW:]
+
+    schema = "instrument long, day date, macd double, signal_line double, histogram double"
+    out = (
+        daily_bars(spark, sf_dir)
+        .select("instrument", "day", "px")
+        .groupBy("instrument")
+        .applyInPandas(_per_group, schema=schema)
+    )
+    return out.select(
+        "instrument",
+        "day",
+        F.round("macd", 6).alias("macd"),
+        F.round("signal_line", 6).alias("signal_line"),
+        F.round("histogram", 6).alias("histogram"),
+    )
+
+
+# --- W16: autocorrelation function (lags 1..5) per instrument -----------
+
+_ACF_ORACLE = (
+    _DAILY
+    + """
+, lagged AS (
+  SELECT instrument, day, px,
+         LAG(px, 1) OVER w AS l1, LAG(px, 2) OVER w AS l2,
+         LAG(px, 3) OVER w AS l3, LAG(px, 4) OVER w AS l4,
+         LAG(px, 5) OVER w AS l5
+  FROM daily WINDOW w AS (PARTITION BY instrument ORDER BY day)
+)
+SELECT instrument, CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(CORR(px, l1), 6) AS acf1, ROUND(CORR(px, l2), 6) AS acf2,
+       ROUND(CORR(px, l3), 6) AS acf3, ROUND(CORR(px, l4), 6) AS acf4,
+       ROUND(CORR(px, l5), 6) AS acf5
+FROM lagged GROUP BY instrument HAVING COUNT(*) >= 15
+"""
+)
+
+
+@register("w16_acf", oracle=_ACF_ORACLE, tags=("signals", "window"))
+def w16_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation at lags 1–5 per instrument — the
+    pre-modeling diagnostic behind the reference's AR/SARIMA order
+    choice (M5, slides 21–22). Five lag columns from ONE window pass,
+    then a single grouped CORR aggregate; both engines ignore
+    null-lag warm-up pairs identically."""
+    w = Window.partitionBy("instrument").orderBy("day")
+    lagged = daily_bars(spark, sf_dir).select(
+        "instrument",
+        "day",
+        "px",
+        *[F.lag("px", k).over(w).alias(f"l{k}") for k in range(1, 6)],
+    )
+    return (
+        lagged.groupBy("instrument")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            *[F.round(F.corr("px", f"l{k}"), 6).alias(f"acf{k}") for k in range(1, 6)],
+        )
+        .filter(F.col("n_days") >= 15)
+    )
+
+
+# --- W17: annualized Sharpe ratio on log returns ------------------------
+
+_SHARPE_ORACLE = (
+    _DAILY
+    + """
+, r AS (
+  SELECT instrument,
+         LN(px / LAG(px) OVER (PARTITION BY instrument ORDER BY day)) AS ret
+  FROM daily
+)
+SELECT instrument, CAST(COUNT(ret) AS BIGINT) AS n_rets,
+       ROUND(AVG(ret), 6) AS mean_ret,
+       ROUND(STDDEV_SAMP(ret), 6) AS vol,
+       ROUND(AVG(ret) / NULLIF(STDDEV_SAMP(ret), 0) * SQRT(252), 6) AS sharpe
+FROM r WHERE ret IS NOT NULL
+GROUP BY instrument
+"""
+)
+
+
+@register("w17_sharpe", oracle=_SHARPE_ORACLE, tags=("signals",))
+def w17_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sharpe ratio per instrument from daily log returns
+    (√252 convention) — the risk-adjusted companion to w10's max
+    drawdown. One window for the return, one grouped aggregate."""
+    w = Window.partitionBy("instrument").orderBy("day")
+    r = (
+        daily_bars(spark, sf_dir)
+        .select(
+            "instrument",
+            F.log(F.col("px") / F.lag("px").over(w)).alias("ret"),
+        )
+        .filter(F.col("ret").isNotNull())
+    )
+    vol = F.stddev_samp("ret")
+    return r.groupBy("instrument").agg(
+        F.count("ret").alias("n_rets"),
+        F.round(F.avg("ret"), 6).alias("mean_ret"),
+        F.round(vol, 6).alias("vol"),
+        F.round(F.avg("ret") / F.nullif(vol, F.lit(0.0)) * F.sqrt(F.lit(252.0)), 6).alias(
+            "sharpe"
+        ),
+    )
+
+
+# --- CS1: cross-sectional momentum ranks --------------------------------
+
+_MOM_LAG = 5
+_MOM_TOPK = 3
+
+_MOM_ORACLE = (
+    _DAILY
+    + f"""
+, t AS (
+  SELECT instrument, day,
+         px / LAG(px, {_MOM_LAG}) OVER (PARTITION BY instrument ORDER BY day) - 1
+           AS trail_ret
+  FROM daily
+), ranked AS (
+  SELECT day, instrument, ROUND(trail_ret, 6) AS trail_ret,
+         ROW_NUMBER() OVER (PARTITION BY day
+                            ORDER BY ROUND(trail_ret, 6) DESC, instrument ASC)
+           AS mom_rank
+  FROM t WHERE trail_ret IS NOT NULL
+)
+SELECT day, CAST(mom_rank AS BIGINT) AS mom_rank, instrument, trail_ret
+FROM ranked WHERE mom_rank <= {_MOM_TOPK}
+"""
+)
+
+
+@register("cs_momentum_rank", oracle=_MOM_ORACLE, tags=("signals", "topk"))
+def cs_momentum_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-sectional momentum: each day, rank instruments by
+    trailing 5-day return and keep the top 3 — the winners leg of a
+    momentum portfolio. The per-day ranking window re-partitions the
+    (tiny, post-window) frame by day; ties break on the 6dp-rounded
+    metric + instrument id so both engines rank identically."""
+    w_series = Window.partitionBy("instrument").orderBy("day")
+    t = (
+        daily_bars(spark, sf_dir)
+        .select(
+            "instrument",
+            "day",
+            (F.col("px") / F.lag("px", _MOM_LAG).over(w_series) - 1).alias("trail_ret"),
+        )
+        .filter(F.col("trail_ret").isNotNull())
+        .withColumn("trail_ret", F.round("trail_ret", 6))
+    )
+    w_day = Window.partitionBy("day").orderBy(F.desc("trail_ret"), F.asc("instrument"))
+    return (
+        t.withColumn("mom_rank", F.row_number().over(w_day).cast("long"))
+        .filter(F.col("mom_rank") <= _MOM_TOPK)
+        .select("day", "mom_rank", "instrument", "trail_ret")
+    )
+
+
+# --- SD1: classical seasonal decomposition on monthly order revenue -----
+
+_SEASONAL_ORACLE = """
+WITH monthly AS (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 100
+              + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS ym,
+         CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS moy,
+         SUM(o_totalprice) AS rev
+  FROM orders GROUP BY 1, 2
+), trend AS (
+  SELECT ym, moy, rev,
+         AVG(rev) OVER w AS trend, COUNT(*) OVER w AS cnt
+  FROM monthly
+  WINDOW w AS (ORDER BY ym ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)
+)
+SELECT moy AS month_of_year,
+       CAST(COUNT(*) AS BIGINT) AS n_obs,
+       ROUND(AVG(rev / trend), 6) AS seasonal_index
+FROM trend WHERE cnt = 12
+GROUP BY moy
+"""
+
+
+@register("sd_seasonal_index", oracle=_SEASONAL_ORACLE, tags=("signals", "timeseries"))
+def sd_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical multiplicative seasonal decomposition of monthly
+    order revenue: 12-month moving-average trend, ratio-to-trend,
+    then the seasonal index per month-of-year — the decomposition
+    SARIMA's seasonal terms (M5) model implicitly. The unpartitioned
+    trend window runs AFTER aggregation on the ~80-row monthly
+    series (same post-agg-tiny-sort pattern as rollup_qty), so no
+    raw-data global sort exists in the plan."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("long").alias("ym"),
+        F.month("o_orderdate").cast("int").alias("moy"),
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("ym").rowsBetween(-5, 6)
+    trend = monthly.select(
+        "ym",
+        "moy",
+        "rev",
+        F.avg("rev").over(w).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    ).filter(F.col("cnt") == 12)
+    return trend.groupBy(F.col("moy").alias("month_of_year")).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(F.avg(F.col("rev") / F.col("trend")), 6).alias("seasonal_index"),
+    )

@@ -23,6 +23,7 @@ PYTHON_OK = {
     "m4_svr_mlp",
     "m6_ensemble_weights",
     "w9_ewma_volatility",
+    "w15_macd",
 }
 #: queries that fit models / write files at plan-build time — too heavy
 #: or side-effectful for a plan-only sweep.
