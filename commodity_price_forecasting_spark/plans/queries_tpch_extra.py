@@ -769,3 +769,153 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("totacctbal"),
         )
     )
+
+
+# --- q2-style: minimum-cost supplier per part ---------------------------
+
+_Q2_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+  FROM lineitem GROUP BY 1, 2
+), cost AS (
+  SELECT l_partkey, l_suppkey,
+         ROUND(CAST(sum_price AS DOUBLE) / CAST(sum_qty AS DOUBLE), 6)
+           AS unit_cost,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_partkey
+           ORDER BY ROUND(CAST(sum_price AS DOUBLE) / CAST(sum_qty AS DOUBLE), 6) ASC,
+                    l_suppkey ASC) AS rk
+  FROM ps
+)
+SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, c.unit_cost,
+       ROUND(CAST(s.s_acctbal AS DOUBLE), 2) AS s_acctbal
+FROM cost c
+JOIN part p ON p.p_partkey = c.l_partkey
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE c.rk = 1 AND p.p_size <= 4 AND r.r_name = 'EUROPE'
+"""
+
+
+@register("q2_min_cost_supplier", oracle=_Q2_ORACLE, tags=("join", "topk"))
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (the fixture has no partsupp, so the observed
+    unit price SUM(extprice)/SUM(qty) per (part, supplier) from
+    lineitem plays the role of ps_supplycost): for each small
+    EUROPE-supplied part, the cheapest supplier. The correlated min
+    becomes one argmin window per part; the small-part filter
+    broadcasts INTO the pre-window join so the window only ranks
+    surviving parts (equivalent — the argmin is per-part — and far
+    less window input at scale). Sums are exact DECIMAL; the cost is
+    rounded to 6dp before ranking with a suppkey tie-break so both
+    engines pick the same winner."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 4)
+        .select("p_partkey", "p_name")
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE"))
+    ps = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey", "p_name")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_price"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+        )
+        .withColumn(
+            "unit_cost",
+            F.round(
+                F.col("sum_price").cast("double") / F.col("sum_qty").cast("double"), 6
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.asc("unit_cost"), F.asc("l_suppkey")
+    )
+    best = ps.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        best.join(s, best.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "p_name",
+            "s_name",
+            "n_name",
+            "unit_cost",
+            F.round(F.col("s_acctbal").cast("double"), 2).alias("s_acctbal"),
+        )
+    )
+
+
+# --- q11-style: important parts by supplied value -----------------------
+
+_Q11_ORACLE = """
+WITH val AS (
+  SELECT l.l_partkey,
+         SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(8,2)))) AS part_value
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'ASIA'
+  GROUP BY 1
+), tot AS (SELECT SUM(part_value) AS total_value, COUNT(*) AS n_parts FROM val)
+SELECT v.l_partkey AS p_partkey,
+       ROUND(CAST(v.part_value AS DOUBLE), 2) AS part_value
+FROM val v, tot t
+WHERE v.part_value * t.n_parts > 2 * t.total_value
+"""
+
+
+@register("q11_important_parts", oracle=_Q11_ORACLE, tags=("join", "agg"))
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose ASIA-supplied discounted value
+    exceeds a global threshold. TPC-H's fixed fraction breaks under
+    scale-factor changes, so the threshold is scale-invariant: value
+    above 2x the mean part value, compared cross-multiplied in exact
+    DECIMAL (value*n_parts > 2*total) — no float-average boundary.
+    The scalar (total, count) aggregate broadcasts to every
+    partition; the only big shuffle is the partkey groupBy."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey"))
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    val = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(8,2)"))
+            ).alias("part_value")
+        )
+    )
+    tot = val.agg(
+        F.sum("part_value").alias("total_value"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        val.join(F.broadcast(tot))
+        .filter(F.col("part_value") * F.col("n_parts") > 2 * F.col("total_value"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("part_value").cast("double"), 2).alias("part_value"),
+        )
+    )

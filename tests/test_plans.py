@@ -64,6 +64,8 @@ SINGLE_ROW_BROADCAST_OK = {
     "q22_idle_rich_customers",
     # scalar vocabulary-size aggregate (1 row) broadcast into scoring
     "text_bigram_perplexity",
+    # scalar (total_value, n_parts) aggregate broadcast against part values
+    "q11_important_parts",
 }
 
 
