@@ -115,21 +115,30 @@ def langid_predict(docs: DataFrame, lang_col: str = "lang") -> DataFrame:
 
 
 def word_ngrams(
-    docs: DataFrame, n: int = 4, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    n: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple = (),
 ) -> DataFrame:
-    """``(doc_id, gram)`` — word n-grams by array indexing over the
-    split token array (no window, no shuffle: the explode happens
-    inside the scan partition)."""
+    """``(doc_id, *keep_cols, gram)`` — word n-grams by array indexing
+    over the split token array (no window, no shuffle: the explode
+    happens inside the scan partition). ``keep_cols`` are passed
+    through unchanged (e.g. ``("source",)`` for corpus-vs-benchmark
+    splits) so callers never need a join back to re-attach them."""
     arr = F.split(F.trim(F.col(text_col)), " +")
     par = docs.sparkSession.sparkContext.defaultParallelism
+    keep = list(keep_cols)
     base = (
-        docs.select(F.col(id_col).alias("doc_id"), arr.alias("l"))
+        docs.select(F.col(id_col).alias("doc_id"), *keep, arr.alias("l"))
         .filter(F.size("l") >= n)
         .repartition(par, "doc_id")
     )
     i = F.explode(F.sequence(F.lit(1), F.size("l") - (n - 1))).alias("i")
     gram = F.concat_ws(" ", *[F.element_at(F.col("l"), F.col("i") + k) for k in range(n)])
-    return base.select("doc_id", "l", i).select("doc_id", gram.alias("gram"))
+    return base.select("doc_id", *keep, "l", i).select(
+        "doc_id", *keep, gram.alias("gram")
+    )
 
 
 def fingerprint(docs: DataFrame, n: int = 4) -> DataFrame:

@@ -1,0 +1,178 @@
+"""Corpus-curation quality gates (beyond-reference extension,
+training-data-pipeline tier): Gopher-style repetition filtering and
+benchmark decontamination.
+
+Both are the shapes a 100 TB pre-training pipeline runs corpus-wide:
+
+* repetition filtering (Rae et al. 2021, "Scaling Language Models"
+  §A1.1 quality heuristics — public paper): documents dominated by a
+  single repeated n-gram, or with a high duplicate-n-gram mass, are
+  boilerplate and get dropped before training;
+* decontamination: any document sharing a 5-gram with a held-out
+  evaluation/benchmark set is flagged so eval data never leaks into
+  the training corpus.
+
+Spark shape: n-grams come from array indexing inside the scan
+partition (``operators/textops.word_ngrams`` — no window, no sort),
+the only shuffles are the per-doc count groupBys, and the benchmark
+n-gram set (small by construction: benchmarks are MBs, corpora are
+TBs) broadcasts into the contamination join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from commodity_price_forecasting_spark.operators.textops import word_ngrams
+from commodity_price_forecasting_spark.plans.registry import register
+from commodity_price_forecasting_spark.sources.readers import load_table
+
+# DuckDB mirror of word_ngrams: parallel UNNEST zips token+index;
+# positions renumbered after the empty-token filter (adjacency).
+_TOK = """
+WITH tok0 AS (
+  SELECT doc_id, source,
+         UNNEST(string_split(trim(text), ' ')) AS token,
+         UNNEST(range(len(string_split(trim(text), ' ')))) AS pos0
+  FROM documents
+), tok AS (
+  SELECT doc_id, source, token,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos0) AS pos
+  FROM tok0 WHERE token <> ''
+)
+"""
+
+
+# --- Gopher-style repetition filter -------------------------------------
+
+_REPETITION_ORACLE = (
+    _TOK
+    + """
+, big AS (
+  SELECT doc_id,
+         token || ' ' || LEAD(token) OVER (PARTITION BY doc_id ORDER BY pos)
+           AS bigram
+  FROM tok
+), cnt AS (
+  SELECT doc_id, bigram, COUNT(*) AS c
+  FROM big WHERE bigram IS NOT NULL GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+         AS dup_bigram_tokens,
+       ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigram_frac,
+       ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c), 6)
+         AS dup_bigram_frac,
+       CASE WHEN 10 * MAX(c) > SUM(c)
+              OR 2 * SUM(CASE WHEN c > 1 THEN c ELSE 0 END) > SUM(c)
+            THEN 'drop' ELSE 'keep' END AS gopher_flag
+FROM cnt GROUP BY doc_id
+"""
+)
+
+
+@register("quality_gopher_repetition", oracle=_REPETITION_ORACLE, tags=("datapipe", "text"))
+def quality_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition gate per document: top-bigram mass fraction
+    and duplicate-bigram mass fraction, with the keep/drop rule
+    (drop if top bigram > 10% of bigram mass OR duplicated bigrams
+    > 50% of mass). Thresholds compare CROSS-MULTIPLIED on exact
+    integer counts (10*max > sum), never against a float fraction,
+    so both engines flag identical documents. Bigrams come from
+    array indexing inside the scan partition — the plan has exactly
+    one shuffle (the per-doc-bigram count)."""
+    big = word_ngrams(load_table(spark, sf_dir, "documents"), n=2)
+    cnt = big.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    n_big = F.sum("c")
+    top = F.max("c")
+    dup = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+    return cnt.groupBy("doc_id").agg(
+        n_big.cast("long").alias("n_bigrams"),
+        top.cast("long").alias("top_bigram_count"),
+        dup.cast("long").alias("dup_bigram_tokens"),
+        F.round(top.cast("double") / n_big, 6).alias("top_bigram_frac"),
+        F.round(dup.cast("double") / n_big, 6).alias("dup_bigram_frac"),
+        F.when((10 * top > n_big) | (2 * dup > n_big), F.lit("drop"))
+        .otherwise(F.lit("keep"))
+        .alias("gopher_flag"),
+    )
+
+
+# --- benchmark decontamination ------------------------------------------
+
+_BENCH_SOURCE = "src0"
+
+_DECONTAM_ORACLE = (
+    _TOK
+    + f"""
+, ng AS (
+  SELECT doc_id, source,
+         token || ' ' || LEAD(token, 1) OVER w || ' ' || LEAD(token, 2) OVER w
+               || ' ' || LEAD(token, 3) OVER w || ' ' || LEAD(token, 4) OVER w
+           AS ngram
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), dng AS (
+  SELECT DISTINCT doc_id, source, ngram FROM ng WHERE ngram IS NOT NULL
+), bench AS (
+  SELECT DISTINCT ngram FROM dng WHERE source = '{_BENCH_SOURCE}'
+), corpus AS (
+  SELECT doc_id, COUNT(*) AS n_ngrams
+  FROM dng WHERE source <> '{_BENCH_SOURCE}' GROUP BY 1
+), hits AS (
+  SELECT d.doc_id, COUNT(*) AS n_hits
+  FROM dng d JOIN bench b ON d.ngram = b.ngram
+  WHERE d.source <> '{_BENCH_SOURCE}' GROUP BY 1
+)
+SELECT c.doc_id,
+       CAST(c.n_ngrams AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_contaminated,
+       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / c.n_ngrams, 6)
+         AS contamination_rate,
+       CAST(CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS flagged
+FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+"""
+)
+
+
+@register("quality_decontaminate", oracle=_DECONTAM_ORACLE, tags=("datapipe", "text"))
+def quality_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: documents from `{src0}` play the
+    held-out eval set; every other document is scored by how many of
+    its distinct 5-grams appear anywhere in the eval set. The eval
+    n-gram set is DISTINCT-reduced then BROADCAST (benchmarks are
+    small; the corpus is the big side and never re-shuffles for the
+    probe), so at 100 TB the contamination check is a map-side join
+    over the corpus scan."""
+    dng = (
+        word_ngrams(
+            load_table(spark, sf_dir, "documents"), n=5, keep_cols=("source",)
+        )
+        .select("doc_id", "source", "gram")
+        .distinct()
+    )
+    bench = (
+        dng.filter(F.col("source") == _BENCH_SOURCE).select("gram").distinct()
+    )
+    corpus = dng.filter(F.col("source") != _BENCH_SOURCE)
+    totals = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return totals.join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_contaminated"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / F.col("n_ngrams"), 6
+        ).alias("contamination_rate"),
+        F.when(F.coalesce(F.col("n_hits"), F.lit(0)) > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("flagged"),
+    )
