@@ -176,3 +176,71 @@ def quality_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("flagged"),
     )
+
+
+# --- token-budget shard packing (concat-then-chunk layout) --------------
+
+_SHARD_TOKENS = 500
+
+_PACK_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         len(list_filter(string_split(trim(text), ' '), t -> t <> ''))
+           AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM tok
+)
+SELECT CAST(FLOOR((cum_tokens - n_tokens) / {_SHARD_TOKENS}.0) AS BIGINT)
+         AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS last_doc
+FROM cum GROUP BY 1
+"""
+
+
+@register("pack_token_shards", oracle=_PACK_ORACLE, tags=("datapipe", "layout"))
+def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment — the concat-then-chunk layout a
+    pre-training data loader consumes: documents in deterministic
+    doc_id order, each assigned to the shard its starting token
+    offset falls in ({_SHARD_TOKENS}-token budget). The global
+    running offset comes from ``operators/distributed.prefix_sum``
+    (range-partition + two-job prefix offsets), NOT a
+    single-partition window — at 100 TB every partition computes its
+    local cumsum independently and only one tiny per-partition total
+    row per task reaches the driver. Token counts are array lengths
+    inside the scan (no explode at all)."""
+    from commodity_price_forecasting_spark.operators.distributed import prefix_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.trim(F.col("text")), " "), lambda t: t != F.lit("")
+            )
+        ).cast("long").alias("n_tokens"),
+    )
+    cum = prefix_sum(tok, "doc_id", "n_tokens", out_col="cum_tokens")
+    return (
+        cum.withColumn(
+            "shard_id",
+            F.floor(
+                (F.col("cum_tokens") - F.col("n_tokens")) / F.lit(float(_SHARD_TOKENS))
+            ).cast("long"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+    )

@@ -33,6 +33,9 @@ SKIP_BUILD = {
     "sim_ivf_topk",
     "s1_csv_roundtrip",
     "s7_partitioned_parquet_sink",
+    # prefix_sum runs its per-partition-totals job (a tiny collect) at
+    # plan-build time
+    "pack_token_shards",
 }
 
 
