@@ -1,0 +1,286 @@
+"""Behavioral / cohort analytics over the ``events`` stream plus
+multidimensional OLAP shapes over ``orders`` — the product-analytics
+surface a serving layer on top of this engine would expose (funnel
+conversion, weekly cohort retention, decile segmentation, CUBE
+rollups, IQR outlier screens).
+
+The reference's pipeline stops at per-instrument forecasting
+(SURVEY.md §2.7–2.8); these queries widen the same event fixtures to
+the standard user-journey analytics, each as a shuffle-minimal Spark
+plan with an exact DuckDB oracle:
+
+* funnel — ONE window pass per user (running conditional minima) in
+  place of the naive 4-join stage chain; the oracle keeps the join
+  form, so the driver cross-checks the two formulations.
+* retention — two aggregates on the same ``user_id`` key.
+* deciles — exact global NTILE via the distributed prefix-sum
+  operator (``operators/distributed.py``): range-partition + local
+  scan, never a single-partition ``Window.orderBy``.
+* CUBE — Spark's native multi-dimensional aggregate (one shuffle,
+  partial aggregation on the map side, 4 grouping sets at once).
+* IQR screen — exact per-group quartiles (5 groups) broadcast back
+  against the raw stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from commodity_price_forecasting_spark.operators.distributed import prefix_sum
+from commodity_price_forecasting_spark.plans.registry import register
+from commodity_price_forecasting_spark.sources.readers import load_table
+
+# --- B1: strict ordered funnel (signup → view → click → purchase) -------
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s2.t2 GROUP BY 1
+), s4 AS (
+  SELECT e.user_id, MIN(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s3.t3 GROUP BY 1
+)
+SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+       (SELECT COUNT(*) FROM s2) AS n_view,
+       (SELECT COUNT(*) FROM s3) AS n_click,
+       (SELECT COUNT(*) FROM s4) AS n_purchase
+"""
+
+
+@register("funnel_conversion", oracle=_FUNNEL_ORACLE, tags=("behavior", "window"))
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered funnel signup→view→click→purchase: a user
+    reaches stage k+1 only with an event of that type at-or-after
+    their stage-k timestamp. The naive form is a chain of 4
+    groupBy+join stages (the oracle keeps that form as the
+    cross-check); here each user's journey folds in ONE window pass:
+    the default RANGE frame's running conditional minima mark, per
+    event, whether every earlier stage has completed — so the whole
+    funnel costs one shuffle on ``user_id`` plus a per-user
+    aggregate, and scales as events/user, not stages×events."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # Default frame = RANGE UNBOUNDED PRECEDING..CURRENT ROW: ties on
+    # ts are included, matching the oracle's `ts >= t` exactly.
+    w = Window.partitionBy("user_id").orderBy("ts")
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    ev = ev.withColumn("f2", (F.col("event_type") == "view") & t1.isNotNull())
+    t2 = F.min(F.when(F.col("f2"), F.col("ts"))).over(w)
+    ev = ev.withColumn("f3", (F.col("event_type") == "click") & t2.isNotNull())
+    t3 = F.min(F.when(F.col("f3"), F.col("ts"))).over(w)
+    ev = ev.withColumn("f4", (F.col("event_type") == "purchase") & t3.isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "signup").cast("long")).alias("s1"),
+        F.max(F.col("f2").cast("long")).alias("s2"),
+        F.max(F.col("f3").cast("long")).alias("s3"),
+        F.max(F.col("f4").cast("long")).alias("s4"),
+    )
+    return per_user.agg(
+        F.sum("s1").alias("n_signup"),
+        F.sum("s2").alias("n_view"),
+        F.sum("s3").alias("n_click"),
+        F.sum("s4").alias("n_purchase"),
+    )
+
+
+# --- B2: weekly cohort retention ----------------------------------------
+
+_RETENTION_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY 1
+), activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.week) / 7 AS INTEGER) AS week_offset,
+       COUNT(*) AS active_users
+FROM activity a JOIN first_seen f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@register("cohort_retention", oracle=_RETENTION_ORACLE, tags=("behavior", "agg"))
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by the
+    Monday-start week of their first event; one output row per
+    (cohort_week, week_offset) with the count of cohort members
+    active that week. Two aggregates on the same ``user_id`` key —
+    the cohort map joins back on the key it was built on, so at
+    scale the join co-partitions with no extra exchange on the
+    already-aggregated side."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+
+
+# --- B3: exact decile segmentation without a global sort ----------------
+
+_DECILE_ORACLE = """
+WITH ranked AS (
+  SELECT o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT decile, COUNT(*) AS n,
+       ROUND(MIN(o_totalprice), 6) AS min_price,
+       ROUND(MAX(o_totalprice), 6) AS max_price,
+       ROUND(SUM(o_totalprice), 6) AS sum_price
+FROM ranked GROUP BY decile
+"""
+
+_N_BUCKETS = 10
+
+
+@register("ntile_decile_stats", oracle=_DECILE_ORACLE, tags=("behavior", "window"))
+def ntile_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-value deciles WITHOUT ``Window.orderBy`` on the
+    whole table (the single-task anti-pattern NTILE normally
+    implies). Global rank comes from the distributed prefix-sum
+    operator (range-partition → per-partition scan, Blelloch-style);
+    the SQL-standard NTILE distribution (first N%10 buckets take one
+    extra row) is then integer arithmetic on (rank, N). N itself is
+    a 1-row aggregate broadcast into the rank frame. All-integer
+    bucket math, so the oracle's native NTILE matches exactly."""
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = prefix_sum(
+        orders.withColumn("_ord", F.struct("o_totalprice", "o_orderkey")).withColumn(
+            "_one", F.lit(1)
+        ),
+        order_col="_ord",
+        value_col="_one",
+        out_col="rank",
+    )
+    total = orders.agg(F.count(F.lit(1)).alias("_n"))
+    small = F.floor(F.col("_n") / _N_BUCKETS).cast("long")
+    extras = (F.col("_n") % _N_BUCKETS).cast("long")
+    cut = extras * (small + 1)
+    r0 = F.col("rank") - 1
+    decile = (
+        F.when(F.col("rank") <= cut, F.floor(r0 / (small + 1)) + 1)
+        .otherwise(extras + F.floor((r0 - cut) / small) + 1)
+        .cast("int")
+        .alias("decile")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select("o_totalprice", decile)
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 6).alias("min_price"),
+            F.round(F.max("o_totalprice"), 6).alias("max_price"),
+            F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+        )
+    )
+
+
+# --- B4: CUBE over (priority, status) -----------------------------------
+
+_CUBE_ORACLE = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS INTEGER) AS gid,
+       COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 6) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+@register("cube_order_stats", oracle=_CUBE_ORACLE, tags=("behavior", "agg"))
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional CUBE over (priority, status): all 4 grouping
+    sets — full detail, each single-dim rollup, grand total — in ONE
+    aggregate. Spark expands grouping sets map-side and partially
+    aggregates before the single shuffle; at 100 TB that beats 4
+    separate scans by 4× I/O. ``grouping_id`` disambiguates genuine
+    NULL keys from rollup rows (none here, but the oracle carries the
+    same bit layout: first cube column = high bit)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "gid",
+            "n",
+            "sum_price",
+        )
+    )
+
+
+# --- B5 / A14: IQR outlier screen per event_type ------------------------
+
+_IQR_ORACLE = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                       OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(MIN(q.q1 - 1.5 * (q.q3 - q.q1)), 6) AS fence_lo,
+       ROUND(MIN(q.q3 + 1.5 * (q.q3 - q.q1)), 6) AS fence_hi
+FROM events e JOIN q USING (event_type)
+GROUP BY 1
+"""
+
+
+@register("a14_iqr_outliers", oracle=_IQR_ORACLE, tags=("profiling", "behavior"))
+def a14_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier screen per event_type (the robust
+    complement to the reference's z-score-style profiling, SURVEY §2.5
+    A3/A4): exact quartiles per group, 1.5·IQR fences, and the count
+    of values outside them. The quartile frame is 5 rows —
+    broadcast back against the raw stream, so the screen costs one
+    aggregate plus one map-side join. Exact ``percentile`` matches
+    DuckDB ``quantile_cont`` bit-for-bit (same linear interpolation),
+    and the fence arithmetic is identical IEEE ops on identical
+    inputs, so the comparison threshold is cross-engine stable."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    q = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.25)).alias("q1"),
+        F.percentile("value", F.lit(0.75)).alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        ev.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(((F.col("value") < lo) | (F.col("value") > hi)).cast("long")).alias(
+                "n_outliers"
+            ),
+            F.round(F.min(lo), 6).alias("fence_lo"),
+            F.round(F.min(hi), 6).alias("fence_hi"),
+        )
+    )

@@ -930,3 +930,52 @@ def s7_partitioned_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# --- S8: bucketed tables → shuffle-free co-located join -----------------
+
+_BUCKETED_JOIN_ORACLE = """
+SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 6) AS sum_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+@register("s8_bucketed_join", oracle=_BUCKETED_JOIN_ORACLE, tags=("source", "sink", "join"))
+def s8_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join — the 100 TB pattern for a join
+    both of whose sides are too big to broadcast: write each side
+    ``bucketBy(k, join_key)`` + ``sortBy`` once at ingest, and every
+    later join on that key is exchange-free (each task streams one
+    pre-hashed, pre-sorted bucket pair). Writes orders and customer
+    bucketed by custkey (8 buckets), re-reads via the catalog, and
+    sort-merge-joins them — tests/test_sources_scale.py asserts the
+    executed plan contains NO Exchange below the join. Oracle runs
+    the plain join on the raw parquet."""
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_bucketed_{spark.sparkContext.applicationId}",
+    )
+    t_orders, t_cust = "s8_orders_bucketed", "s8_customer_bucketed"
+    for tbl, df, key in (
+        (t_orders, load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"), "o_custkey"),
+        (t_cust, load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"), "c_custkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            df.write.mode("overwrite")
+            .option("path", os.path.join(base, tbl))
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(tbl)
+        )
+    joined = (
+        spark.table(t_orders)
+        .hint("merge")  # keep SMJ: the demo is bucket co-location, not broadcast
+        .join(spark.table(t_cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return joined.groupBy(F.col("c_mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
+    )

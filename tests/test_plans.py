@@ -36,6 +36,8 @@ SKIP_BUILD = {
     # prefix_sum runs its per-partition-totals job (a tiny collect) at
     # plan-build time
     "pack_token_shards",
+    "ntile_decile_stats",
+    "s8_bucketed_join",
 }
 
 

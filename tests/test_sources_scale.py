@@ -107,3 +107,18 @@ def test_partitioned_sink_prunes_partitions(spark):
     # value sanity: counts equal the unpartitioned path
     ev = load_table(spark, SF_DIR, "events").filter("event_type = 'purchase'")
     assert df.agg({"n_events": "sum"}).first()[0] == ev.count()
+
+
+def test_s8_query_joins_from_buckets(spark):
+    """s8_bucketed_join (registry form): sort-merge join fed straight
+    from bucketed scans — no Exchange between the scans and the join;
+    the only shuffle in the whole plan is the final segment rollup."""
+    from commodity_price_forecasting_spark.plans.queries_coverage import (
+        s8_bucketed_join,
+    )
+
+    df = s8_bucketed_join(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "Bucketed: true" in plan
