@@ -54,7 +54,7 @@ SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
 """
 
 
-@register("funnel_conversion", oracle=_FUNNEL_ORACLE, tags=("behavior", "window"))
+@register("funnel_conversion", oracle=_FUNNEL_ORACLE, tags=("behavior", "window", "bench"))
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Strict ordered funnel signup→view→click→purchase: a user
     reaches stage k+1 only with an event of that type at-or-after
@@ -151,7 +151,7 @@ FROM ranked GROUP BY decile
 _N_BUCKETS = 10
 
 
-@register("ntile_decile_stats", oracle=_DECILE_ORACLE, tags=("behavior", "window"))
+@register("ntile_decile_stats", oracle=_DECILE_ORACLE, tags=("behavior", "window", "bench"))
 def ntile_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact order-value deciles WITHOUT ``Window.orderBy`` on the
     whole table (the single-task anti-pattern NTILE normally
@@ -283,4 +283,130 @@ def a14_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min(lo), 6).alias("fence_lo"),
             F.round(F.min(hi), 6).alias("fence_hi"),
         )
+    )
+
+
+# --- B6: daily new + cumulative distinct users --------------------------
+
+_CUMULATIVE_USERS_ORACLE = """
+WITH fs AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY 1
+), d AS (
+  SELECT first_day AS day, COUNT(*) AS new_users FROM fs GROUP BY 1
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cumulative_users
+FROM d
+"""
+
+
+@register("daily_cumulative_users", oracle=_CUMULATIVE_USERS_ORACLE, tags=("behavior", "window"))
+def daily_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-user counts and the running total of distinct users
+    ever seen — the growth curve. Cumulative COUNT(DISTINCT) over raw
+    events is exactly the first-touch trick: reduce each user to
+    their first day (one aggregate), count per day, then a running
+    sum over the per-DAY frame — which has calendar-many rows, so
+    the final ordered window is over a trivially small aggregate,
+    not the event stream (the same pattern at 100 TB: the global
+    window only ever sees |days| rows)."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    daily = first_seen.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day")  # |days| rows only — see docstring
+    return daily.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cumulative_users")
+    )
+
+
+# --- B7 / A15: MAD robust outlier screen per event_type -----------------
+
+_MAD_ORACLE = """
+WITH m AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+), d AS (
+  SELECT e.event_type, e.value, m.med
+  FROM events e JOIN m USING (event_type)
+), m2 AS (
+  SELECT event_type, quantile_cont(ABS(value - med), 0.5) AS mad FROM d GROUP BY 1
+)
+SELECT d.event_type, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN ABS(d.value - d.med) > 3 * 1.4826 * m2.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(MIN(d.med), 6) AS median_value,
+       ROUND(MIN(m2.mad), 6) AS mad
+FROM d JOIN m2 USING (event_type)
+GROUP BY 1
+"""
+
+
+@register("a15_mad_outliers", oracle=_MAD_ORACLE, tags=("profiling", "behavior"))
+def a15_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen per event_type — the
+    breakdown-point-0.5 robust alternative to the IQR fence (A14):
+    |x − median| > 3·1.4826·MAD. Two exact-median passes (group
+    medians, then medians of absolute deviations), each producing a
+    5-row frame that broadcasts back against the stream — so the
+    whole screen is two aggregates and two map-side joins, no
+    global sort."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    d = ev.join(F.broadcast(med), "event_type")
+    mad = d.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad")
+                ).cast("long")
+            ).alias("n_outliers"),
+            F.round(F.min("med"), 6).alias("median_value"),
+            F.round(F.min("mad"), 6).alias("mad"),
+        )
+    )
+
+
+# --- B8: cross-sectional percentile position ----------------------------
+
+_PCT_RANK_ORACLE = """
+WITH t AS (
+  SELECT event_type, user_id AS instrument,
+         SUM(CAST(value AS DECIMAL(28,10))) AS total
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, instrument,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM t
+WINDOW w AS (PARTITION BY event_type ORDER BY total, instrument)
+"""
+
+
+@register("cs_value_percentile", oracle=_PCT_RANK_ORACLE, tags=("behavior", "window"))
+def cs_value_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each instrument's percentile position (PERCENT_RANK and
+    CUME_DIST) within its event_type by total value — the
+    cross-sectional standing the momentum rank (cs_momentum_rank)
+    truncates to top-k. Totals aggregate through DECIMAL so the
+    ranking key is exact and the two engines order identically
+    (instrument id breaks exact ties); the window partitions on
+    event_type, so no global sort."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id", "value")
+    t = ev.groupBy("event_type", F.col("user_id").alias("instrument")).agg(
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy("total", "instrument")
+    return t.select(
+        "event_type",
+        "instrument",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
     )

@@ -979,3 +979,39 @@ def s8_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 6).alias("sum_price"),
     )
+
+
+# --- S9: JSON-lines source roundtrip ------------------------------------
+
+_JSONL_ORACLE = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(28,10))), 6) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
+@register("s9_jsonl_roundtrip", oracle=_JSONL_ORACLE, tags=("source", "sink"))
+def s9_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + schema-explicit rescan — the interchange
+    format for event feeds that aren't parquet yet. Writes events as
+    JSONL, re-reads with an EXPLICIT schema (never schema inference
+    at scale: inference is a second full pass over 100 TB), and
+    aggregates; the oracle reads the original parquet, so any
+    fidelity loss in the JSON roundtrip (timestamp precision, float
+    text form) would break the hash. Values aggregate through
+    DECIMAL so the text→double→sum path stays order-independent."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_jsonl_{spark.sparkContext.applicationId}",
+    )
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.write.mode("overwrite").json(out)
+    schema = "event_id BIGINT, event_type STRING, value DOUBLE"
+    back = spark.read.schema(schema).json(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(28,10)")), 6)
+        .cast("double")
+        .alias("sum_value"),
+    )

@@ -1119,3 +1119,126 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(stage(3, "quality_filter", s3))
         .unionAll(stage(4, "lang_stratified_sample", s4))
     )
+
+
+# --- Deterministic train/val/test split ---------------------------------
+
+_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT CASE WHEN pct < 80 THEN 'train'
+              WHEN pct < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars, lang
+  FROM (
+    SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS pct,
+           n_chars, lang
+    FROM documents
+  )
+)
+SELECT split, COUNT(*) AS n_docs,
+       ROUND(AVG(n_chars), 6) AS avg_chars,
+       CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+FROM b GROUP BY 1
+"""
+
+
+@register("curation_train_test_split", oracle=_SPLIT_ORACLE, tags=("datapipe", "curation"))
+def curation_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split on a content-stable
+    hash of the document id (md5 hex → integer percent bucket — the
+    same engine-portable trick as the stratified sampler). No RNG, no
+    shuffle of the corpus: the split is a map-side projection, so at
+    100 TB each shard routes itself without coordination, and
+    re-running the pipeline reproduces the exact membership (the
+    property training pipelines need for eval hygiene). Output audits
+    the split sizes and per-split composition."""
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    split = (
+        F.when(pct < 80, "train").when(pct < 90, "val").otherwise("test").alias("split")
+    )
+    return (
+        docs.select(split, "n_chars", "lang")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.sum((F.col("lang") == "en").cast("long")).alias("n_en"),
+        )
+    )
+
+
+# --- Embedding column profiling / normalization -------------------------
+
+_EMB_DIM_ORACLE = """
+SELECT p AS dim, COUNT(*) AS n,
+       ROUND(AVG(v), 6) AS mean_v,
+       ROUND(STDDEV_SAMP(v), 6) AS sd_v
+FROM (
+  SELECT UNNEST(embedding) AS v, UNNEST(range(len(embedding))) AS p
+  FROM embeddings
+)
+GROUP BY 1
+"""
+
+
+@register("emb_dim_stats", oracle=_EMB_DIM_ORACLE, tags=("datapipe", "similarity", "profiling"))
+def emb_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/σ across the embedding corpus — the
+    whitening / feature-drift profile an ANN index build starts
+    from. posexplode flattens (vec → dim rows) with map-side partial
+    aggregation into |dims| groups, so the shuffle is |dims| rows per
+    task regardless of corpus size. DuckDB's parallel-UNNEST zip ≡
+    Spark posexplode (position renumbering convention from the
+    TF-IDF family)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.posexplode("embedding").alias("dim", "v")
+    )
+    return emb.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.col("v").cast("double")), 6).alias("mean_v"),
+        F.round(F.stddev_samp(F.col("v").cast("double")), 6).alias("sd_v"),
+    )
+
+
+_EMB_NORM_ORACLE = """
+SELECT vec_id, ROUND(nrm, 6) AS l2_norm,
+       ROUND(embedding[1] / nrm, 6) AS first_component_normed
+FROM (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))) AS nrm
+  FROM embeddings
+)
+WHERE nrm > 0
+"""
+
+
+@register("emb_l2_normalize", oracle=_EMB_NORM_ORACLE, tags=("datapipe", "similarity"))
+def emb_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization of the embedding column with higher-order
+    array functions — entirely JVM-side (F.aggregate left-fold for
+    Σx², no UDF), the prerequisite transform before cosine similarity
+    degrades to a dot product. Both engines fold the square-sum
+    left-to-right over identical doubles, so norms are bit-identical;
+    output audits the norm and one normalized component per vector."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x,
+        )
+    ).alias("nrm")
+    return (
+        emb.select("vec_id", "embedding", nrm)
+        .filter(F.col("nrm") > 0)
+        .select(
+            "vec_id",
+            F.round("nrm", 6).alias("l2_norm"),
+            F.round(F.element_at("embedding", 1) / F.col("nrm"), 6).alias(
+                "first_component_normed"
+            ),
+        )
+    )

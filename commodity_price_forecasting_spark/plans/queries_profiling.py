@@ -361,3 +361,114 @@ def a13_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("px", F.lit(0.5)), 6).alias("median_px"),
         F.count(F.lit(1)).alias("n_days"),
     )
+
+
+# --- DQ: declarative data-quality rule audit (one pass) -----------------
+
+_DQ_ORACLE = """
+WITH s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_qty,
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS v_disc,
+         CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_ship,
+         CAST(SUM(CASE WHEN l_tax > 0.07 THEN 1 ELSE 0 END) AS BIGINT) AS v_tax
+  FROM lineitem
+)
+SELECT 'quantity_positive' AS rule, n AS n_checked, v_qty AS n_violations,
+       ROUND(1.0 - v_qty * 1.0 / n, 6) AS pass_rate FROM s
+UNION ALL SELECT 'discount_in_range', n, v_disc, ROUND(1.0 - v_disc * 1.0 / n, 6) FROM s
+UNION ALL SELECT 'shipdate_not_null', n, v_ship, ROUND(1.0 - v_ship * 1.0 / n, 6) FROM s
+UNION ALL SELECT 'tax_below_cap', n, v_tax, ROUND(1.0 - v_tax * 1.0 / n, 6) FROM s
+"""
+
+
+@register("dq_rule_violations", oracle=_DQ_ORACLE, tags=("profiling", "quality"))
+def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit (the Deequ/expectations shape,
+    SURVEY §2.5 A8/A9 generalized): every rule — positivity, range,
+    completeness, cap — evaluates as a conditional SUM inside ONE
+    aggregate pass over the fact table, then unpivots to one row per
+    rule. At 100 TB the audit costs a single scan regardless of how
+    many rules are registered; adding a rule adds a column, not a
+    job."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_shipdate", "l_tax"
+    )
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("l_quantity") <= 0).cast("long")).alias("v_qty"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast("long")
+        ).alias("v_disc"),
+        F.sum(F.col("l_shipdate").isNull().cast("long")).alias("v_ship"),
+        F.sum((F.col("l_tax") > 0.07).cast("long")).alias("v_tax"),
+    )
+    return s.selectExpr(
+        """stack(4,
+             'quantity_positive', v_qty,
+             'discount_in_range', v_disc,
+             'shipdate_not_null', v_ship,
+             'tax_below_cap',     v_tax) AS (rule, n_violations)""",
+        "n AS n_checked",
+    ).select(
+        "rule",
+        "n_checked",
+        "n_violations",
+        F.round(1.0 - F.col("n_violations") * 1.0 / F.col("n_checked"), 6).alias(
+            "pass_rate"
+        ),
+    )
+
+
+# --- Incremental aggregation: mergeable partial moments -----------------
+
+_INCR_MERGE_ORACLE = """
+WITH h AS (
+  SELECT event_type,
+         CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 0 ELSE 1 END AS half,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(28,10))) AS s,
+         SUM(CAST(value * value AS DECIMAL(28,10))) AS ss
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(s) AS DOUBLE) AS s, CAST(SUM(ss) AS DOUBLE) AS ss
+  FROM h GROUP BY 1
+)
+SELECT event_type, n,
+       ROUND(s / n, 6) AS mean_value,
+       ROUND((ss - s * s / n) / (n - 1), 6) AS var_value
+FROM m
+"""
+
+
+@register("incr_merge_stats", oracle=_INCR_MERGE_ORACLE, tags=("profiling", "agg"))
+def incr_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-aggregation pattern: per-batch partial moments
+    (count, Σx, Σx²) computed independently per time slice, then
+    MERGED into global mean/variance — the algebraic-state design
+    that lets a 100 TB metric update from each new partition without
+    rescanning history (same contract as streaming state / OLAP
+    cube refresh). Sums run through DECIMAL(28,10) so partial-state
+    addition is exact and order-independent; the merged state
+    converts to double ONCE for the closed-form mean/variance."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    half = (F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp")).cast("int")
+    partial = ev.groupBy("event_type", half.alias("half")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(28,10)")).alias("s"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,10)")).alias("ss"),
+    )
+    merged = partial.groupBy("event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("s").cast("double").alias("s"),
+        F.sum("ss").cast("double").alias("ss"),
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        F.round(F.col("s") / F.col("n"), 6).alias("mean_value"),
+        F.round(
+            (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1), 6
+        ).alias("var_value"),
+    )

@@ -375,3 +375,53 @@ def sql_api_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_API_TEXT)
+
+
+# --- J6: FULL OUTER reconciliation --------------------------------------
+
+_FULL_OUTER_ORACLE = """
+WITH p AS (
+  SELECT CAST(ts AS DATE) AS day, ROUND(SUM(value), 6) AS purchase_value
+  FROM events WHERE event_type = 'purchase' AND value > 150 GROUP BY 1
+), e AS (
+  SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_errors
+  FROM events WHERE event_type = 'error' AND value > 150 GROUP BY 1
+)
+SELECT COALESCE(p.day, e.day) AS day, p.purchase_value, e.n_errors,
+       CASE WHEN p.day IS NULL THEN 'errors_only'
+            WHEN e.day IS NULL THEN 'purchases_only'
+            ELSE 'both' END AS presence
+FROM p FULL OUTER JOIN e ON p.day = e.day
+"""
+
+
+@register("j6_full_outer_reconcile", oracle=_FULL_OUTER_ORACLE, tags=("join",))
+def j6_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation of two sparse daily aggregates
+    (high-value purchases vs high-value errors): days present on
+    either side survive, with a presence label for one-sided rows —
+    the audit-join shape (ledger-vs-ledger) the inner/left/anti
+    family can't express. Both inputs pre-aggregate to |days| rows
+    before the join, so the full-outer shuffle is tiny regardless of
+    raw volume."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    p = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .groupBy(F.to_date("ts").alias("p_day"))
+        .agg(F.round(F.sum("value"), 6).alias("purchase_value"))
+    )
+    e = (
+        ev.filter((F.col("event_type") == "error") & (F.col("value") > 150))
+        .groupBy(F.to_date("ts").alias("e_day"))
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    joined = p.join(e, p.p_day == e.e_day, "full_outer")
+    return joined.select(
+        F.coalesce("p_day", "e_day").alias("day"),
+        "purchase_value",
+        "n_errors",
+        F.when(F.col("p_day").isNull(), "errors_only")
+        .when(F.col("e_day").isNull(), "purchases_only")
+        .otherwise("both")
+        .alias("presence"),
+    )

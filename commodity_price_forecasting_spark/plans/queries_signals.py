@@ -432,3 +432,73 @@ def sd_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_obs"),
         F.round(F.avg(F.col("rev") / F.col("trend")), 6).alias("seasonal_index"),
     )
+
+
+# --- W18: trailing rolling correlation vs the market --------------------
+
+_ROLLING_CORR_ORACLE = (
+    _DAILY
+    + """
+, rets AS (
+  SELECT instrument, day,
+         LN(px / LAG(px) OVER (PARTITION BY instrument ORDER BY day)) AS r
+  FROM daily
+), mkt AS (
+  SELECT day, AVG(r) AS rm FROM rets WHERE r IS NOT NULL GROUP BY day
+), joined AS (
+  SELECT re.instrument, re.day, re.r, m.rm
+  FROM rets re JOIN mkt m ON re.day = m.day
+  WHERE re.r IS NOT NULL
+)
+SELECT instrument, day,
+       ROUND(covar_samp(r, rm) OVER w
+             / (stddev_samp(r) OVER w * stddev_samp(rm) OVER w), 6) AS corr_10d
+FROM joined
+WINDOW w AS (PARTITION BY instrument ORDER BY day
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+QUALIFY count(*) OVER w = 10 AND stddev_samp(r) OVER w > 0
+    AND stddev_samp(rm) OVER w > 0
+"""
+)
+
+
+@register("w18_rolling_corr", oracle=_ROLLING_CORR_ORACLE, tags=("signals", "window"))
+def w18_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-10-day Pearson correlation of each instrument's
+    return against the equal-weight market return — the
+    diversification monitor next to w12's beta. Computed as
+    cov/(σ·σ) from the same window aggregates in BOTH engines
+    (rather than each engine's native corr()) so the floating-point
+    path is identical; degenerate zero-variance windows are
+    excluded on both sides."""
+    w_ord = Window.partitionBy("instrument").orderBy("day")
+    rets = (
+        daily_bars(spark, sf_dir)
+        .select(
+            "instrument",
+            "day",
+            F.log(F.col("px") / F.lag("px").over(w_ord)).alias("r"),
+        )
+        .filter(F.col("r").isNotNull())
+    )
+    mkt = rets.groupBy(F.col("day").alias("_d")).agg(F.avg("r").alias("rm"))
+    joined = rets.join(F.broadcast(mkt), rets.day == F.col("_d")).select(
+        "instrument", "day", "r", "rm"
+    )
+    w = w_ord.rowsBetween(-9, 0)
+    return (
+        joined.select(
+            "instrument",
+            "day",
+            F.covar_samp("r", "rm").over(w).alias("_cov"),
+            F.stddev_samp("r").over(w).alias("_sr"),
+            F.stddev_samp("rm").over(w).alias("_sm"),
+            F.count(F.lit(1)).over(w).alias("_n"),
+        )
+        .filter((F.col("_n") == 10) & (F.col("_sr") > 0) & (F.col("_sm") > 0))
+        .select(
+            "instrument",
+            "day",
+            F.round(F.col("_cov") / (F.col("_sr") * F.col("_sm")), 6).alias("corr_10d"),
+        )
+    )

@@ -38,6 +38,7 @@ SKIP_BUILD = {
     "pack_token_shards",
     "ntile_decile_stats",
     "s8_bucketed_join",
+    "s9_jsonl_roundtrip",
 }
 
 

@@ -122,3 +122,22 @@ def test_s8_query_joins_from_buckets(spark):
     assert "SortMergeJoin" in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
     assert "Bucketed: true" in plan
+
+
+def test_schema_evolution_merge_read(spark, tmp_path_factory):
+    """Schema evolution at the lake layer: two parquet batches with
+    drifted schemas (a column added later) must read back as ONE
+    frame under mergeSchema, old rows null-filled — the append-only
+    ingestion reality at 100 TB, where producers upgrade schemas
+    without rewriting history."""
+    base = str(tmp_path_factory.mktemp("evolve"))
+    v1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, px double")
+    v2 = spark.createDataFrame(
+        [(3, 30.0, "eur"), (4, 40.0, "usd")], "id long, px double, ccy string"
+    )
+    v1.write.parquet(f"{base}/b=1")
+    v2.write.parquet(f"{base}/b=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "px", "ccy", "b"}
+    rows = {r["id"]: r["ccy"] for r in merged.collect()}
+    assert rows[1] is None and rows[3] == "eur"
