@@ -410,3 +410,47 @@ def cs_value_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+# --- B9: batch sessionization (30-min inactivity gap) -------------------
+
+_SESSIONIZE_ORACLE = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN date_diff('microsecond',
+                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                             ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+)
+SELECT user_id,
+       CAST(1 + SUM(new_s) AS BIGINT) AS n_sessions,
+       COUNT(*) AS n_events,
+       ROUND(COUNT(*) * 1.0 / (1 + SUM(new_s)), 6) AS events_per_session
+FROM d GROUP BY 1
+"""
+
+
+@register("sessionize_events", oracle=_SESSIONIZE_ORACLE, tags=("behavior", "window"))
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the gaps-and-islands partner to the
+    streaming session window (st_session_30m): a >30-minute silence
+    starts a new session; per user, the session count and
+    events-per-session density. One per-user ordered pass (session
+    boundaries are a LAG comparison, session count a SUM of
+    boundaries) — no self-join, no state store. The gap compares
+    epoch MICROSECONDS on both engines, so boundary events land on
+    the same side of the 30-minute line bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    d = ev.withColumn(
+        "new_s", F.when(gap_us > 1_800_000_000, 1).otherwise(0)
+    )
+    return d.groupBy("user_id").agg(
+        (1 + F.sum("new_s")).cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.count(F.lit(1)) * 1.0 / (1 + F.sum("new_s")), 6
+        ).alias("events_per_session"),
+    )

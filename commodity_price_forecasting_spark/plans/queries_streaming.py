@@ -201,3 +201,40 @@ def st_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return view_purchase_attribution(ev)
+
+
+_FUNNEL_STAGE_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND e.ts >= s1.t1 GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s2.t2 GROUP BY 1
+), s4 AS (
+  SELECT e.user_id, MIN(e.ts) AS t4 FROM events e JOIN s3 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s3.t3 GROUP BY 1
+)
+SELECT u.user_id,
+       CAST(CASE WHEN u.user_id IN (SELECT user_id FROM s4) THEN 4
+                 WHEN u.user_id IN (SELECT user_id FROM s3) THEN 3
+                 WHEN u.user_id IN (SELECT user_id FROM s2) THEN 2
+                 WHEN u.user_id IN (SELECT user_id FROM s1) THEN 1
+                 ELSE 0 END AS INTEGER) AS stage_reached
+FROM (SELECT DISTINCT user_id FROM events) u
+"""
+
+
+@register("st_funnel_stage", oracle=_FUNNEL_STAGE_ORACLE, tags=("streaming", "behavior"))
+def st_funnel_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user strict-funnel stage — the batch face of the second
+    custom stateful operator (streaming/events_stream.funnel_stage:
+    applyInPandasWithState accumulating per-type event times, exact
+    under out-of-order arrival). tests/test_streaming.py proves the
+    incremental execution converges to this batch result across
+    micro-batches."""
+    from commodity_price_forecasting_spark.streaming.events_stream import funnel_stage
+
+    return funnel_stage(load_table(spark, sf_dir, "events"))

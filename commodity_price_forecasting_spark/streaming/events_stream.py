@@ -269,3 +269,107 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+# --- custom stateful operator #2: incremental strict funnel -------------
+
+FUNNEL_STAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("stage_reached", T.IntegerType(), False),
+    ]
+)
+_FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("signup_us", T.ArrayType(T.LongType()), True),
+        T.StructField("view_us", T.ArrayType(T.LongType()), True),
+        T.StructField("click_us", T.ArrayType(T.LongType()), True),
+        T.StructField("purchase_us", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+_FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+
+
+def _funnel_stage_from_lists(
+    sign: list, view: list, click: list, pur: list
+) -> int:
+    """Strict-funnel stage from per-type event times (µs): stage k+1
+    needs an event of type k+1 at-or-after the stage-k time."""
+    t1 = min(sign) if sign else None
+    t2 = min((x for x in view if x >= t1), default=None) if t1 is not None else None
+    t3 = min((x for x in click if x >= t2), default=None) if t2 is not None else None
+    t4 = min((x for x in pur if x >= t3), default=None) if t3 is not None else None
+    return 4 if t4 is not None else 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+
+
+def _update_funnel(
+    key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Accumulate per-type event timestamps per user and re-derive the
+    funnel stage each micro-batch. Keeping the full per-type lists is
+    what makes the operator EXACT under out-of-order arrival: a
+    late-arriving earlier signup can retroactively qualify old views
+    (a min-only state could not recover those). State is bounded by
+    events/user; a watermark-finalized variant would truncate lists
+    below the watermark once stages freeze."""
+    if state.exists:
+        stored = state.get
+        lists = [list(stored[i] or []) for i in range(4)]
+    else:
+        lists = [[], [], [], []]
+    for pdf in pdf_iter:
+        us = (pdf["ts"].astype("int64") // 1000).tolist()
+        for et, t in zip(pdf["event_type"].tolist(), us):
+            try:
+                lists[_FUNNEL_STAGES.index(et)].append(t)
+            except ValueError:
+                continue  # event types outside the funnel don't advance it
+    state.update(tuple(lists))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "stage_reached": [_funnel_stage_from_lists(*lists)],
+        }
+    )
+
+
+def funnel_stage(df: DataFrame) -> DataFrame:
+    """Per-user strict-funnel stage (0–4), batch/stream agnostic.
+
+    Streaming: custom stateful operator (``applyInPandasWithState``,
+    update mode) whose emitted stage is monotone non-decreasing across
+    micro-batches. Batch: the one-window-pass formulation (running
+    conditional minima — same plan family as
+    ``plans/queries_behavior.funnel_conversion``), fully JVM-side."""
+    if df.isStreaming:
+        return (
+            df.select("user_id", "event_type", "ts")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _update_funnel,
+                outputStructType=FUNNEL_STAGE_SCHEMA,
+                stateStructType=_FUNNEL_STATE_SCHEMA,
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    ev = df.select("user_id", "event_type", "ts")
+    t1 = F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    ev = ev.withColumn("f2", (F.col("event_type") == "view") & t1.isNotNull())
+    t2 = F.min(F.when(F.col("f2"), F.col("ts"))).over(w)
+    ev = ev.withColumn("f3", (F.col("event_type") == "click") & t2.isNotNull())
+    t3 = F.min(F.when(F.col("f3"), F.col("ts"))).over(w)
+    ev = ev.withColumn("f4", (F.col("event_type") == "purchase") & t3.isNotNull())
+    return ev.groupBy("user_id").agg(
+        F.when(F.max(F.col("f4").cast("int")) == 1, 4)
+        .when(F.max(F.col("f3").cast("int")) == 1, 3)
+        .when(F.max(F.col("f2").cast("int")) == 1, 2)
+        .when(F.max((F.col("event_type") == "signup").cast("int")) == 1, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("stage_reached")
+    )

@@ -174,6 +174,29 @@ def test_stateful_ops_across_multiple_microbatches(spark, tmp_path_factory):
     assert (merged["n_events_got"] == merged["n_events_want"]).all()
     assert (merged["total_value_got"] - merged["total_value_want"]).abs().max() < 1e-9
 
+    # stateful funnel: per-user stage accumulates across micro-batches
+    # to the exact batch answer (stage is monotone per user)
+    from commodity_price_forecasting_spark.streaming.events_stream import (
+        funnel_stage,
+    )
+
+    q = (
+        funnel_stage(stream())
+        .writeStream.format("memory")
+        .queryName("mb_funnel")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    fp = spark.table("mb_funnel").toPandas()
+    assert fp.groupby("user_id").size().max() > 1
+    f_final = fp.groupby("user_id")["stage_reached"].max()
+    f_want = (
+        funnel_stage(batch).toPandas().set_index("user_id")["stage_reached"]
+    )
+    assert f_final.sort_index().equals(f_want.sort_index())
+
 
 def test_parquet_sink_with_checkpoint_is_exactly_once(spark, tmp_path_factory):
     """Durable streaming sink: writeStream to parquet with a
@@ -231,3 +254,22 @@ def test_stream_stream_attribution_equals_batch(spark, events_batch):
     want = _rows(view_purchase_attribution(events_batch), cols)
     assert got == want
     assert len(got) > 0
+
+
+def test_stateful_funnel_matches_batch(spark, events_batch):
+    from commodity_price_forecasting_spark.streaming.events_stream import (
+        funnel_stage,
+    )
+
+    run_stream_to_memory(
+        funnel_stage(read_events_stream(spark, SF_DIR)),
+        "mem_funnel",
+        output_mode="update",
+    )
+    got = spark.table("mem_funnel").toPandas()
+    # stage is monotone non-decreasing across micro-batches → final
+    # state per user is the max emitted stage.
+    final = got.groupby("user_id")["stage_reached"].max()
+    want = funnel_stage(events_batch).toPandas().set_index("user_id")["stage_reached"]
+    assert final.sort_index().equals(want.sort_index())
+    assert (want >= 1).sum() > 0  # funnel actually progresses in the fixture
