@@ -398,11 +398,14 @@ def ts_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # Timestamp-interval arithmetic (exact to the microsecond, no
+    # second-truncating casts) — the identical expression the oracle
+    # runs, so boundary events land on the same side bit-for-bit.
+    gap = F.col("ts") - F.lag("ts").over(w)
     numbered = ev.withColumn(
         "session_id",
         F.sum(
-            F.when(gap <= 30 * 60, F.lit(0)).otherwise(F.lit(1))
+            F.when(gap <= F.expr("INTERVAL 30 MINUTES"), F.lit(0)).otherwise(F.lit(1))
         ).over(w.rowsBetween(W.unboundedPreceding, 0)),
     )
     sessions = numbered.groupBy("user_id", "session_id").agg(

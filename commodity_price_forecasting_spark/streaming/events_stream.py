@@ -20,6 +20,7 @@ operator, no Python in the hot path).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterable
 
 import pandas as pd
@@ -28,34 +29,30 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-#: events.parquet physical schema — ``ts`` is TIMESTAMP(NANOS), which
-#: Spark reads as bigint under the legacy nanos conf (see
-#: sources/readers.load_table for the batch-side handling).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # nanos-as-long
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+from commodity_price_forecasting_spark.sources.readers import normalize_event_ts
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet: the local stand-in
-    for a Kafka/Kinesis ingest. Converts nanos→microsecond timestamp
-    exactly like the batch reader so batch and stream agree."""
+    for a Kafka/Kinesis ingest.
+
+    The stream schema is taken from the parquet footer via a batch
+    footer read (a streaming source requires an explicit schema), and
+    ``ts`` is normalized through the SAME helper the batch reader
+    uses (sources/readers.normalize_event_ts) — so batch == stream on
+    the same data whatever the fixture's physical timestamp encoding.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema  # footer-only read
     # The file stream source requires a directory: scan sf_dir with a
     # glob filter selecting only the events table.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 # --- batch/stream-agnostic transformations ------------------------------

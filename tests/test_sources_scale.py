@@ -141,3 +141,30 @@ def test_schema_evolution_merge_read(spark, tmp_path_factory):
     assert set(merged.columns) == {"id", "px", "ccy", "b"}
     rows = {r["id"]: r["ccy"] for r in merged.collect()}
     assert rows[1] is None and rows[3] == "eur"
+
+
+def test_events_ts_is_timestamp_under_both_readers(spark):
+    """Fixture-drift guard: the driver's parquet encoding of
+    ``events.ts`` has changed across rounds (TIMESTAMP(NANOS) →
+    TIMESTAMP(MICROS)/NTZ). Whatever the physical unit, BOTH readers
+    must surface a session-zone TIMESTAMP — a future drift should
+    fail loudly here, at the reader, not as scattered watermark /
+    cast errors downstream."""
+    from commodity_price_forecasting_spark.sources.readers import load_table
+    from commodity_price_forecasting_spark.streaming.events_stream import (
+        read_events_stream,
+    )
+
+    batch = load_table(spark, SF_DIR, "events")
+    assert dict(batch.dtypes)["ts"] == "timestamp", batch.dtypes
+    stream = read_events_stream(spark, SF_DIR)
+    assert dict(stream.dtypes)["ts"] == "timestamp", stream.dtypes
+    # and the normalized values are sane calendar-era event times,
+    # not 1970-epoch artifacts of a wrong unit conversion
+    from pyspark.sql import functions as F
+
+    yr = batch.agg(
+        F.min(F.year("ts")).alias("lo"), F.max(F.year("ts")).alias("hi")
+    ).collect()[0]
+    assert yr["lo"] >= 2000, f"events.ts decoded into the past: {yr}"
+    assert yr["hi"] <= 2100, f"events.ts decoded into the future: {yr}"

@@ -94,36 +94,36 @@ def test_stateful_ops_across_multiple_microbatches(spark, tmp_path_factory):
     from pyspark.sql import functions as F
 
     from commodity_price_forecasting_spark.streaming.events_stream import (
-        EVENTS_RAW_SCHEMA,
         dedup_events,
         running_user_stats,
         tumbling_stats,
     )
 
     src = str(tmp_path_factory.mktemp("events_parts"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.schema(EVENTS_RAW_SCHEMA).parquet(f"{SF_DIR}/events.parquet")
+    batch = load_table(spark, SF_DIR, "events")
     # contiguous time-range file split => each later file carries
     # strictly later timestamps, so watermark advancement between
     # micro-batches never misclassifies replayed data as late
     from pyspark.sql import Window
 
-    n_rows = raw.count()
+    n_rows = batch.count()
     rn = F.row_number().over(Window.orderBy("ts"))
-    raw.withColumn(
+    batch.withColumn(
         "bucket", (((rn - 1) * 6) / F.lit(n_rows)).cast("int")
     ).write.partitionBy("bucket").mode("overwrite").parquet(src)
 
+    # data-file schema (partition column excluded) for the file stream
+    file_schema = (
+        spark.read.option("recursiveFileLookup", "true").parquet(src).schema
+    )
+
     def stream():
-        s = (
-            spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        return (
+            spark.readStream.schema(file_schema)
             .option("maxFilesPerTrigger", "1")
             .option("recursiveFileLookup", "true")
             .parquet(src)
         )
-        return s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-
-    batch = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
     # stateful dedup: duplicate the stream against itself
     q = (
