@@ -47,14 +47,44 @@ def main() -> None:
         for spec in bench.values():
             spec.fn(spark, warm_dir).count()
 
+    # prior-round per-query timings (regression visibility at a
+    # glance: the stderr tail prints the delta vs the newest
+    # BENCH_r{N}.json found alongside this script)
+    prior: dict[str, float] = {}
+    prior_tag = ""
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname in sorted(os.listdir(here), reverse=True):
+        if fname.startswith("BENCH_r") and fname.endswith(".json"):
+            try:
+                with open(os.path.join(here, fname)) as fh:
+                    rec = json.load(fh)
+                if rec.get("sf") == sf and isinstance(rec.get("queries"), dict):
+                    prior, prior_tag = rec["queries"], fname
+                    break
+            except (OSError, ValueError):
+                continue
+
     timings: dict[str, float] = {}
     for name, spec in sorted(bench.items()):
         t0 = time.perf_counter()
         n = spec.fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        delta = ""
+        if name in prior and prior[name]:
+            pct = 100.0 * (timings[name] - prior[name]) / prior[name]
+            delta = f" [{pct:+.0f}% vs {prior_tag}]"
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows){delta}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    if prior:
+        shared = [q for q in timings if q in prior]
+        now_s = sum(timings[q] for q in shared)
+        then_s = sum(prior[q] for q in shared)
+        print(
+            f"# shared {len(shared)}-query subtotal: {now_s:.2f}s vs "
+            f"{then_s:.2f}s in {prior_tag} ({now_s / then_s:.2f}x)",
+            file=sys.stderr,
+        )
     print(
         json.dumps(
             {

@@ -216,6 +216,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 20,
     reliable_checkpoint: bool | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list via min-label
     propagation WITH pointer halving: every node's label converges to
@@ -242,6 +243,9 @@ def connected_components(
       iteration's own aggregate and checked with ``isEmpty()`` on the
       already-materialized checkpoint — no extra join, no full
       recount of unchanged labels.
+    - Pass a dict as ``stats`` to receive ``{"iterations": k}`` —
+      the O(log diameter) claim is asserted against deep synthetic
+      components in tests/test_distributed.py.
     """
     sc = edges.sparkSession.sparkContext
     if reliable_checkpoint is None:
@@ -265,7 +269,9 @@ def connected_components(
         .agg(F.min("v").alias("_mv"))
         .select("node", F.least("node", "_mv").alias("label"))
     )
+    n_iter = 0
     for _ in range(max_iter):
+        n_iter += 1
         # 1-hop: min label over direct neighbors.
         nb_min = (
             sym.join(labels, sym["v"] == labels["node"], "inner")
@@ -296,4 +302,6 @@ def connected_components(
         labels = new_labels.drop("chg")
         if converged:
             break
+    if stats is not None:
+        stats["iterations"] = n_iter
     return labels.select("node", F.col("label").alias("component"))

@@ -558,12 +558,36 @@ def a3_quantile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pieces[0].unionAll(pieces[1])
 
 
-@register("a6_dtype_histogram", oracle=None, tags=("profiling", "metadata"))
+_A6_ORACLE = """
+SELECT CASE data_type
+         WHEN 'BIGINT' THEN 'bigint'
+         WHEN 'INTEGER' THEN 'int'
+         WHEN 'SMALLINT' THEN 'smallint'
+         WHEN 'DOUBLE' THEN 'double'
+         WHEN 'FLOAT' THEN 'float'
+         WHEN 'VARCHAR' THEN 'string'
+         WHEN 'DATE' THEN 'date'
+         WHEN 'BOOLEAN' THEN 'boolean'
+         -- parquet timestamp[us] without UTC adjustment surfaces as
+         -- TIMESTAMP in DuckDB and timestamp_ntz in Spark
+         WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+         ELSE lower(data_type) END AS dtype,
+       CAST(count(*) AS INT) AS n_columns
+FROM information_schema.columns
+WHERE table_name = 'lineitem'
+GROUP BY 1
+"""
+
+
+@register("a6_dtype_histogram", oracle=_A6_ORACLE, tags=("profiling", "metadata"))
 def a6_dtype_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dtype histogram (A6, MC:57490 cell 55): counts per Spark type
     over the lineitem schema. A metadata operation — computed from
     ``df.schema`` on the driver, zero data scanned (the reference's
-    ``df.dtypes.value_counts()``). Rows-only check by nature."""
+    ``df.dtypes.value_counts()``). Oracle: DuckDB's
+    information_schema over the same registered view, with the
+    engine-to-engine type-name mapping spelled out in SQL — metadata
+    parity is now hash-checked, not rows-only."""
     from collections import Counter
 
     li = load_table(spark, sf_dir, "lineitem")
@@ -849,6 +873,64 @@ def m13_shap_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(c, round(coefs[c], 6), round(float(agg[c]), 6)) for c in feats]
     return spark.createDataFrame(
         rows, "feature STRING, beta DOUBLE, mean_abs_shap DOUBLE"
+    )
+
+
+@register("m13_shap_tree", oracle=None, tags=("ml", "shap"))
+def m13_shap_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact path-dependent Tree SHAP for the RandomForest (M13 —
+    the reference's SHAP analysis targeted its tree models:
+    README.md:53, shap in requirements-dev.txt.txt). Trains the RF on
+    the lag-feature frame, extracts the trees driver-side, and
+    computes exact Shapley values of the cover-weighted
+    conditional-expectation game per row via Arrow-batched
+    ``mapInPandas`` (ml/treeshap). Output: global attribution per
+    feature (mean|φ|, mean φ) + the shared base value. RF training
+    is not SQL-expressible → rows-only driver check; exactness
+    (additivity base + Σφ = prediction, machine precision) is
+    asserted in tests/test_treeshap.py."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor
+
+    from commodity_price_forecasting_spark.ml.treeshap import tree_shap
+    from commodity_price_forecasting_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    feats = ["f_lag1", "f_lag2", "f_ma5"]
+    daily = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("instrument").orderBy("day")
+    sup = (
+        daily.select(
+            F.col("px").alias("label"),
+            F.lag("px", 1).over(w).alias("f_lag1"),
+            F.lag("px", 2).over(w).alias("f_lag2"),
+            F.avg("px").over(w.rowsBetween(-5, -1)).alias("f_ma5"),
+        )
+        .dropna()
+        .cache()
+    )
+    assembled = VectorAssembler(inputCols=feats, outputCol="features").transform(sup)
+    model = RandomForestRegressor(
+        featuresCol="features", labelCol="label", numTrees=20, maxDepth=4, seed=42
+    ).fit(assembled)
+    shap = tree_shap(sup, model, feats)
+    agg = shap.agg(
+        F.first("base_value").alias("base"),
+        *[F.avg(F.abs(F.col(f"phi_{c}"))).alias(f"a_{c}") for c in feats],
+        *[F.avg(F.col(f"phi_{c}")).alias(f"m_{c}") for c in feats],
+    ).first()
+    rows = [
+        (
+            c,
+            round(float(agg[f"a_{c}"]), 6),
+            round(float(agg[f"m_{c}"]), 6),
+            round(float(agg["base"]), 6),
+        )
+        for c in feats
+    ]
+    return spark.createDataFrame(
+        rows,
+        "feature STRING, mean_abs_shap DOUBLE, mean_shap DOUBLE, base_value DOUBLE",
     )
 
 

@@ -31,3 +31,65 @@ def test_prefix_sum_no_single_partition_exchange(spark):
     out = prefix_sum(df, "k", "v", num_partitions=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan
+
+
+def test_connected_components_chain_converges_logarithmically(spark):
+    """Large-component stress: a 100,000-node CHAIN is the worst case
+    for label propagation (diameter = N). Pointer halving must close
+    it in O(log N) iterations — ~17 for 1e5 (log2(1e5) ≈ 16.6) —
+    where plain propagation would need 100,000. Asserts BOTH the
+    result (one component, labelled by the minimum node id) and the
+    iteration bound, so a convergence regression fails fast instead
+    of silently burning 6x the shuffles."""
+    import math
+
+    from commodity_price_forecasting_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 100_000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    stats = {}
+    out = connected_components(edges, max_iter=25, stats=stats)
+    agg = out.agg(
+        F.countDistinct("component").alias("nc"),
+        F.count("*").alias("n_nodes"),
+        F.max("component").alias("max_label"),
+    ).first()
+    assert agg["nc"] == 1
+    assert agg["n_nodes"] == n
+    assert agg["max_label"] == 0
+    assert stats["iterations"] <= math.ceil(math.log2(n)) + 3, stats
+
+
+def test_connected_components_star_and_forest(spark):
+    """A star (diameter 2) must converge in O(1) iterations whatever
+    its fan-out, and a forest of disjoint components must keep them
+    separate with per-component min labels."""
+    from commodity_price_forecasting_spark.operators.dedup import (
+        connected_components,
+    )
+
+    # 10k-leaf star centred on node 0
+    star = spark.range(1, 10_001).select(
+        F.lit(0).alias("doc_a"), F.col("id").alias("doc_b")
+    )
+    stats = {}
+    out = connected_components(star, stats=stats)
+    assert out.select("component").distinct().count() == 1
+    assert stats["iterations"] <= 2, stats
+
+    # forest: 500 disjoint triangles {3k, 3k+1, 3k+2}
+    tri = spark.range(500).selectExpr("id * 3 AS base")
+    edges = (
+        tri.selectExpr("base AS doc_a", "base + 1 AS doc_b")
+        .union(tri.selectExpr("base + 1", "base + 2"))
+        .union(tri.selectExpr("base", "base + 2"))
+    )
+    comp = connected_components(edges)
+    rows = comp.groupBy("component").count().collect()
+    assert len(rows) == 500
+    assert all(r["count"] == 3 for r in rows)
+    assert all(r["component"] % 3 == 0 for r in rows)
