@@ -58,8 +58,10 @@ def main() -> None:
             try:
                 with open(os.path.join(here, fname)) as fh:
                     rec = json.load(fh)
-                if rec.get("sf") == sf and isinstance(rec.get("queries"), dict):
-                    prior, prior_tag = rec["queries"], fname
+                # the driver nests this script's JSON line under "parsed"
+                inner = rec.get("parsed", rec)
+                if rec.get("sf") == sf and isinstance(inner.get("queries"), dict):
+                    prior, prior_tag = inner["queries"], fname
                     break
             except (OSError, ValueError):
                 continue
