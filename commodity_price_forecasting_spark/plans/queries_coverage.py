@@ -409,6 +409,120 @@ def m11_stationarity_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adf.join(kpss, adf.instrument == kpss._i, "inner").drop("_i")
 
 
+_KPSS_ORACLE = (
+    _DAILY_CTE
+    + """
+, d AS (
+  SELECT instrument, px,
+         ROW_NUMBER() OVER (PARTITION BY instrument ORDER BY day) AS rn
+  FROM daily
+), m AS (
+  SELECT instrument, AVG(px) AS mu, COUNT(*) AS n FROM daily GROUP BY 1
+), e AS (
+  SELECT d.instrument, d.rn, d.px - m.mu AS e, m.n,
+         CAST(CEIL(12 * POWER(m.n / 100.0, 0.25)) AS BIGINT) AS big_l
+  FROM d JOIN m ON d.instrument = m.instrument
+), s AS (
+  SELECT instrument, rn, e, n, big_l,
+         SUM(e) OVER (PARTITION BY instrument ORDER BY rn
+                      ROWS UNBOUNDED PRECEDING) AS sp
+  FROM e
+), base AS (
+  SELECT instrument, MAX(n) AS n, MAX(big_l) AS big_l,
+         SUM(e * e) AS gamma0, SUM(sp * sp) AS ss
+  FROM s GROUP BY 1
+), cx AS (
+  SELECT a.instrument,
+         SUM(2.0 * (1.0 - (a.rn - b.rn) * 1.0 / (a.big_l + 1)) * a.e * b.e)
+           AS cross_sum
+  FROM s a JOIN s b
+    ON a.instrument = b.instrument
+   AND a.rn - b.rn BETWEEN 1 AND a.big_l
+  GROUP BY 1
+)
+SELECT base.instrument, base.n,
+       ROUND(base.ss / (base.n * base.n
+             * ((base.gamma0 + COALESCE(cx.cross_sum, 0)) / base.n)), 6)
+         AS kpss_stat
+FROM base LEFT JOIN cx ON base.instrument = cx.instrument
+"""
+)
+
+
+@register("m11_kpss_level", oracle=_KPSS_ORACLE, tags=("ml", "stats"))
+def m11_kpss_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity statistic per instrument (M11,
+    README.md:29) computed ENTIRELY with JVM-side DataFrame ops —
+    no Python in the path, unlike the numpy ``kpss_by_group`` twin
+    (whose equality with this form is asserted in tests/test_ml.py):
+
+    η = Σ_t S_t² / (n²·σ̂²_lr), with S_t the partial sums of the
+    demeaned series and σ̂²_lr the Bartlett long-run variance at the
+    Schwert lag L = ⌈12·(n/100)^0.25⌉.
+
+    The lagged autocovariances come from ``explode(sequence(1, L))``
+    + an equi-join on (instrument, rn−lag): O(n·L) rows, hash-
+    partitioned on the series key — at 100 TB that is a co-partitioned
+    self-join per series, never a per-group collect. Oracle: the same
+    algebra in ANSI SQL (a bounded range self-join), hash-checked."""
+    daily = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("instrument").orderBy("day")
+    d = daily.withColumn("rn", F.row_number().over(w))
+    m = daily.groupBy("instrument").agg(
+        F.avg("px").alias("mu"), F.count("*").alias("n")
+    )
+    e = d.join(m, "instrument").select(
+        "instrument",
+        "rn",
+        (F.col("px") - F.col("mu")).alias("e"),
+        "n",
+        F.ceil(12 * F.pow(F.col("n") / 100.0, 0.25)).cast("long").alias("big_l"),
+    )
+    ws = Window.partitionBy("instrument").orderBy("rn").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = e.withColumn("sp", F.sum("e").over(ws))
+    base = s.groupBy("instrument").agg(
+        F.max("n").alias("n"),
+        F.max("big_l").alias("big_l"),
+        F.sum(F.col("e") * F.col("e")).alias("gamma0"),
+        F.sum(F.col("sp") * F.col("sp")).alias("ss"),
+    )
+    pairs = (
+        s.withColumn("lag", F.explode(F.sequence(F.lit(1), F.col("big_l"))))
+        .withColumn("rn_from", F.col("rn") - F.col("lag"))
+        .filter(F.col("rn_from") >= 1)
+        .join(
+            s.select(
+                F.col("instrument").alias("_i"),
+                F.col("rn").alias("_rn"),
+                F.col("e").alias("e_from"),
+            ),
+            (F.col("instrument") == F.col("_i"))
+            & (F.col("rn_from") == F.col("_rn")),
+        )
+    )
+    cx = pairs.groupBy("instrument").agg(
+        F.sum(
+            2.0
+            * (1.0 - F.col("lag") / (F.col("big_l") + 1))
+            * F.col("e")
+            * F.col("e_from")
+        ).alias("cross_sum")
+    )
+    lrv = (F.col("gamma0") + F.coalesce(F.col("cross_sum"), F.lit(0.0))) / F.col("n")
+    return (
+        base.join(cx, "instrument", "left")
+        .select(
+            "instrument",
+            "n",
+            F.round(F.col("ss") / (F.col("n") * F.col("n") * lrv), 6).alias(
+                "kpss_stat"
+            ),
+        )
+    )
+
+
 _M5_AR_ORACLE = (
     _DAILY_CTE
     + """

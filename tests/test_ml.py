@@ -412,3 +412,26 @@ def test_numpy_adapter_slots_into_run_ensemble(spark):
     assert res.model_metrics["svr"]["r2"] > res.model_metrics["linear"]["r2"]
     assert set(res.weights) == {"linear", "svr"}
     assert abs(sum(res.weights.values()) - 1.0) < 1e-9
+
+
+def test_kpss_dataframe_form_equals_numpy_form(spark):
+    """m11_kpss_level (pure JVM DataFrame algebra) must agree with
+    ml/stattests.kpss_by_group (numpy applyInPandas) to the output
+    rounding — same demeaning, same partial sums, same Bartlett
+    window at the same Schwert lag."""
+    from commodity_price_forecasting_spark.ml.stattests import kpss_by_group
+    from commodity_price_forecasting_spark.plans.e1_pipeline import daily_bars
+    from commodity_price_forecasting_spark.plans.queries_coverage import (
+        m11_kpss_level,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    jvm = {
+        r["instrument"]: r["kpss_stat"]
+        for r in m11_kpss_level(spark, sf_dir).collect()
+    }
+    daily = daily_bars(spark, sf_dir)
+    np_rows = kpss_by_group(daily, "instrument", "day", "px").collect()
+    assert len(jvm) == len(np_rows) > 0
+    for r in np_rows:
+        assert abs(jvm[r["instrument"]] - r["kpss_stat"]) < 2e-6, r["instrument"]
