@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def content_fingerprint(text: Column) -> Column:
@@ -210,6 +211,14 @@ def simhash32(tokens: DataFrame, id_col: str = "doc_id", token_col: str = "token
     )
 
 
+#: edge-count cutover below which components are finished with exact
+#: union-find on the driver (≈30 MB collected at the default) instead
+#: of paying ~5 driver-coordinated join rounds — the same adaptive
+#: small-side reasoning as a broadcast join. Above it, the distributed
+#: min-label/pointer-halving loop runs.
+SMALL_GRAPH_EDGES = 1_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
@@ -217,6 +226,7 @@ def connected_components(
     max_iter: int = 20,
     reliable_checkpoint: bool | None = None,
     stats: dict | None = None,
+    small_graph_threshold: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Connected components over an undirected edge list via min-label
     propagation WITH pointer halving: every node's label converges to
@@ -260,6 +270,82 @@ def connected_components(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
     sym = _cut(sym.distinct())
+    # Size the iteration's parallelism from the MATERIALIZED edge
+    # count (free — sym is checkpointed): a few-thousand-row label
+    # table must not pay 32-task scheduling twice per iteration, while
+    # a billion-edge list keeps the session's full parallelism. Only
+    # ever shrinks below the session setting, never grows past it;
+    # restored after the loop. parallelismFirst=false lets AQE
+    # actually coalesce the tiny shuffles to the advisory size
+    # instead of preserving idle-core parallelism.
+    spark = edges.sparkSession
+    n_edges = sym.count()
+    # Small-graph fast path: the SYMMETRIC DEDUPLICATED edge list is a
+    # tiny projection of the corpus (candidate pairs, not documents).
+    # When it fits comfortably on the driver, exact union-find with
+    # path compression beats any number of distributed rounds — the
+    # iterative loop's per-round cost is driver-coordinated job
+    # scheduling, which no partitioning can amortize on a small
+    # frontier. The cutover is explicit and the result is identical
+    # (both compute exact components labelled by the min node id).
+    if n_edges <= small_graph_threshold:
+        if stats is not None:
+            stats["iterations"] = 0
+            stats["fast_path"] = True
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in sym.toLocalIterator():
+            u, v = row[0], row[1]
+            if u not in parent:
+                parent[u] = u
+            if v not in parent:
+                parent[v] = v
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                # union by min so the final relabel pass is trivial
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        out_rows = [(n, find(n)) for n in parent]
+        node_type = sym.schema[0].dataType
+        out_schema = T.StructType(
+            [
+                T.StructField("node", node_type, False),
+                T.StructField("component", node_type, False),
+            ]
+        )
+        return spark.createDataFrame(out_rows, out_schema)
+
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_pf = spark.conf.get(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true"
+    )
+    target = max(1, min(int(prev_sp), n_edges // 500_000 + 1))
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+    )
+    try:
+        labels = _run_label_propagation(sym, _cut, max_iter, stats)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst", prev_pf
+        )
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def _run_label_propagation(sym, _cut, max_iter: int, stats: dict | None):
+    """The min-label + pointer-halving loop of connected_components
+    (split out so the parallelism conf scoping stays readable)."""
     # Initialize at the 1-hop fixpoint directly: label = min(self,
     # neighbors). While labels ≡ nodes the neighbor-min needs NO join —
     # one aggregate replaces what would otherwise be the first
@@ -304,4 +390,4 @@ def connected_components(
             break
     if stats is not None:
         stats["iterations"] = n_iter
-    return labels.select("node", F.col("label").alias("component"))
+    return labels

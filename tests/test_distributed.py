@@ -52,7 +52,11 @@ def test_connected_components_chain_converges_logarithmically(spark):
         F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
     )
     stats = {}
-    out = connected_components(edges, max_iter=25, stats=stats)
+    # small_graph_threshold=0 forces the DISTRIBUTED loop — this test
+    # exists to prove the at-scale path, not the driver fast path
+    out = connected_components(
+        edges, max_iter=25, stats=stats, small_graph_threshold=0
+    )
     agg = out.agg(
         F.countDistinct("component").alias("nc"),
         F.count("*").alias("n_nodes"),
@@ -77,7 +81,7 @@ def test_connected_components_star_and_forest(spark):
         F.lit(0).alias("doc_a"), F.col("id").alias("doc_b")
     )
     stats = {}
-    out = connected_components(star, stats=stats)
+    out = connected_components(star, stats=stats, small_graph_threshold=0)
     assert out.select("component").distinct().count() == 1
     assert stats["iterations"] <= 2, stats
 
@@ -88,8 +92,36 @@ def test_connected_components_star_and_forest(spark):
         .union(tri.selectExpr("base + 1", "base + 2"))
         .union(tri.selectExpr("base", "base + 2"))
     )
-    comp = connected_components(edges)
+    comp = connected_components(edges, small_graph_threshold=0)
     rows = comp.groupBy("component").count().collect()
     assert len(rows) == 500
     assert all(r["count"] == 3 for r in rows)
     assert all(r["component"] % 3 == 0 for r in rows)
+
+
+def test_connected_components_fast_path_equals_distributed(spark):
+    """The driver union-find fast path and the distributed loop must
+    be indistinguishable: same (node, component) pairs, min-id
+    labels, on a graph mixing chains, stars and singleton-free
+    isolated pairs."""
+    from commodity_price_forecasting_spark.operators.dedup import (
+        connected_components,
+    )
+
+    chain = spark.range(999).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    star = spark.range(2_000, 2_100).selectExpr(
+        "1500 AS doc_a", "id AS doc_b"
+    )
+    pairs = spark.range(10).selectExpr(
+        "5000 + id * 2 AS doc_a", "5001 + id * 2 AS doc_b"
+    )
+    edges = chain.union(star).union(pairs)
+    stats_fast, stats_loop = {}, {}
+    fast = connected_components(edges, stats=stats_fast)
+    loop = connected_components(edges, stats=stats_loop, small_graph_threshold=0)
+    assert stats_fast.get("fast_path") is True
+    assert "fast_path" not in stats_loop
+    got_fast = sorted(tuple(r) for r in fast.collect())
+    got_loop = sorted(tuple(r) for r in loop.collect())
+    assert got_fast == got_loop
+    assert len(got_fast) == 1000 + 101 + 20
