@@ -10,7 +10,7 @@ rounded to 6 dp on both engines.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from commodity_price_forecasting_spark.operators.dedup import (
@@ -1241,4 +1241,126 @@ def emb_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "first_component_normed"
             ),
         )
+    )
+
+
+_CHUNK_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+  FROM documents
+), chunks AS (
+  SELECT doc_id, n_tokens,
+         UNNEST(range(0, CAST(CEIL(GREATEST(n_tokens - 64, 0) / 192.0) AS BIGINT) + 1))
+           AS chunk_id
+  FROM tok
+)
+SELECT doc_id,
+       chunk_id,
+       chunk_id * 192 AS start_tok,
+       LEAST(chunk_id * 192 + 256, n_tokens) AS end_tok,
+       LEAST(chunk_id * 192 + 256, n_tokens) - chunk_id * 192 AS chunk_tokens
+FROM chunks
+"""
+
+
+@register("doc_chunking", oracle=_CHUNK_ORACLE, tags=("datapipe", "text"))
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/pre-training chunk planning: split every document's token
+    stream into 256-token windows with a 64-token overlap (stride
+    192) — the chunk TABLE (doc_id, chunk_id, token range) that a
+    downstream embed-and-index stage consumes.
+
+    The chunk plan is pure arithmetic on the per-doc token count —
+    ``explode(sequence(...))`` fans a document into its chunk rows
+    JVM-side, output rows ≈ corpus_tokens/stride: linear, no shuffle
+    at all (narrow projection of the scan). The oracle mirrors it
+    with DuckDB ``UNNEST(range(...))``. Chunk-text extraction is the
+    same projection + a substring — omitted here so the oracle checks
+    the boundary arithmetic (the part with off-by-one risk) exactly.
+    Every chunk covers ≥1 token; the final short chunk is kept (its
+    end clamps to n_tokens)."""
+    chunk, stride = 256, 192
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        (
+            F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+        ).alias("n_tokens"),
+    )
+    n_chunks = F.ceil(
+        F.greatest(F.col("n_tokens") - (chunk - stride), F.lit(0)) / stride
+    ).cast("long")
+    chunks = tok.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(0), n_chunks)).alias("chunk_id"),
+    )
+    end_tok = F.least(F.col("chunk_id") * stride + chunk, F.col("n_tokens"))
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * stride).alias("start_tok"),
+        end_tok.alias("end_tok"),
+        (end_tok - F.col("chunk_id") * stride).alias("chunk_tokens"),
+    )
+
+
+_LANG_TEMP_ORACLE = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         SUM(length(text) - length(replace(text, ' ', '')) + 1) AS n_tokens
+  FROM documents GROUP BY lang
+), probs AS (
+  SELECT lang, n_docs, n_tokens,
+         n_tokens * 1.0 / SUM(n_tokens) OVER () AS p,
+         POWER(n_tokens * 1.0 / SUM(n_tokens) OVER (), 0.7) AS p_alpha
+  FROM counts
+)
+SELECT lang, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       ROUND(p, 6) AS p_raw,
+       ROUND(p_alpha / SUM(p_alpha) OVER (), 6) AS p_sample,
+       ROUND((p_alpha / SUM(p_alpha) OVER ()) / p, 6) AS boost
+FROM probs
+"""
+
+
+@register("lang_temperature_weights", oracle=_LANG_TEMP_ORACLE, tags=("datapipe", "sampling"))
+def lang_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language re-balancing (the mC4/XLM-R
+    exponential-smoothing recipe, alpha = 0.7): sampling probability
+    q_l ∝ p_l^alpha, where p_l is the language's token share — the
+    standard up-weighting of low-resource languages when mixing a
+    multilingual pre-training corpus. Emits per-language raw share,
+    smoothed sampling share, and the boost factor a sampler applies.
+
+    One |langs|-group aggregate (map-side partial) + a scalar
+    normalization over the tiny language table — the heavy input
+    (token counts) never leaves the scan stage. Window-over-all on
+    |langs| rows is deliberate: the frame is dimension-sized."""
+    alpha = 0.7
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+        ).alias("n_tokens"),
+    )
+    w_all = Window.partitionBy()
+    p = F.col("n_tokens") / F.sum("n_tokens").over(w_all)
+    probs = counts.select(
+        "lang",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        p.alias("p"),
+        F.pow(p, F.lit(alpha)).alias("p_alpha"),
+    )
+    q = F.col("p_alpha") / F.sum("p_alpha").over(w_all)
+    return probs.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round("p", 6).alias("p_raw"),
+        F.round(q, 6).alias("p_sample"),
+        F.round(q / F.col("p"), 6).alias("boost"),
     )
