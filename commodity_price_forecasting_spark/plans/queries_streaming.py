@@ -238,3 +238,34 @@ def st_funnel_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from commodity_price_forecasting_spark.streaming.events_stream import funnel_stage
 
     return funnel_stage(load_table(spark, sf_dir, "events"))
+
+
+_SEGMENT_ORACLE = """
+SELECT CAST(date_trunc('day', e.ts) AS TIMESTAMP) AS window_start,
+       c.c_mktsegment AS mktsegment,
+       count(*) AS n_events,
+       round(sum(e.value), 6) AS sum_value
+FROM events e
+LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+"""
+
+
+@register("st_segment_value_stats", oracle=_SEGMENT_ORACLE, tags=("streaming", "join", "window"))
+def st_segment_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment + windowed rollup (the canonical
+    streaming ETL shape, streaming/events_stream.segment_value_stats):
+    each event is enriched against the broadcast customer dimension
+    (user_id = c_custkey), then aggregated per (day, market segment).
+    On a stream the dimension re-broadcasts per micro-batch and the
+    aggregate keeps watermark-bounded state; the identical plan on
+    batch input is what the oracle checks. Stream==batch equality is
+    asserted in tests/test_streaming.py."""
+    from commodity_price_forecasting_spark.streaming.events_stream import (
+        segment_value_stats,
+    )
+
+    return segment_value_stats(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+    )

@@ -139,6 +139,45 @@ def dedup_events(df: DataFrame, watermark: str = "1 day") -> DataFrame:
     return df.dropDuplicates(["event_id"])
 
 
+def enrich_with_customer(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """STREAM-STATIC enrichment join: attach the customer dimension
+    (market segment, nation) to each event by ``user_id = c_custkey``.
+    On a stream the static side is planned per micro-batch — Spark
+    broadcasts the dimension (it is far below the session's broadcast
+    threshold), so the stream never shuffles; on batch input the same
+    plan is an ordinary broadcast join. No watermark needed: the
+    static side is bounded, the join is stateless."""
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    return events.join(F.broadcast(dim), "user_id", "left")
+
+
+def segment_value_stats(
+    events: DataFrame, customer: DataFrame, watermark: str = "1 day"
+) -> DataFrame:
+    """Enriched windowed aggregate — the canonical streaming ETL
+    shape: stream-static broadcast join THEN a tumbling-window
+    aggregate on the enriched key (day × market segment)."""
+    enriched = enrich_with_customer(events, customer)
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("win"), "mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 # --- custom stateful operator (applyInPandasWithState) ------------------
 
 RUNNING_STATS_SCHEMA = T.StructType(
