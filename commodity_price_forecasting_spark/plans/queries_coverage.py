@@ -949,6 +949,139 @@ SELECT 'f_ma5', ROUND(det3/det, 6), ROUND(ABS(det3/det) * mad3, 6) FROM b
 )
 
 
+_LINEAR_ENSEMBLE_ORACLE = (
+    _DAILY_CTE
+    + """
+, sup AS (
+  SELECT label, f_lag1, f_lag2, f_ma5 FROM (
+    SELECT px AS label,
+           LAG(px, 1) OVER w AS f_lag1,
+           LAG(px, 2) OVER w AS f_lag2,
+           AVG(px) OVER (w ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING) AS f_ma5
+    FROM daily
+    WINDOW w AS (PARTITION BY instrument ORDER BY day)
+  ) WHERE f_lag1 IS NOT NULL AND f_lag2 IS NOT NULL AND f_ma5 IS NOT NULL
+), m AS (
+  SELECT AVG(f_lag1) AS m1, AVG(f_lag2) AS m2, AVG(f_ma5) AS m3,
+         AVG(label) AS my
+  FROM sup
+), d AS (
+  SELECT f_lag1 - m1 AS a1, f_lag2 - m2 AS a2, f_ma5 - m3 AS a3,
+         label - my AS ay
+  FROM sup, m
+), s AS (
+  SELECT SUM(a1*a1) AS s11, SUM(a1*a2) AS s12, SUM(a1*a3) AS s13,
+         SUM(a2*a2) AS s22, SUM(a2*a3) AS s23, SUM(a3*a3) AS s33,
+         SUM(a1*ay) AS c1, SUM(a2*ay) AS c2, SUM(a3*ay) AS c3,
+         SUM(ay*ay) AS syy
+  FROM d
+), ols AS (
+  -- OLS by Cramer on the centered 3x3 normal equations. In-sample
+  -- SSE = Syy - beta.c, so R^2 needs no second pass over the rows
+  SELECT syy,
+    (c1*(s22*s33 - s23*s23) - s12*(c2*s33 - s23*c3)
+       + s13*(c2*s23 - s22*c3))
+    / (s11*(s22*s33 - s23*s23) - s12*(s12*s33 - s23*s13)
+       + s13*(s12*s23 - s22*s13)) AS b1,
+    (s11*(c2*s33 - s23*c3) - c1*(s12*s33 - s23*s13)
+       + s13*(s12*c3 - c2*s13))
+    / (s11*(s22*s33 - s23*s23) - s12*(s12*s33 - s23*s13)
+       + s13*(s12*s23 - s22*s13)) AS b2,
+    (s11*(s22*c3 - c2*s23) - s12*(s12*c3 - c2*s13)
+       + c1*(s12*s23 - s22*s13))
+    / (s11*(s22*s33 - s23*s23) - s12*(s12*s33 - s23*s13)
+       + s13*(s12*s23 - s22*s13)) AS b3,
+    c1, c2, c3
+  FROM s
+), ridge AS (
+  -- sklearn Ridge(alpha=1): (S + I) beta = c, and SSE = Syy - beta.c
+  -- - alpha*||beta||^2 (since beta'S beta = beta.c - alpha*||beta||^2)
+  SELECT syy, c1, c2, c3,
+    (c1*((s22+1)*(s33+1) - s23*s23) - s12*(c2*(s33+1) - s23*c3)
+       + s13*(c2*s23 - (s22+1)*c3))
+    / ((s11+1)*((s22+1)*(s33+1) - s23*s23) - s12*(s12*(s33+1) - s23*s13)
+       + s13*(s12*s23 - (s22+1)*s13)) AS b1,
+    ((s11+1)*(c2*(s33+1) - s23*c3) - c1*(s12*(s33+1) - s23*s13)
+       + s13*(s12*c3 - c2*s13))
+    / ((s11+1)*((s22+1)*(s33+1) - s23*s23) - s12*(s12*(s33+1) - s23*s13)
+       + s13*(s12*s23 - (s22+1)*s13)) AS b2,
+    ((s11+1)*((s22+1)*c3 - c2*s23) - s12*(s12*c3 - c2*s13)
+       + c1*(s12*s23 - (s22+1)*s13))
+    / ((s11+1)*((s22+1)*(s33+1) - s23*s23) - s12*(s12*(s33+1) - s23*s13)
+       + s13*(s12*s23 - (s22+1)*s13)) AS b3
+  FROM s
+), r2s AS (
+  SELECT 'linear' AS model,
+         1 - (syy - (b1*c1 + b2*c2 + b3*c3)) / syy AS r2
+  FROM ols
+  UNION ALL
+  SELECT 'ridge',
+         1 - (syy - (b1*c1 + b2*c2 + b3*c3) - (b1*b1 + b2*b2 + b3*b3)) / syy
+  FROM ridge
+)
+SELECT model, ROUND(r2, 6) AS r2,
+       ROUND(GREATEST(r2, 0.001) / SUM(GREATEST(r2, 0.001)) OVER (), 6)
+         AS weight
+FROM r2s
+"""
+)
+
+
+@register("m6_linear_ensemble_weights", oracle=_LINEAR_ENSEMBLE_ORACLE, tags=("ml",))
+def m6_linear_ensemble_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's R²-weighting rule (app.py:115-148:
+    w = max(R², 0.001) normalized) on the LINEAR half of the trio —
+    OLS + sklearn-objective-exact Ridge(α=1) fit with MLlib on the
+    lag-feature frame. Unlike the RF-bearing ``m6_ensemble_weights``
+    (rows-only by necessity), every quantity here is closed-form, so
+    the oracle recomputes the fits by Cramer's rule and the in-sample
+    R² from the normal-equation algebra (SSE = Syy − βᵀc for OLS;
+    Syy − βᵀc − α‖β‖² for Ridge) — the WEIGHTING surface itself is
+    hash-checked end-to-end."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    feats = ["f_lag1", "f_lag2", "f_ma5"]
+    daily = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("instrument").orderBy("day")
+    sup = (
+        daily.select(
+            F.col("px").alias("label"),
+            F.lag("px", 1).over(w).alias("f_lag1"),
+            F.lag("px", 2).over(w).alias("f_lag2"),
+            F.avg("px").over(w.rowsBetween(-5, -1)).alias("f_ma5"),
+        )
+        .dropna()
+        .cache()
+    )
+    stats = sup.agg(
+        F.count(F.lit(1)).alias("n"), F.stddev_pop("label").alias("sd")
+    ).first()
+    assembled = VectorAssembler(inputCols=feats, outputCol="features").transform(sup)
+    models = {
+        "linear": LinearRegression(featuresCol="features", labelCol="label"),
+        "ridge": LinearRegression(
+            featuresCol="features",
+            labelCol="label",
+            regParam=1.0 * float(stats["sd"]) / int(stats["n"]),
+            elasticNetParam=0.0,
+            standardization=False,
+        ),
+    }
+    r2s = {}
+    for name, est in models.items():
+        scored = est.fit(assembled).transform(assembled)
+        r2s[name] = float(
+            regression_metrics(scored, "label", "prediction").first()["r2"]
+        )
+    total = sum(max(r, 0.001) for r in r2s.values())
+    rows = [
+        (name, round(r2s[name], 6), round(max(r2s[name], 0.001) / total, 6))
+        for name in ("linear", "ridge")
+    ]
+    return spark.createDataFrame(rows, "model STRING, r2 DOUBLE, weight DOUBLE")
+
+
 @register("m13_shap_linear", oracle=_SHAP_LINEAR_ORACLE, tags=("ml", "shap"))
 def m13_shap_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True SHAP for the linear model (M13, README.md:53's missing

@@ -29,6 +29,7 @@ PYTHON_OK = {
 #: or side-effectful for a plan-only sweep.
 SKIP_BUILD = {
     "m6_ensemble_weights",
+    "m6_linear_ensemble_weights",
     "m13_shap_linear",
     "sim_ivf_topk",
     "s1_csv_roundtrip",
