@@ -318,6 +318,37 @@ def s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_S10_ORACLE = _DAILY_CTE + """
+SELECT instrument,
+       COUNT(*) AS n_days,
+       CAST(ROUND(SUM(CAST(px AS DECIMAL(28,10))), 6) AS DOUBLE) AS sum_px
+FROM daily
+GROUP BY instrument
+"""
+
+
+@register("s10_orc_roundtrip", oracle=_S10_ORACLE, tags=("source", "sink"))
+def s10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan: the columnar-format sibling of
+    s1_csv_roundtrip — ORC ships with Spark, carries types natively
+    (no schema re-declaration on read, unlike CSV), and supports the
+    same predicate-pushdown/column-pruning path as parquet. The
+    round-trip is exact (typed columns, no text formatting), so the
+    oracle over the parquet source matches bit-for-bit."""
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_orc_roundtrip_{spark.sparkContext.applicationId}",
+    )
+    daily_bars(spark, sf_dir).write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("instrument").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.sum(F.col("px").cast("decimal(28,10)")), 6)
+        .cast("double")
+        .alias("sum_px"),
+    )
+
+
 # --- M1/M2/M6: MLlib model + ensemble weight surface (rows-only) --------
 
 

@@ -40,6 +40,7 @@ SKIP_BUILD = {
     "ntile_decile_stats",
     "s8_bucketed_join",
     "s9_jsonl_roundtrip",
+    "s10_orc_roundtrip",
 }
 
 
