@@ -480,7 +480,7 @@ FROM base LEFT JOIN cx ON base.instrument = cx.instrument
 )
 
 
-@register("m11_kpss_level", oracle=_KPSS_ORACLE, tags=("ml", "stats"))
+@register("m11_kpss_level", oracle=_KPSS_ORACLE, tags=("ml", "stats", "bench"))
 def m11_kpss_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KPSS level-stationarity statistic per instrument (M11,
     README.md:29) computed ENTIRELY with JVM-side DataFrame ops —

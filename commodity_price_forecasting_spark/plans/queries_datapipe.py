@@ -1264,7 +1264,7 @@ FROM chunks
 """
 
 
-@register("doc_chunking", oracle=_CHUNK_ORACLE, tags=("datapipe", "text"))
+@register("doc_chunking", oracle=_CHUNK_ORACLE, tags=("datapipe", "text", "bench"))
 def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG/pre-training chunk planning: split every document's token
     stream into 256-token windows with a 64-token overlap (stride
