@@ -425,3 +425,41 @@ def j6_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("both")
         .alias("presence"),
     )
+
+
+_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(FLOOR(CAST(props->>'$.k' AS BIGINT) / 20) AS BIGINT) AS k_bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+WHERE props IS NOT NULL AND CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
+@register("props_variant_buckets", oracle=_VARIANT_ORACLE, tags=("scalar", "semi-structured"))
+def props_variant_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured processing through Spark 4's VARIANT type:
+    ``parse_json`` decodes each ``props`` payload ONCE into the
+    binary variant encoding, then ``try_variant_get`` extracts typed
+    fields without re-parsing — at 100 TB this beats per-extraction
+    string parsing (``get_json_object``, the json_props_agg path)
+    whenever a payload is probed more than once, and tolerates
+    missing/mistyped fields with NULL instead of a crash. Output:
+    count + sum per (event_type, k div 20) bucket. Oracle: DuckDB's
+    JSON arrow path over the same strings."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.try_variant_get("v", "$.k", "bigint")
+    return (
+        v.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy(
+            "event_type", F.floor(F.col("k") / 20).cast("bigint").alias("k_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+    )
