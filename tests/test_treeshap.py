@@ -133,3 +133,22 @@ def test_m13_shap_tree_query_shape(spark):
     assert out["base_value"].nunique() == 1
     # lag-1 price is by far the strongest predictor of price
     assert out.set_index("feature")["mean_abs_shap"].idxmax() == "f_lag1"
+
+
+def test_leaf_only_trees_constant_label(spark):
+    """Degenerate case: constant label → every tree is a single leaf
+    (no splits, zero unique features). All φ must be exactly 0 and
+    base == the constant == the prediction."""
+    ensure_package_shipped(spark)
+    pdf = pd.DataFrame(
+        {"a": np.arange(100.0), "b": np.arange(100.0)[::-1], "label": 7.5}
+    )
+    df = spark.createDataFrame(pdf)
+    assembled = VectorAssembler(inputCols=["a", "b"], outputCol="features").transform(df)
+    model = RandomForestRegressor(
+        featuresCol="features", labelCol="label", numTrees=3, maxDepth=3, seed=5
+    ).fit(assembled)
+    out = tree_shap(df, model, ["a", "b"]).toPandas()
+    assert (out["phi_a"] == 0.0).all() and (out["phi_b"] == 0.0).all()
+    assert np.allclose(out["base_value"], 7.5)
+    assert np.allclose(out["prediction"], 7.5)
