@@ -362,3 +362,117 @@ def test_foreach_batch_upsert_is_idempotent(spark, tmp_path_factory):
     run_once()  # restart with same checkpoint: offsets consumed, no-op
     got2 = sorted(tuple(r) for r in spark.read.parquet(out).collect())
     assert got2 == got1
+
+
+def test_mid_stream_restart_recovers_state(spark, tmp_path_factory):
+    """State RECOVERY, not just completed-query idempotency: run the
+    windowed aggregation over the first half of the data, stop, then
+    restart against the same checkpoint with the rest of the files
+    present — the recovered run must pick up the saved state and land
+    on exactly the batch answer for the full data."""
+    from pyspark.sql import Window, functions as F
+
+    src = str(tmp_path_factory.mktemp("halves_src"))
+    ckpt = str(tmp_path_factory.mktemp("halves_ckpt"))
+    batch = load_table(spark, SF_DIR, "events")
+    n_rows = batch.count()
+    rn = F.row_number().over(Window.orderBy("ts"))
+    staged = batch.withColumn(
+        "bucket", (((rn - 1) * 4) / F.lit(n_rows)).cast("int")
+    ).cache()
+    # stage only buckets 0-1 first
+    staged.filter("bucket < 2").drop("bucket").write.mode("overwrite").parquet(src)
+    file_schema = spark.read.parquet(src).schema
+
+    def run():
+        q = (
+            tumbling_stats(
+                spark.readStream.schema(file_schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            )
+            .writeStream.format("memory")
+            .queryName("halves_tumbling")
+            .option("checkpointLocation", ckpt)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    partial = spark.table("halves_tumbling").count()
+    # add the remaining half, restart from the SAME checkpoint
+    staged.filter("bucket >= 2").drop("bucket").write.mode("append").parquet(src)
+    run()
+    cols = ["window_start", "event_type", "n_events", "sum_value", "avg_value"]
+    got = _rows(spark.table("halves_tumbling"), cols)
+    want = _rows(tumbling_stats(batch), cols)
+    assert got == want
+    assert partial > 0  # the first run really produced interim state
+
+
+def test_watermark_drops_late_data_in_append_mode(spark, tmp_path_factory):
+    """Watermark lateness SEMANTICS (every other test uses watermarks
+    wide enough that nothing is late): stream time-ordered files, then
+    a final file whose events are far older than the advanced
+    watermark. In append mode those late rows must be DROPPED — the
+    streaming result equals batch-over-on-time-data, and differs from
+    batch-over-everything by exactly the late rows."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path_factory.mktemp("late_src"))
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    on_time = [
+        (i, base + dt.timedelta(days=d, minutes=i), 100 + i, "click", 1.0)
+        for i, d in enumerate([0, 0, 1, 1, 2, 2, 3, 3])
+    ]
+    late = [
+        (100, base - dt.timedelta(days=10), 100, "click", 1.0),
+        (101, base - dt.timedelta(days=11), 101, "click", 1.0),
+    ]
+    ckpt = str(tmp_path_factory.mktemp("late_ckpt"))
+    sink = str(tmp_path_factory.mktemp("late_sink"))
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    spark.createDataFrame(on_time, schema).coalesce(1).write.parquet(f"{src}/f=0")
+    file_schema = spark.read.option("recursiveFileLookup", "true").parquet(src).schema
+
+    def run():
+        stream = (
+            spark.readStream.schema(file_schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("win"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").alias("window_start"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: on-time data only — commits watermark = Mar 4 11:00 to
+    # the checkpoint and emits the finalized windows
+    run()
+    first = {r["window_start"]: r["n"] for r in spark.read.parquet(sink).collect()}
+    assert first.get(dt.datetime(2024, 3, 1)) == 2  # finalized day-1 window
+
+    # run 2: two ancient rows arrive AFTER the watermark advanced —
+    # append mode must DROP them: no new windows appear for their days
+    spark.createDataFrame(late, schema).coalesce(1).write.parquet(f"{src}/f=1")
+    run()
+    got = {r["window_start"]: r["n"] for r in spark.read.parquet(sink).collect()}
+    late_days = {dt.datetime(2024, 2, 20), dt.datetime(2024, 2, 19)}
+    assert not (set(got) & late_days), got
+    # and nothing double-emitted: totals never exceed the on-time rows
+    assert sum(got.values()) <= len(on_time)
