@@ -152,3 +152,73 @@ def test_leaf_only_trees_constant_label(spark):
     assert (out["phi_a"] == 0.0).all() and (out["phi_b"] == 0.0).all()
     assert np.allclose(out["base_value"], 7.5)
     assert np.allclose(out["prediction"], 7.5)
+
+
+def test_tree_phi_matches_permutation_definition():
+    """Implementation-independent exactness check (no Spark): _tree_phi
+    (subset-enumeration with factorial weights) must equal the raw
+    Shapley definition — average marginal contribution over ALL
+    orderings of the unique features — on random small trees."""
+    from itertools import permutations
+
+    from commodity_price_forecasting_spark.ml.treeshap import (
+        _expectation,
+        _tree_phi,
+    )
+
+    rng = np.random.RandomState(11)
+    for trial in range(5):
+        # random binary tree of depth 3 over 3 features, stored in the
+        # same DFS-preorder arrays extract_trees produces
+        n_feat = 3
+        nodes = {"feature": [], "threshold": [], "left": [], "right": [], "value": [], "cover": []}
+
+        def build(depth):
+            idx = len(nodes["feature"])
+            for k in nodes:
+                nodes[k].append(0.0)
+            if depth == 0 or rng.rand() < 0.25:
+                nodes["feature"][idx] = -1
+                nodes["value"][idx] = float(rng.randn())
+                nodes["cover"][idx] = float(rng.randint(1, 50))
+                return idx
+            nodes["feature"][idx] = int(rng.randint(0, n_feat))
+            nodes["threshold"][idx] = float(rng.randn())
+            li = build(depth - 1)
+            ri = build(depth - 1)
+            nodes["left"][idx] = li
+            nodes["right"][idx] = ri
+            nodes["cover"][idx] = nodes["cover"][li] + nodes["cover"][ri]
+            return idx
+
+        build(3)
+        tree = {k: np.asarray(v, dtype=(np.int64 if k in ("feature", "left", "right") else np.float64)) for k, v in nodes.items()}
+        X = rng.randn(7, n_feat)
+        phi, base = _tree_phi(tree, X, n_feat)
+
+        uniq = sorted({int(f) for f in tree["feature"] if f >= 0})
+        if not uniq:
+            assert np.allclose(phi, 0.0)
+            continue
+        # brute force: average marginal contribution over all orderings
+        brute = np.zeros((len(X), n_feat))
+        perms = list(permutations(uniq))
+        in_s = np.zeros(n_feat, dtype=bool)
+
+        def v(subset):
+            in_s[:] = False
+            for f in subset:
+                in_s[f] = True
+            return _expectation(tree, X, in_s)
+
+        for order in perms:
+            cur: list = []
+            prev = v(cur)
+            for f in order:
+                cur.append(f)
+                nxt = v(cur)
+                brute[:, f] += nxt - prev
+                prev = nxt
+        brute /= len(perms)
+        assert np.allclose(phi, brute, atol=1e-10), f"trial {trial}"
+        assert np.allclose(base, v([])[0])
