@@ -173,9 +173,11 @@ def tree_shap(
     ``base_value`` and the reconstructed ``prediction`` (= base + Σφ,
     exact by Shapley efficiency) for a fitted Spark ML tree-ensemble
     regression model. Arrow-batched ``mapInPandas``; the extracted
-    tree arrays ride the closure."""
-    trees = extract_trees(model)
-    weight = 1.0 / len(trees)
+    tree arrays ship via ``sc.broadcast`` — once per executor, not
+    once per task as closure capture would (a 100-tree forest's
+    arrays are MBs; at 10k tasks that difference is real)."""
+    trees_bc = df.sparkSession.sparkContext.broadcast(extract_trees(model))
+    weight = 1.0 / len(trees_bc.value)
     n_features = len(feature_cols)
     keep = list(keep_cols or [])
     in_schema = df.select(*(keep + feature_cols)).schema
@@ -188,6 +190,7 @@ def tree_shap(
     out_schema = T.StructType(out_fields)
 
     def compute(batches):
+        trees = trees_bc.value
         for pdf in batches:
             X = pdf[feature_cols].to_numpy(dtype=np.float64)
             phi, base = shap_values_pandas(trees, X, n_features, weight)
