@@ -76,11 +76,36 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_decode_features", oracle=None, tags=("multimodal", "udf"))
+_DECODE_ORACLE = """
+WITH bytes AS (
+  SELECT doc_id,
+         list_transform(range(1, octet_length(encode(text)) + 1),
+                        i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1))
+                                  AS BIGINT)) AS bs,
+         octet_length(encode(text)) AS nb
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       ['image','audio','video'][CAST(doc_id % 3 AS INTEGER) + 1] AS media_type,
+       CAST(nb AS INTEGER) AS n_bytes,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), bs),
+                   (acc, b) -> (acc * 31 + b) % 2147483647) AS checksum,
+       ROUND(len(list_filter(bs, b -> b % 16 = 0)) * 1.0
+             / GREATEST(nb, 1), 9) AS feat_0
+FROM bytes
+"""
+
+
+@register("mm_decode_features", oracle=_DECODE_ORACLE, tags=("multimodal", "udf"))
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stub-codec decode + 16-bin byte-histogram features via
-    mapInPandas (rows-only driver check; deterministic-value tests in
-    tests/test_multimodal.py)."""
+    mapInPandas. The oracle re-derives the deterministic fake decode
+    byte-for-byte in DuckDB (``list_reduce`` polynomial checksum +
+    bin-0 byte fraction over ``ascii`` codes) — valid while the
+    fixture text is ASCII, where char codes == payload bytes; the
+    Python side iterates real bytes so a future non-ASCII fixture
+    would surface as an oracle mismatch, not silent drift.
+    Deterministic-value tests in tests/test_multimodal.py."""
     out = decode_media(_media(spark, sf_dir))
     return out.select(
         "media_id",

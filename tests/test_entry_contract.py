@@ -24,13 +24,15 @@ def test_oracle_keys_subset_of_queries():
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 80
-    # rows-only set stays small and intentional (a6 gained a real
-    # information_schema oracle in round 3; m13_shap_tree joined as
-    # rows-only — RF training is not SQL-expressible, exactness is
-    # asserted by tests/test_treeshap.py instead)
+    # rows-only set stays small and intentional (r3: a6 gained an
+    # information_schema oracle, mm_decode a list_reduce byte oracle;
+    # m13_shap_tree joined as rows-only — RF training is not
+    # SQL-expressible, exactness is asserted by tests/test_treeshap.py
+    # instead; every remaining entry has an oracle-checked sibling:
+    # m11->m11_kpss_level, m4->pytest, m5->m5_ar_forecast,
+    # m6->m6_linear_ensemble_weights)
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
-        "mm_decode_features",
         "m6_ensemble_weights",
         "m11_stationarity_tests",
         "m4_svr_mlp",
