@@ -554,6 +554,76 @@ def m11_kpss_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DF_ORACLE = (
+    _DAILY_CTE
+    + """
+, pairs AS (
+  SELECT instrument,
+         LAG(px) OVER (PARTITION BY instrument ORDER BY day) AS x,
+         px - LAG(px) OVER (PARTITION BY instrument ORDER BY day) AS d
+  FROM daily
+), s AS (
+  SELECT instrument, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(d) AS sd,
+         SUM(x*x) AS sxx, SUM(x*d) AS sxd, SUM(d*d) AS sdd
+  FROM pairs WHERE x IS NOT NULL
+  GROUP BY instrument HAVING COUNT(*) > 10
+), beta AS (
+  SELECT instrument, n,
+         (n*sxd - sx*sd) / (n*sxx - sx*sx) AS b,
+         (n*sxx - sx*sx) / n AS cxx,
+         (sdd - sd*sd/n) - ((n*sxd - sx*sd) / (n*sxx - sx*sx))
+           * (sxd - sx*sd/n) AS sse
+  FROM s
+)
+SELECT instrument, CAST(n AS BIGINT) AS n,
+       ROUND(b / SQRT((sse / (n - 2)) / cxx), 6) AS df_stat
+FROM beta
+"""
+)
+
+
+@register("m11_df_test", oracle=_DF_ORACLE, tags=("ml", "stats"))
+def m11_df_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple (non-augmented) Dickey-Fuller unit-root statistic per
+    instrument — the lag-0 member of the M11 family, entirely JVM
+    aggregates: regress Δy_t on (const, y_{t-1}) via the closed-form
+    simple-regression t-statistic t = β̂ / √(s²/Sxx),
+    s² = SSE/(n−2). One groupBy after one lag window — two shuffles
+    total, no Python. Equality with ml/stattests._adf_stat at
+    max_lag=0 is asserted in tests/test_ml.py; the AUGMENTED variant
+    (lagged Δy regressors) remains the applyInPandas
+    ``m11_stationarity_tests``. Oracle: the identical sufficient-
+    statistics algebra in ANSI SQL."""
+    daily = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("instrument").orderBy("day")
+    pairs = daily.select(
+        "instrument",
+        F.lag("px").over(w).alias("x"),
+        (F.col("px") - F.lag("px").over(w)).alias("d"),
+    ).filter(F.col("x").isNotNull())
+    s = pairs.groupBy("instrument").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("d")).alias("sxd"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+    ).filter(F.col("n") > 10)
+    b = (F.col("n") * F.col("sxd") - F.col("sx") * F.col("sd")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    cxx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) / F.col("n")
+    sse = (F.col("sdd") - F.col("sd") * F.col("sd") / F.col("n")) - b * (
+        F.col("sxd") - F.col("sx") * F.col("sd") / F.col("n")
+    )
+    return s.select(
+        "instrument",
+        F.col("n").cast("long").alias("n"),
+        F.round(b / F.sqrt((sse / (F.col("n") - 2)) / cxx), 6).alias("df_stat"),
+    )
+
+
 _M5_AR_ORACLE = (
     _DAILY_CTE
     + """

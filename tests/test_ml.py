@@ -435,3 +435,30 @@ def test_kpss_dataframe_form_equals_numpy_form(spark):
     assert len(jvm) == len(np_rows) > 0
     for r in np_rows:
         assert abs(jvm[r["instrument"]] - r["kpss_stat"]) < 2e-6, r["instrument"]
+
+
+def test_df_statistic_equals_adf_lag0(spark):
+    """m11_df_test (closed-form JVM aggregates) must equal the numpy
+    ADF machinery at max_lag=0 — same regression, two independent
+    implementations."""
+    import numpy as np
+
+    from commodity_price_forecasting_spark.ml.stattests import _adf_stat
+    from commodity_price_forecasting_spark.plans.e1_pipeline import daily_bars
+    from commodity_price_forecasting_spark.plans.queries_coverage import (
+        m11_df_test,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    jvm = {
+        r["instrument"]: r["df_stat"] for r in m11_df_test(spark, sf_dir).collect()
+    }
+    pdf = daily_bars(spark, sf_dir).toPandas()
+    n_checked = 0
+    for inst, grp in pdf.groupby("instrument"):
+        y = grp.sort_values("day")["px"].to_numpy(dtype=float)
+        want = _adf_stat(y, max_lag=0)
+        if inst in jvm and want == want:
+            assert abs(jvm[inst] - want) < 2e-6, inst
+            n_checked += 1
+    assert n_checked >= 10  # sf0.001 carries ~15 instruments
