@@ -463,3 +463,44 @@ def props_variant_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("bigint").alias("sum_k"),
         )
     )
+
+
+_RECURSIVE_CAL_TEXT = """
+WITH RECURSIVE bounds AS (
+  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS lo,
+         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS hi
+  FROM orders
+), cal(m) AS (
+  SELECT lo FROM bounds
+  UNION ALL
+  SELECT CAST(m + INTERVAL '1' MONTH AS DATE) FROM cal, bounds
+  WHERE m < hi
+), monthly AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         COUNT(*) AS n_orders,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE), 2)
+           AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT cal.m AS month,
+       COALESCE(monthly.n_orders, 0) AS n_orders,
+       COALESCE(monthly.revenue, 0.0) AS revenue
+FROM cal LEFT JOIN monthly ON cal.m = monthly.m
+"""
+
+
+@register("sql_recursive_calendar", oracle=_RECURSIVE_CAL_TEXT, tags=("sql", "recursive"))
+def sql_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE): generate the
+    min→max monthly calendar scaffold by recursion and left-join the
+    monthly order rollup onto it — the canonical gap-filling shape
+    (every month present, zero-filled), previously only expressible
+    via sequence()/explode. ONE SQL text runs verbatim on Spark and
+    DuckDB (the sql_api pattern), so the recursion semantics are
+    engine-portable and hash-checked. Recursion depth = number of
+    distinct months — driver-coordinated like any iterative plan, and
+    bounded by the data's time span, not its row count."""
+    from commodity_price_forecasting_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_CAL_TEXT)
