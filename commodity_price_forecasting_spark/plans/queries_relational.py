@@ -504,3 +504,43 @@ def sql_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_CAL_TEXT)
+
+
+_SCD2_ORACLE = """
+SELECT user_id,
+       ROW_NUMBER() OVER w AS version,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current,
+       ROUND(value, 6) AS value
+FROM events
+WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("scd2_user_versions", oracle=_SCD2_ORACLE, tags=("relational", "window", "temporal"))
+def scd2_user_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 build from an event log: each
+    purchase becomes a versioned dimension row with a validity
+    interval — valid_from = its event time, valid_to = the user's
+    next purchase time (NULL ⇒ current row). The standard
+    warehouse temporal-versioning op, one LEAD window per user key
+    (hash-partitioned on user_id, no self-join); an as-of lookup over
+    the result is then a plain range predicate. Deterministic
+    ordering tie-break on (ts, event_id)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).alias("version"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+        F.round("value", 6).alias("value"),
+    )
