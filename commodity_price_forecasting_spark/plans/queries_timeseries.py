@@ -749,3 +749,55 @@ def w12_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_n") == 10)
         .select("instrument", "day", F.round("_b", 6).alias("beta_10d"))
     )
+
+
+_W16_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+), gapped AS (
+  SELECT instrument, day, px FROM daily
+  WHERE EXTRACT(day FROM day) % 5 <> 0
+)
+SELECT instrument, day,
+       ROUND(AVG(px) OVER (
+         PARTITION BY instrument ORDER BY day
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+       ), 6) AS avg_7cal_days,
+       CAST(COUNT(*) OVER (
+         PARTITION BY instrument ORDER BY day
+         RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS n_in_window
+FROM gapped
+"""
+
+
+@register("w16_range_frame_7d", oracle=_W16_ORACLE, tags=("timeseries", "window"))
+def w16_range_frame_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame over an IRREGULAR series: trailing
+    7-calendar-day average where the frame is defined by the time
+    AXIS, not row count — on a gappy series (every 5th calendar day
+    dropped here to force gaps) ROWS BETWEEN 6 PRECEDING would
+    silently reach back further than a week; RANGE frames stay
+    correct. Spark expresses the interval frame as epoch-day
+    ``rangeBetween`` on the ordered day number — identical semantics
+    to the oracle's ``RANGE BETWEEN INTERVAL 6 DAY PRECEDING``; the
+    per-frame row count is emitted so the gap handling itself is
+    hash-checked. Same shuffle shape as any partitioned window."""
+    from pyspark.sql import Window as W
+
+    daily = daily_bars(spark, sf_dir).filter(
+        F.dayofmonth("day") % 5 != 0
+    )
+    d = daily.withColumn("_dn", F.datediff("day", F.lit("1970-01-01")))
+    w = (
+        W.partitionBy("instrument")
+        .orderBy("_dn")
+        .rangeBetween(-6, 0)
+    )
+    return d.select(
+        "instrument",
+        "day",
+        F.round(F.avg("px").over(w), 6).alias("avg_7cal_days"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_in_window"),
+    )
