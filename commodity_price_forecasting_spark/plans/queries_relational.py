@@ -544,3 +544,32 @@ def scd2_user_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
         F.round("value", 6).alias("value"),
     )
+
+
+_GROUPING_SETS_TEXT = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(CAST(EXTRACT(year FROM o_orderdate) AS INTEGER), -1) AS o_year,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE), 2)
+         AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority),
+                        (o_orderstatus),
+                        (o_orderpriority, CAST(EXTRACT(year FROM o_orderdate) AS INTEGER)))
+"""
+
+
+@register("grouping_sets_order_stats", oracle=_GROUPING_SETS_TEXT, tags=("sql", "agg"))
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom GROUPING SETS — the general form CUBE/ROLLUP are sugar
+    for: three hand-picked grouping sets (priority, status,
+    priority×year) computed in ONE aggregate pass. Spark expands the
+    sets map-side and partially aggregates before the single shuffle —
+    at 100 TB that is 3× less scan I/O than three separate rollups.
+    ONE SQL text runs verbatim on both engines (the sql_api pattern);
+    DECIMAL-summed revenue per the midpoint-rounding rule."""
+    from commodity_price_forecasting_spark.sources.readers import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_TEXT)
