@@ -801,3 +801,62 @@ def w16_range_frame_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("px").over(w), 6).alias("avg_7cal_days"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_in_window"),
     )
+
+
+_TWAP_ORACLE = """
+WITH ticks AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, ts, value,
+         LEAD(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                        ORDER BY ts, event_id) AS nxt
+  FROM events
+), weighted AS (
+  SELECT instrument, day, value,
+         date_diff('microsecond', ts, nxt) AS dt_us
+  FROM ticks WHERE nxt IS NOT NULL
+)
+SELECT instrument, day,
+       ROUND(SUM(value * dt_us) / SUM(dt_us), 6) AS twap,
+       COUNT(*) AS n_intervals
+FROM weighted
+GROUP BY 1, 2
+HAVING SUM(dt_us) > 0
+"""
+
+
+@register("ts_twap_daily", oracle=_TWAP_ORACLE, tags=("timeseries", "window", "agg"))
+def ts_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per (instrument, day): each tick's
+    value is weighted by how long it REMAINED the latest observation
+    (microseconds to the next tick that day) — the standard TWAP
+    execution benchmark, which an event-count average gets wrong
+    whenever ticks arrive unevenly. One LEAD window partitioned by
+    (instrument, day) + one aggregate on the same key: the window's
+    partitioning is reused by the groupBy, so Catalyst plans a single
+    shuffle. Deterministic tie-break on (ts, event_id)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("instrument"),
+        F.to_date("ts").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w = W.partitionBy("instrument", "day").orderBy("ts", "event_id")
+    ticks = ev.withColumn("nxt", F.lead("ts").over(w)).filter(
+        F.col("nxt").isNotNull()
+    )
+    dt_us = F.unix_micros("nxt") - F.unix_micros("ts")
+    return (
+        ticks.select("instrument", "day", "value", dt_us.alias("dt_us"))
+        .groupBy("instrument", "day")
+        .agg(
+            F.round(
+                F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 6
+            ).alias("twap"),
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dt_us").alias("_total_us"),
+        )
+        .filter(F.col("_total_us") > 0)
+        .drop("_total_us")
+    )
