@@ -472,3 +472,57 @@ def incr_merge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1), 6
         ).alias("var_value"),
     )
+
+
+_WINSOR_ORACLE = """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS n,
+       ROUND(AVG(e.value), 6) AS raw_mean,
+       ROUND(AVG(LEAST(GREATEST(e.value, q.lo), q.hi)), 6) AS winsor_mean,
+       CAST(SUM(CASE WHEN e.value < q.lo OR e.value > q.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clamped
+FROM events e JOIN q ON e.event_type = q.event_type
+WHERE e.value IS NOT NULL
+GROUP BY e.event_type
+"""
+
+
+@register("a16_winsorized_mean", oracle=_WINSOR_ORACLE, tags=("profiling", "agg"))
+def a16_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: CLAMP (not drop — the
+    distinction from the a14 IQR screen) values to their group's
+    exact [P5, P95] band, then average — the robust location estimate
+    that keeps every row's vote while bounding outlier leverage.
+    Two aggregates: an exact-percentile pass over |groups| rows
+    broadcast back against the stream, then the clamped mean —
+    map-side join, no sort of the fact table. Spark's exact
+    ``percentile`` interpolates identically to DuckDB's
+    ``quantile_cont`` (the a3/a13 precedent)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    q = ev.groupBy(F.col("event_type").alias("_et")).agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        ev.join(F.broadcast(q), ev.event_type == F.col("_et"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("raw_mean"),
+            F.round(F.avg(clamped), 6).alias("winsor_mean"),
+            F.sum(
+                ((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))).cast(
+                    "int"
+                )
+            )
+            .cast("long")
+            .alias("n_clamped"),
+        )
+    )
