@@ -860,3 +860,65 @@ def ts_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_total_us") > 0)
         .drop("_total_us")
     )
+
+
+_XCORR_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.instrument AS leg_a, b.instrument AS leg_b
+  FROM (SELECT DISTINCT instrument FROM daily) a
+  JOIN (SELECT DISTINCT instrument FROM daily) b
+    ON a.instrument + 1 = b.instrument
+), lags(k) AS (SELECT UNNEST([-2, -1, 0, 1, 2]))
+SELECT p.leg_a, p.leg_b, l.k,
+       ROUND(corr(da.px, db.px), 6) AS xcorr,
+       COUNT(*) AS n_days
+FROM pairs p
+CROSS JOIN lags l
+JOIN daily da ON da.instrument = p.leg_a
+JOIN daily db ON db.instrument = p.leg_b AND db.day = da.day + l.k
+GROUP BY 1, 2, 3
+HAVING COUNT(*) >= 10
+"""
+
+
+@register("ts_leadlag_xcorr", oracle=_XCORR_ORACLE, tags=("timeseries", "join", "agg"))
+def ts_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation for each adjacent-instrument pair:
+    corr(a_t, b_{t+k}) for k ∈ {−2..2} — the signal-discovery scan
+    behind spread trading (which leg LEADS?). The lag axis is an
+    explode over 5 constants; each (pair, k) correlation is one
+    equi-join on (leg_b, day + k) — hash-partitioned, no window, no
+    per-series collect; corr is Spark's built-in distributed
+    ``corr`` aggregate (identical to DuckDB's)."""
+    daily = daily_bars(spark, sf_dir)
+    insts = daily.select("instrument").distinct()
+    pairs = insts.alias("a").join(
+        insts.selectExpr("instrument + 1 AS _next").alias("b"),
+        F.col("a.instrument") + 1 == F.col("_next"),
+    ).select(
+        F.col("a.instrument").alias("leg_a"), F.col("_next").alias("leg_b")
+    )
+    lagged = pairs.withColumn("k", F.explode(F.array(*[F.lit(i) for i in (-2, -1, 0, 1, 2)])))
+    da = daily.select(
+        F.col("instrument").alias("leg_a"), F.col("day"), F.col("px").alias("px_a")
+    )
+    db = daily.select(
+        F.col("instrument").alias("_ib"), F.col("day").alias("_db"), F.col("px").alias("px_b")
+    )
+    return (
+        lagged.join(da, "leg_a")
+        .join(
+            db,
+            (F.col("leg_b") == F.col("_ib"))
+            & (F.expr("date_add(day, k)") == F.col("_db")),
+        )
+        .groupBy("leg_a", "leg_b", "k")
+        .agg(
+            F.round(F.corr("px_a", "px_b"), 6).alias("xcorr"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .filter(F.col("n_days") >= 10)
+    )
