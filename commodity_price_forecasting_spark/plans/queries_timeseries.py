@@ -922,3 +922,112 @@ def ts_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_days") >= 10)
     )
+
+
+_ACF_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT instrument, px,
+         LAG(px, 1) OVER w AS l1, LAG(px, 2) OVER w AS l2,
+         LAG(px, 3) OVER w AS l3, LAG(px, 4) OVER w AS l4,
+         LAG(px, 5) OVER w AS l5
+  FROM daily WINDOW w AS (PARTITION BY instrument ORDER BY day)
+)
+SELECT instrument, k.k,
+       ROUND(CASE k.k WHEN 1 THEN corr(px, l1) WHEN 2 THEN corr(px, l2)
+                      WHEN 3 THEN corr(px, l3) WHEN 4 THEN corr(px, l4)
+                      ELSE corr(px, l5) END, 6) AS acf
+FROM lagged, (SELECT UNNEST([1, 2, 3, 4, 5]) AS k) k
+GROUP BY instrument, k.k
+HAVING COUNT(px) >= 20
+"""
+
+
+@register("ts_acf", oracle=_ACF_ORACLE, tags=("timeseries", "stats"))
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at lags 1–5 per instrument — the
+    Box-Jenkins order-selection diagnostic behind the reference's
+    SARIMA workflow (statsmodels ACF/PACF plots, slides 21-22),
+    computed as corr(px_t, px_{t−k}): one multi-lag window pass then
+    five corr aggregates unpivoted on a constant lag axis. (This is
+    the sample Pearson ACF — pairwise-complete, like
+    ``pandas.Series.autocorr`` — not the Bartlett single-σ² variant;
+    the oracle pins the same convention.)"""
+    from pyspark.sql import Window as W
+
+    daily = daily_bars(spark, sf_dir)
+    w = W.partitionBy("instrument").orderBy("day")
+    lagged = daily.select(
+        "instrument",
+        "px",
+        *[F.lag("px", k).over(w).alias(f"l{k}") for k in range(1, 6)],
+    )
+    per_lag = [
+        lagged.groupBy("instrument")
+        .agg(
+            F.round(F.corr("px", f"l{k}"), 6).alias("acf"),
+            F.count("px").alias("_n"),
+        )
+        .select("instrument", F.lit(k).alias("k"), "acf", "_n")
+        for k in range(1, 6)
+    ]
+    out = per_lag[0]
+    for p in per_lag[1:]:
+        out = out.unionAll(p)
+    return out.filter(F.col("_n") >= 20).select("instrument", "k", "acf")
+
+
+_RS_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+), e AS (
+  SELECT instrument, day, px - AVG(px) OVER (PARTITION BY instrument) AS e
+  FROM daily
+), s AS (
+  SELECT instrument, e,
+         SUM(e) OVER (PARTITION BY instrument ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS sp
+  FROM e
+)
+SELECT instrument, COUNT(*) AS n,
+       ROUND((MAX(sp) - MIN(sp)) / STDDEV_POP(e), 6) AS rs_stat
+FROM s GROUP BY instrument
+HAVING COUNT(*) >= 20 AND STDDEV_POP(e) > 0
+"""
+
+
+@register("ts_rescaled_range", oracle=_RS_ORACLE, tags=("timeseries", "stats"))
+def ts_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescaled-range (R/S) statistic per instrument — the Hurst
+    analysis building block (R/S ≈ c·n^H): range of the cumulative
+    demeaned series over its population σ. Same partial-sum algebra
+    family as the KPSS query — one demeaning window, one running-sum
+    window, one aggregate; everything partition-local per series."""
+    from pyspark.sql import Window as W
+
+    daily = daily_bars(spark, sf_dir)
+    wp = W.partitionBy("instrument")
+    e = daily.select(
+        "instrument",
+        "day",
+        (F.col("px") - F.avg("px").over(wp)).alias("e"),
+    )
+    ws = W.partitionBy("instrument").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = e.withColumn("sp", F.sum("e").over(ws))
+    return (
+        s.groupBy("instrument")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                (F.max("sp") - F.min("sp")) / F.stddev_pop("e"), 6
+            ).alias("rs_stat"),
+            F.stddev_pop("e").alias("_sd"),
+        )
+        .filter((F.col("n") >= 20) & (F.col("_sd") > 0))
+        .drop("_sd")
+    )
