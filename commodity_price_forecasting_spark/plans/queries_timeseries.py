@@ -1031,3 +1031,89 @@ def ts_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n") >= 20) & (F.col("_sd") > 0))
         .drop("_sd")
     )
+
+
+_PACF_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+), e AS (
+  SELECT instrument, day, px - AVG(px) OVER (PARTITION BY instrument) AS e
+  FROM daily
+), l AS (
+  SELECT instrument, e,
+         LAG(e, 1) OVER w AS e1, LAG(e, 2) OVER w AS e2, LAG(e, 3) OVER w AS e3
+  FROM e WINDOW w AS (PARTITION BY instrument ORDER BY day)
+), r AS (
+  SELECT instrument,
+         SUM(e * e1) / SUM(e * e) AS r1,
+         SUM(e * e2) / SUM(e * e) AS r2,
+         SUM(e * e3) / SUM(e * e) AS r3,
+         COUNT(*) AS n
+  FROM l GROUP BY instrument HAVING COUNT(*) >= 20 AND SUM(e * e) > 0
+), dl AS (
+  SELECT instrument, n, r1, r2, r3,
+         (r2 - r1 * r1) / (1 - r1 * r1) AS p22
+  FROM r
+)
+SELECT instrument,
+       ROUND(r1, 6) AS pacf1,
+       ROUND(p22, 6) AS pacf2,
+       ROUND((r3 - (r1 * (1 - p22)) * r2 - p22 * r1)
+             / (1 - (r1 * (1 - p22)) * r1 - p22 * r2), 6) AS pacf3
+FROM dl
+"""
+
+
+@register("ts_pacf", oracle=_PACF_ORACLE, tags=("timeseries", "stats"))
+def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation at lags 1–3 per instrument — the other
+    half of Box-Jenkins order selection (ACF tails ⇒ AR order from
+    where the PACF cuts off). Bartlett-convention autocorrelations
+    (lag products over the series' own Σe², global demeaning) fed
+    through the Durbin-Levinson recursion, which for 3 lags is
+    closed-form arithmetic: φ11 = r1, φ22 = (r2−r1²)/(1−r1²),
+    φ33 = (r3 − φ21 r2 − φ22 r1)/(1 − φ21 r1 − φ22 r2) with
+    φ21 = r1(1−φ22). One demeaning window, one multi-lag window, one
+    aggregate — everything partition-local per series."""
+    from pyspark.sql import Window as W
+
+    daily = daily_bars(spark, sf_dir)
+    wp = W.partitionBy("instrument")
+    e = daily.select(
+        "instrument",
+        "day",
+        (F.col("px") - F.avg("px").over(wp)).alias("e"),
+    )
+    wo = W.partitionBy("instrument").orderBy("day")
+    l = e.select(
+        "instrument",
+        "e",
+        *[F.lag("e", k).over(wo).alias(f"e{k}") for k in (1, 2, 3)],
+    )
+    r = (
+        l.groupBy("instrument")
+        .agg(
+            (F.sum(F.col("e") * F.col("e1")) / F.sum(F.col("e") * F.col("e"))).alias("r1"),
+            (F.sum(F.col("e") * F.col("e2")) / F.sum(F.col("e") * F.col("e"))).alias("r2"),
+            (F.sum(F.col("e") * F.col("e3")) / F.sum(F.col("e") * F.col("e"))).alias("r3"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("e") * F.col("e")).alias("_ss"),
+        )
+        .filter((F.col("n") >= 20) & (F.col("_ss") > 0))
+    )
+    p22 = (F.col("r2") - F.col("r1") * F.col("r1")) / (
+        1 - F.col("r1") * F.col("r1")
+    )
+    dl = r.withColumn("p22", p22)
+    p21 = F.col("r1") * (1 - F.col("p22"))
+    return dl.select(
+        "instrument",
+        F.round("r1", 6).alias("pacf1"),
+        F.round("p22", 6).alias("pacf2"),
+        F.round(
+            (F.col("r3") - p21 * F.col("r2") - F.col("p22") * F.col("r1"))
+            / (1 - p21 * F.col("r1") - F.col("p22") * F.col("r2")),
+            6,
+        ).alias("pacf3"),
+    )
