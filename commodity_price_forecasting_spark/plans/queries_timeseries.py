@@ -1117,3 +1117,83 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("pacf3"),
     )
+
+
+_LJUNG_BOX_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+), ret AS (
+  SELECT instrument, day,
+         px - LAG(px) OVER (PARTITION BY instrument ORDER BY day) AS r
+  FROM daily
+), e AS (
+  SELECT instrument, day, r - AVG(r) OVER (PARTITION BY instrument) AS e
+  FROM ret WHERE r IS NOT NULL
+), l AS (
+  SELECT instrument, e,
+         LAG(e, 1) OVER w AS e1, LAG(e, 2) OVER w AS e2,
+         LAG(e, 3) OVER w AS e3, LAG(e, 4) OVER w AS e4,
+         LAG(e, 5) OVER w AS e5
+  FROM e WINDOW w AS (PARTITION BY instrument ORDER BY day)
+), r AS (
+  SELECT instrument, COUNT(*) AS n,
+         SUM(e * e1) / SUM(e * e) AS r1, SUM(e * e2) / SUM(e * e) AS r2,
+         SUM(e * e3) / SUM(e * e) AS r3, SUM(e * e4) / SUM(e * e) AS r4,
+         SUM(e * e5) / SUM(e * e) AS r5
+  FROM l GROUP BY instrument HAVING COUNT(*) >= 30 AND SUM(e * e) > 0
+)
+SELECT instrument, CAST(n AS BIGINT) AS n,
+       ROUND(n * (n + 2) * (r1*r1/(n-1) + r2*r2/(n-2) + r3*r3/(n-3)
+                            + r4*r4/(n-4) + r5*r5/(n-5)), 6) AS lb_q,
+       CAST(n * (n + 2) * (r1*r1/(n-1) + r2*r2/(n-2) + r3*r3/(n-3)
+                           + r4*r4/(n-4) + r5*r5/(n-5)) > 11.0705
+            AS BOOLEAN) AS reject_white_noise
+FROM r
+"""
+
+
+@register("m11_ljung_box", oracle=_LJUNG_BOX_ORACLE, tags=("timeseries", "stats", "ml"))
+def m11_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau Q at h=5 over daily RETURNS per
+    instrument — the white-noise residual diagnostic of the SARIMA
+    workflow (statsmodels ``acorr_ljungbox``):
+    Q = n(n+2)·Σ_{k≤h} r_k²/(n−k), rejected at the χ²(5) 95%
+    critical value 11.0705. Same Bartlett-autocorrelation machinery
+    as ts_pacf, over first differences — all windows partition-local,
+    one aggregate per series."""
+    from pyspark.sql import Window as W
+
+    daily = daily_bars(spark, sf_dir)
+    wo = W.partitionBy("instrument").orderBy("day")
+    ret = daily.select(
+        "instrument", "day", (F.col("px") - F.lag("px").over(wo)).alias("r")
+    ).filter(F.col("r").isNotNull())
+    wp = W.partitionBy("instrument")
+    e = ret.select(
+        "instrument", "day", (F.col("r") - F.avg("r").over(wp)).alias("e")
+    )
+    l = e.select(
+        "instrument",
+        "e",
+        *[F.lag("e", k).over(wo.orderBy("day")).alias(f"e{k}") for k in range(1, 6)],
+    )
+    ss = F.sum(F.col("e") * F.col("e"))
+    agg = l.groupBy("instrument").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[(F.sum(F.col("e") * F.col(f"e{k}")) / ss).alias(f"r{k}") for k in range(1, 6)],
+        ss.alias("_ss"),
+    ).filter((F.col("n") >= 30) & (F.col("_ss") > 0))
+    q = (
+        F.col("n")
+        * (F.col("n") + 2)
+        * sum(
+            (F.col(f"r{k}") * F.col(f"r{k}")) / (F.col("n") - k) for k in range(1, 6)
+        )
+    )
+    return agg.select(
+        "instrument",
+        F.col("n").cast("long").alias("n"),
+        F.round(q, 6).alias("lb_q"),
+        (q > 11.0705).alias("reject_white_noise"),
+    )
