@@ -502,3 +502,90 @@ def w18_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_cov") / (F.col("_sr") * F.col("_sm")), 6).alias("corr_10d"),
         )
     )
+
+
+_SEASONAL_DECOMP_ORACLE = """
+WITH monthly AS (
+  SELECT o_orderpriority AS priority,
+         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)
+              AS DOUBLE) AS v
+  FROM orders GROUP BY 1, 2
+), tr AS (
+  SELECT priority, month, v,
+         CASE WHEN LAG(v, 6) OVER w IS NOT NULL
+                   AND LEAD(v, 6) OVER w IS NOT NULL
+              THEN (SUM(v) OVER (w ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+                    + 0.5 * LAG(v, 6) OVER w + 0.5 * LEAD(v, 6) OVER w) / 12
+         END AS trend
+  FROM monthly WINDOW w AS (PARTITION BY priority ORDER BY month)
+), detr AS (
+  SELECT priority, month, v, trend, v - trend AS d,
+         EXTRACT(month FROM month) AS moy
+  FROM tr WHERE trend IS NOT NULL
+), seas_raw AS (
+  SELECT priority, moy, AVG(d) AS s_raw
+  FROM detr GROUP BY 1, 2
+), seas AS (
+  SELECT priority, moy,
+         s_raw - AVG(s_raw) OVER (PARTITION BY priority) AS s
+  FROM seas_raw
+)
+SELECT d.priority, d.month,
+       ROUND(d.trend, 4) AS trend,
+       ROUND(s.s, 4) AS seasonal,
+       ROUND(d.d - s.s, 4) AS residual
+FROM detr d JOIN seas s ON d.priority = s.priority AND d.moy = s.moy
+"""
+
+
+@register("m5_seasonal_decompose", oracle=_SEASONAL_DECOMP_ORACLE, tags=("timeseries", "ml"))
+def m5_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition of monthly revenue per order
+    priority — statsmodels ``seasonal_decompose`` re-expressed as
+    windows (the diagnostic that precedes the reference's SARIMA
+    fits): trend = centered MA(12) (half-weighted endpoints for the
+    even period), seasonal = month-of-year mean of the detrended
+    series re-centered to sum to zero, residual = the rest. Three
+    window/aggregate passes, all partitioned by the series key; no
+    Python anywhere."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,10)"))
+        .cast("double")
+        .alias("v")
+    )
+    w = W.partitionBy("priority").orderBy("month")
+    lag6, lead6 = F.lag("v", 6).over(w), F.lead("v", 6).over(w)
+    trend = F.when(
+        lag6.isNotNull() & lead6.isNotNull(),
+        (
+            F.sum("v").over(w.rowsBetween(-5, 5)) + 0.5 * lag6 + 0.5 * lead6
+        )
+        / 12,
+    )
+    detr = (
+        monthly.withColumn("trend", trend)
+        .filter(F.col("trend").isNotNull())
+        .withColumn("d", F.col("v") - F.col("trend"))
+        .withColumn("moy", F.month("month"))
+    )
+    seas_raw = detr.groupBy("priority", "moy").agg(F.avg("d").alias("s_raw"))
+    seas = seas_raw.withColumn(
+        "s", F.col("s_raw") - F.avg("s_raw").over(W.partitionBy("priority"))
+    )
+    return (
+        detr.join(F.broadcast(seas.select("priority", "moy", "s")), ["priority", "moy"])
+        .select(
+            "priority",
+            "month",
+            F.round("trend", 4).alias("trend"),
+            F.round("s", 4).alias("seasonal"),
+            F.round(F.col("d") - F.col("s"), 4).alias("residual"),
+        )
+    )
