@@ -589,3 +589,88 @@ def m5_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("d") - F.col("s"), 4).alias("residual"),
         )
     )
+
+
+_HALFLIFE_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+), sp AS (
+  SELECT a.instrument AS leg_a, a.day, a.px - b.px AS s
+  FROM daily a JOIN daily b
+    ON a.instrument + 1 = b.instrument AND a.day = b.day
+), pairs AS (
+  SELECT leg_a, day, s,
+         LAG(s) OVER (PARTITION BY leg_a ORDER BY day) AS x
+  FROM sp
+), reg AS (
+  SELECT leg_a, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(s - x) AS sd,
+         SUM(x*x) AS sxx, SUM(x*(s - x)) AS sxd
+  FROM pairs WHERE x IS NOT NULL
+  GROUP BY leg_a HAVING COUNT(*) >= 30
+), lam AS (
+  SELECT leg_a, n,
+         (n*sxd - sx*sd) / (n*sxx - sx*sx) AS lambda
+  FROM reg
+)
+SELECT leg_a, CAST(n AS BIGINT) AS n,
+       ROUND(lambda, 6) AS lambda,
+       ROUND(CASE WHEN lambda < 0 AND lambda > -2
+                  THEN -ln(2) / ln(1 + lambda) END, 4) AS halflife_days
+FROM lam
+"""
+
+
+@register("ts_halflife_meanreversion", oracle=_HALFLIFE_ORACLE, tags=("timeseries", "signals"))
+def ts_halflife_meanreversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reversion half-life per adjacent-instrument spread — the
+    pair-trading holding-period estimate: regress Δs_t on s_{t−1}
+    (discrete Ornstein-Uhlenbeck), λ = slope, half-life =
+    −ln2 / ln(1+λ) when the spread actually reverts (−2 < λ < 0;
+    NULL marks non-reverting pairs rather than fabricating a
+    horizon). Closed-form simple-regression sufficient statistics —
+    one lag window + one aggregate per pair, the m11_df_test algebra
+    on the spread series."""
+    from pyspark.sql import Window as W
+
+    daily = daily_bars(spark, sf_dir)
+    b = daily.select(
+        F.col("instrument").alias("_ib"),
+        F.col("day").alias("_db"),
+        F.col("px").alias("_pxb"),
+    )
+    sp = daily.join(
+        b,
+        (F.col("instrument") + 1 == F.col("_ib")) & (F.col("day") == F.col("_db")),
+    ).select(
+        F.col("instrument").alias("leg_a"),
+        "day",
+        (F.col("px") - F.col("_pxb")).alias("s"),
+    )
+    w = W.partitionBy("leg_a").orderBy("day")
+    pairs = sp.withColumn("x", F.lag("s").over(w)).filter(F.col("x").isNotNull())
+    d = F.col("s") - F.col("x")
+    reg = pairs.groupBy("leg_a").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(d).alias("sd"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * d).alias("sxd"),
+    ).filter(F.col("n") >= 30)
+    lam = (F.col("n") * F.col("sxd") - F.col("sx") * F.col("sd")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    out = reg.withColumn("lambda", lam)
+    return out.select(
+        "leg_a",
+        F.col("n").cast("long").alias("n"),
+        F.round("lambda", 6).alias("lambda"),
+        F.round(
+            F.when(
+                (F.col("lambda") < 0) & (F.col("lambda") > -2),
+                -F.log(F.lit(2.0)) / F.log(1 + F.col("lambda")),
+            ),
+            4,
+        ).alias("halflife_days"),
+    )
