@@ -674,3 +674,101 @@ def ts_halflife_meanreversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("halflife_days"),
     )
+
+
+_BT_ZSCORE_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+), sp AS (
+  SELECT a.instrument AS leg_a, a.day, a.px - b.px AS s
+  FROM daily a JOIN daily b
+    ON a.instrument + 1 = b.instrument AND a.day = b.day
+), z AS (
+  SELECT leg_a, day, s,
+         (s - AVG(s) OVER w10) / NULLIF(STDDEV_SAMP(s) OVER w10, 0) AS z,
+         COUNT(*) OVER w10 AS n10,
+         LEAD(s) OVER (PARTITION BY leg_a ORDER BY day) AS s_next
+  FROM sp
+  WINDOW w10 AS (PARTITION BY leg_a ORDER BY day
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+), pos AS (
+  SELECT leg_a,
+         CASE WHEN z > 1 THEN -1.0 WHEN z < -1 THEN 1.0 ELSE 0.0 END
+           * (s_next - s) AS pnl,
+         CASE WHEN ABS(z) > 1 THEN 1 ELSE 0 END AS in_pos
+  FROM z WHERE n10 = 10 AND s_next IS NOT NULL AND z IS NOT NULL
+)
+SELECT leg_a,
+       CAST(SUM(in_pos) AS BIGINT) AS n_position_days,
+       ROUND(SUM(pnl), 6) AS total_pnl,
+       ROUND(SUM(CASE WHEN in_pos = 1 AND pnl > 0 THEN 1 ELSE 0 END) * 1.0
+             / NULLIF(SUM(in_pos), 0), 6) AS hit_rate
+FROM pos
+GROUP BY leg_a
+HAVING SUM(in_pos) >= 5
+"""
+
+
+@register("bt_zscore_pnl", oracle=_BT_ZSCORE_ORACLE, tags=("signals", "backtest"))
+def bt_zscore_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized mean-reversion backtest per spread pair: enter
+    short (long) one unit when the 10-day z-score exceeds +1 (−1),
+    mark to the NEXT day's spread move — the distributed version of
+    the event-loop backtest every signals notebook hand-rolls.
+    Leakage-safe by construction (position from data ≤ t, PnL from
+    t→t+1), and entirely windows + one aggregate — a 1000-pair
+    universe backtests in one pass, no per-pair loop."""
+    from pyspark.sql import Window as W
+
+    daily = daily_bars(spark, sf_dir)
+    b = daily.select(
+        F.col("instrument").alias("_ib"),
+        F.col("day").alias("_db"),
+        F.col("px").alias("_pxb"),
+    )
+    sp = daily.join(
+        b,
+        (F.col("instrument") + 1 == F.col("_ib")) & (F.col("day") == F.col("_db")),
+    ).select(
+        F.col("instrument").alias("leg_a"),
+        "day",
+        (F.col("px") - F.col("_pxb")).alias("s"),
+    )
+    wo = W.partitionBy("leg_a").orderBy("day")
+    w10 = wo.rowsBetween(-9, 0)
+    z = sp.select(
+        "leg_a",
+        "s",
+        (
+            (F.col("s") - F.avg("s").over(w10))
+            / F.nullif(F.stddev_samp("s").over(w10), F.lit(0))
+        ).alias("z"),
+        F.count(F.lit(1)).over(w10).alias("n10"),
+        F.lead("s").over(wo).alias("s_next"),
+    ).filter(
+        (F.col("n10") == 10) & F.col("s_next").isNotNull() & F.col("z").isNotNull()
+    )
+    pnl = (
+        F.when(F.col("z") > 1, F.lit(-1.0))
+        .when(F.col("z") < -1, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    ) * (F.col("s_next") - F.col("s"))
+    in_pos = (F.abs(F.col("z")) > 1).cast("int")
+    return (
+        z.select("leg_a", pnl.alias("pnl"), in_pos.alias("in_pos"))
+        .groupBy("leg_a")
+        .agg(
+            F.sum("in_pos").cast("long").alias("n_position_days"),
+            F.round(F.sum("pnl"), 6).alias("total_pnl"),
+            F.round(
+                F.sum(
+                    ((F.col("in_pos") == 1) & (F.col("pnl") > 0)).cast("int")
+                )
+                * 1.0
+                / F.nullif(F.sum("in_pos"), F.lit(0)),
+                6,
+            ).alias("hit_rate"),
+        )
+        .filter(F.col("n_position_days") >= 5)
+    )
