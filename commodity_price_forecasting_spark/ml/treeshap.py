@@ -36,7 +36,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-__all__ = ["extract_trees", "tree_shap", "shap_values_pandas"]
+__all__ = [
+    "extract_trees",
+    "ensemble_tree_weights",
+    "tree_shap",
+    "shap_values_pandas",
+]
 
 #: refuse subset enumeration past this many unique features per tree —
 #: 2^12 vectorized traversals is the sane ceiling for an exact method;
@@ -148,18 +153,44 @@ def _tree_phi(tree: dict, X: np.ndarray, n_features: int) -> tuple[np.ndarray, f
     return phi, base
 
 
+def ensemble_tree_weights(model, n_trees: int) -> list[float]:
+    """Per-tree combination weights matching how the fitted model
+    actually combines its trees: Spark's RandomForestRegressionModel
+    predicts the tree AVERAGE (its ``treeWeights`` are all 1.0 and
+    must NOT be used as-is), while GBTRegressionModel predicts the
+    ``treeWeights``-weighted SUM (learning-rate-scaled). A single
+    DecisionTreeRegressionModel is weight 1."""
+    cls = type(model).__name__
+    if cls.startswith("GBT"):
+        w = list(getattr(model, "treeWeights"))
+        if len(w) != n_trees:
+            raise ValueError(f"treeWeights len {len(w)} != n_trees {n_trees}")
+        return [float(x) for x in w]
+    if n_trees == 1:
+        return [1.0]
+    return [1.0 / n_trees] * n_trees
+
+
 def shap_values_pandas(
-    trees: list[dict], X: np.ndarray, n_features: int, tree_weight: float
+    trees: list[dict], X: np.ndarray, n_features: int, tree_weight
 ) -> tuple[np.ndarray, float]:
-    """Ensemble SHAP for a numpy batch: Σ_t weight·φ_t. For Spark's
-    RandomForestRegressor the prediction is the tree average, so
-    ``tree_weight = 1/len(trees)``."""
+    """Ensemble SHAP for a numpy batch: Σ_t w_t·φ_t. ``tree_weight``
+    is either a scalar applied to every tree (RandomForest: 1/n —
+    prediction is the tree average) or a per-tree sequence (GBT:
+    ``model.treeWeights`` — prediction is the weighted sum)."""
+    weights = (
+        [float(tree_weight)] * len(trees)
+        if np.isscalar(tree_weight)
+        else [float(w) for w in tree_weight]
+    )
+    if len(weights) != len(trees):
+        raise ValueError(f"{len(weights)} weights for {len(trees)} trees")
     phi = np.zeros((X.shape[0], n_features))
     base = 0.0
-    for tree in trees:
+    for tree, w in zip(trees, weights):
         p, b = _tree_phi(tree, X, n_features)
-        phi += tree_weight * p
-        base += tree_weight * b
+        phi += w * p
+        base += w * b
     return phi, base
 
 
@@ -176,8 +207,9 @@ def tree_shap(
     tree arrays ship via ``sc.broadcast`` — once per executor, not
     once per task as closure capture would (a 100-tree forest's
     arrays are MBs; at 10k tasks that difference is real)."""
-    trees_bc = df.sparkSession.sparkContext.broadcast(extract_trees(model))
-    weight = 1.0 / len(trees_bc.value)
+    extracted = extract_trees(model)
+    trees_bc = df.sparkSession.sparkContext.broadcast(extracted)
+    weight = ensemble_tree_weights(model, len(extracted))
     n_features = len(feature_cols)
     keep = list(keep_cols or [])
     in_schema = df.select(*(keep + feature_cols)).schema

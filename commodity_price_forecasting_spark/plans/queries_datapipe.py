@@ -1251,7 +1251,7 @@ WITH tok AS (
   FROM documents
 ), chunks AS (
   SELECT doc_id, n_tokens,
-         UNNEST(range(0, CAST(CEIL(GREATEST(n_tokens - 64, 0) / 192.0) AS BIGINT) + 1))
+         UNNEST(range(0, CAST(CEIL(GREATEST(n_tokens - 256, 0) / 192.0) AS BIGINT) + 1))
            AS chunk_id
   FROM tok
 )
@@ -1289,7 +1289,7 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_tokens"),
     )
     n_chunks = F.ceil(
-        F.greatest(F.col("n_tokens") - (chunk - stride), F.lit(0)) / stride
+        F.greatest(F.col("n_tokens") - chunk, F.lit(0)) / stride
     ).cast("long")
     chunks = tok.select(
         "doc_id",

@@ -608,7 +608,7 @@ WITH daily AS (
          SUM(x) AS sx, SUM(s - x) AS sd,
          SUM(x*x) AS sxx, SUM(x*(s - x)) AS sxd
   FROM pairs WHERE x IS NOT NULL
-  GROUP BY leg_a HAVING COUNT(*) >= 30
+  GROUP BY leg_a HAVING COUNT(*) >= 20
 ), lam AS (
   SELECT leg_a, n,
          (n*sxd - sx*sd) / (n*sxx - sx*sx) AS lambda
@@ -616,7 +616,7 @@ WITH daily AS (
 )
 SELECT leg_a, CAST(n AS BIGINT) AS n,
        ROUND(lambda, 6) AS lambda,
-       ROUND(CASE WHEN lambda < 0 AND lambda > -2
+       ROUND(CASE WHEN lambda < 0 AND lambda > -1
                   THEN -ln(2) / ln(1 + lambda) END, 4) AS halflife_days
 FROM lam
 """
@@ -627,8 +627,9 @@ def ts_halflife_meanreversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean-reversion half-life per adjacent-instrument spread — the
     pair-trading holding-period estimate: regress Δs_t on s_{t−1}
     (discrete Ornstein-Uhlenbeck), λ = slope, half-life =
-    −ln2 / ln(1+λ) when the spread actually reverts (−2 < λ < 0;
-    NULL marks non-reverting pairs rather than fabricating a
+    −ln2 / ln(1+λ) when the formula is defined (−1 < λ < 0; an
+    oscillatory λ ≤ −1 makes ln(1+λ) undefined, so NULL marks both
+    non-reverting and over-shooting pairs rather than fabricating a
     horizon). Closed-form simple-regression sufficient statistics —
     one lag window + one aggregate per pair, the m11_df_test algebra
     on the spread series."""
@@ -657,7 +658,7 @@ def ts_halflife_meanreversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d).alias("sd"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("x") * d).alias("sxd"),
-    ).filter(F.col("n") >= 30)
+    ).filter(F.col("n") >= 20)
     lam = (F.col("n") * F.col("sxd") - F.col("sx") * F.col("sd")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
@@ -668,7 +669,7 @@ def ts_halflife_meanreversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("lambda", 6).alias("lambda"),
         F.round(
             F.when(
-                (F.col("lambda") < 0) & (F.col("lambda") > -2),
+                (F.col("lambda") < 0) & (F.col("lambda") > -1),
                 -F.log(F.lit(2.0)) / F.log(1 + F.col("lambda")),
             ),
             4,

@@ -311,3 +311,24 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         assert out == {1: 1, 2: 1, 3: 1, 9: 9, 10: 9}
     finally:
         spark.sparkContext.setCheckpointDir(None)
+
+
+def test_doc_chunking_every_chunk_covers_tokens(spark):
+    """Chunk-plan invariants on the real fixture: every chunk covers
+    >=1 token (no phantom final chunk past the document end), windows
+    tile the doc (last end_tok == n_tokens), and the chunk count is
+    the standard sliding-window count 1 + ceil(max(n-256,0)/192)."""
+    import math
+
+    from commodity_price_forecasting_spark.plans.queries_datapipe import (
+        doc_chunking,
+    )
+
+    out = doc_chunking(spark, "/root/testdata/sf0.001").toPandas()
+    assert (out["chunk_tokens"] >= 1).all()
+    assert (out["start_tok"] < out["end_tok"]).all()
+    # reconstruct n_tokens per doc from the clamped last window
+    for doc_id, grp in out.groupby("doc_id"):
+        n_tokens = int(grp["end_tok"].max())
+        want = 1 + math.ceil(max(n_tokens - 256, 0) / 192)
+        assert len(grp) == want, f"doc {doc_id}: {len(grp)} chunks, want {want}"

@@ -122,6 +122,51 @@ def test_gbt_single_weighting_additivity(spark, supervised):
     assert np.abs(base + phi.sum(axis=1) - pred).max() < 1e-9
 
 
+def test_tree_shap_gbt_end_to_end_additivity(spark, supervised):
+    """tree_shap must handle GBT models directly: combination weights
+    come from model.treeWeights (weighted SUM), not 1/n averaging —
+    base + Σφ reconstructs the GBT's own prediction exactly."""
+    ensure_package_shipped(spark)
+    model = GBTRegressor(
+        featuresCol="features", labelCol="label", maxIter=6, maxDepth=3, seed=9
+    ).fit(supervised)
+    out = (
+        tree_shap(supervised, model, FEATS, keep_cols=["rid"])
+        .toPandas()
+        .set_index("rid")
+        .sort_index()
+    )
+    pred = (
+        model.transform(supervised)
+        .select("rid", "prediction")
+        .toPandas()
+        .set_index("rid")
+        .sort_index()
+    )
+    assert (out["prediction"] - pred["prediction"]).abs().max() < 1e-9
+
+
+def test_ensemble_tree_weights_dispatch(spark, supervised):
+    """RF → uniform 1/n (its treeWeights are all 1.0 and must not be
+    summed); GBT → its treeWeights verbatim; single tree → [1.0]."""
+    from pyspark.ml.regression import DecisionTreeRegressor
+
+    from commodity_price_forecasting_spark.ml.treeshap import (
+        ensemble_tree_weights,
+    )
+
+    rf = _fit_rf(supervised)
+    assert ensemble_tree_weights(rf, 12) == [1.0 / 12] * 12
+    gbt = GBTRegressor(
+        featuresCol="features", labelCol="label", maxIter=4, maxDepth=2, seed=3
+    ).fit(supervised)
+    assert ensemble_tree_weights(gbt, 4) == [float(w) for w in gbt.treeWeights]
+    dt = DecisionTreeRegressor(
+        featuresCol="features", labelCol="label", maxDepth=2, seed=3
+    ).fit(supervised)
+    assert ensemble_tree_weights(dt, 1) == [1.0]
+
+
 def test_m13_shap_tree_query_shape(spark):
     from commodity_price_forecasting_spark.plans.queries_coverage import (
         m13_shap_tree,
