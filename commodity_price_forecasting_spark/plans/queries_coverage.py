@@ -704,33 +704,207 @@ def m5_ar_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("instrument", "step", F.round("forecast", 5).alias("forecast"))
 
 
-@register("m5_sarima_forecast", oracle=None, tags=("ml", "timeseries"))
+_M5_SARIMA_ORACLE = """
+WITH monthly AS (
+  SELECT o_orderpriority AS pri,
+         date_trunc('month', o_orderdate) AS month,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 1000000.0 AS rev
+  FROM orders GROUP BY 1, 2
+), y AS (
+  SELECT pri, rev, ROW_NUMBER() OVER (PARTITION BY pri ORDER BY month) AS t
+  FROM monthly
+), u0 AS (
+  SELECT pri, t, rev - LAG(rev) OVER (PARTITION BY pri ORDER BY t) AS v FROM y
+), u AS (
+  SELECT pri, t - 1 AS t, v FROM u0 WHERE v IS NOT NULL
+), w0 AS (
+  SELECT pri, t, v - LAG(v, 12) OVER (PARTITION BY pri ORDER BY t) AS w FROM u
+), w AS (
+  SELECT pri, t - 12 AS t, w FROM w0 WHERE w IS NOT NULL
+), lw AS (
+  SELECT pri, t, w,
+         LAG(w, 1)  OVER (PARTITION BY pri ORDER BY t) AS w1,
+         LAG(w, 12) OVER (PARTITION BY pri ORDER BY t) AS w12
+  FROM w
+), s1 AS (
+  SELECT pri, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(w1) AS s1_, SUM(w12) AS s2_, SUM(w) AS sy,
+         SUM(w1*w1) AS s11, SUM(w1*w12) AS s12_, SUM(w12*w12) AS s22,
+         SUM(w1*w) AS s1y, SUM(w12*w) AS s2y
+  FROM lw WHERE t >= 13
+  GROUP BY pri HAVING COUNT(*) >= 15
+), st1 AS (
+  SELECT pri,
+         n*(s11*s22 - s12_*s12_) - s1_*(s1_*s22 - s12_*s2_)
+           + s2_*(s1_*s12_ - s11*s2_) AS det,
+         (sy*(s11*s22 - s12_*s12_) - s1_*(s1y*s22 - s12_*s2y)
+           + s2_*(s1y*s12_ - s11*s2y)) / det AS a0,
+         (n*(s1y*s22 - s12_*s2y) - sy*(s1_*s22 - s12_*s2_)
+           + s2_*(s1_*s2y - s1y*s2_)) / det AS a1,
+         (n*(s11*s2y - s1y*s12_) - s1_*(s1_*s2y - s1y*s2_)
+           + sy*(s1_*s12_ - s11*s2_)) / det AS a2
+  FROM s1
+), eps AS (
+  SELECT l.pri, l.t, l.w, l.w1, l.w12,
+         CASE WHEN l.t <= 12 THEN 0.0
+              ELSE l.w - (a.a0 + a.a1*l.w1 + a.a2*l.w12) END AS e
+  FROM lw l JOIN st1 a ON l.pri = a.pri
+), le AS (
+  SELECT pri, t, w, w1, w12, e,
+         LAG(e, 1)  OVER (PARTITION BY pri ORDER BY t) AS e1,
+         LAG(e, 12) OVER (PARTITION BY pri ORDER BY t) AS e12
+  FROM eps
+), g AS (
+  SELECT pri, CAST(COUNT(*) AS DOUBLE) AS g11,
+         SUM(w1) AS g12, SUM(w12) AS g13, SUM(e1) AS g14, SUM(e12) AS g15,
+         SUM(w1*w1) AS g22, SUM(w1*w12) AS g23, SUM(w1*e1) AS g24,
+         SUM(w1*e12) AS g25,
+         SUM(w12*w12) AS g33, SUM(w12*e1) AS g34, SUM(w12*e12) AS g35,
+         SUM(e1*e1) AS g44, SUM(e1*e12) AS g45, SUM(e12*e12) AS g55,
+         SUM(w) AS b1, SUM(w1*w) AS b2, SUM(w12*w) AS b3,
+         SUM(e1*w) AS b4, SUM(e12*w) AS b5
+  FROM le WHERE t >= 13 GROUP BY pri
+), el AS (
+  SELECT pri, g11, g12, g13, g14, g15, b1,
+         g22 - g12*g12/g11 AS h22, g23 - g12*g13/g11 AS h23,
+         g24 - g12*g14/g11 AS h24, g25 - g12*g15/g11 AS h25,
+         g33 - g13*g13/g11 AS h33, g34 - g13*g14/g11 AS h34,
+         g35 - g13*g15/g11 AS h35,
+         g44 - g14*g14/g11 AS h44, g45 - g14*g15/g11 AS h45,
+         g55 - g15*g15/g11 AS h55,
+         b2 - g12*b1/g11 AS r2, b3 - g13*b1/g11 AS r3,
+         b4 - g14*b1/g11 AS r4, b5 - g15*b1/g11 AS r5,
+         h33 - h23*h23/h22 AS i33, h34 - h23*h24/h22 AS i34,
+         h35 - h23*h25/h22 AS i35,
+         h44 - h24*h24/h22 AS i44, h45 - h24*h25/h22 AS i45,
+         h55 - h25*h25/h22 AS i55,
+         r3 - h23*r2/h22 AS s3, r4 - h24*r2/h22 AS s4,
+         r5 - h25*r2/h22 AS s5,
+         i44 - i34*i34/i33 AS j44, i45 - i34*i35/i33 AS j45,
+         i55 - i35*i35/i33 AS j55,
+         s4 - i34*s3/i33 AS t4, s5 - i35*s3/i33 AS t5,
+         j55 - j45*j45/j44 AS k55, t5 - j45*t4/j44 AS q5,
+         q5 / k55 AS x5,
+         (t4 - j45*x5) / j44 AS x4,
+         (s3 - i34*x4 - i35*x5) / i33 AS x3,
+         (r2 - h23*x3 - h24*x4 - h25*x5) / h22 AS x2,
+         (b1 - g12*x2 - g13*x3 - g14*x4 - g15*x5) / g11 AS x1
+  FROM g
+), e2 AS (
+  SELECT l.pri, l.t,
+         CASE WHEN l.t <= 12 THEN 0.0
+              ELSE l.w - (c.x1 + c.x2*l.w1 + c.x3*l.w12
+                          + c.x4*l.e1 + c.x5*l.e12) END AS e
+  FROM le l JOIN el c ON l.pri = c.pri
+), nm AS (
+  SELECT pri, MAX(t) AS n FROM w GROUP BY pri
+), wt AS (
+  SELECT w.pri,
+         MAX(CASE WHEN w.t = m.n THEN w.w END) AS wn,
+         MAX(CASE WHEN w.t = m.n - 11 THEN w.w END) AS wl1,
+         MAX(CASE WHEN w.t = m.n - 10 THEN w.w END) AS wl2,
+         MAX(CASE WHEN w.t = m.n - 9 THEN w.w END) AS wl3,
+         MAX(CASE WHEN w.t = m.n - 8 THEN w.w END) AS wl4,
+         MAX(CASE WHEN w.t = m.n - 7 THEN w.w END) AS wl5,
+         MAX(CASE WHEN w.t = m.n - 6 THEN w.w END) AS wl6
+  FROM w JOIN nm m ON w.pri = m.pri GROUP BY w.pri
+), et AS (
+  SELECT e2.pri,
+         MAX(CASE WHEN e2.t = m.n THEN e2.e END) AS en,
+         MAX(CASE WHEN e2.t = m.n - 11 THEN e2.e END) AS el1,
+         MAX(CASE WHEN e2.t = m.n - 10 THEN e2.e END) AS el2,
+         MAX(CASE WHEN e2.t = m.n - 9 THEN e2.e END) AS el3,
+         MAX(CASE WHEN e2.t = m.n - 8 THEN e2.e END) AS el4,
+         MAX(CASE WHEN e2.t = m.n - 7 THEN e2.e END) AS el5,
+         MAX(CASE WHEN e2.t = m.n - 6 THEN e2.e END) AS el6
+  FROM e2 JOIN nm m ON e2.pri = m.pri GROUP BY e2.pri
+), ut AS (
+  SELECT u.pri,
+         MAX(CASE WHEN u.t = m.nu - 11 THEN u.v END) AS ul1,
+         MAX(CASE WHEN u.t = m.nu - 10 THEN u.v END) AS ul2,
+         MAX(CASE WHEN u.t = m.nu - 9 THEN u.v END) AS ul3,
+         MAX(CASE WHEN u.t = m.nu - 8 THEN u.v END) AS ul4,
+         MAX(CASE WHEN u.t = m.nu - 7 THEN u.v END) AS ul5,
+         MAX(CASE WHEN u.t = m.nu - 6 THEN u.v END) AS ul6
+  FROM u JOIN (SELECT pri, MAX(t) AS nu FROM u GROUP BY pri) m
+    ON u.pri = m.pri GROUP BY u.pri
+), yt AS (
+  SELECT y.pri, MAX(CASE WHEN y.t = m.ny THEN y.rev END) AS ylast
+  FROM y JOIN (SELECT pri, MAX(t) AS ny FROM y GROUP BY pri) m
+    ON y.pri = m.pri GROUP BY y.pri
+), fc AS (
+  SELECT c.pri, c.x1, c.x2, c.x3, c.x4, c.x5,
+         c.x1 + c.x2*w.wn + c.x3*w.wl1 + c.x4*e.en + c.x5*e.el1 AS f1,
+         c.x1 + c.x2*f1 + c.x3*w.wl2 + c.x5*e.el2 AS f2,
+         c.x1 + c.x2*f2 + c.x3*w.wl3 + c.x5*e.el3 AS f3,
+         c.x1 + c.x2*f3 + c.x3*w.wl4 + c.x5*e.el4 AS f4,
+         c.x1 + c.x2*f4 + c.x3*w.wl5 + c.x5*e.el5 AS f5,
+         c.x1 + c.x2*f5 + c.x3*w.wl6 + c.x5*e.el6 AS f6,
+         f1 + u.ul1 AS uf1, f2 + u.ul2 AS uf2, f3 + u.ul3 AS uf3,
+         f4 + u.ul4 AS uf4, f5 + u.ul5 AS uf5, f6 + u.ul6 AS uf6,
+         yy.ylast + uf1 AS yf1, yf1 + uf2 AS yf2, yf2 + uf3 AS yf3,
+         yf3 + uf4 AS yf4, yf4 + uf5 AS yf5, yf5 + uf6 AS yf6
+  FROM el c JOIN wt w ON c.pri = w.pri JOIN et e ON c.pri = e.pri
+       JOIN ut u ON c.pri = u.pri JOIN yt yy ON c.pri = yy.pri
+)
+SELECT pri AS o_orderpriority,
+       st.step,
+       ROUND(CASE st.step WHEN 1 THEN yf1 WHEN 2 THEN yf2 WHEN 3 THEN yf3
+                          WHEN 4 THEN yf4 WHEN 5 THEN yf5 ELSE yf6 END
+             * 1000000.0, 0) AS forecast,
+       ROUND(x1, 6) AS c, ROUND(x2, 6) AS ar1, ROUND(x3, 6) AS sar12,
+       ROUND(x4, 6) AS ma1, ROUND(x5, 6) AS sma12
+FROM fc, (SELECT UNNEST(range(1, 7)) AS step) st
+"""
+
+
+@register("m5_sarima_forecast", oracle=_M5_SARIMA_ORACLE, tags=("ml", "timeseries"))
 def m5_sarima_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full seasonal SARIMA(1,1,1)(1,1,1,12) per order-priority over
     MONTHLY revenue (M5 — the reference's statsmodels SARIMAX hybrid,
-    slides 21-22; README.md:29), fit with the Hannan-Rissanen
-    two-stage algorithm in pure numpy (ml/sarima.py). The orders
-    table's ~7-year span gives ~78 monthly points per series — enough
-    for an annual (s=12) seasonal difference. Deterministic (pure
-    least squares), rows-only: the two-stage CSS fit is not
-    SQL-expressible. One applyInPandas group per series; the monthly
-    pre-aggregation is JVM-side, so Python sees ~80 rows per key."""
-    from commodity_price_forecasting_spark.ml.sarima import sarima_forecast_by_group
+    slides 21-22; README.md:29), fit with the Durbin-style two-stage
+    least squares (ml/sarima.sarima_durbin_fit_forecast): stage 1 =
+    seasonal-AR submodel whose residuals proxy the MA innovations,
+    stage 2 = OLS on [1, w1, w12, e1, e12]. Emits the fitted
+    coefficients alongside the 6-step forecast, and the ENTIRE fit is
+    replicated in the DuckDB oracle (VERDICT r3 ask #2): stage 1 via
+    Cramer 3x3, stage 2 via unpivoted symmetric Gaussian elimination
+    on the 5x5 Gram (SPD => stable without pivoting), then the
+    forecast recursion and d=1/D=1 undifferencing in closed form.
+    Monthly revenue aggregates through DECIMAL(18,2) (exact,
+    order-independent) and is scaled to millions before the fit so
+    the Gram stays well-conditioned; the forecast is rounded to whole
+    dollars — cross-engine float noise is ~1e-4 dollars, 4 orders
+    inside the rounding grid. One applyInPandas group per series;
+    monthly pre-aggregation is JVM-side, so Python sees ~80 rows per
+    key."""
+    from commodity_price_forecasting_spark.ml.sarima import (
+        sarima_durbin_forecast_by_group,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     monthly = orders.groupBy(
         "o_orderpriority", F.date_trunc("month", "o_orderdate").alias("month")
-    ).agg(F.sum("o_totalprice").alias("revenue"))
-    return sarima_forecast_by_group(
-        monthly,
+    ).agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / 1e6
+        ).alias("revenue")
+    )
+    fit = sarima_durbin_forecast_by_group(
+        monthly, "o_orderpriority", "month", "revenue",
+        horizon=6, s=12, key_type="string",
+    )
+    return fit.select(
         "o_orderpriority",
-        "month",
-        "revenue",
-        order=(1, 1, 1),
-        seasonal_order=(1, 1, 1, 12),
-        horizon=6,
-        key_type="string",
-    ).select("o_orderpriority", "step", F.round("forecast", 4).alias("forecast"))
+        "step",
+        F.round(F.col("forecast") * 1e6, 0).alias("forecast"),
+        F.round("c", 6).alias("c"),
+        F.round("ar1", 6).alias("ar1"),
+        F.round("sar12", 6).alias("sar12"),
+        F.round("ma1", 6).alias("ma1"),
+        F.round("sma12", 6).alias("sma12"),
+    )
 
 
 # --- A3 quartiles: exact percentiles with a DuckDB oracle ----------------

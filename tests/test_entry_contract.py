@@ -29,14 +29,14 @@ def test_oracle_keys_subset_of_queries():
     # m13_shap_tree joined as rows-only — RF training is not
     # SQL-expressible, exactness is asserted by tests/test_treeshap.py
     # instead; every remaining entry has an oracle-checked sibling:
-    # m11->m11_kpss_level, m4->pytest, m5->m5_ar_forecast,
-    # m6->m6_linear_ensemble_weights)
+    # m11->m11_kpss_level, m4->pytest, m6->m6_linear_ensemble_weights;
+    # m5_sarima_forecast gained a full oracle in r4 — Durbin two-stage
+    # fit replicated in SQL)
     rows_only = set(qs) - set(oracles)
     assert rows_only <= {
         "m6_ensemble_weights",
         "m11_stationarity_tests",
         "m4_svr_mlp",
-        "m5_sarima_forecast",
         "m13_shap_tree",
     }
 
