@@ -41,6 +41,11 @@ SKIP_BUILD = {
     "s8_bucketed_join",
     "s9_jsonl_roundtrip",
     "s10_orc_roundtrip",
+    # trains a 20-tree RF at plan-build time, and its returned frame is
+    # a driver-aggregated summary whose plan never shows the real
+    # mapInPandas — the inner plan is asserted directly in
+    # test_tree_shap_inner_plan_is_mapinpandas instead
+    "m13_shap_tree",
 }
 
 
@@ -105,3 +110,39 @@ def test_declared_jvm_queries_have_no_python_nodes(spark):
         if any(m in plan for m in python_markers):
             offenders.append(name)
     assert offenders == []
+
+
+def test_tree_shap_inner_plan_is_mapinpandas(spark):
+    """m13_shap_tree is in SKIP_BUILD (its registry-level frame is a
+    driver-aggregated summary whose plan hides the distributed work),
+    so assert the INNER tree_shap plan directly: one Arrow-batched
+    MapInPandas over the feature projection — no cartesian product, no
+    per-row Python eval, no shuffle introduced by the SHAP stage
+    itself."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor
+
+    from commodity_price_forecasting_spark.ml.treeshap import tree_shap
+    from commodity_price_forecasting_spark.session import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+    rng = np.random.RandomState(0)
+    pdf = pd.DataFrame(rng.randn(300, 2), columns=["a", "b"])
+    pdf["label"] = pdf["a"] - pdf["b"]
+    df = spark.createDataFrame(pdf)
+    assembled = VectorAssembler(inputCols=["a", "b"], outputCol="features").transform(df)
+    model = RandomForestRegressor(
+        featuresCol="features", labelCol="label", numTrees=3, maxDepth=2, seed=0
+    ).fit(assembled)
+    plan = (
+        tree_shap(df, model, ["a", "b"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan  # SHAP is a narrow map over the scan
