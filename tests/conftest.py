@@ -20,8 +20,7 @@ def spark():
     s.stop()
 
 
-@pytest.fixture(scope="session")
-def duck():
+def _duck_connection(sf_dir):
     import duckdb
 
     con = duckdb.connect()
@@ -29,7 +28,23 @@ def duck():
         "region nation customer supplier part orders lineitem events documents embeddings".split()
     ):
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF_SMOKE}/{name}.parquet')"
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
         )
+    return con
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = _duck_connection(SF_SMOKE)
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="session")
+def duck_sf001():
+    """DuckDB views over sf0.01 — the DRIVER's correctness SF.
+    Rounding-midpoint edge cases scale with row count, so float-heavy
+    queries get a second oracle pass here (VERDICT r3 ask #4)."""
+    con = _duck_connection(SF_CORRECT)
     yield con
     con.close()

@@ -12,9 +12,21 @@ import pytest
 
 from commodity_price_forecasting_spark.plans.registry import load_all
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 REGISTRY = load_all()
+
+#: float-heavy window/backtest queries most at risk of cross-engine
+#: rounding divergence — re-checked at sf0.01 (the driver's SF) where
+#: midpoint edge cases appear with row count (VERDICT r3 ask #4)
+FLOAT_HEAVY = [
+    "w13_rsi",
+    "w14_bollinger",
+    "w15_macd",
+    "w17_sharpe",
+    "bt_zscore_pnl",
+    "ts_halflife_meanreversion",
+]
 
 
 def _normalize(rows, columns):
@@ -35,6 +47,38 @@ def _normalize(rows, columns):
         out.append(tuple(vals))
     out.sort()
     return [columns[i] for i in idx], out
+
+
+def _compare(name, spark, con, sf_dir):
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, sf_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    spark_cols = sdf.columns
+
+    if spec.oracle is None:
+        assert len(spark_rows) >= 0  # rows-only smoke
+        return
+
+    res = con.execute(spec.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = [tuple(r) for r in res.fetchall()]
+
+    s_cols, s_vals = _normalize(spark_rows, spark_cols)
+    d_cols, d_vals = _normalize(duck_rows, duck_cols)
+
+    assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_vals) == len(d_vals), (
+        f"{name}: row count {len(s_vals)} vs {len(d_vals)}"
+    )
+    mismatches = [(a, b) for a, b in zip(s_vals, d_vals) if a != b]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[:3]}"
+    )
+
+
+@pytest.mark.parametrize("name", FLOAT_HEAVY)
+def test_float_heavy_matches_oracle_sf001(name, spark, duck_sf001):
+    _compare(name, spark, duck_sf001, SF_CORRECT)
 
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
