@@ -227,6 +227,7 @@ def connected_components(
     reliable_checkpoint: bool | None = None,
     stats: dict | None = None,
     small_graph_threshold: int = SMALL_GRAPH_EDGES,
+    strategy: str = "auto",
 ) -> DataFrame:
     """Connected components over an undirected edge list via min-label
     propagation WITH pointer halving: every node's label converges to
@@ -256,7 +257,14 @@ def connected_components(
     - Pass a dict as ``stats`` to receive ``{"iterations": k}`` —
       the O(log diameter) claim is asserted against deep synthetic
       components in tests/test_distributed.py.
+    - ``strategy``: ``"auto"`` (default) takes the driver union-find
+      fast path below ``small_graph_threshold`` and the large-star/
+      small-star variant above it (measured 1.5x faster than halving
+      on a 2M-edge/50k-diameter graph — SCALE.md r4); ``"halving"``
+      and ``"star"`` force the respective distributed loop.
     """
+    if strategy not in ("auto", "halving", "star"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     sc = edges.sparkSession.sparkContext
     if reliable_checkpoint is None:
         reliable_checkpoint = sc.getCheckpointDir() is not None
@@ -265,6 +273,14 @@ def connected_components(
         if reliable_checkpoint:
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
+
+    if strategy == "star":
+        return connected_components_star(
+            edges, src, dst,
+            max_iter=max(max_iter, 25),
+            reliable_checkpoint=reliable_checkpoint,
+            stats=stats,
+        )
 
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
@@ -288,7 +304,19 @@ def connected_components(
     # scheduling, which no partitioning can amortize on a small
     # frontier. The cutover is explicit and the result is identical
     # (both compute exact components labelled by the min node id).
-    if n_edges <= small_graph_threshold:
+    # Above the cutover, "auto" routes to large-star/small-star — the
+    # measured winner at >1M edges (SCALE.md r4: 305s vs 460s halving
+    # on a 2M-edge/50k-diameter graph); the halving loop below stays
+    # reachable via strategy="halving" and remains the recorded
+    # runner-up.
+    if strategy == "auto" and n_edges > small_graph_threshold:
+        return connected_components_star(
+            edges, src, dst,
+            max_iter=max(max_iter, 25),
+            reliable_checkpoint=reliable_checkpoint,
+            stats=stats,
+        )
+    if strategy == "auto" and n_edges <= small_graph_threshold:
         if stats is not None:
             stats["iterations"] = 0
             stats["fast_path"] = True
@@ -391,3 +419,97 @@ def _run_label_propagation(sym, _cut, max_iter: int, stats: dict | None):
     if stats is not None:
         stats["iterations"] = n_iter
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+    reliable_checkpoint: bool | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris, Lattanzi, Mirrokni, Rastogi & Vassilvitskii 2014,
+    "Connected Components in MapReduce and Beyond" — public). Same
+    contract as ``connected_components``: ``(node, component)`` with
+    the component labelled by its minimum node id.
+
+    Per round: large-star hooks every node's LARGER neighbors onto its
+    local minimum (one agg + one join on the symmetric closure), then
+    small-star re-points every node's SMALLER-or-equal neighbors at
+    the minimum (one agg + one join on the child>parent orientation).
+    Both phases are hash-partitioned on the join key — no global sort,
+    no driver state. Converges in O(log n) rounds to height-1 stars.
+
+    vs the pointer-halving loop: comparable asymptotics; this variant
+    shrinks the EDGE SET itself each round (edges collapse onto star
+    centers) where halving keeps a constant |V| label table but needs
+    2 joins + an agg per iteration. Benchmarked head-to-head at sf0.1
+    in SCALE.md (r4, VERDICT ask #5); the loser is retained here for
+    the record, the winner runs in ``connected_components``.
+    """
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    if reliable_checkpoint is None:
+        reliable_checkpoint = sc.getCheckpointDir() is not None
+
+    def _cut(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    all_nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col(src) != F.col(dst))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+    )
+    e = _cut(e)
+    prev_cnt = e.count()
+    n_iter = 0
+    for _ in range(max_iter):
+        n_iter += 1
+        # large-star over the symmetric closure: (v, m(u)) for v > u
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = sym.groupBy("u").agg(F.min("v").alias("mv"))
+        lmin = lmin.select("u", F.least("u", "mv").alias("m"))
+        large = (
+            sym.join(lmin, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+            .distinct()
+        )
+        # small-star on the child>parent orientation: re-point the
+        # smaller neighbors (and u itself) at the local minimum
+        smin = large.groupBy("u").agg(F.min("v").alias("m"))
+        new_e = _cut(
+            large.join(smin, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select("u", F.col("m").alias("v")))
+            .distinct()
+        )
+        cnt = new_e.count()
+        converged = cnt == prev_cnt and new_e.subtract(e).isEmpty()
+        e, prev_cnt = new_e, cnt
+        if converged:
+            break
+    if stats is not None:
+        stats["iterations"] = n_iter
+    labels = (
+        e.select(F.col("u").alias("node"), F.col("v").alias("label"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("label")))
+        .groupBy("node")
+        .agg(F.min("label").alias("component"))
+    )
+    # isolated/self-loop-only nodes keep themselves as component
+    return all_nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component")
+    )

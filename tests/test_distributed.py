@@ -52,10 +52,12 @@ def test_connected_components_chain_converges_logarithmically(spark):
         F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
     )
     stats = {}
-    # small_graph_threshold=0 forces the DISTRIBUTED loop — this test
-    # exists to prove the at-scale path, not the driver fast path
+    # strategy="halving" + threshold=0 forces the DISTRIBUTED halving
+    # loop — this test exists to prove that path's O(log d) bound, not
+    # the driver fast path (and not the star default)
     out = connected_components(
-        edges, max_iter=25, stats=stats, small_graph_threshold=0
+        edges, max_iter=25, stats=stats, small_graph_threshold=0,
+        strategy="halving",
     )
     agg = out.agg(
         F.countDistinct("component").alias("nc"),
@@ -116,12 +118,19 @@ def test_connected_components_fast_path_equals_distributed(spark):
         "5000 + id * 2 AS doc_a", "5001 + id * 2 AS doc_b"
     )
     edges = chain.union(star).union(pairs)
-    stats_fast, stats_loop = {}, {}
+    stats_fast, stats_star, stats_halv = {}, {}, {}
     fast = connected_components(edges, stats=stats_fast)
-    loop = connected_components(edges, stats=stats_loop, small_graph_threshold=0)
+    # auto above the threshold routes to large-star/small-star; the
+    # halving loop stays reachable via strategy — all three must agree
+    starp = connected_components(edges, stats=stats_star, small_graph_threshold=0)
+    halv = connected_components(
+        edges, stats=stats_halv, small_graph_threshold=0, strategy="halving"
+    )
     assert stats_fast.get("fast_path") is True
-    assert "fast_path" not in stats_loop
+    assert "fast_path" not in stats_star
+    assert "fast_path" not in stats_halv
     got_fast = sorted(tuple(r) for r in fast.collect())
-    got_loop = sorted(tuple(r) for r in loop.collect())
-    assert got_fast == got_loop
+    got_star = sorted(tuple(r) for r in starp.collect())
+    got_halv = sorted(tuple(r) for r in halv.collect())
+    assert got_fast == got_star == got_halv
     assert len(got_fast) == 1000 + 101 + 20

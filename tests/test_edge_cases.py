@@ -332,3 +332,47 @@ def test_doc_chunking_every_chunk_covers_tokens(spark):
         n_tokens = int(grp["end_tok"].max())
         want = 1 + math.ceil(max(n_tokens - 256, 0) / 192)
         assert len(grp) == want, f"doc {doc_id}: {len(grp)} chunks, want {want}"
+
+
+def test_connected_components_star_matches_halving(spark):
+    """The large-star/small-star variant must produce EXACTLY the same
+    (node, component) labelling as the pointer-halving loop on random
+    graphs, chains, self-loops, and empty input."""
+    import random
+
+    from commodity_price_forecasting_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    empty = spark.createDataFrame([], "doc_a LONG, doc_b LONG")
+    assert connected_components_star(empty, "doc_a", "doc_b").count() == 0
+
+    loops = spark.createDataFrame([(5, 5), (5, 6)], ["doc_a", "doc_b"])
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components_star(loops, "doc_a", "doc_b").collect()
+    }
+    assert out == {5: 5, 6: 5}
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(120)], ["doc_a", "doc_b"])
+    stats: dict = {}
+    out_rows = connected_components_star(chain, "doc_a", "doc_b", stats=stats).collect()
+    assert len(out_rows) == 121
+    assert {r["component"] for r in out_rows} == {0}
+    assert stats["iterations"] <= 12  # O(log n) rounds on a 120-chain
+
+    rng = random.Random(13)
+    edges = [(rng.randrange(250), rng.randrange(250)) for _ in range(160)]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            df, "doc_a", "doc_b", small_graph_threshold=0, strategy="halving"
+        ).collect()
+    }
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components_star(df, "doc_a", "doc_b").collect()
+    }
+    assert got == want
