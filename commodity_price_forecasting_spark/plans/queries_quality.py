@@ -244,3 +244,130 @@ def pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("last_doc"),
         )
     )
+
+
+# --- per-source document cap (RefinedWeb-style) -------------------------
+
+_DOMAIN_CAP = 20
+
+_DOMAIN_CAP_ORACLE = f"""
+WITH ranked AS (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN rk <= {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN rk > {_DOMAIN_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped,
+       CAST(SUM(CASE WHEN rk <= {_DOMAIN_CAP} THEN n_chars ELSE 0 END)
+            AS BIGINT) AS kept_chars
+FROM ranked GROUP BY source
+"""
+
+
+@register("quality_domain_cap", oracle=_DOMAIN_CAP_ORACLE, tags=("datapipe", "text"))
+def quality_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (RefinedWeb, Penedo et al. 2023 —
+    public: over-represented domains are capped so no single crawl
+    host dominates the training mix): keep the top {_DOMAIN_CAP}
+    documents per source by length (doc_id as the deterministic
+    tiebreak), report kept/dropped counts and surviving char mass per
+    source. One hash-partitioned window keyed on source — domains are
+    numerous so the key fans out across executors; a pathological
+    mega-domain only needs its own top-K, which AQE skew-split plus
+    the rank's early cutoff keep bounded (per-partition top-K then
+    merge, never a global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    )
+    ranked = docs.select("source", "doc_id", "n_chars", rk.alias("rk"))
+    kept = F.sum(F.when(F.col("rk") <= _DOMAIN_CAP, 1).otherwise(0))
+    dropped = F.sum(F.when(F.col("rk") > _DOMAIN_CAP, 1).otherwise(0))
+    kept_chars = F.sum(
+        F.when(F.col("rk") <= _DOMAIN_CAP, F.col("n_chars")).otherwise(F.lit(0))
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        kept.cast("long").alias("n_kept"),
+        dropped.cast("long").alias("n_dropped"),
+        kept_chars.cast("long").alias("kept_chars"),
+    )
+
+
+# --- cross-document duplicated n-gram coverage --------------------------
+
+_COVERAGE_N = 8
+
+_NGRAM_COVERAGE_ORACLE = (
+    _TOK
+    + """
+, ng AS (
+  SELECT doc_id,
+         token || ' ' || LEAD(token, 1) OVER w || ' ' || LEAD(token, 2) OVER w
+               || ' ' || LEAD(token, 3) OVER w || ' ' || LEAD(token, 4) OVER w
+               || ' ' || LEAD(token, 5) OVER w || ' ' || LEAD(token, 6) OVER w
+               || ' ' || LEAD(token, 7) OVER w
+           AS ngram
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), dng AS (
+  SELECT DISTINCT doc_id, ngram FROM ng WHERE ngram IS NOT NULL
+), freq AS (
+  SELECT ngram, COUNT(*) AS n_docs FROM dng GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       ROUND(CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS shared_frac,
+       CASE WHEN 2 * SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) > COUNT(*)
+            THEN 'near_dup' ELSE 'unique' END AS coverage_flag
+FROM dng d JOIN freq f ON d.ngram = f.ngram
+GROUP BY d.doc_id
+"""
+)
+
+
+@register(
+    "dedup_ngram_coverage", oracle=_NGRAM_COVERAGE_ORACLE, tags=("datapipe", "text")
+)
+def dedup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-n-gram coverage — the statistic behind
+    exact-substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better" — public): per
+    document, the fraction of its distinct {_COVERAGE_N}-grams that
+    occur in at least one OTHER document; >50% shared mass flags a
+    near-duplicate (cross-multiplied on exact counts, like the Gopher
+    gate). Spark shape: n-grams assemble inside the scan partition
+    (array slicing, no window), the global frequency table is a
+    groupBy on the gram hash, and the join back to per-doc grams is
+    already co-partitioned on the gram key from that aggregate — two
+    shuffles total, both keyed on the gram, both AQE-coalesced; the
+    flag threshold compares integers so both engines agree exactly."""
+    dng = (
+        word_ngrams(load_table(spark, sf_dir, "documents"), n=_COVERAGE_N)
+        .select("doc_id", "gram")
+        .distinct()
+    )
+    freq = dng.groupBy("gram").agg(F.count(F.lit(1)).alias("n_docs"))
+    shared = F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+    total = F.count(F.lit(1))
+    return (
+        dng.join(freq, "gram")
+        .groupBy("doc_id")
+        .agg(
+            total.cast("long").alias("n_ngrams"),
+            shared.cast("long").alias("n_shared"),
+            F.round(shared.cast("double") / total, 6).alias("shared_frac"),
+            F.when(2 * shared > total, F.lit("near_dup"))
+            .otherwise(F.lit("unique"))
+            .alias("coverage_flag"),
+        )
+    )
