@@ -282,3 +282,121 @@ def ivf_seed_topk(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --- product quantization (Jégou et al. 2011, public) --------------------
+
+
+def pq_subvectors(
+    vectors: DataFrame,
+    m_sub: int,
+    d_sub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_id: str = "vec_id",
+) -> DataFrame:
+    """``(out_id, m, sv)``: the vector split into ``m_sub`` contiguous
+    subvectors of ``d_sub`` dims (the PQ decomposition). One
+    posexplode of an in-row transform — subvector assembly happens
+    inside the scan partition, no shuffle."""
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        lambda m: F.slice(F.col(vec_col), m * d_sub + 1, d_sub),
+    )
+    return vectors.select(
+        F.col(id_col).alias(out_id), F.posexplode(subs).alias("m", "sv")
+    )
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² via zip_with + aggregate (whole-stage codegen)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_distances(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    m_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, m, c, d2)``: squared L2 distance from every vector's
+    m-th subvector to every codebook entry's m-th subvector.
+
+    Deterministic codebook: the ``n_centroids`` corpus vectors with
+    the smallest ids (a 0-iteration kmeans init, like
+    ``ivf_seed_assign`` — PQ requires a fixed quantizer, not a
+    trained one, for the index to be reproducible across engines).
+    The codebook is ``n_centroids × m_sub`` tiny rows and BROADCASTS
+    into the corpus scan; at 100 TB the distance table is one
+    map-side pass."""
+    dim = vectors.select(F.size(vec_col).alias("_sz")).first()["_sz"]
+    d_sub = dim // m_sub
+    seeds = vectors.select(id_col, vec_col).orderBy(id_col).limit(n_centroids)
+    cb = pq_subvectors(seeds, m_sub, d_sub, id_col, vec_col, out_id="c").select(
+        "c", "m", F.col("sv").alias("cv")
+    )
+    sv = pq_subvectors(vectors, m_sub, d_sub, id_col, vec_col)
+    return sv.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "c", _sq_l2(F.col("sv"), F.col("cv")).alias("d2")
+    )
+
+
+def pq_encode(dists: DataFrame) -> DataFrame:
+    """``(vec_id, m, code)``: per subspace, the nearest codebook entry
+    (min squared-L2, ties to the smallest centroid id via lexicographic
+    struct min). The groupBy is keyed on (vec_id, m) — hash-partitioned,
+    map-side combinable."""
+    best = F.min(F.struct(F.col("d2"), F.col("c"))).alias("best")
+    return (
+        dists.groupBy("vec_id", "m")
+        .agg(best)
+        .select("vec_id", "m", F.col("best.c").alias("code"))
+    )
+
+
+def pq_adc_topk(
+    vectors: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    m_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k: the query keeps full precision,
+    the corpus is represented by PQ codes, and each candidate's
+    distance is the sum over subspaces of the query→centroid lookup
+    table entry for the candidate's code.
+
+    Scale shape: the LUT is ``m_sub × n_centroids`` rows (broadcast);
+    the corpus side carries only ``m_sub`` SMALL INT codes per vector
+    (the 100 TB memory win PQ exists for: 64 float32 dims → 8 bytes);
+    the per-vector sum is a groupBy on vec_id, map-side combinable.
+    No full-precision corpus vector is touched after encoding."""
+    dists = pq_distances(vectors, n_centroids, m_sub, id_col, vec_col)
+    codes = pq_encode(dists)
+    lut = dists.filter(F.col("vec_id") == query_id).select(
+        F.col("m").alias("_lm"), F.col("c").alias("_lc"), F.col("d2").alias("qd")
+    )
+    return (
+        codes.join(
+            F.broadcast(lut),
+            (F.col("m") == F.col("_lm")) & (F.col("code") == F.col("_lc")),
+        )
+        .filter(F.col("vec_id") != query_id)
+        .groupBy("vec_id")
+        .agg(F.sum("qd").alias("_s"))
+        .orderBy(F.asc("_s"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round(F.col("_s"), 6).alias("adc_dist"))
+    )

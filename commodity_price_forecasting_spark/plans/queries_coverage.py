@@ -1619,3 +1619,69 @@ def s9_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_value"),
     )
+
+
+# --- Z-order (Morton) layout clustering (r4) ----------------------------
+
+def _morton_sql(x: str, y: str, bits: int = 16) -> str:
+    """Bit-interleave SQL identical in Spark and DuckDB: integer
+    shifts/masks only, fully parenthesized."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+WITH q AS (
+  SELECT o_orderkey,
+         o_custkey % 65536 AS xk,
+         date_diff('day', DATE '1995-01-01', o_orderdate) % 65536 AS yk
+  FROM orders
+), z AS (
+  SELECT o_orderkey, xk, yk,
+         ({_morton_sql('xk', 'yk')}) AS morton
+  FROM q
+)
+SELECT CAST(morton >> 16 AS BIGINT) AS zbucket,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(xk) AS BIGINT) AS min_cust,
+       CAST(MAX(xk) AS BIGINT) AS max_cust,
+       CAST(MIN(yk) AS BIGINT) AS min_day,
+       CAST(MAX(yk) AS BIGINT) AS max_day
+FROM z GROUP BY 1
+"""
+
+
+@register("layout_zorder", oracle=_ZORDER_ORACLE, tags=("layout",))
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering stats — the public technique behind
+    Delta/Iceberg `OPTIMIZE ZORDER` (Morton 1966; multi-dimensional
+    data clustering): interleave the bits of (customer key, order
+    day) into one sort key, bucket by its bits above the low 16, and report
+    each bucket's bounding box on BOTH dimensions. Writing files in
+    zbucket order makes parquet min/max footer stats selective on
+    customer AND date simultaneously — the 100 TB scan-pruning win a
+    single-column sort cannot give. Pure integer shift/mask
+    arithmetic, bit-identical in any engine; the only shuffle is the
+    final per-bucket aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    q = orders.select(
+        (F.col("o_custkey") % 65536).alias("xk"),
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+            % 65536
+        ).alias("yk"),
+    )
+    z = q.select("xk", "yk", F.expr(_morton_sql("xk", "yk")).alias("morton"))
+    return (
+        z.groupBy(F.shiftright("morton", 16).cast("long").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("xk").cast("long").alias("min_cust"),
+            F.max("xk").cast("long").alias("max_cust"),
+            F.min("yk").cast("long").alias("min_day"),
+            F.max("yk").cast("long").alias("max_day"),
+        )
+    )

@@ -1364,3 +1364,138 @@ def lang_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q, 6).alias("p_sample"),
         F.round(q / F.col("p"), 6).alias("boost"),
     )
+
+
+# --- product-quantization ANN (r4) ---------------------------------------
+
+_PQ_ORACLE = """
+WITH sub AS (
+  SELECT vec_id, CAST(mm.m AS INTEGER) AS m,
+         list_transform(range(8),
+           i -> CAST(embedding[CAST(mm.m * 8 + i + 1 AS INTEGER)] AS DOUBLE))
+           AS sv
+  FROM embeddings, generate_series(0, 7) mm(m)
+), seeds AS (
+  SELECT vec_id AS c, embedding FROM embeddings ORDER BY vec_id LIMIT 16
+), csub AS (
+  SELECT c, CAST(mm.m AS INTEGER) AS m,
+         list_transform(range(8),
+           i -> CAST(embedding[CAST(mm.m * 8 + i + 1 AS INTEGER)] AS DOUBLE))
+           AS cv
+  FROM seeds, generate_series(0, 7) mm(m)
+), dists AS (
+  SELECT s.vec_id, s.m, cb.c,
+         list_sum(list_transform(range(8),
+           i -> (sv[CAST(i + 1 AS INTEGER)] - cv[CAST(i + 1 AS INTEGER)])
+              * (sv[CAST(i + 1 AS INTEGER)] - cv[CAST(i + 1 AS INTEGER)])))
+           AS d2
+  FROM sub s JOIN csub cb ON s.m = cb.m
+), codes AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT vec_id, m, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rk
+    FROM dists) WHERE rk = 1
+), lut AS (
+  SELECT m, c, d2 AS qd FROM dists WHERE vec_id = 0
+)
+SELECT co.vec_id, ROUND(SUM(l.qd), 6) AS adc_dist
+FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.c
+WHERE co.vec_id <> 0
+GROUP BY co.vec_id
+ORDER BY SUM(l.qd), co.vec_id LIMIT 10
+"""
+
+
+@register("sim_pq_adc_topk", oracle=_PQ_ORACLE, tags=("datapipe", "similarity", "bench"))
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011 — public): the
+    64-dim corpus decomposes into 8 subspaces of 8 dims, each
+    subvector snaps to its nearest of 16 deterministic codebook
+    entries (the 16 smallest vec_ids — a fixed 0-iteration quantizer,
+    reproducible in ANSI SQL), and query vec_id 0's top-10 neighbours
+    come from the asymmetric-distance sum over a broadcast
+    query→centroid lookup table. Completes the ANN taxonomy next to
+    brute force (sim_topk_bruteforce), sign-LSH (sim_lsh_buckets) and
+    IVF (sim_ivf_topk). At 100 TB the corpus side carries 8 small-int
+    codes per vector instead of 64 floats — the memory-bandwidth win
+    PQ exists for."""
+    from commodity_price_forecasting_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, query_id=0, k=10, n_centroids=16, m_sub=8)
+
+
+# --- feature-hashing text embedding (r4) ---------------------------------
+
+_HASH_EMB_DIM = 16
+
+_HASH_EMB_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS token FROM documents
+), t2 AS (
+  SELECT doc_id, token FROM tok WHERE token <> ''
+), h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % {_HASH_EMB_DIM}
+           AS bucket,
+         CASE WHEN strpos('0123456789abcdef', substr(md5(token), 9, 1)) % 2 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM t2
+), w AS (
+  SELECT doc_id, bucket, SUM(s) AS w FROM h GROUP BY 1, 2
+), n AS (
+  SELECT doc_id, SUM(w * w) AS ssq FROM w GROUP BY 1
+)
+SELECT w.doc_id, CAST(w.bucket AS BIGINT) AS bucket,
+       CAST(w.w AS BIGINT) AS w,
+       ROUND(w.w / SQRT(n.ssq), 6) AS weight
+FROM w JOIN n ON w.doc_id = n.doc_id
+WHERE n.ssq > 0
+"""
+
+
+@register("text_hash_embedding", oracle=_HASH_EMB_ORACLE, tags=("datapipe", "text", "similarity", "bench"))
+def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing document embedding (Weinberger et al. 2009,
+    "Feature Hashing for Large Scale Multitask Learning" — public):
+    each token hashes to one of {_HASH_EMB_DIM} buckets (md5 head) with
+    an md5-nibble ±1 sign, per-doc bucket sums are L2-normalized —
+    the cheap, vocabulary-free text→vector bridge a curation pipeline
+    uses before cosine near-dup or clustering when no model embeddings
+    exist. All exact integer arithmetic until the one normalization
+    divide at the output edge (signed counts and their squares are
+    integers, so both engines agree bit-for-bit pre-round). Spark
+    shape: tokens explode inside the scan partition, ONE groupBy on
+    (doc_id, bucket), and the per-doc norm is a window over the same
+    doc_id key — co-partitioned, no extra shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("bigint")
+        % _HASH_EMB_DIM
+    )
+    sign = F.when(
+        F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(F.col("token")), 9, 1))
+        % 2
+        == 1,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    w = (
+        tok.select("doc_id", bucket.alias("bucket"), sign.alias("s"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("s").alias("w"))
+    )
+    ssq = F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("doc_id"))
+    return (
+        w.withColumn("_ssq", ssq)
+        .filter(F.col("_ssq") > 0)
+        .select(
+            "doc_id",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("w").cast("long").alias("w"),
+            F.round(F.col("w") / F.sqrt(F.col("_ssq")), 6).alias("weight"),
+        )
+    )

@@ -269,3 +269,51 @@ def st_segment_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events"),
         load_table(spark, sf_dir, "customer"),
     )
+
+
+_DRAWDOWN_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         COALESCE(value, 0.0) AS v,
+         SUM(COALESCE(value, 0.0)) OVER w AS cum
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), stepped AS (
+  SELECT user_id, v, cum,
+         GREATEST(0.0, MAX(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS peak
+  FROM ordered
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(v), 6) AS final_cum,
+       ROUND(MAX(peak), 6) AS peak_cum,
+       ROUND(MAX(peak - cum), 6) AS max_drawdown
+FROM stepped GROUP BY user_id
+"""
+
+
+@register("st_running_drawdown", oracle=_DRAWDOWN_ORACLE, tags=("streaming", "window"))
+def st_running_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cumulative-value max drawdown — the batch face of the
+    third custom stateful operator
+    (streaming/events_stream.running_drawdown), whose streaming form
+    uses Spark 4's ``transformWithStateInPandas`` with a
+    4-scalar ValueState per user. The batch plan is two ordered
+    windows + one aggregate over the same (ts, event_id) order;
+    tests/test_streaming.py asserts the streamed final state equals
+    this. Doubles round once at the output edge."""
+    from commodity_price_forecasting_spark.streaming.events_stream import (
+        running_drawdown,
+    )
+    from pyspark.sql import functions as F
+
+    dd = running_drawdown(load_table(spark, sf_dir, "events"))
+    return dd.select(
+        "user_id",
+        "n_events",
+        F.round("final_cum", 6).alias("final_cum"),
+        F.round("peak_cum", 6).alias("peak_cum"),
+        F.round("max_drawdown", 6).alias("max_drawdown"),
+    )

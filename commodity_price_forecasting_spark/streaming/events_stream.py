@@ -409,3 +409,178 @@ def funnel_stage(df: DataFrame) -> DataFrame:
         .cast("int")
         .alias("stage_reached")
     )
+
+
+# --- custom stateful operator #3: transformWithState (Spark 4 API) ------
+
+DRAWDOWN_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("final_cum", T.DoubleType(), False),
+        T.StructField("peak_cum", T.DoubleType(), False),
+        T.StructField("max_drawdown", T.DoubleType(), False),
+    ]
+)
+
+
+def _make_drawdown_processor():
+    """Build the StatefulProcessor lazily so importing this module
+    never requires the Spark 4 transformWithState classes."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class DrawdownProcessor(StatefulProcessor):
+        """Per-user running max-drawdown over the cumulative value
+        stream (online P&L risk tracking). State = 4 scalars/user in a
+        ValueState — the Spark 4 ``transformWithState`` successor to
+        ``applyInPandasWithState`` (typed state handles, timer support;
+        here only a ValueState is needed)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "dd", "cum double, peak double, maxdd double, n bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            cum, peak, maxdd, n = (
+                self._state.get() if self._state.exists() else (0.0, 0.0, 0.0, 0)
+            )
+            cum, peak, maxdd, n = _dd_step(cum, peak, maxdd, n, rows)
+            self._state.update((cum, peak, maxdd, n))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "final_cum": [cum],
+                    "peak_cum": [peak],
+                    "max_drawdown": [maxdd],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return DrawdownProcessor()
+
+
+_DD_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cum", T.DoubleType(), False),
+        T.StructField("peak", T.DoubleType(), False),
+        T.StructField("maxdd", T.DoubleType(), False),
+        T.StructField("n", T.LongType(), False),
+    ]
+)
+
+
+def _dd_step(cum, peak, maxdd, n, pdf_iter):
+    """Shared micro-batch state transition for both streaming
+    backends: fold the chunk(s) in (ts, event_id) order."""
+    import numpy as np
+
+    chunks = [pdf for pdf in pdf_iter]
+    pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
+    vals = pdf["value"].fillna(0.0).to_numpy(dtype=float)
+    if len(vals):
+        c = cum + np.cumsum(vals)
+        peaks = np.maximum.accumulate(np.maximum(c, peak))
+        maxdd = max(maxdd, float((peaks - c).max()))
+        cum, peak, n = float(c[-1]), float(peaks[-1]), n + len(vals)
+    return cum, peak, maxdd, n
+
+
+def _update_drawdown(
+    key: tuple, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    cum, peak, maxdd, n = state.get if state.exists else (0.0, 0.0, 0.0, 0)
+    cum, peak, maxdd, n = _dd_step(cum, peak, maxdd, n, pdf_iter)
+    state.update((cum, peak, maxdd, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "final_cum": [cum],
+            "peak_cum": [peak],
+            "max_drawdown": [maxdd],
+        }
+    )
+
+
+def _has_transform_with_state() -> bool:
+    """Spark 4's transformWithState python worker needs protobuf; gate
+    on it so the operator degrades to applyInPandasWithState in
+    containers without the dependency (import-try per environment
+    policy — semantics are identical, only the state API differs)."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+def running_drawdown(df: DataFrame) -> DataFrame:
+    """Per-user cumulative-value max drawdown, batch/stream agnostic.
+
+    Streaming: ``transformWithStateInPandas`` (Spark 4 stateful API)
+    with a 4-scalar ValueState per user when the runtime has protobuf
+    (the TWS python worker requires it), else the same state
+    transition through ``applyInPandasWithState``; within each
+    micro-batch rows are processed in (ts, event_id) order, across
+    batches in arrival order — the semantics of an ordered ingest.
+    Batch: the identical quantity as two ordered windows over the
+    SAME (ts, event_id) order plus one aggregate (oracle-checkable
+    SQL; peak floors at 0 because the cumulative series starts from
+    an empty position)."""
+    if df.isStreaming:
+        if _has_transform_with_state():
+            return df.groupBy("user_id").transformWithStateInPandas(
+                statefulProcessor=_make_drawdown_processor(),
+                outputStructType=DRAWDOWN_SCHEMA,
+                outputMode="update",
+                timeMode="none",
+            )
+        return df.groupBy("user_id").applyInPandasWithState(
+            _update_drawdown,
+            outputStructType=DRAWDOWN_SCHEMA,
+            stateStructType=_DD_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = df.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("v"),
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "v",
+        F.sum("v").over(w).alias("cum"),
+    )
+    stepped = cum.select(
+        "user_id",
+        "v",
+        "cum",
+        F.greatest(F.lit(0.0), F.max("cum").over(w)).alias("peak"),
+    )
+    # final_cum = the cumulative sum at the last ordered row = the plain
+    # group sum (order-independent — never F.last, which is
+    # nondeterministic after a shuffle)
+    return stepped.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("v").alias("final_cum"),
+        F.max(F.col("peak")).alias("peak_cum"),
+        F.max(F.col("peak") - F.col("cum")).alias("max_drawdown"),
+    )

@@ -476,3 +476,29 @@ def test_watermark_drops_late_data_in_append_mode(spark, tmp_path_factory):
     assert not (set(got) & late_days), got
     # and nothing double-emitted: totals never exceed the on-time rows
     assert sum(got.values()) <= len(on_time)
+
+
+def test_tws_running_drawdown_matches_batch(spark, events_batch):
+    """Spark 4 transformWithStateInPandas: the streamed per-user
+    drawdown state must converge to the batch two-window form."""
+    from commodity_price_forecasting_spark.streaming.events_stream import (
+        running_drawdown,
+    )
+
+    run_stream_to_memory(
+        running_drawdown(read_events_stream(spark, SF_DIR)),
+        "mem_tws_dd",
+        output_mode="update",
+    )
+    import pandas as pd
+
+    got = spark.table("mem_tws_dd").toPandas()
+    final = got.sort_values("n_events").groupby("user_id").last().reset_index()
+    want = running_drawdown(events_batch).toPandas()
+    merged = final.merge(want, on="user_id", suffixes=("_got", "_want"))
+    assert len(merged) == len(want) > 0
+    pd.testing.assert_series_equal(
+        merged["n_events_got"], merged["n_events_want"], check_names=False
+    )
+    for c in ("final_cum", "peak_cum", "max_drawdown"):
+        assert (merged[f"{c}_got"] - merged[f"{c}_want"]).abs().max() < 1e-9
