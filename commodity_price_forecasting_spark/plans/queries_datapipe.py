@@ -1499,3 +1499,108 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("w") / F.sqrt(F.col("_ssq")), 6).alias("weight"),
         )
     )
+
+
+# --- triangle counting over the near-dup candidate graph (r4) -----------
+
+_TRIANGLE_ORACLE = (
+    _LSH_BUCKET_CTE
+    + """
+, edges AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+), deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT va AS v FROM edges UNION ALL SELECT vb AS v FROM edges
+  ) GROUP BY v
+), oriented AS (
+  SELECT CASE WHEN da.d * 1000000000 + va < db.d * 1000000000 + vb
+              THEN va ELSE vb END AS src,
+         CASE WHEN da.d * 1000000000 + va < db.d * 1000000000 + vb
+              THEN vb ELSE va END AS dst,
+         CASE WHEN da.d * 1000000000 + va < db.d * 1000000000 + vb
+              THEN db.d * 1000000000 + vb ELSE da.d * 1000000000 + va END AS rd
+  FROM edges JOIN deg da ON da.v = va JOIN deg db ON db.v = vb
+), wedges AS (
+  SELECT e1.dst AS v, e2.dst AS w
+  FROM oriented e1 JOIN oriented e2
+    ON e1.src = e2.src AND e1.rd < e2.rd
+), tri AS (
+  SELECT COUNT(*) AS n_triangles
+  FROM wedges wd JOIN oriented e3 ON e3.src = wd.v AND e3.dst = wd.w
+)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM wedges) AS BIGINT) AS n_wedges,
+       CAST(n_triangles AS BIGINT) AS n_triangles
+FROM tri
+"""
+)
+
+
+@register("graph_triangle_count", oracle=_TRIANGLE_ORACLE, tags=("datapipe", "graph"))
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the embedding near-dup candidate graph
+    (same-LSH-bucket pairs) using the degree-orientation algorithm
+    (Suri & Vassilvitskii 2011, "Counting triangles and the curse of
+    the last reducer" — public): every edge points from its
+    lower-(degree, id) endpoint to the higher one, so each node's
+    out-degree is O(√m) and the wedge self-join's worst key fans out
+    by √m instead of the max degree — the skew fix that makes
+    triangle counting survive power-law graphs at 100 TB. Two
+    hash joins (wedge build + closing-edge probe), all integer
+    arithmetic, exact SQL oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = lsh_buckets(emb, n_planes=8)
+    x, y = b.alias("x"), b.alias("y")
+    edges = (
+        x.join(y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.vec_id") < F.col("y.vec_id")))
+        .select(F.col("x.vec_id").alias("va"), F.col("y.vec_id").alias("vb"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("va").alias("v"))
+        .unionAll(edges.select(F.col("vb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    BIG = 1_000_000_000
+    er = (
+        edges.join(deg.withColumnRenamed("v", "va").withColumnRenamed("d", "da"), "va")
+        .join(deg.withColumnRenamed("v", "vb").withColumnRenamed("d", "db"), "vb")
+        .select(
+            "va",
+            "vb",
+            (F.col("da") * BIG + F.col("va")).alias("ra"),
+            (F.col("db") * BIG + F.col("vb")).alias("rb"),
+        )
+    )
+    lower = F.col("ra") < F.col("rb")
+    oriented = er.select(
+        F.when(lower, F.col("va")).otherwise(F.col("vb")).alias("src"),
+        F.when(lower, F.col("vb")).otherwise(F.col("va")).alias("dst"),
+        F.when(lower, F.col("rb")).otherwise(F.col("ra")).alias("rd"),
+    ).cache()
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.rd") < F.col("e2.rd")),
+    ).select(F.col("e1.dst").alias("wv"), F.col("e2.dst").alias("ww"))
+    tri = wedges.join(
+        oriented,
+        (F.col("src") == F.col("wv")) & (F.col("dst") == F.col("ww")),
+    )
+    # four 1-row aggregates stitch via broadcast nested-loop joins —
+    # each side is exactly one row (allowlisted in the plan sweep)
+    return (
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+        .crossJoin(edges.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_wedges").cast("long").alias("n_wedges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+        )
+    )

@@ -79,6 +79,8 @@ SINGLE_ROW_BROADCAST_OK = {
     "text_bigram_perplexity",
     # scalar (total_value, n_parts) aggregate broadcast against part values
     "q11_important_parts",
+    # four 1-row summary aggregates stitched into the output row
+    "graph_triangle_count",
 }
 
 
