@@ -371,3 +371,126 @@ def dedup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("coverage_flag"),
         )
     )
+
+
+# --- character-entropy quality gate -------------------------------------
+
+_ENTROPY_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, UNNEST(string_split_regex(replace(text, ' ', ''), '')) AS ch
+  FROM documents
+), c2 AS (
+  SELECT doc_id, ch, COUNT(*) AS c FROM chars WHERE ch <> '' GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, SUM(c) AS n FROM c2 GROUP BY 1
+)
+SELECT c2.doc_id,
+       CAST(tot.n AS BIGINT) AS n_chars_used,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+       ROUND(-SUM((c * 1.0 / tot.n) * LN(c * 1.0 / tot.n)) / LN(2), 6)
+         AS char_entropy_bits,
+       CASE WHEN -SUM((c * 1.0 / tot.n) * LN(c * 1.0 / tot.n)) / LN(2) < 2.0
+            THEN 'drop' ELSE 'keep' END AS entropy_flag
+FROM c2 JOIN tot ON c2.doc_id = tot.doc_id
+GROUP BY c2.doc_id, tot.n
+"""
+
+
+@register("quality_char_entropy", oracle=_ENTROPY_ORACLE, tags=("datapipe", "text"))
+def quality_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy (bits) — the cheap
+    garbage/mojibake/boilerplate detector every curation pipeline runs
+    (degenerate repetitive text has low entropy; binary spew has
+    anomalously high): H = -Σ p_c log2 p_c over non-space characters,
+    with a keep/drop gate at 2 bits. Spark shape: characters explode
+    inside the scan partition, one (doc_id, char) count groupBy, one
+    per-doc rollup — both shuffles keyed on doc_id prefixes,
+    map-side combinable. The entropy sum's addition order differs
+    between engines only at 1e-16; rounded once at the edge."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.regexp_replace(F.col("text"), " ", ""), "")
+        ).alias("ch"),
+    ).filter(F.col("ch") != "")
+    c2 = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window as W
+
+    n = F.sum("c").over(W.partitionBy("doc_id"))
+    p = F.col("c") / F.col("n")
+    ent = -F.sum(p * F.log(p)) / F.lit(float(__import__("math").log(2)))
+    return (
+        c2.withColumn("n", n)
+        .groupBy("doc_id", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+            F.round(ent, 6).alias("char_entropy_bits"),
+            F.when(ent < 2.0, F.lit("drop")).otherwise(F.lit("keep")).alias(
+                "entropy_flag"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_chars_used"),
+            "n_distinct_chars",
+            "char_entropy_bits",
+            "entropy_flag",
+        )
+    )
+
+
+# --- deterministic weighted sampling (A-Res) ----------------------------
+
+_WSAMPLE_K = 50
+
+_WSAMPLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+            + 1.0) / 4294967297.0 AS u,
+         POWER(
+           (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              + 1.0) / 4294967297.0,
+           1.0 / n_chars) AS akey
+  FROM documents WHERE n_chars > 0
+), ranked AS (
+  SELECT doc_id, lang, n_chars, akey,
+         ROW_NUMBER() OVER (ORDER BY akey DESC, doc_id) AS rk
+  FROM keyed
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
+FROM ranked WHERE rk <= {_WSAMPLE_K}
+GROUP BY lang
+"""
+
+
+@register("curation_weighted_sample", oracle=_WSAMPLE_ORACLE, tags=("datapipe", "sampling"))
+def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, A-Res scheme (Efraimidis
+    & Spirakis 2006 — public): each document draws key u^(1/w) with
+    w = its char mass and a DETERMINISTIC md5-of-id uniform u ∈ (0,1)
+    (no RNG state — reproducible across engines and reruns, the same
+    trick as the stratified sampler); the global top-{_WSAMPLE_K} keys
+    are the sample, summarized per language. At 100 TB the top-K is a
+    per-partition heap + driver merge (TakeOrderedAndProject), never
+    a global sort — the one-pass distributed weighted sampler."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / 4294967297.0
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.pow(u, 1.0 / F.col("n_chars")).alias("akey"),
+    )
+    top = keyed.orderBy(F.desc("akey"), F.asc("doc_id")).limit(_WSAMPLE_K)
+    return top.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum("n_chars").cast("long").alias("sampled_chars"),
+    )
