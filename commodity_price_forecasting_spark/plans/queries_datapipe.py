@@ -1604,3 +1604,100 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_triangles").cast("long").alias("n_triangles"),
         )
     )
+
+
+# --- PageRank over the near-dup candidate graph (r4) --------------------
+
+_PAGERANK_ITERS = 3
+
+_PAGERANK_ORACLE = (
+    _LSH_BUCKET_CTE
+    + f"""
+, edges AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+), dir AS (
+  SELECT va AS src, vb AS dst FROM edges
+  UNION ALL SELECT vb AS src, va AS dst FROM edges
+), deg AS (
+  SELECT src, COUNT(*) AS d FROM dir GROUP BY src
+), nodes AS (
+  SELECT DISTINCT src AS v FROM dir
+), nn AS (
+  SELECT COUNT(*) AS n FROM nodes
+), pr AS (
+  WITH RECURSIVE walk(iter, v, rank) AS (
+    SELECT 0, v, 1.0 / (SELECT n FROM nn) FROM nodes
+    UNION ALL
+    SELECT w.iter + 1, nodes.v,
+           0.15 / (SELECT n FROM nn)
+           + 0.85 * COALESCE(SUM(w.rank / deg.d), 0)
+    FROM nodes
+    LEFT JOIN dir ON dir.dst = nodes.v
+    LEFT JOIN walk w ON w.v = dir.src
+    LEFT JOIN deg ON deg.src = dir.src
+    WHERE w.iter < {_PAGERANK_ITERS}
+    GROUP BY w.iter, nodes.v
+  )
+  SELECT v, rank FROM walk WHERE iter = {_PAGERANK_ITERS}
+)
+SELECT pr.v AS vec_id,
+       CAST(deg.d AS BIGINT) AS out_degree,
+       ROUND(pr.rank, 6) AS pagerank
+FROM pr JOIN deg ON deg.src = pr.v
+"""
+)
+
+
+@register("graph_pagerank", oracle=_PAGERANK_ORACLE, tags=("datapipe", "graph"))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank ({_PAGERANK_ITERS} power iterations, damping 0.85)
+    over the undirected embedding near-dup candidate graph — the
+    canonical iterative-graph workload (Page et al. 1999 — public)
+    next to connected components and triangle counting. Spark side:
+    a driver loop over LAZY DataFrame transformations (each iteration
+    = one contributions join + one groupBy-sum, both keyed on the
+    node id, so successive iterations reuse the same hash
+    partitioning); at convergence-loop scale each iteration would
+    checkpoint like the CC loop does. Oracle: the identical power
+    iteration as a DuckDB recursive CTE. All-node output (no top-k)
+    keeps the hash comparison free of float-ordering ties."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = lsh_buckets(emb, n_planes=8)
+    x, y = b.alias("x"), b.alias("y")
+    edges = (
+        x.join(y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.vec_id") < F.col("y.vec_id")))
+        .select(F.col("x.vec_id").alias("va"), F.col("y.vec_id").alias("vb"))
+        .distinct()
+    )
+    dir_edges = edges.select(
+        F.col("va").alias("src"), F.col("vb").alias("dst")
+    ).unionAll(edges.select(F.col("vb").alias("src"), F.col("va").alias("dst")))
+    deg = dir_edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = dir_edges.select(F.col("src").alias("v")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # node frame carries N via a 1-row broadcast (allowlisted); ranks
+    # stay (v, rank, n) throughout the loop
+    base = nodes.crossJoin(F.broadcast(nn)).cache()
+    ranks = base.select("v", (F.lit(1.0) / F.col("n")).alias("rank"), "n")
+    contrib_edges = dir_edges.join(deg, "src")
+    for _ in range(_PAGERANK_ITERS):
+        contrib = ranks.join(
+            contrib_edges, ranks.v == contrib_edges.src
+        ).select(
+            F.col("dst").alias("v"), (F.col("rank") / F.col("d")).alias("w")
+        )
+        summed = contrib.groupBy("v").agg(F.sum("w").alias("s"))
+        ranks = base.join(summed, "v", "left").select(
+            "v",
+            (
+                F.lit(0.15) / F.col("n")
+                + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+            "n",
+        )
+    return ranks.join(deg, ranks.v == deg.src).select(
+        F.col("v").alias("vec_id"),
+        F.col("d").cast("long").alias("out_degree"),
+        F.round("rank", 6).alias("pagerank"),
+    )

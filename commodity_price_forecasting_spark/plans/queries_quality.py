@@ -494,3 +494,81 @@ def curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_sampled"),
         F.sum("n_chars").cast("long").alias("sampled_chars"),
     )
+
+
+# --- per-source unigram KL divergence (corpus-mix drift) ----------------
+
+_KL_ORACLE = (
+    _TOK
+    + """
+, tf AS (
+  SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2
+), src_tot AS (
+  SELECT source, SUM(c) AS n FROM tf GROUP BY 1
+), gtok AS (
+  SELECT token, SUM(c) AS g FROM tf GROUP BY 1
+), glob_tot AS (
+  SELECT SUM(c) AS gn FROM tf
+)
+SELECT tf.source,
+       CAST(src_tot.n AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       ROUND(SUM((tf.c * 1.0 / src_tot.n)
+                 * LN((tf.c * 1.0 / src_tot.n) / (gtok.g * 1.0 / glob_tot.gn)))
+             / LN(2), 6) AS kl_bits
+FROM tf
+JOIN src_tot ON tf.source = src_tot.source
+JOIN gtok ON tf.token = gtok.token
+CROSS JOIN glob_tot
+GROUP BY tf.source, src_tot.n
+"""
+)
+
+
+@register("quality_source_kl", oracle=_KL_ORACLE, tags=("datapipe", "text"))
+def quality_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram KL divergence against the corpus-wide token
+    distribution, D(p_src || p_corpus) in bits — the mixture-drift
+    diagnostic a curation pipeline tracks per crawl/domain (a source
+    whose distribution diverges is over-represented boilerplate or
+    off-domain). Every source token also occurs in the global
+    distribution by construction, so the KL sum is always finite.
+    Spark shape: one (source, token) count shuffle, then the
+    per-source, per-token-global and corpus totals all come from
+    windows OVER THE SAME counted frame (no second scan, no join);
+    the final rollup is keyed on source. At 100 TB the token-global
+    window is the big one and is keyed on the token hash — the same
+    partitioning the count already produced."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim(F.col("text")), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql import Window as W
+
+    n = F.sum("c").over(W.partitionBy("source"))
+    g = F.sum("c").over(W.partitionBy("token"))
+    # corpus total: a 1-row broadcast aggregate, NEVER an empty
+    # partitionBy() window (that would move the whole frame to one
+    # partition at scale)
+    tot = tf.agg(F.sum("c").alias("gn"))
+    enriched = tf.select(
+        "source",
+        "c",
+        n.alias("n"),
+        g.alias("g"),
+    ).crossJoin(F.broadcast(tot))
+    p = F.col("c") / F.col("n")
+    q = F.col("g") / F.col("gn")
+    kl = F.sum(p * F.log(p / q)) / F.lit(float(__import__("math").log(2)))
+    return enriched.groupBy("source", "n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(kl, 6).alias("kl_bits"),
+    ).select(
+        "source",
+        F.col("n").cast("long").alias("n_tokens"),
+        "n_types",
+        "kl_bits",
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 import pytest
 
 from commodity_price_forecasting_spark.plans.registry import load_all
+from commodity_price_forecasting_spark.sources.readers import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -81,6 +82,10 @@ SINGLE_ROW_BROADCAST_OK = {
     "q11_important_parts",
     # four 1-row summary aggregates stitched into the output row
     "graph_triangle_count",
+    # corpus-total 1-row aggregate broadcast into the KL scoring
+    "quality_source_kl",
+    # node-count 1-row aggregate broadcast into the teleport term
+    "graph_pagerank",
 }
 
 
@@ -148,3 +153,46 @@ def test_tree_shap_inner_plan_is_mapinpandas(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan  # SHAP is a narrow map over the scan
+
+
+def test_runtime_bloom_filter_prunes_selective_shuffle_join(spark):
+    """Engine-tuning evidence for the 100 TB story: when a selective
+    dimension filter feeds a shuffle join, Spark's runtime row-level
+    bloom filter (spark.sql.optimizer.runtime.bloomFilter.*) is
+    injected on the fact side, so fact rows that cannot match are
+    dropped at the SCAN before the shuffle — the biggest single
+    shuffle-volume lever on selective star joins. This asserts the
+    rewrite actually fires on our fixture shapes (thresholds lowered
+    to fixture scale; a real cluster uses the defaults)."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF_DIR, "lineitem")
+        o = load_table(spark, SF_DIR, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+            F.sum("l_extendedprice").alias("rev")
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan.lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
