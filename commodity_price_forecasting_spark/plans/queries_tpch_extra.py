@@ -919,3 +919,63 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("part_value").cast("double"), 2).alias("part_value"),
         )
     )
+
+
+# --- market-basket pair co-occurrence (r4) ------------------------------
+
+_BASKET_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), sized AS (
+  SELECT l_orderkey FROM items GROUP BY l_orderkey
+  HAVING COUNT(*) BETWEEN 2 AND 20
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  JOIN sized s ON s.l_orderkey = a.l_orderkey
+)
+SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM pairs GROUP BY part_a, part_b
+HAVING COUNT(*) >= 2
+"""
+
+
+@register("basket_item_pairs", oracle=_BASKET_ORACLE, tags=("relational", "agg"))
+def basket_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair co-occurrence: how often two parts appear in
+    the same order (support >= 2) — the counting core of association
+    mining and of co-occurrence matrices for embedding training. The
+    quadratic per-basket pair blowup is bounded BEFORE the self-join
+    by capping basket size (2..20 distinct items): at 100 TB a single
+    pathological mega-basket would otherwise dominate one task, so
+    the cap (or per-basket sampling above it) is load-bearing, not
+    cosmetic. Joins are all equi-joins on the order key the items
+    table is already aggregated by."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter((F.col("n_items") >= 2) & (F.col("n_items") <= 20))
+        .select("l_orderkey")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(sized, "l_orderkey")
+        .join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+        .select("part_a", "part_b", F.col("n_orders").cast("long").alias("n_orders"))
+    )

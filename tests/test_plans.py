@@ -196,3 +196,53 @@ def test_runtime_bloom_filter_prunes_selective_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The other half of the skew story (next to the manual salting in
+    skew_salted_join): AQE's runtime skew-join split. A 95%-hot key
+    would pin one reducer at ~20x the median; with skewJoin enabled
+    the hot partition is split at MAP-OUTPUT granularity and the
+    other side's matching partition duplicated, which the plan shows
+    as SortMergeJoin(skew=true) over an 'AQEShuffleRead ... skewed'.
+    Thresholds are lowered to fixture scale, and the input is
+    repartitioned to 32 maps first — the split can only cut between
+    map outputs, so a 3-map stage has nothing to cut (the same reason
+    a real cluster, with thousands of maps, splits fine at the
+    256 MB default)."""
+    from pyspark.sql import functions as F
+
+    keys = (
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, "/root/testdata/sf0.1", "lineitem").repartition(32)
+        hot = F.when(F.col("l_orderkey") % 20 != 0, 7).otherwise(F.col("l_orderkey"))
+        skewed = li.select(hot.alias("k"), "l_extendedprice")
+        dim = li.select(F.col("l_orderkey").alias("k"), "l_quantity").distinct()
+        j = skewed.join(dim, "k").agg(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("x")
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
