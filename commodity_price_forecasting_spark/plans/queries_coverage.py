@@ -1685,3 +1685,123 @@ def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("yk").cast("long").alias("max_day"),
         )
     )
+
+
+# --- M7 extensions: pinball loss + Diebold-Mariano (r4) -----------------
+
+_PINBALL_ORACLE = (
+    _DAILY_CTE
+    + """
+, scored AS (
+  SELECT px AS label,
+         LAG(px) OVER (PARTITION BY instrument ORDER BY day) AS pred
+  FROM daily
+), taus AS (
+  SELECT UNNEST([0.1, 0.5, 0.9]) AS tau
+)
+SELECT t.tau,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(CASE WHEN s.label >= s.pred
+                      THEN t.tau * (s.label - s.pred)
+                      ELSE (t.tau - 1) * (s.label - s.pred) END), 6)
+         AS pinball_loss
+FROM scored s JOIN taus t ON TRUE
+WHERE s.pred IS NOT NULL
+GROUP BY t.tau
+"""
+)
+
+
+@register("m7_pinball_loss", oracle=_PINBALL_ORACLE, tags=("ml", "metrics"))
+def m7_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of the naive lag-1 forecast at
+    τ ∈ {0.1, 0.5, 0.9} — the metric that scores probabilistic /
+    quantile forecasts (τ=0.5 is half the MAE by construction, an
+    internal consistency check). The τ grid rides along as an
+    in-row exploded literal array, so the whole thing stays one
+    map-side-combinable aggregate pass keyed on τ."""
+    daily = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("instrument").orderBy("day")
+    scored = (
+        daily.select(F.col("px").alias("label"), F.lag("px").over(w).alias("pred"))
+        .where(F.col("pred").isNotNull())
+        .select(
+            "label",
+            "pred",
+            F.explode(F.array(F.lit(0.1), F.lit(0.5), F.lit(0.9))).alias("tau"),
+        )
+    )
+    err = F.col("label") - F.col("pred")
+    loss = F.when(err >= 0, F.col("tau") * err).otherwise((F.col("tau") - 1) * err)
+    return scored.groupBy("tau").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg(loss), 6).alias("pinball_loss"),
+    )
+
+
+_DM_ORACLE = (
+    _DAILY_CTE
+    + """
+, scored AS (
+  SELECT instrument, px AS label,
+         LAG(px) OVER w AS naive,
+         AVG(px) OVER (PARTITION BY instrument ORDER BY day
+                       ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS roll3
+  FROM daily WINDOW w AS (PARTITION BY instrument ORDER BY day)
+), diffs AS (
+  SELECT instrument,
+         (label - naive) * (label - naive)
+           - (label - roll3) * (label - roll3) AS d
+  FROM scored WHERE naive IS NOT NULL AND roll3 IS NOT NULL
+)
+SELECT instrument,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(d), 6) AS mean_loss_diff,
+       ROUND(AVG(d) / SQRT((AVG(d * d) - AVG(d) * AVG(d)) / COUNT(*)), 6)
+         AS dm_stat,
+       CASE WHEN ABS(AVG(d) / SQRT((AVG(d * d) - AVG(d) * AVG(d)) / COUNT(*)))
+                 > 1.96
+            THEN 1 ELSE 0 END AS significant
+FROM diffs
+GROUP BY instrument
+HAVING (AVG(d * d) - AVG(d) * AVG(d)) > 0
+"""
+)
+
+
+@register("m7_diebold_mariano", oracle=_DM_ORACLE, tags=("ml", "metrics"))
+def m7_diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diebold-Mariano forecast-comparison test (Diebold & Mariano
+    1995 — public) per instrument: is the naive lag-1 forecast's
+    squared-error loss significantly different from a 3-day
+    rolling-mean forecast's? DM = mean(d) / sqrt(var_pop(d)/n) with
+    d = e₁² − e₂² (h=1, lag-0 variance), |DM| > 1.96 flagged. The
+    whole test is two ordered windows plus one per-instrument
+    aggregate — model comparison as a single scan, no Python, no
+    iteration; the statistic's variance guard drops degenerate
+    constant-d groups identically in both engines."""
+    daily = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("instrument").orderBy("day")
+    w3 = w.rowsBetween(-3, -1)
+    scored = daily.select(
+        "instrument",
+        F.col("px").alias("label"),
+        F.lag("px").over(w).alias("naive"),
+        F.avg("px").over(w3).alias("roll3"),
+    ).where(F.col("naive").isNotNull() & F.col("roll3").isNotNull())
+    e1 = F.col("label") - F.col("naive")
+    e2 = F.col("label") - F.col("roll3")
+    d = e1 * e1 - e2 * e2
+    agg = scored.select("instrument", d.alias("d")).groupBy("instrument").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("d").alias("md"),
+        (F.avg(F.col("d") * F.col("d")) - F.avg("d") * F.avg("d")).alias("vd"),
+    )
+    dm = F.col("md") / F.sqrt(F.col("vd") / F.col("n"))
+    return agg.filter(F.col("vd") > 0).select(
+        "instrument",
+        "n",
+        F.round("md", 6).alias("mean_loss_diff"),
+        F.round(dm, 6).alias("dm_stat"),
+        F.when(F.abs(dm) > 1.96, F.lit(1)).otherwise(F.lit(0)).alias("significant"),
+    )
