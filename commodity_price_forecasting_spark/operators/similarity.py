@@ -400,3 +400,206 @@ def pq_adc_topk(
         .limit(k)
         .select("vec_id", F.round(F.col("_s"), 6).alias("adc_dist"))
     )
+
+
+# --- semantic dedup (SemDeDup, Abbas et al. 2023, public) ----------------
+
+
+def semantic_dedup_drops(
+    vectors: DataFrame,
+    k: int = 16,
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): cluster the corpus, compare pairs
+    only WITHIN a cluster, and drop every vector that is
+    cosine-≥threshold to a kept partner — keeping, per the paper's
+    policy, the candidate LEAST similar to its cluster centroid (the
+    most "marginal" exemplar carries the most information). Returns
+    the DROP list: ``(vec_id, cell, cent_cos, n_dominators,
+    first_keeper)`` where a dominator is any same-cell partner with
+    pair-cosine ≥ threshold that precedes the row under
+    ``(cent_cos ASC, id ASC)``.
+
+    Determinism: the k cluster centers are the seed vectors with the
+    smallest ``md5(id)`` (the ``ivf_seed_assign`` 0-iteration kmeans
+    init — engine-reproducible), every cosine is rounded to 6 dp
+    before any comparison, and the keep/drop order is a total order,
+    so the drop set has an exact ANSI-SQL oracle.
+
+    Scale shape: seed selection is a k-row TakeOrdered; assignment is
+    a map-side pure-column expression over literal seed vectors (no
+    shuffle); the pair stage shuffles once on ``cell`` and meets only
+    within cells (Σ|cell|² pairs — k is chosen ~√n in practice so
+    cells stay bounded, exactly the SemDeDup recipe); the final
+    dominator aggregate is map-side combinable on the dropped id."""
+    seeds_rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    seeds = [(int(r[0]), [float(x) for x in r[1]]) for r in seeds_rows]
+
+    def seed_cos(vec: list[float]) -> Column:
+        q = F.array(*[F.lit(float(x)) for x in vec])
+        return F.round(
+            _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q)), 6
+        )
+
+    scored = F.array(
+        *[
+            F.struct(seed_cos(vec).alias("c"), F.lit(-sid).alias("negid"))
+            for sid, vec in seeds
+        ]
+    )
+    best = F.array_max(scored)
+    assigned = vectors.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_emb"),
+        (-best["negid"]).alias("cell"),
+        best["c"].alias("_cent"),
+    )
+    a = assigned.select(
+        F.col("_vid").alias("_ida"),
+        F.col("_emb").alias("_ea"),
+        "cell",
+        F.col("_cent").alias("_ca"),
+    )
+    b = assigned.select(
+        F.col("_vid").alias("_idb"),
+        F.col("_emb").alias("_eb"),
+        F.col("cell").alias("_cellb"),
+        F.col("_cent").alias("_cb"),
+    )
+    keeper_precedes = (F.col("_ca") < F.col("_cb")) | (
+        (F.col("_ca") == F.col("_cb")) & (F.col("_ida") < F.col("_idb"))
+    )
+    pair_cos = F.round(
+        _dot(F.col("_ea"), F.col("_eb"))
+        / (_norm(F.col("_ea")) * _norm(F.col("_eb"))),
+        6,
+    )
+    dominated = a.join(
+        b, (F.col("cell") == F.col("_cellb")) & keeper_precedes
+    ).filter(pair_cos >= threshold)
+    return (
+        dominated.groupBy("_idb", "_cellb", "_cb")
+        .agg(
+            F.count(F.lit(1)).alias("n_dominators"),
+            F.min("_ida").alias("first_keeper"),
+        )
+        .select(
+            F.col("_idb").alias(id_col),
+            F.col("_cellb").alias("cell"),
+            F.col("_cb").alias("cent_cos"),
+            "n_dominators",
+            "first_keeper",
+        )
+    )
+
+
+# --- distributed covariance / PCA (two physical strategies) --------------
+
+
+def covariance_upper(
+    vectors: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Upper-triangular sample covariance of a d-dim embedding column
+    as ``(i, j, cov)`` rows, i ≤ j — the input PCA consumes (eigen of
+    a d×d matrix is a driver-side numpy call on d²·8 bytes, NOT a
+    distributed problem; the distributed problem is the Gram sums,
+    solved here in one shuffle).
+
+    Strategy A (this function, pure JVM): posexplode each vector to
+    ``(id, i, x)``, self-equi-join on id (i ≤ j), aggregate the
+    sufficient statistics Σx, Σy, Σxy per (i, j) — cov =
+    (Σxy − ΣxΣy/n)/(n−1), so no second centering pass. The join
+    shuffles n·d rows and the n·d² pair rows exist only inside the
+    aggregate's map side. For the mapInPandas partial-outer-product
+    strategy (n·d² never materialized), see ``covariance_mapred`` —
+    same output, same oracle."""
+    ex = vectors.select(
+        F.col(id_col).alias("_vid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "x"),
+    )
+    pairs = ex.alias("l").join(
+        ex.select(
+            F.col("_vid").alias("_vidr"),
+            F.col("i").alias("j"),
+            F.col("x").alias("y"),
+        ),
+        (F.col("_vid") == F.col("_vidr")) & (F.col("i") <= F.col("j")),
+    )
+    agg = pairs.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("x").alias("_sx"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.col("x") * F.col("y")).alias("_sxy"),
+    )
+    cov = (F.col("_sxy") - F.col("_sx") * F.col("_sy") / F.col("_n")) / (
+        F.col("_n") - 1
+    )
+    # +0.0 collapses IEEE -0.0 (DuckDB ROUND of a tiny negative)
+    return agg.select("i", "j", (F.round(cov, 6) + F.lit(0.0)).alias("cov"))
+
+
+def covariance_mapred(
+    vectors: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Same contract as ``covariance_upper``, different physical plan:
+    each partition computes its LOCAL d×d outer-product sums with one
+    numpy ``M.T @ M`` (Arrow-batched mapInPandas), emits d(d+1)/2
+    sufficient-statistic rows, and a tiny groupBy merges partials —
+    the classic tree-aggregate Gram computation. The shuffle carries
+    ``partitions × d²/2`` rows regardless of n: at 100 TB this is the
+    strategy that wins (Strategy A shuffles n·d exploded rows);
+    at fixture scale both run and the tests assert equal output."""
+    d_schema = "i int, j int, n long, sx double, sy double, sxy double"
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        S = None
+        s = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if S is None:
+                d = M.shape[1]
+                S = np.zeros((d, d))
+                s = np.zeros(d)
+            S += M.T @ M
+            s += M.sum(axis=0)
+            n += M.shape[0]
+        if n:
+            iu = np.triu_indices(S.shape[0])
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype("int32"),
+                    "j": iu[1].astype("int32"),
+                    "n": n,
+                    "sx": s[iu[0]],
+                    "sy": s[iu[1]],
+                    "sxy": S[iu],
+                }
+            )
+
+    parts = vectors.select(vec_col).mapInPandas(partials, schema=d_schema)
+    agg = parts.groupBy("i", "j").agg(
+        F.sum("n").alias("_n"),
+        F.sum("sx").alias("_sx"),
+        F.sum("sy").alias("_sy"),
+        F.sum("sxy").alias("_sxy"),
+    )
+    cov = (F.col("_sxy") - F.col("_sx") * F.col("_sy") / F.col("_n")) / (
+        F.col("_n") - 1
+    )
+    # +0.0 collapses IEEE -0.0 (DuckDB ROUND of a tiny negative)
+    return agg.select("i", "j", (F.round(cov, 6) + F.lit(0.0)).alias("cov"))

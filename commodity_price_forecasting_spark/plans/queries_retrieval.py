@@ -1,0 +1,308 @@
+"""Retrieval & record-linkage queries (beyond-reference extension,
+BASELINE.json north star): BM25 ranked search, SemDeDup semantic
+deduplication, distributed covariance/PCA input, and blocked fuzzy
+entity resolution.
+
+Oracle portability rules (same as queries_datapipe): every
+pseudo-random quantity derives from md5 hex digests; every float that
+crosses an ordering or threshold is rounded to 6 dp on both engines
+BEFORE the comparison; array math casts to double on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from commodity_price_forecasting_spark.operators.similarity import (
+    covariance_mapred,
+    covariance_upper,
+    semantic_dedup_drops,
+)
+from commodity_price_forecasting_spark.plans.registry import register
+from commodity_price_forecasting_spark.sources.readers import load_table
+
+
+# --- BM25 ranked retrieval ----------------------------------------------
+
+_BM25_TERMS = ("merge", "window", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(string_split_regex(
+           lower(regexp_replace(text, '[^a-zA-Z0-9_ \\t\\n]', ' ', 'g')),
+           '\\s+')) AS token
+  FROM documents
+), toks2 AS (
+  SELECT doc_id, token FROM toks WHERE token <> ''
+), dl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM toks2 GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs, AVG(dl) AS avgdl
+  FROM dl
+), qtf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM toks2 WHERE token IN ('merge', 'window', 'scan')
+  GROUP BY doc_id, token
+), qdf AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM qtf GROUP BY token
+), scored AS (
+  SELECT t.doc_id,
+         SUM(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * t.tf * (1.2 + 1)
+             / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score
+  FROM qtf t
+  JOIN qdf d USING (token)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY t.doc_id
+)
+SELECT doc_id, ROUND(score, 6) AS bm25
+FROM scored ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 20
+"""
+
+
+@register("text_bm25_search", oracle=_BM25_ORACLE, tags=("datapipe", "text", "retrieval"))
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (Robertson–Spärck Jones, k1=1.2, b=0.75) top-20 for the
+    fixed query {merge, window, scan} — the ranked-retrieval surface
+    a RAG corpus-quality loop needs next to TF-IDF: idf =
+    ln(1+(N−df+0.5)/(df+0.5)), tf saturation k1, length
+    normalization b·dl/avgdl.
+
+    Plan shape: one tokenize+explode feeds BOTH the per-doc length
+    table and the query-term tf table (the query filter prunes the
+    explode output to |terms| tokens before the tf shuffle); df is a
+    3-row aggregate broadcast back; (N, avgdl) is a 1-row scalar
+    aggregate broadcast into scoring (the allowlisted single-row
+    BroadcastNestedLoopJoin pattern); final ranking is a
+    TakeOrderedAndProject on the ROUNDED score with doc_id
+    tie-break — deterministic across engines, no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(
+                    F.lower(F.regexp_replace(F.col("text"), r"[^\w\s]", " ")),
+                    r"\s+",
+                )
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n_docs"))
+    stats = dl.agg(F.avg("dl").alias("avgdl")).crossJoin(F.broadcast(n_docs))
+    qtf = (
+        toks.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    qdf = qtf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        1 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_term = (
+        F.col("tf")
+        * (_BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    return (
+        qtf.join(F.broadcast(qdf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_term).alias("_score"))
+        .select("doc_id", F.round("_score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# --- SemDeDup semantic deduplication ------------------------------------
+
+_SEMDEDUP_ORACLE = """
+WITH seeds AS (
+  SELECT vec_id AS sid, embedding AS semb
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+), ax AS (
+  SELECT c.vec_id, s.sid,
+         UNNEST(CAST(c.embedding AS DOUBLE[])) AS x,
+         UNNEST(CAST(s.semb AS DOUBLE[])) AS y
+  FROM embeddings c CROSS JOIN seeds s
+), acs AS (
+  SELECT vec_id, sid, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+  FROM ax GROUP BY vec_id, sid
+), ark AS (
+  SELECT vec_id, sid AS cell,
+         ROUND(dot / (SQRT(nx) * SQRT(ny)), 6) AS cent_cos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY ROUND(dot / (SQRT(nx) * SQRT(ny)), 6) DESC, sid) AS rk
+  FROM acs
+), cells AS (
+  SELECT vec_id, cell, cent_cos FROM ark WHERE rk = 1
+), px AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib, b.cell AS cell, b.cent_cos AS cb,
+         UNNEST(CAST(ea.embedding AS DOUBLE[])) AS x,
+         UNNEST(CAST(eb.embedding AS DOUBLE[])) AS y
+  FROM cells a
+  JOIN cells b ON a.cell = b.cell
+   AND (a.cent_cos < b.cent_cos
+        OR (a.cent_cos = b.cent_cos AND a.vec_id < b.vec_id))
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+), pcs AS (
+  SELECT ia, ib, cell, cb,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+  FROM px GROUP BY ia, ib, cell, cb
+)
+SELECT ib AS vec_id, cell, cb AS cent_cos,
+       CAST(COUNT(*) AS BIGINT) AS n_dominators,
+       MIN(ia) AS first_keeper
+FROM pcs WHERE cos >= 0.3
+GROUP BY ib, cell, cb
+"""
+
+
+@register("sim_semantic_dedup", oracle=_SEMDEDUP_ORACLE, tags=("datapipe", "similarity", "dedup"))
+def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) drop list over
+    the embedding corpus: 16 deterministic md5-seeded cells, pairwise
+    cosine ONLY within a cell, drop every vector cosine-≥0.3 to a
+    partner that precedes it under (centroid-cosine ASC, id ASC) —
+    the paper's keep-the-most-marginal-exemplar policy, made a total
+    order so the drop set is exactly SQL-reproducible.
+
+    Complements the other dedup lanes: exact (hash), MinHash (lexical
+    overlap), SimHash (bitwise) — this one removes SEMANTIC
+    duplicates that share no tokens. See
+    ``operators/similarity.semantic_dedup_drops`` for the 100 TB plan
+    shape (map-side assignment, one shuffle on cell)."""
+    return semantic_dedup_drops(
+        load_table(spark, sf_dir, "embeddings"), k=16, threshold=0.3
+    )
+
+
+# --- distributed covariance (PCA input), two physical strategies --------
+
+_COV_ORACLE = """
+WITH ex AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+         UNNEST(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+), p AS (
+  SELECT a.i AS i, b.i AS j, a.x AS x, b.x AS y
+  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+), agg AS (
+  SELECT i, j, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy
+  FROM p GROUP BY i, j
+)
+SELECT i, j, ROUND((sxy - sx * sy / n) / (n - 1), 6) + 0 AS cov
+FROM agg
+"""
+
+
+@register("emb_covariance", oracle=_COV_ORACLE, tags=("datapipe", "similarity", "ml"))
+def emb_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangular sample covariance of the 64-dim embedding
+    corpus as (i, j, cov) — the distributed half of PCA (the d×d
+    eigen step is a driver-side numpy call; tests assert the
+    explained-variance spectrum against numpy on the collected
+    fixture). Pure-JVM strategy: posexplode → self-equi-join on
+    vec_id → one sufficient-statistics aggregate; cov computed as
+    (Σxy − ΣxΣy/n)/(n−1) so no second centering pass."""
+    return covariance_upper(load_table(spark, sf_dir, "embeddings"))
+
+
+@register("emb_covariance_mapred", oracle=_COV_ORACLE, tags=("datapipe", "similarity", "ml"))
+def emb_covariance_mapred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same covariance contract — different physical strategy, same
+    DuckDB oracle: per-partition numpy outer-product partials
+    (Arrow-batched mapInPandas, the one place Python earns its keep:
+    one BLAS matmul per batch) merged by a d²/2-row groupBy. The
+    shuffle volume is partitions·d²/2 rows INDEPENDENT of n — at
+    100 TB this strategy wins over the explode-join by orders of
+    magnitude; both are registered so the driver cross-checks the
+    two physical plans against one oracle."""
+    return covariance_mapred(load_table(spark, sf_dir, "embeddings"))
+
+
+# --- blocked fuzzy entity resolution ------------------------------------
+
+_ER_ORACLE = """
+WITH named AS (
+  SELECT p_partkey, p_name, p_size,
+         string_split(p_name, ' ')[-1] AS family
+  FROM part
+)
+SELECT a.family AS family, a.p_size AS p_size,
+       a.p_partkey AS partkey_a, b.p_partkey AS partkey_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_dist
+FROM named a
+JOIN named b
+  ON a.family = b.family AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+@register("er_fuzzy_match", oracle=_ER_ORACLE, tags=("relational", "dedup"))
+def er_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage over part names — the classic
+    entity-resolution recipe (Fellegi–Sunter blocking + edit
+    distance): candidate pairs meet only inside a blocking key
+    (name family = last token, exact p_size), then exact levenshtein
+    ≤ 3 confirms the match. Never all-pairs: the equi-join on the
+    blocking key bounds candidates at Σ|block|²; a skewed block
+    ("widget" at web scale) takes the salting / AQE-skew lane that
+    ``skew_salted_join`` demonstrates. Levenshtein runs JVM-side
+    (built-in) on candidates only."""
+    part = load_table(spark, sf_dir, "part")
+    named = part.select(
+        "p_partkey",
+        "p_name",
+        "p_size",
+        F.element_at(F.split("p_name", " "), -1).alias("family"),
+    )
+    a = named.select(
+        F.col("family"),
+        F.col("p_size"),
+        F.col("p_partkey").alias("partkey_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = named.select(
+        F.col("family").alias("_fb"),
+        F.col("p_size").alias("_sb"),
+        F.col("p_partkey").alias("partkey_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("family") == F.col("_fb"))
+            & (F.col("p_size") == F.col("_sb"))
+            & (F.col("partkey_a") < F.col("partkey_b")),
+        )
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= 3)
+        .select(
+            "family",
+            "p_size",
+            "partkey_a",
+            "partkey_b",
+            "name_a",
+            "name_b",
+            "edit_dist",
+        )
+    )

@@ -25,6 +25,9 @@ PYTHON_OK = {
     "m6_ensemble_weights",
     "w9_ewma_volatility",
     "w15_macd",
+    # per-partition numpy outer-product partials — the documented
+    # Python-earns-its-keep Gram strategy (operators/similarity.py)
+    "emb_covariance_mapred",
 }
 #: queries that fit models / write files at plan-build time — too heavy
 #: or side-effectful for a plan-only sweep.
@@ -47,6 +50,10 @@ SKIP_BUILD = {
     # mapInPandas — the inner plan is asserted directly in
     # test_tree_shap_inner_plan_is_mapinpandas instead
     "m13_shap_tree",
+    # collects its 16 seed vectors at plan-build time (same pattern as
+    # sim_ivf_topk); its plan is asserted in
+    # test_semantic_dedup_plan_is_cell_local instead
+    "sim_semantic_dedup",
 }
 
 
@@ -86,6 +93,8 @@ SINGLE_ROW_BROADCAST_OK = {
     "quality_source_kl",
     # node-count 1-row aggregate broadcast into the teleport term
     "graph_pagerank",
+    # (N, avgdl) 1-row corpus-stats aggregate broadcast into scoring
+    "text_bm25_search",
 }
 
 
@@ -246,3 +255,33 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_semantic_dedup_plan_is_cell_local(spark):
+    """sim_semantic_dedup is SKIP_BUILD (16-seed collect at plan
+    build), so its plan gets asserted here directly: the pair stage
+    must meet on an equi hash on ``cell`` (no cartesian, no
+    nested-loop blowup), and the whole row path must stay JVM."""
+    plan = _plan(spark, "sim_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for marker in (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+        "FlatMapGroupsInPandas",
+    ):
+        assert marker not in plan
+    # the intra-cell self-join is an equi join keyed on cell
+    assert "cell" in plan
+
+
+def test_covariance_mapred_shuffles_partials_not_rows(spark):
+    """The mapInPandas Gram strategy must aggregate AFTER the Python
+    stage on (i, j) — shuffle volume partitions·d²/2, independent of
+    n — and the pure-JVM strategy must contain no Python node."""
+    plan = _plan(spark, "emb_covariance_mapred")
+    assert "MapInPandas" in plan
+    assert "HashAggregate" in plan
+    jvm_plan = _plan(spark, "emb_covariance")
+    assert "MapInPandas" not in jvm_plan and "Python" not in jvm_plan

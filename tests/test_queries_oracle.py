@@ -26,6 +26,13 @@ FLOAT_HEAVY = [
     "w17_sharpe",
     "bt_zscore_pnl",
     "ts_halflife_meanreversion",
+    # retrieval/covariance additions (r4): cosine chains, BM25 log
+    # arithmetic, and the -0.0-prone covariance rounding all get the
+    # sf0.01 pass too
+    "text_bm25_search",
+    "sim_semantic_dedup",
+    "emb_covariance",
+    "emb_covariance_mapred",
 ]
 
 

@@ -1,0 +1,143 @@
+"""Value-level tests for the retrieval/linkage queries: BM25 against
+a from-scratch numpy mirror, SemDeDup policy invariants, covariance →
+PCA spectrum against numpy, strategy-equality of the two Gram plans,
+and edit-distance confirmation of the blocked ER matches.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pytest
+
+from commodity_price_forecasting_spark.plans.registry import load_all
+
+from tests.conftest import SF_SMOKE
+
+REGISTRY = load_all()
+
+
+def _docs_tokens(duck):
+    rows = duck.execute("SELECT doc_id, text FROM documents").fetchall()
+    return {
+        did: [t for t in re.sub(r"[^\w\s]", " ", text.lower()).split() if t]
+        for did, text in rows
+    }
+
+
+def test_bm25_matches_pure_python_mirror(spark, duck):
+    """Independent BM25 (k1=1.2, b=0.75) computed in plain Python over
+    the same corpus must reproduce the query's top-20 (id, score)."""
+    toks = _docs_tokens(duck)
+    n_docs = len(toks)
+    dl = {d: len(ts) for d, ts in toks.items() if ts}
+    avgdl = sum(dl.values()) / len(dl)
+    terms = ("merge", "window", "scan")
+    tf = {
+        (d, t): ts.count(t) for d, ts in toks.items() for t in terms if t in ts
+    }
+    df = {t: sum(1 for (d, tt) in tf if tt == t) for t in terms}
+    scores = {}
+    for (d, t), f in tf.items():
+        idf = math.log(1 + (n_docs - df[t] + 0.5) / (df[t] + 0.5))
+        scores[d] = scores.get(d, 0.0) + idf * f * 2.2 / (
+            f + 1.2 * (1 - 0.75 + 0.75 * dl[d] / avgdl)
+        )
+    expect = sorted(
+        ((round(s, 6), d) for d, s in scores.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:20]
+    got = [
+        (r["bm25"], r["doc_id"])
+        for r in REGISTRY["text_bm25_search"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert got == [(s, d) for s, d in expect]
+
+
+def test_semantic_dedup_policy_invariants(spark, duck):
+    """Every dropped vector must (a) sit in the same cell as its
+    first_keeper, (b) FOLLOW it under (cent_cos ASC, id ASC), and
+    (c) have true cosine ≥ 0.3 to it (recomputed in numpy); the drop
+    set must be a strict subset of the corpus."""
+    drops = REGISTRY["sim_semantic_dedup"].fn(spark, SF_SMOKE).collect()
+    assert 0 < len(drops)
+    emb = {
+        r[0]: np.asarray(r[1], dtype=np.float64)
+        for r in duck.execute("SELECT vec_id, embedding FROM embeddings").fetchall()
+    }
+    assert len(drops) < len(emb)
+    dropped = {r["vec_id"]: r for r in drops}
+    for r in drops:
+        k = r["first_keeper"]
+        assert k != r["vec_id"]
+        a, b = emb[k], emb[r["vec_id"]]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert round(cos, 6) >= 0.3
+        # the keeper precedes the dropped row in the policy order
+        if k in dropped:
+            kc = dropped[k]["cent_cos"]
+            assert (kc, k) < (r["cent_cos"], r["vec_id"])
+
+
+def test_covariance_matches_numpy_and_pca_spectrum(spark, duck):
+    """The (i, j, cov) output must equal numpy's sample covariance at
+    the 6dp rounding, and the eigen-spectrum of the reassembled matrix
+    must match numpy PCA explained-variance on the raw fixture."""
+    rows = duck.execute(
+        "SELECT vec_id, embedding FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    M = np.array([r[1] for r in rows], dtype=np.float64)
+    C = np.cov(M, rowvar=False, ddof=1)
+    got = REGISTRY["emb_covariance"].fn(spark, SF_SMOKE).collect()
+    d = M.shape[1]
+    assert len(got) == d * (d + 1) // 2
+    R = np.zeros((d, d))
+    for r in got:
+        assert abs(r["cov"] - round(C[r["i"], r["j"]], 6)) <= 1e-6, (r["i"], r["j"])
+        R[r["i"], r["j"]] = r["cov"]
+        R[r["j"], r["i"]] = r["cov"]
+    evr = np.sort(np.linalg.eigvalsh(R))[::-1]
+    evr_np = np.sort(np.linalg.eigvalsh(C))[::-1]
+    assert np.allclose(evr / evr.sum(), evr_np / evr_np.sum(), atol=1e-4)
+
+
+def test_covariance_strategies_agree(spark):
+    """Strategy A (explode-join, pure JVM) and Strategy B (mapInPandas
+    partial outer products) are two physical plans for one logical
+    op — identical output required."""
+    a = {
+        (r["i"], r["j"]): r["cov"]
+        for r in REGISTRY["emb_covariance"].fn(spark, SF_SMOKE).collect()
+    }
+    b = {
+        (r["i"], r["j"]): r["cov"]
+        for r in REGISTRY["emb_covariance_mapred"].fn(spark, SF_SMOKE).collect()
+    }
+    assert a == b
+
+
+def _levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_er_fuzzy_match_pairs_are_true_matches(spark):
+    """Every emitted pair must share the blocking key, be ordered, and
+    have edit distance ≤ 3 — re-verified with an independent Python
+    Levenshtein; at least one pair must exist on the fixture."""
+    rows = REGISTRY["er_fuzzy_match"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r["partkey_a"] < r["partkey_b"]
+        assert r["name_a"].split()[-1] == r["family"]
+        assert r["name_b"].split()[-1] == r["family"]
+        assert _levenshtein(r["name_a"], r["name_b"]) == r["edit_dist"] <= 3
