@@ -1,0 +1,348 @@
+"""Statistical testing & calibration queries (beyond-reference
+extension): mutual-information feature ranking, chi-square
+independence, Kolmogorov–Smirnov two-sample drift, and split-conformal
+prediction intervals — the model-diagnostics tier a forecasting
+pipeline runs next to PSI/KL drift and the m7 forecast metrics.
+
+All four are pure JVM column/window programs with full DuckDB
+oracles; every float crossing a threshold or ordering is rounded to
+6 dp on both engines at the output edge only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from commodity_price_forecasting_spark.plans.e1_pipeline import daily_bars
+from commodity_price_forecasting_spark.plans.registry import register
+from commodity_price_forecasting_spark.sources.readers import load_table
+
+
+# --- mutual-information feature ranking ---------------------------------
+
+_MI_ORACLE = """
+WITH base AS (
+  SELECT 'value_bin50' AS feature,
+         CAST(CAST(FLOOR(value / 50) AS BIGINT) AS VARCHAR) AS x,
+         event_type AS y
+  FROM events
+  UNION ALL
+  SELECT 'hour', CAST(EXTRACT(hour FROM ts) AS VARCHAR), event_type
+  FROM events
+  UNION ALL
+  SELECT 'user_mod4', CAST(user_id % 4 AS VARCHAR), event_type
+  FROM events
+), cells AS (
+  SELECT feature, x, y, COUNT(*) AS n_xy FROM base GROUP BY feature, x, y
+), t AS (
+  SELECT feature, n_xy,
+         SUM(n_xy) OVER (PARTITION BY feature, x) AS n_x,
+         SUM(n_xy) OVER (PARTITION BY feature, y) AS n_y,
+         SUM(n_xy) OVER (PARTITION BY feature) AS n
+  FROM cells
+)
+SELECT feature,
+       ROUND(SUM((CAST(n_xy AS DOUBLE) / n)
+                 * log2(CAST(n_xy AS DOUBLE) * n
+                        / (CAST(n_x AS DOUBLE) * n_y))), 6) AS mi_bits,
+       CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM t GROUP BY feature
+"""
+
+
+@register("stat_mutual_info", oracle=_MI_ORACLE, tags=("profiling", "stats", "ml"))
+def stat_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(feature; event_type) in bits for three
+    candidate features (coarse value bin, hour-of-day, user-id
+    residue) — the model-free feature-ranking pass a feature-selection
+    loop runs before fitting anything: I(X;Y) =
+    Σ p(x,y)·log₂(p(x,y)/(p(x)p(y))) over the contingency cells.
+
+    Plan shape: one unioned (feature, x, y) long frame → one
+    contingency aggregate (map-side combinable) → three
+    window-over-counted-frame marginals (the ``quality_source_kl``
+    shape: windows run over CELL counts — |features|·|bins|·|types|
+    rows — never over raw events) → one summing aggregate per
+    feature. The raw table is scanned once per feature arm; at
+    100 TB the three arms share the scan via columnar pruning of
+    (value, ts, user_id, event_type)."""
+    ev = load_table(spark, sf_dir, "events")
+    base = (
+        ev.select(
+            F.lit("value_bin50").alias("feature"),
+            F.floor(F.col("value") / 50).cast("string").alias("x"),
+            F.col("event_type").alias("y"),
+        )
+        .unionAll(
+            ev.select(
+                F.lit("hour"),
+                F.hour("ts").cast("string"),
+                F.col("event_type"),
+            )
+        )
+        .unionAll(
+            ev.select(
+                F.lit("user_mod4"),
+                (F.col("user_id") % 4).cast("string"),
+                F.col("event_type"),
+            )
+        )
+    )
+    cells = base.groupBy("feature", "x", "y").agg(
+        F.count(F.lit(1)).alias("n_xy")
+    )
+    t = (
+        cells.withColumn(
+            "n_x", F.sum("n_xy").over(Window.partitionBy("feature", "x"))
+        )
+        .withColumn("n_y", F.sum("n_xy").over(Window.partitionBy("feature", "y")))
+        .withColumn("n", F.sum("n_xy").over(Window.partitionBy("feature")))
+    )
+    term = (F.col("n_xy").cast("double") / F.col("n")) * F.log2(
+        F.col("n_xy").cast("double")
+        * F.col("n")
+        / (F.col("n_x").cast("double") * F.col("n_y"))
+    )
+    return t.groupBy("feature").agg(
+        F.round(F.sum(term), 6).alias("mi_bits"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+
+
+# --- chi-square independence --------------------------------------------
+
+_CHI2_ORACLE = """
+WITH c AS (
+  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY lang, source
+), t AS (
+  SELECT lang, source, n,
+         SUM(n) OVER (PARTITION BY lang) AS nl,
+         SUM(n) OVER (PARTITION BY source) AS ns,
+         SUM(n) OVER () AS nn
+  FROM c
+)
+SELECT ROUND(SUM(CAST(n AS DOUBLE) * n * nn / (CAST(nl AS DOUBLE) * ns))
+             - MAX(nn), 6) AS chi2,
+       CAST((COUNT(DISTINCT lang) - 1)
+            * (COUNT(DISTINCT source) - 1) AS BIGINT) AS dof,
+       ROUND(SQRT((SUM(CAST(n AS DOUBLE) * n * nn / (CAST(nl AS DOUBLE) * ns))
+                   - MAX(nn))
+                  / (MAX(nn) * LEAST(COUNT(DISTINCT lang) - 1,
+                                     COUNT(DISTINCT source) - 1))), 6)
+         AS cramers_v,
+       CAST(MAX(nn) AS BIGINT) AS n
+FROM t
+"""
+
+
+@register("stat_chi2_independence", oracle=_CHI2_ORACLE, tags=("profiling", "stats"))
+def stat_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of lang ⟂ source over the corpus
+    contingency table, with degrees of freedom and Cramér's V effect
+    size — the is-my-corpus-mix-confounded check a curation pipeline
+    runs on its stratification dimensions.
+
+    Uses the algebraic identity Σ_all (O−E)²/E = Σ_observed O²/E − n
+    (empty cells contribute exactly E, and ΣE = n), so NO cross-grid
+    of the dimension domains is ever built — one contingency
+    aggregate, marginals as windows over the |langs|·|sources| cell
+    frame, one final scalar row."""
+    c = load_table(spark, sf_dir, "documents").groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = (
+        c.withColumn("nl", F.sum("n").over(Window.partitionBy("lang")))
+        .withColumn("ns", F.sum("n").over(Window.partitionBy("source")))
+        .withColumn(
+            "nn", F.sum("n").over(Window.partitionBy())
+        )
+    )
+    o2e = F.sum(
+        F.col("n").cast("double")
+        * F.col("n")
+        * F.col("nn")
+        / (F.col("nl").cast("double") * F.col("ns"))
+    )
+    chi2 = o2e - F.max("nn")
+    dof = (
+        (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+    ).cast("long")
+    v = F.sqrt(
+        chi2
+        / (
+            F.max("nn")
+            * F.least(F.countDistinct("lang") - 1, F.countDistinct("source") - 1)
+        )
+    )
+    return t.agg(
+        F.round(chi2, 6).alias("chi2"),
+        dof.alias("dof"),
+        F.round(v, 6).alias("cramers_v"),
+        F.max("nn").cast("long").alias("n"),
+    )
+
+
+# --- Kolmogorov–Smirnov two-sample drift --------------------------------
+
+_KS_ORACLE = """
+WITH s AS (
+  SELECT event_type, value,
+         CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS h1
+  FROM events
+), v AS (
+  SELECT event_type, value, SUM(h1) AS c1, SUM(1 - h1) AS c2
+  FROM s GROUP BY event_type, value
+), c AS (
+  SELECT event_type,
+         SUM(c1) OVER (PARTITION BY event_type ORDER BY value) AS f1,
+         SUM(c2) OVER (PARTITION BY event_type ORDER BY value) AS f2,
+         SUM(c1) OVER (PARTITION BY event_type) AS n1,
+         SUM(c2) OVER (PARTITION BY event_type) AS n2
+  FROM v
+)
+SELECT event_type,
+       CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       ROUND(MAX(ABS(CAST(f1 AS DOUBLE) / n1 - CAST(f2 AS DOUBLE) / n2)), 6)
+         AS ks_stat,
+       ROUND(1.36 * SQRT((n1 + n2) / (CAST(n1 AS DOUBLE) * n2)), 6)
+         AS ks_crit_05,
+       MAX(ABS(CAST(f1 AS DOUBLE) / n1 - CAST(f2 AS DOUBLE) / n2))
+         > 1.36 * SQRT((n1 + n2) / (CAST(n1 AS DOUBLE) * n2)) AS drifted
+FROM c GROUP BY event_type, n1, n2
+"""
+
+
+@register("stat_ks_two_sample", oracle=_KS_ORACLE, tags=("profiling", "stats", "drift"))
+def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test per event_type:
+    first-half-of-January values vs second half, KS statistic =
+    sup |F₁ − F₂| with the α=0.05 critical value
+    1.36·√((n₁+n₂)/(n₁n₂)) and a drifted flag — the
+    distribution-shift monitor that complements the binned PSI
+    (`drift_psi_value`) with an exact, binning-free statistic.
+
+    Plan shape: per-(type, value) counts first (so the CDF windows
+    run over DISTINCT values, not raw events), then two cumulative
+    windows partitioned by event_type — the partitioned-window scale
+    lane; no global sort, no driver-side CDF."""
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type",
+        "value",
+        F.when(F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("h1"),
+    )
+    v = s.groupBy("event_type", "value").agg(
+        F.sum("h1").alias("c1"), F.sum(1 - F.col("h1")).alias("c2")
+    )
+    wcum = Window.partitionBy("event_type").orderBy("value")
+    wall = Window.partitionBy("event_type")
+    c = (
+        v.withColumn("f1", F.sum("c1").over(wcum))
+        .withColumn("f2", F.sum("c2").over(wcum))
+        .withColumn("n1", F.sum("c1").over(wall))
+        .withColumn("n2", F.sum("c2").over(wall))
+    )
+    d = F.abs(
+        F.col("f1").cast("double") / F.col("n1")
+        - F.col("f2").cast("double") / F.col("n2")
+    )
+    crit = 1.36 * F.sqrt(
+        (F.col("n1") + F.col("n2")) / (F.col("n1").cast("double") * F.col("n2"))
+    )
+    return c.groupBy("event_type", "n1", "n2").agg(
+        F.round(F.max(d), 6).alias("ks_stat"),
+        F.round(F.max(crit), 6).alias("ks_crit_05"),
+        (F.max(d) > F.max(crit)).alias("drifted"),
+    ).select(
+        "event_type",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        "ks_stat",
+        "ks_crit_05",
+        "drifted",
+    )
+
+
+# --- split-conformal prediction interval --------------------------------
+
+_CONFORMAL_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), r AS (
+  SELECT instrument, day,
+         ABS(px - LAG(px) OVER (PARTITION BY instrument ORDER BY day))
+           AS resid
+  FROM daily
+), cal AS (
+  SELECT instrument, COUNT(*) AS n_cal,
+         quantile_cont(resid, 0.9) AS q90
+  FROM r WHERE resid IS NOT NULL AND day < DATE '2024-01-22'
+  GROUP BY instrument
+), ev AS (
+  SELECT instrument, resid FROM r
+  WHERE resid IS NOT NULL AND day >= DATE '2024-01-22'
+)
+SELECT c.instrument, CAST(c.n_cal AS BIGINT) AS n_cal,
+       ROUND(c.q90, 6) AS q90,
+       CAST(COUNT(e.resid) AS BIGINT) AS n_eval,
+       ROUND(AVG(CASE WHEN e.resid <= c.q90 THEN 1.0 ELSE 0.0 END), 6)
+         AS coverage
+FROM cal c JOIN ev e ON e.instrument = c.instrument
+GROUP BY c.instrument, c.n_cal, c.q90
+"""
+
+
+@register("m7_conformal_interval", oracle=_CONFORMAL_ORACLE, tags=("ml", "stats", "timeseries"))
+def m7_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for the naive (lag-1)
+    per-instrument forecast: the 0.9-quantile of calibration-window
+    absolute residuals (days before Jan 22) is the interval
+    half-width; empirical coverage is then measured on the held-out
+    tail — the distribution-free uncertainty wrapper (Vovk et al.;
+    Lei et al. 2018) any point forecaster gets for free.
+
+    Plan shape: daily bars → one lag window per instrument → one
+    exact ``percentile`` aggregate on the calibration slice (exact
+    quantile per GROUP is a heap over that group's residuals — the
+    per-key-exact lane; corpus-wide quantiles at 100 TB take
+    ``approx_percentile`` instead) → broadcast the per-instrument
+    q90 back onto the eval slice for the coverage aggregate."""
+    daily = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("instrument").orderBy("day")
+    r = daily.withColumn(
+        "resid", F.abs(F.col("px") - F.lag("px").over(w))
+    ).filter(F.col("resid").isNotNull())
+    cutoff = F.lit("2024-01-22").cast("date")
+    cal = (
+        r.filter(F.col("day") < cutoff)
+        .groupBy("instrument")
+        .agg(
+            F.count(F.lit(1)).alias("n_cal"),
+            F.percentile("resid", 0.9).alias("_q90"),
+        )
+    )
+    ev = r.filter(F.col("day") >= cutoff).select("instrument", "resid")
+    return (
+        ev.join(F.broadcast(cal), "instrument")
+        .groupBy("instrument", "n_cal", "_q90")
+        .agg(
+            F.count("resid").alias("n_eval"),
+            F.round(
+                F.avg(
+                    F.when(F.col("resid") <= F.col("_q90"), 1.0).otherwise(0.0)
+                ),
+                6,
+            ).alias("coverage"),
+        )
+        .select(
+            "instrument",
+            "n_cal",
+            F.round("_q90", 6).alias("q90"),
+            "n_eval",
+            "coverage",
+        )
+    )

@@ -62,5 +62,6 @@ def load_all() -> dict[str, QuerySpec]:
     import commodity_price_forecasting_spark.plans.queries_quality  # noqa: F401
     import commodity_price_forecasting_spark.plans.queries_behavior  # noqa: F401
     import commodity_price_forecasting_spark.plans.queries_retrieval  # noqa: F401
+    import commodity_price_forecasting_spark.plans.queries_stats  # noqa: F401
 
     return REGISTRY

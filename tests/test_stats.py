@@ -1,0 +1,132 @@
+"""Value-level mirrors for the statistical-testing queries: each
+statistic recomputed from the RAW fixture with an independent
+formulation (full-grid chi-square including empty cells, direct CDF
+sup-difference, plug-in MI, numpy linear quantile) — not the query's
+own algebra.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import numpy as np
+
+from commodity_price_forecasting_spark.plans.registry import load_all
+
+from tests.conftest import SF_SMOKE
+
+REGISTRY = load_all()
+
+
+def test_mutual_info_matches_plugin_estimator(spark, duck):
+    rows = duck.execute(
+        "SELECT CAST(FLOOR(value/50) AS BIGINT), EXTRACT(hour FROM ts), "
+        "user_id % 4, event_type FROM events"
+    ).fetchall()
+    feats = {
+        "value_bin50": [(str(r[0]), r[3]) for r in rows],
+        "hour": [(str(r[1]), r[3]) for r in rows],
+        "user_mod4": [(str(r[2]), r[3]) for r in rows],
+    }
+    got = {
+        r["feature"]: (r["mi_bits"], r["n_cells"])
+        for r in REGISTRY["stat_mutual_info"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(feats)
+    for name, pairs in feats.items():
+        n = len(pairs)
+        nxy = Counter(pairs)
+        nx = Counter(x for x, _ in pairs)
+        ny = Counter(y for _, y in pairs)
+        mi = sum(
+            (c / n) * math.log2(c * n / (nx[x] * ny[y]))
+            for (x, y), c in nxy.items()
+        )
+        assert abs(got[name][0] - round(mi, 6)) <= 1e-6, name
+        assert got[name][1] == len(nxy)
+        assert got[name][0] >= 0
+
+
+def test_chi2_matches_full_grid_including_empty_cells(spark, duck):
+    """The query uses the ΣO²/E − n identity; this mirror builds the
+    FULL lang×source grid (empty cells contribute E) — agreement
+    proves the identity was applied correctly."""
+    rows = duck.execute(
+        "SELECT lang, source, COUNT(*) FROM documents GROUP BY 1, 2"
+    ).fetchall()
+    obs = {(l, s): c for l, s, c in rows}
+    langs = sorted({l for l, _, _ in rows})
+    srcs = sorted({s for _, s, _ in rows})
+    n = sum(obs.values())
+    nl = defaultdict(int)
+    ns = defaultdict(int)
+    for (l, s), c in obs.items():
+        nl[l] += c
+        ns[s] += c
+    chi2 = 0.0
+    for l in langs:
+        for s in srcs:
+            e = nl[l] * ns[s] / n
+            o = obs.get((l, s), 0)
+            chi2 += (o - e) ** 2 / e
+    [r] = REGISTRY["stat_chi2_independence"].fn(spark, SF_SMOKE).collect()
+    assert abs(r["chi2"] - round(chi2, 6)) <= 1e-5
+    assert r["dof"] == (len(langs) - 1) * (len(srcs) - 1)
+    assert r["n"] == n
+    v = math.sqrt(chi2 / (n * min(len(langs) - 1, len(srcs) - 1)))
+    assert abs(r["cramers_v"] - round(v, 6)) <= 1e-5
+
+
+def test_ks_matches_direct_cdf_supremum(spark, duck):
+    rows = duck.execute(
+        "SELECT event_type, value, ts < TIMESTAMP '2024-01-16' FROM events"
+    ).fetchall()
+    by_type = defaultdict(lambda: ([], []))
+    for et, v, first in rows:
+        by_type[et][0 if first else 1].append(v)
+    got = {r["event_type"]: r for r in REGISTRY["stat_ks_two_sample"].fn(spark, SF_SMOKE).collect()}
+    assert set(got) == set(by_type)
+    for et, (a, b) in by_type.items():
+        a, b = np.sort(a), np.sort(b)
+        grid = np.unique(np.concatenate([a, b]))
+        f1 = np.searchsorted(a, grid, side="right") / len(a)
+        f2 = np.searchsorted(b, grid, side="right") / len(b)
+        ks = float(np.max(np.abs(f1 - f2)))
+        r = got[et]
+        assert (r["n1"], r["n2"]) == (len(a), len(b))
+        assert abs(r["ks_stat"] - round(ks, 6)) <= 1e-6
+        crit = 1.36 * math.sqrt((len(a) + len(b)) / (len(a) * len(b)))
+        assert abs(r["ks_crit_05"] - round(crit, 6)) <= 1e-6
+        assert r["drifted"] == (ks > crit)
+
+
+def test_conformal_matches_numpy_quantile_and_coverage(spark, duck):
+    rows = duck.execute(
+        "SELECT user_id, CAST(ts AS DATE) AS day, AVG(value) AS px "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = defaultdict(list)
+    for uid, day, px in rows:
+        series[uid].append((day, px))
+    import datetime
+
+    cut = datetime.date(2024, 1, 22)
+    got = {r["instrument"]: r for r in REGISTRY["m7_conformal_interval"].fn(spark, SF_SMOKE).collect()}
+    for uid, pts in series.items():
+        resid = [
+            (d2, abs(p2 - p1))
+            for (d1, p1), (d2, p2) in zip(pts, pts[1:])
+        ]
+        cal = [x for d, x in resid if d < cut]
+        ev = [x for d, x in resid if d >= cut]
+        if not cal or not ev:
+            assert uid not in got
+            continue
+        q90 = float(np.quantile(cal, 0.9, method="linear"))
+        cov = sum(1.0 for x in ev if x <= q90) / len(ev)
+        r = got[uid]
+        assert r["n_cal"] == len(cal) and r["n_eval"] == len(ev)
+        assert abs(r["q90"] - round(q90, 6)) <= 1e-6
+        assert abs(r["coverage"] - round(cov, 6)) <= 1e-6
+        assert 0.0 <= r["coverage"] <= 1.0
