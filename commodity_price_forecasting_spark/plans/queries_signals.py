@@ -773,3 +773,129 @@ def bt_zscore_pnl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_position_days") >= 5)
     )
+
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), m AS (
+  SELECT instrument, day, px,
+         AVG(px) OVER (PARTITION BY instrument) AS mu,
+         COUNT(*) OVER (PARTITION BY instrument) AS n
+  FROM daily
+), s AS (
+  SELECT instrument, day, n,
+         SUM(px - mu) OVER (PARTITION BY instrument ORDER BY day) AS cusum
+  FROM m
+), ranked AS (
+  SELECT instrument, day, n, cusum,
+         MAX(cusum) OVER (PARTITION BY instrument) AS s_max,
+         MIN(cusum) OVER (PARTITION BY instrument) AS s_min,
+         ROW_NUMBER() OVER (PARTITION BY instrument
+           ORDER BY ROUND(ABS(cusum), 6) DESC, day) AS rk
+  FROM s
+)
+SELECT instrument, day AS cp_day, CAST(n AS BIGINT) AS n,
+       ROUND(ABS(cusum), 6) AS s_max_abs,
+       ROUND(s_max - s_min, 6) AS s_range
+FROM ranked WHERE rk = 1
+"""
+
+
+@register("ts_cusum_changepoint", oracle=_CUSUM_ORACLE, tags=("timeseries", "stats"))
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point locator per instrument (Page 1954 /
+    Taylor's cumulative-sum charting): Sᵢ = Σ(pxⱼ − mean), the most
+    likely level-shift day is argmax |Sᵢ| (earliest day on 6dp ties),
+    reported with the CUSUM range max(S)−min(S) whose magnitude a
+    bootstrap would threshold (the resampling stage is a separate
+    concern; the detector itself is one pass).
+
+    Plan shape: everything is windows PARTITIONED BY instrument —
+    per-series mean, cumulative sum, extrema, and the argmax
+    row_number all share one hash-partitioned sort; no global sort,
+    no driver loop, no second scan."""
+    daily = daily_bars(spark, sf_dir)
+    wall = Window.partitionBy("instrument")
+    wcum = Window.partitionBy("instrument").orderBy("day")
+    s = (
+        daily.withColumn("mu", F.avg("px").over(wall))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .withColumn("cusum", F.sum(F.col("px") - F.col("mu")).over(wcum))
+    )
+    ranked = (
+        s.withColumn("s_max", F.max("cusum").over(wall))
+        .withColumn("s_min", F.min("cusum").over(wall))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                wall.orderBy(F.round(F.abs("cusum"), 6).desc(), F.asc("day"))
+            ),
+        )
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "instrument",
+        F.col("day").alias("cp_day"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.abs("cusum"), 6).alias("s_max_abs"),
+        F.round(F.col("s_max") - F.col("s_min"), 6).alias("s_range"),
+    )
+
+
+_THEILSEN_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), pairs AS (
+  SELECT a.instrument,
+         (b.px - a.px) / (b.day - a.day) AS slope
+  FROM daily a JOIN daily b
+    ON a.instrument = b.instrument AND a.day < b.day
+)
+SELECT instrument,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(quantile_cont(slope, 0.5), 6) AS ts_slope,
+       ROUND(AVG(slope), 6) AS mean_pair_slope
+FROM pairs GROUP BY instrument
+"""
+
+
+@register("ts_theilsen_trend", oracle=_THEILSEN_ORACLE, tags=("timeseries", "stats"))
+def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per instrument: the MEDIAN of all
+    pairwise slopes (pxᵦ−pxₐ)/(dayᵦ−dayₐ) — the outlier-immune
+    (29% breakdown point) alternative to the OLS slope the m11/df
+    family fits; reported next to the mean pair slope for a
+    skew-at-a-glance comparison.
+
+    Plan shape: the pair join is an EQUI-join on instrument (Σ per-
+    series n² pairs — bounded by series length, ~30 days here; long
+    series at 100 TB take the standard samples-of-pairs estimator,
+    same query over a sampled frame) followed by one exact per-group
+    percentile aggregate. Day subtraction is date-diff in days on
+    both engines."""
+    daily = daily_bars(spark, sf_dir)
+    a = daily.select(
+        "instrument", F.col("day").alias("_da"), F.col("px").alias("_pa")
+    )
+    b = daily.select(
+        F.col("instrument").alias("_ib"),
+        F.col("day").alias("_db"),
+        F.col("px").alias("_pb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("instrument") == F.col("_ib")) & (F.col("_da") < F.col("_db")),
+    ).select(
+        "instrument",
+        (
+            (F.col("_pb") - F.col("_pa"))
+            / F.datediff(F.col("_db"), F.col("_da"))
+        ).alias("slope"),
+    )
+    return pairs.groupBy("instrument").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.percentile("slope", 0.5), 6).alias("ts_slope"),
+        F.round(F.avg("slope"), 6).alias("mean_pair_slope"),
+    )

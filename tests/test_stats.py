@@ -130,3 +130,45 @@ def test_conformal_matches_numpy_quantile_and_coverage(spark, duck):
         assert abs(r["q90"] - round(q90, 6)) <= 1e-6
         assert abs(r["coverage"] - round(cov, 6)) <= 1e-6
         assert 0.0 <= r["coverage"] <= 1.0
+
+
+def test_cusum_changepoint_matches_numpy_argmax(spark, duck):
+    rows = duck.execute(
+        "SELECT user_id, CAST(ts AS DATE) AS day, AVG(value) "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = defaultdict(list)
+    for uid, day, px in rows:
+        series[uid].append((day, px))
+    got = {r["instrument"]: r for r in REGISTRY["ts_cusum_changepoint"].fn(spark, SF_SMOKE).collect()}
+    assert set(got) == set(series)
+    for uid, pts in series.items():
+        px = np.array([p for _, p in pts])
+        s = np.cumsum(px - px.mean())
+        k = int(np.lexsort((np.arange(len(s)), -np.round(np.abs(s), 6)))[0])
+        r = got[uid]
+        assert r["cp_day"] == pts[k][0]
+        assert abs(r["s_max_abs"] - round(abs(s[k]), 6)) <= 1e-6
+        assert abs(r["s_range"] - round(s.max() - s.min(), 6)) <= 1e-6
+        assert r["n"] == len(pts)
+
+
+def test_theilsen_matches_numpy_median_of_slopes(spark, duck):
+    rows = duck.execute(
+        "SELECT user_id, CAST(ts AS DATE) AS day, AVG(value) "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = defaultdict(list)
+    for uid, day, px in rows:
+        series[uid].append((day, px))
+    got = {r["instrument"]: r for r in REGISTRY["ts_theilsen_trend"].fn(spark, SF_SMOKE).collect()}
+    for uid, pts in series.items():
+        slopes = [
+            (pts[j][1] - pts[i][1]) / (pts[j][0] - pts[i][0]).days
+            for i in range(len(pts))
+            for j in range(i + 1, len(pts))
+        ]
+        r = got[uid]
+        assert r["n_pairs"] == len(slopes)
+        assert abs(r["ts_slope"] - round(float(np.median(slopes)), 6)) <= 1e-6
+        assert abs(r["mean_pair_slope"] - round(float(np.mean(slopes)), 6)) <= 1e-6
