@@ -523,6 +523,60 @@ def sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QSKETCH_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(quantile_cont(value, 0.5), 6) AS exact_p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS exact_p90,
+       TRUE AS p50_within_rank_band,
+       TRUE AS p90_within_rank_band
+FROM events GROUP BY event_type
+"""
+
+
+@register("sketch_quantile_approx", oracle=_QSKETCH_ORACLE, tags=("datapipe", "sketch"))
+def sketch_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch next to the exact answer — the
+    companion of ``sketch_hll_distinct`` for the second classic
+    sketch family: ``approx_percentile`` (Greenwald–Khanna, rank
+    error ≤ n/accuracy) per event_type vs the exact per-group
+    percentile. At 100 TB the sketch is the only option for
+    corpus-wide quantiles: KB-sized state per group, map-side
+    combinable, re-mergeable across days/partitions — exact
+    percentile shuffles every value to its group.
+
+    The sketch estimate itself is engine-specific, so the
+    oracle-checked surface is the exact quantiles plus BOOLEAN
+    rank-band flags: the approx value must lie between the exact
+    quantiles at p ± 0.01 (the GK guarantee with two orders of
+    magnitude of slack at accuracy 10000) — the same
+    assert-the-bound pattern the HLL query uses."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("value", 0.49).alias("_p49"),
+        F.percentile("value", 0.5).alias("_p50"),
+        F.percentile("value", 0.51).alias("_p51"),
+        F.percentile("value", 0.89).alias("_p89"),
+        F.percentile("value", 0.9).alias("_p90"),
+        F.percentile("value", 0.91).alias("_p91"),
+        F.approx_percentile("value", 0.5, 10000).alias("_a50"),
+        F.approx_percentile("value", 0.9, 10000).alias("_a90"),
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("_p50", 6).alias("exact_p50"),
+        F.round("_p90", 6).alias("exact_p90"),
+        (
+            (F.col("_a50") >= F.col("_p49")) & (F.col("_a50") <= F.col("_p51"))
+        ).alias("p50_within_rank_band"),
+        (
+            (F.col("_a90") >= F.col("_p89")) & (F.col("_a90") <= F.col("_p91"))
+        ).alias("p90_within_rank_band"),
+    )
+
+
 _COMPONENTS_ORACLE = (
     _SHINGLE_CTE.replace("WITH pos AS", "WITH RECURSIVE pos AS", 1)
     + """

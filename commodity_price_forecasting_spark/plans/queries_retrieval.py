@@ -65,7 +65,7 @@ FROM scored ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 20
 """
 
 
-@register("text_bm25_search", oracle=_BM25_ORACLE, tags=("datapipe", "text", "retrieval"))
+@register("text_bm25_search", oracle=_BM25_ORACLE, tags=("datapipe", "text", "retrieval", "bench"))
 def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 (Robertson–Spärck Jones, k1=1.2, b=0.75) top-20 for the
     fixed query {merge, window, scan} — the ranked-retrieval surface

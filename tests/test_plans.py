@@ -285,3 +285,36 @@ def test_covariance_mapred_shuffles_partials_not_rows(spark):
     assert "HashAggregate" in plan
     jvm_plan = _plan(spark, "emb_covariance")
     assert "MapInPandas" not in jvm_plan and "Python" not in jvm_plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """The third runtime-pruning lane (beside static pushdown and the
+    runtime bloom filter): with the fact table laid out partitioned
+    by day — the s7 sink layout — a selective filter on a joined dim
+    must inject a dynamicpruning expression into the fact scan's
+    PartitionFilters, so only matching day-partitions are READ. At
+    100 TB with date-partitioned storage this is the difference
+    between scanning 3 days and scanning 3 years."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "events_by_day")
+    ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").mode(
+        "overwrite"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [
+            (datetime.date(2024, 1, d), "keep" if d <= 3 else "drop")
+            for d in range(1, 31)
+        ],
+        "day date, flag string",
+    ).filter(F.col("flag") == "keep")
+    j = fact.join(dim, "day").groupBy("event_type").agg(
+        F.sum("value").alias("v")
+    )
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
