@@ -317,3 +317,51 @@ def st_running_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("peak_cum", 6).alias("peak_cum"),
         F.round("max_drawdown", 6).alias("max_drawdown"),
     )
+
+
+_WINDOWED_PSI_ORACLE = """
+WITH base AS (
+  SELECT CAST(FLOOR(value / 25) AS BIGINT) AS bin, COUNT(*) AS n_b
+  FROM events GROUP BY 1
+), basep AS (
+  SELECT bin, CAST(n_b AS DOUBLE) / SUM(n_b) OVER () AS p_base,
+         COUNT(*) OVER () AS k
+  FROM base
+), wb AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+         CAST(FLOOR(value / 25) AS BIGINT) AS bin,
+         COUNT(*) AS n_wb
+  FROM events GROUP BY 1, 2
+), j AS (
+  SELECT w.window_start, w.n_wb, b.p_base, b.k
+  FROM wb w JOIN basep b USING (bin)
+), t AS (
+  SELECT window_start, SUM(n_wb) AS n_w, COUNT(*) AS n_bins
+  FROM j GROUP BY window_start
+)
+SELECT t.window_start,
+       CAST(t.n_w AS BIGINT) AS n_events,
+       ROUND(SUM(((j.n_wb + 0.5) / (t.n_w + 0.5 * j.k) - j.p_base)
+                 * ln(((j.n_wb + 0.5) / (t.n_w + 0.5 * j.k)) / j.p_base)),
+             6) AS psi,
+       CAST(t.n_bins AS INT) AS n_bins_observed
+FROM j JOIN t USING (window_start)
+GROUP BY t.window_start, t.n_w, t.n_bins
+"""
+
+
+@register("st_windowed_psi", oracle=_WINDOWED_PSI_ORACLE, tags=("streaming", "window", "drift"))
+def st_windowed_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day PSI drift of the value distribution vs the full-corpus
+    baseline — the incremental drift monitor
+    (streaming/events_stream.windowed_psi): TWO chained stateful
+    aggregations with a stream-static baseline join between them;
+    on this batch input the baseline is the same data, so per-window
+    PSI measures day-vs-corpus variation plus smoothing mass."""
+    from commodity_price_forecasting_spark.streaming.events_stream import (
+        value_bin_baseline,
+        windowed_psi,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_psi(ev, value_bin_baseline(ev))

@@ -584,3 +584,93 @@ def running_drawdown(df: DataFrame) -> DataFrame:
         F.max(F.col("peak")).alias("peak_cum"),
         F.max(F.col("peak") - F.col("cum")).alias("max_drawdown"),
     )
+
+
+# --- chained stateful drift monitor: windowed PSI vs static baseline ----
+
+
+def value_bin_baseline(df: DataFrame, bin_width: float = 25.0) -> DataFrame:
+    """STATIC per-bin reference distribution for the drift monitor:
+    ``(bin, p_base, k_bins)`` from a batch scan — in production the
+    frozen training-period histogram the live stream is compared
+    against. Window-over-all runs on the |bins|-row frame
+    (dimension-sized, ~14 bins here), never on raw events."""
+    from pyspark.sql import Window
+
+    c = (
+        df.select(
+            F.floor(F.col("value") / bin_width).cast("long").alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    w = Window.partitionBy()
+    return c.select(
+        "bin",
+        (F.col("n_b").cast("double") / F.sum("n_b").over(w)).alias("p_base"),
+        F.count(F.lit(1)).over(w).alias("k_bins"),
+    )
+
+
+def windowed_psi(
+    df: DataFrame,
+    baseline: DataFrame,
+    width: str = "1 day",
+    watermark: str = "1 day",
+    bin_width: float = 25.0,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Per-window Population Stability Index of the value distribution
+    against a static baseline — the production drift monitor
+    (`drift_psi_value`'s batch statistic, incrementalized): PSI_w =
+    Σ_bins (p_w − p_base)·ln(p_w/p_base), with the window-side
+    probability Laplace-smoothed, p_w = (n+s)/(n_w+s·K), so a bin
+    unseen in a thin window cannot produce ln(0). Bins are OBSERVED
+    bins (stream-static inner join against the baseline): a stream
+    cannot right-join a static frame per window, so missing-bin mass
+    shows up through the smoothed denominator — documented monitor
+    semantics, mirrored exactly by the batch oracle.
+
+    Streaming shape (the interesting part): TWO chained stateful
+    aggregations — (window, bin) counts, then the per-window PSI fold
+    — Spark 3.4+ multiple-stateful-operator support, append mode,
+    state bounded by the watermark at both levels; the baseline join
+    between them is stream-static broadcast (stateless). The PSI fold
+    itself is a JVM higher-order ``aggregate`` over the ≤K collected
+    (n, p_base) structs — no Python, no second shuffle."""
+    binned = df.withWatermark("ts", watermark).select(
+        F.window("ts", width).alias("win"),
+        F.floor(F.col("value") / bin_width).cast("long").alias("bin"),
+    )
+    wb = binned.groupBy("win", "bin").agg(F.count(F.lit(1)).alias("n_wb"))
+    j = wb.join(F.broadcast(baseline), "bin")
+    terms = j.groupBy("win").agg(
+        F.collect_list(
+            F.struct(
+                F.col("n_wb").alias("n"),
+                F.col("p_base").alias("p"),
+                F.col("k_bins").alias("k"),
+            )
+        ).alias("t")
+    )
+    n_w = F.aggregate(
+        "t", F.lit(0).cast("long"), lambda a, x: a + x["n"]
+    )
+    with_total = terms.select("win", n_w.alias("n_w"), "t")
+
+    def p_w(x):
+        return (x["n"] + F.lit(smooth)) / (
+            F.col("n_w") + F.lit(smooth) * x["k"]
+        )
+
+    psi = F.aggregate(
+        "t",
+        F.lit(0.0),
+        lambda a, x: a + (p_w(x) - x["p"]) * F.log(p_w(x) / x["p"]),
+    )
+    return with_total.select(
+        F.col("win.start").alias("window_start"),
+        F.col("n_w").cast("long").alias("n_events"),
+        F.round(psi, 6).alias("psi"),
+        F.size("t").cast("int").alias("n_bins_observed"),
+    )

@@ -502,3 +502,36 @@ def test_tws_running_drawdown_matches_batch(spark, events_batch):
     )
     for c in ("final_cum", "peak_cum", "max_drawdown"):
         assert (merged[f"{c}_got"] - merged[f"{c}_want"]).abs().max() < 1e-9
+
+
+def test_chained_stateful_windowed_psi_stream(spark, events_batch):
+    """windowed_psi is TWO chained stateful aggregations (window-bin
+    counts → per-window PSI fold) with a stream-static baseline join
+    between them — Spark 3.4+ multiple-stateful-operator execution,
+    append mode. Append only finalizes a window once the watermark
+    passes its end, so the availableNow run emits every window except
+    the tail still inside the 1-day watermark: the emitted set must
+    be a prefix-subset of the batch result, and must cover all but
+    the last 2 calendar days."""
+    from commodity_price_forecasting_spark.streaming.events_stream import (
+        value_bin_baseline,
+        windowed_psi,
+    )
+
+    baseline = value_bin_baseline(events_batch)
+    run_stream_to_memory(
+        windowed_psi(read_events_stream(spark, SF_DIR), baseline),
+        "mem_windowed_psi",
+        output_mode="append",
+    )
+    cols = ["window_start", "n_events", "psi", "n_bins_observed"]
+    got = _rows(spark.table("mem_windowed_psi"), cols)
+    want = _rows(windowed_psi(events_batch, baseline), cols)
+    assert len(got) > 0
+    assert set(got).issubset(set(want))
+    # all but the watermark tail must have been finalized and emitted
+    assert len(got) >= len(want) - 2
+    missing = set(want) - set(got)
+    if missing:
+        tail = max(w[0] for w in want)
+        assert all(m[0] >= tail or (tail - m[0]).days <= 1 for m in missing)
