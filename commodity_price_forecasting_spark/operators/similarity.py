@@ -407,7 +407,7 @@ def pq_adc_topk(
 
 def semantic_dedup_drops(
     vectors: DataFrame,
-    k: int = 16,
+    k: int | None = 16,
     threshold: float = 0.3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
@@ -433,7 +433,20 @@ def semantic_dedup_drops(
     shuffle); the pair stage shuffles once on ``cell`` and meets only
     within cells (Σ|cell|² pairs — k is chosen ~√n in practice so
     cells stay bounded, exactly the SemDeDup recipe); the final
-    dominator aggregate is map-side combinable on the dropped id."""
+    dominator aggregate is map-side combinable on the dropped id.
+
+    ``k=None`` auto-scales the cell count to ⌈√n⌉ (one extra count
+    job) — REQUIRED at scale: with k fixed, cells grow linearly with
+    the corpus and the intra-cell pair stage grows QUADRATICALLY
+    (measured: 13.5× time for 5× vectors at k=16 — see SCALE.md);
+    with k ∝ √n, pairs stay Θ(n·√n/k)=Θ(n) per the SemDeDup recipe.
+    The registered ``sim_semantic_dedup`` query pins k=16 so its
+    ANSI-SQL oracle is SF-independent; production callers use
+    auto-k."""
+    if k is None:
+        import math
+
+        k = max(16, math.isqrt(max(vectors.count(), 1)))
     seeds_rows = (
         vectors.select(id_col, vec_col)
         .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
@@ -455,12 +468,15 @@ def semantic_dedup_drops(
         ]
     )
     best = F.array_max(scored)
+    # persist: the self-join consumes the assignment on BOTH sides —
+    # without it the n·k seed-cosine pass runs twice (measured 2× the
+    # stage cost at 10k vectors, SCALE.md)
     assigned = vectors.select(
         F.col(id_col).alias("_vid"),
         F.col(vec_col).alias("_emb"),
         (-best["negid"]).alias("cell"),
         best["c"].alias("_cent"),
-    )
+    ).persist()
     a = assigned.select(
         F.col("_vid").alias("_ida"),
         F.col("_emb").alias("_ea"),

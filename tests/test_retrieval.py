@@ -141,3 +141,21 @@ def test_er_fuzzy_match_pairs_are_true_matches(spark):
         assert r["name_a"].split()[-1] == r["family"]
         assert r["name_b"].split()[-1] == r["family"]
         assert _levenshtein(r["name_a"], r["name_b"]) == r["edit_dist"] <= 3
+
+
+def test_semantic_dedup_auto_k_scales_with_corpus(spark):
+    """k=None must resolve to ⌈√n⌉ cells (the SemDeDup recipe that
+    keeps intra-cell pairs Θ(n)) — asserted by equality with the
+    explicit-k call on the fixture (n=500 → k=22)."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        semantic_dedup_drops,
+    )
+    from commodity_price_forecasting_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    auto = semantic_dedup_drops(emb, k=None).collect()
+    explicit = semantic_dedup_drops(emb, k=22).collect()
+    key = lambda r: (r["vec_id"], r["cell"], r["n_dominators"], r["first_keeper"])
+    assert sorted(map(key, auto)) == sorted(map(key, explicit))
+    # more, smaller cells than the oracle-pinned k=16 registry query
+    assert len({r["cell"] for r in auto}) > 16
