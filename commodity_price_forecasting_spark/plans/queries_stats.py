@@ -346,3 +346,130 @@ def m7_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage",
         )
     )
+
+
+# --- Poisson-bootstrap confidence intervals -----------------------------
+
+# Poisson(1) inverse-CDF cutoffs (cumulative probabilities), identical
+# literals on both engines so the md5-uniform draw is reproducible.
+_POIS = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+)
+
+_BOOT_ORACLE = """
+WITH reps AS (
+  SELECT event_type, event_id, value, UNNEST(range(50)) AS b
+  FROM events
+), u AS (
+  SELECT event_type, b, value,
+         (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || '_'
+                                   || CAST(b AS VARCHAR)), 1, 8))
+               AS BIGINT) + 1.0) / 4294967297.0 AS uu
+  FROM reps
+), w AS (
+  SELECT event_type, b, value,
+         CASE WHEN uu < 0.36787944117144233 THEN 0
+              WHEN uu < 0.7357588823428847 THEN 1
+              WHEN uu < 0.9196986029286058 THEN 2
+              WHEN uu < 0.9810118431238462 THEN 3
+              WHEN uu < 0.9963401531726563 THEN 4
+              WHEN uu < 0.9994058151824183 THEN 5
+              ELSE 6 END AS wt
+  FROM u
+), means AS (
+  SELECT event_type, b,
+         SUM(wt * value) / NULLIF(SUM(wt), 0) AS m
+  FROM w GROUP BY event_type, b
+), ci AS (
+  SELECT event_type,
+         quantile_cont(m, 0.025) AS lo,
+         quantile_cont(m, 0.975) AS hi
+  FROM means GROUP BY event_type
+), pe AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, AVG(value) AS mean_value
+  FROM events GROUP BY event_type
+)
+SELECT p.event_type, p.n,
+       ROUND(p.mean_value, 6) AS mean_value,
+       ROUND(c.lo, 6) AS ci_lo,
+       ROUND(c.hi, 6) AS ci_hi,
+       p.mean_value BETWEEN c.lo AND c.hi AS mean_in_ci
+FROM pe p JOIN ci c ON c.event_type = p.event_type
+"""
+
+
+@register("stat_bootstrap_ci", oracle=_BOOT_ORACLE, tags=("profiling", "stats"))
+def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean value per event_type —
+    the bootstrap that actually works on a cluster (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", 2012): instead
+    of resampling n rows B times (impossible without global state),
+    every row draws an INDEPENDENT Poisson(1) weight per replicate,
+    so the whole procedure is one map-side explode + two aggregates.
+
+    Determinism: the per-(row, replicate) uniform is the md5-fraction
+    convention used by every sampler in this repo; Poisson inversion
+    is a shared literal CDF table, so Spark and DuckDB draw identical
+    weights. B=50 replicates; the replicate means collapse to
+    |event_type|·B rows before the exact 2.5/97.5 percentile."""
+    ev = load_table(spark, sf_dir, "events")
+    reps = ev.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(49))).alias("b"),
+    )
+    uu = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("event_id").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / 4294967297.0
+    wt = F.when(uu < _POIS[0], 0)
+    for i, c in enumerate(_POIS[1:], start=1):
+        wt = wt.when(uu < c, i)
+    wt = wt.otherwise(6)
+    means = (
+        reps.withColumn("wt", wt)
+        .groupBy("event_type", "b")
+        .agg(
+            (
+                F.sum(F.col("wt") * F.col("value"))
+                / F.nullif(F.sum("wt"), F.lit(0))
+            ).alias("m")
+        )
+    )
+    ci = means.groupBy("event_type").agg(
+        F.percentile("m", 0.025).alias("_lo"),
+        F.percentile("m", 0.975).alias("_hi"),
+    )
+    pe = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.avg("value").alias("_mean")
+    )
+    return pe.join(F.broadcast(ci), "event_type").select(
+        "event_type",
+        "n",
+        F.round("_mean", 6).alias("mean_value"),
+        F.round("_lo", 6).alias("ci_lo"),
+        F.round("_hi", 6).alias("ci_hi"),
+        (
+            (F.col("_mean") >= F.col("_lo")) & (F.col("_mean") <= F.col("_hi"))
+        ).alias("mean_in_ci"),
+    )

@@ -172,3 +172,49 @@ def test_theilsen_matches_numpy_median_of_slopes(spark, duck):
         assert r["n_pairs"] == len(slopes)
         assert abs(r["ts_slope"] - round(float(np.median(slopes)), 6)) <= 1e-6
         assert abs(r["mean_pair_slope"] - round(float(np.mean(slopes)), 6)) <= 1e-6
+
+
+def test_bootstrap_ci_matches_hashlib_mirror(spark, duck):
+    """Replicate means recomputed with hashlib md5 + the same
+    Poisson(1) inversion table — verifies the md5-fraction weight
+    draw end-to-end — and the CI must bracket the point estimate."""
+    import hashlib
+
+    cuts = (
+        0.36787944117144233,
+        0.7357588823428847,
+        0.9196986029286058,
+        0.9810118431238462,
+        0.9963401531726563,
+        0.9994058151824183,
+    )
+    rows = duck.execute(
+        "SELECT event_type, event_id, value FROM events"
+    ).fetchall()
+    means = defaultdict(dict)
+    by_type = defaultdict(list)
+    for et, eid, v in rows:
+        by_type[et].append((eid, v))
+    for et, evs in by_type.items():
+        for b in range(50):
+            sw = swx = 0.0
+            for eid, v in evs:
+                u = (
+                    int(hashlib.md5(f"{eid}_{b}".encode()).hexdigest()[:8], 16)
+                    + 1.0
+                ) / 4294967297.0
+                w = next((i for i, c in enumerate(cuts) if u < c), 6)
+                sw += w
+                swx += w * v
+            means[et][b] = swx / sw if sw else None
+    got = {r["event_type"]: r for r in REGISTRY["stat_bootstrap_ci"].fn(spark, SF_SMOKE).collect()}
+    assert set(got) == set(by_type)
+    for et, reps in means.items():
+        ms = sorted(v for v in reps.values() if v is not None)
+        lo = float(np.quantile(ms, 0.025, method="linear"))
+        hi = float(np.quantile(ms, 0.975, method="linear"))
+        r = got[et]
+        assert abs(r["ci_lo"] - round(lo, 6)) <= 1e-6
+        assert abs(r["ci_hi"] - round(hi, 6)) <= 1e-6
+        assert r["mean_in_ci"] and r["ci_lo"] < r["mean_value"] < r["ci_hi"]
+        assert r["n"] == len(by_type[et])
