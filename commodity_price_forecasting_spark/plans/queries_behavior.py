@@ -454,3 +454,91 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)) * 1.0 / (1 + F.sum("new_s")), 6
         ).alias("events_per_session"),
     )
+
+
+_PMI_ORACLE = """
+WITH pres AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), nu AS (
+  SELECT COUNT(DISTINCT user_id) AS n_users FROM events
+), tcnt AS (
+  SELECT event_type, COUNT(*) AS n_t FROM pres GROUP BY event_type
+), pair AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_ab
+  FROM pres a JOIN pres b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.type_a, p.type_b,
+       CAST(p.n_ab AS BIGINT) AS n_users_both,
+       ROUND(ln((CAST(p.n_ab AS DOUBLE) / u.n_users)
+                / ((CAST(ta.n_t AS DOUBLE) / u.n_users)
+                   * (CAST(tb.n_t AS DOUBLE) / u.n_users))), 6) AS pmi,
+       ROUND(CAST(p.n_ab AS DOUBLE)
+             / (ta.n_t + tb.n_t - p.n_ab), 6) AS jaccard
+FROM pair p
+JOIN tcnt ta ON ta.event_type = p.type_a
+JOIN tcnt tb ON tb.event_type = p.type_b
+CROSS JOIN nu u
+"""
+
+
+@register("behavior_event_pmi", oracle=_PMI_ORACLE, tags=("behavior", "stats"))
+def behavior_event_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between event types at the USER
+    level — which behaviors co-occur beyond chance (PMI > 0) vs
+    repel (PMI < 0): PMI(a,b) = ln(p(a,b)/(p(a)p(b))) over per-user
+    presence sets, with the presence-Jaccard beside it (the
+    ``basket_item_pairs`` support counts, normalized two ways).
+
+    Plan shape: distinct (user, type) presence first — the ONLY pass
+    over raw events — then a self-equi-join on user_id whose fanout
+    is bounded by |event_types|² per user (5 types → ≤10 pairs), two
+    broadcast dimension joins, and the 1-row user-count broadcast
+    (allowlisted single-row pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    pres = ev.select("user_id", "event_type").distinct()
+    nu = ev.agg(F.countDistinct("user_id").alias("n_users"))
+    tcnt = pres.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    b = pres.select(
+        F.col("user_id").alias("_uid"), F.col("event_type").alias("type_b")
+    )
+    pair = (
+        pres.select(F.col("user_id"), F.col("event_type").alias("type_a"))
+        .join(
+            b,
+            (F.col("user_id") == F.col("_uid"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ta = tcnt.select(
+        F.col("event_type").alias("type_a"), F.col("n_t").alias("n_a")
+    )
+    tb = tcnt.select(
+        F.col("event_type").alias("type_b"), F.col("n_t").alias("n_b")
+    )
+    j = (
+        pair.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .crossJoin(F.broadcast(nu))
+    )
+    pmi = F.log(
+        (F.col("n_ab").cast("double") / F.col("n_users"))
+        / (
+            (F.col("n_a").cast("double") / F.col("n_users"))
+            * (F.col("n_b").cast("double") / F.col("n_users"))
+        )
+    )
+    jac = F.col("n_ab").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_ab")
+    )
+    return j.select(
+        "type_a",
+        "type_b",
+        F.col("n_ab").cast("long").alias("n_users_both"),
+        F.round(pmi, 6).alias("pmi"),
+        F.round(jac, 6).alias("jaccard"),
+    )

@@ -473,3 +473,140 @@ def stat_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_mean") >= F.col("_lo")) & (F.col("_mean") <= F.col("_hi"))
         ).alias("mean_in_ci"),
     )
+
+
+# --- Welch's t-test (A/B readout) ---------------------------------------
+
+_WELCH_ORACLE = """
+WITH g AS (
+  SELECT event_type, user_id % 2 AS grp, value FROM events
+), s AS (
+  SELECT event_type, grp,
+         COUNT(*) AS n, AVG(value) AS m, VAR_SAMP(value) AS v
+  FROM g GROUP BY event_type, grp
+), w AS (
+  SELECT a.event_type,
+         a.n AS n_a, b.n AS n_b, a.m AS m_a, b.m AS m_b,
+         a.v / a.n + b.v / b.n AS se2,
+         a.v / a.n AS sa, b.v / b.n AS sb
+  FROM s a JOIN s b ON a.event_type = b.event_type
+   AND a.grp = 0 AND b.grp = 1
+)
+SELECT event_type,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND(m_a - m_b, 6) AS mean_diff,
+       ROUND((m_a - m_b) / SQRT(se2), 6) AS t_stat,
+       ROUND(se2 * se2 / (sa * sa / (n_a - 1) + sb * sb / (n_b - 1)), 6)
+         AS welch_df,
+       ABS((m_a - m_b) / SQRT(se2)) > 1.96 AS significant_z
+FROM w
+"""
+
+
+@register("stat_welch_ttest", oracle=_WELCH_ORACLE, tags=("profiling", "stats"))
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test per event_type for the A/B
+    split user_id % 2 — the experiment readout: t = Δm/√(v₁/n₁+v₂/n₂)
+    with Welch–Satterthwaite degrees of freedom, and the |t| > 1.96
+    normal-approximation significance flag (exact t CDFs are a
+    special function, deliberately out of SQL scope; at these n the
+    z approximation is standard practice).
+
+    One sufficient-statistics aggregate per (type, arm) — six numbers
+    per cell, map-side combinable — then a 2-row-per-type self-join;
+    the raw values never leave the first aggregate's map side."""
+    g = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 2).alias("grp"), "value"
+    )
+    s = g.groupBy("event_type", "grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    a = s.filter(F.col("grp") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("m").alias("m_a"),
+        F.col("v").alias("v_a"),
+    )
+    b = s.filter(F.col("grp") == 1).select(
+        F.col("event_type").alias("_et"),
+        F.col("n").alias("n_b"),
+        F.col("m").alias("m_b"),
+        F.col("v").alias("v_b"),
+    )
+    j = a.join(b, F.col("event_type") == F.col("_et"))
+    sa = F.col("v_a") / F.col("n_a")
+    sb = F.col("v_b") / F.col("n_b")
+    se2 = sa + sb
+    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)
+    )
+    return j.select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.col("m_a") - F.col("m_b"), 6).alias("mean_diff"),
+        F.round(t, 6).alias("t_stat"),
+        F.round(df, 6).alias("welch_df"),
+        (F.abs(t) > 1.96).alias("significant_z"),
+    )
+
+
+# --- one-way ANOVA -------------------------------------------------------
+
+_ANOVA_ORACLE = """
+WITH s AS (
+  SELECT event_type, COUNT(*) AS n, AVG(value) AS m, VAR_SAMP(value) AS v
+  FROM events GROUP BY event_type
+), tot AS (
+  SELECT SUM(n) AS nn, COUNT(*) AS k,
+         SUM(n * m) / SUM(n) AS gm
+  FROM s
+)
+SELECT CAST(t.k AS BIGINT) AS k_groups,
+       CAST(t.nn AS BIGINT) AS n,
+       ROUND(SUM(s.n * (s.m - t.gm) * (s.m - t.gm)) / (t.k - 1), 6)
+         AS ms_between,
+       ROUND(SUM((s.n - 1) * s.v) / (t.nn - t.k), 6) AS ms_within,
+       ROUND((SUM(s.n * (s.m - t.gm) * (s.m - t.gm)) / (t.k - 1))
+             / (SUM((s.n - 1) * s.v) / (t.nn - t.k)), 6) AS f_stat
+FROM s CROSS JOIN tot t
+GROUP BY t.k, t.nn
+"""
+
+
+@register("stat_anova_f", oracle=_ANOVA_ORACLE, tags=("profiling", "stats"))
+def stat_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across event_types on value: between-group
+    mean square over within-group mean square — does the event type
+    explain any of the value variance at all (the screening test
+    before per-pair Welch comparisons).
+
+    Per-group sufficient statistics (n, mean, variance — one
+    map-side-combinable aggregate over raw data), then the k-row
+    summary frame cross-joined with its own 1-row total: every term
+    after the first aggregate runs on dimension-sized data."""
+    s = load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    tot = s.agg(
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+    )
+    j = s.crossJoin(F.broadcast(tot))
+    msb = F.sum(
+        F.col("n") * (F.col("m") - F.col("gm")) * (F.col("m") - F.col("gm"))
+    ) / (F.max("k") - 1)
+    msw = F.sum((F.col("n") - 1) * F.col("v")) / (F.max("nn") - F.max("k"))
+    return j.groupBy().agg(
+        F.max("k").cast("long").alias("k_groups"),
+        F.max("nn").cast("long").alias("n"),
+        F.round(msb, 6).alias("ms_between"),
+        F.round(msw, 6).alias("ms_within"),
+        F.round(msb / msw, 6).alias("f_stat"),
+    )

@@ -95,6 +95,10 @@ SINGLE_ROW_BROADCAST_OK = {
     "graph_pagerank",
     # (N, avgdl) 1-row corpus-stats aggregate broadcast into scoring
     "text_bm25_search",
+    # 1-row (nn, k, grand-mean) total broadcast over the k-group frame
+    "stat_anova_f",
+    # 1-row distinct-user-count broadcast into the PMI normalization
+    "behavior_event_pmi",
 }
 
 

@@ -218,3 +218,59 @@ def test_bootstrap_ci_matches_hashlib_mirror(spark, duck):
         assert abs(r["ci_hi"] - round(hi, 6)) <= 1e-6
         assert r["mean_in_ci"] and r["ci_lo"] < r["mean_value"] < r["ci_hi"]
         assert r["n"] == len(by_type[et])
+
+
+def test_welch_and_anova_match_manual_stats(spark, duck):
+    rows = duck.execute(
+        "SELECT event_type, user_id % 2, value FROM events"
+    ).fetchall()
+    by_type = defaultdict(lambda: ([], []))
+    for et, g, v in rows:
+        by_type[et][g].append(v)
+    got = {r["event_type"]: r for r in REGISTRY["stat_welch_ttest"].fn(spark, SF_SMOKE).collect()}
+    for et, (a, b) in by_type.items():
+        a, b = np.array(a), np.array(b)
+        sa, sb = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+        t = (a.mean() - b.mean()) / math.sqrt(sa + sb)
+        df = (sa + sb) ** 2 / (sa**2 / (len(a) - 1) + sb**2 / (len(b) - 1))
+        r = got[et]
+        assert (r["n_a"], r["n_b"]) == (len(a), len(b))
+        assert abs(r["t_stat"] - round(t, 6)) <= 1e-6
+        assert abs(r["welch_df"] - round(df, 6)) <= 1e-5
+        assert r["significant_z"] == (abs(t) > 1.96)
+    # ANOVA against the textbook SS decomposition
+    groups = [np.array(a + b) for a, b in by_type.values()]
+    allv = np.concatenate(groups)
+    k, nn = len(groups), len(allv)
+    ssb = sum(len(g) * (g.mean() - allv.mean()) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    [r] = REGISTRY["stat_anova_f"].fn(spark, SF_SMOKE).collect()
+    assert (r["k_groups"], r["n"]) == (k, nn)
+    assert abs(r["f_stat"] - round((ssb / (k - 1)) / (ssw / (nn - k)), 6)) <= 1e-5
+
+
+def test_event_pmi_matches_set_arithmetic(spark, duck):
+    rows = duck.execute(
+        "SELECT DISTINCT user_id, event_type FROM events"
+    ).fetchall()
+    users_of = defaultdict(set)
+    for uid, et in rows:
+        users_of[et].add(uid)
+    n_users = len({uid for uid, _ in rows})
+    got = {(r["type_a"], r["type_b"]): r for r in REGISTRY["behavior_event_pmi"].fn(spark, SF_SMOKE).collect()}
+    types = sorted(users_of)
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            both = users_of[a] & users_of[b]
+            if not both:
+                assert (a, b) not in got
+                continue
+            r = got[(a, b)]
+            assert r["n_users_both"] == len(both)
+            pmi = math.log(
+                (len(both) / n_users)
+                / ((len(users_of[a]) / n_users) * (len(users_of[b]) / n_users))
+            )
+            jac = len(both) / len(users_of[a] | users_of[b])
+            assert abs(r["pmi"] - round(pmi, 6)) <= 1e-6
+            assert abs(r["jaccard"] - round(jac, 6)) <= 1e-6
