@@ -1755,3 +1755,59 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("long").alias("out_degree"),
         F.round("rank", 6).alias("pagerank"),
     )
+
+
+_HLL_ROLLUP_ORACLE = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         COUNT(DISTINCT user_id) AS exact_daily
+  FROM events GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(exact_daily) AS BIGINT) AS sum_daily_exact,
+       CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT)
+         AS exact_total,
+       TRUE AS merged_within_5pct,
+       TRUE AS merged_le_sum_daily
+FROM daily
+"""
+
+
+@register("sketch_hll_rollup", oracle=_HLL_ROLLUP_ORACLE, tags=("datapipe", "sketch"))
+def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch RE-AGGREGATION — the property the sketch family
+    exists for at 100 TB: build one user sketch PER DAY, then merge
+    the daily sketches with ``hll_union_agg`` into the month total
+    WITHOUT touching raw data again (exact countDistinct cannot be
+    rolled up from daily exacts — distinct is not additive). The
+    oracle-checked surface: day count, the (over-counting) sum of
+    daily exacts, the exact total, and two invariant flags — the
+    merged estimate lands within 5% of the exact total AND does not
+    exceed the additive upper bound.
+
+    This is the daily-partition pattern: at scale the daily sketches
+    are KB-sized artifacts persisted with each partition; month/year
+    rollups never rescan events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_daily"),
+    )
+    merged = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("exact_daily").alias("sum_daily_exact"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_merged"),
+    )
+    total = ev.agg(F.countDistinct("user_id").alias("exact_total"))
+    return merged.crossJoin(F.broadcast(total)).select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("sum_daily_exact").cast("long").alias("sum_daily_exact"),
+        F.col("exact_total").cast("long").alias("exact_total"),
+        (
+            F.abs(F.col("_merged") - F.col("exact_total"))
+            <= 0.05 * F.col("exact_total")
+        ).alias("merged_within_5pct"),
+        (F.col("_merged") <= F.col("sum_daily_exact") * 1.05).alias(
+            "merged_le_sum_daily"
+        ),
+    )

@@ -610,3 +610,84 @@ def stat_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(msw, 6).alias("ms_within"),
         F.round(msb / msw, 6).alias("f_stat"),
     )
+
+
+# --- Spearman rank correlation ------------------------------------------
+
+_SPEARMAN_ORACLE = """
+WITH base AS (
+  SELECT event_type, event_id, value,
+         epoch_us(ts) AS tsec
+  FROM events
+), rx AS (
+  SELECT event_type, event_id, value, tsec,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS rn_v,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY tsec, event_id) AS rn_t
+  FROM base
+), ranks AS (
+  SELECT event_type,
+         AVG(rn_v) OVER (PARTITION BY event_type, value)
+           - (COUNT(*) OVER (PARTITION BY event_type) + 1) / 2.0 AS c_v,
+         AVG(rn_t) OVER (PARTITION BY event_type, tsec)
+           - (COUNT(*) OVER (PARTITION BY event_type) + 1) / 2.0 AS c_t
+  FROM rx
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(c_v * c_t)
+             / (SQRT(SUM(c_v * c_v)) * SQRT(SUM(c_t * c_t))), 6)
+         AS spearman_rho
+FROM ranks GROUP BY event_type
+"""
+
+
+@register("stat_spearman_corr", oracle=_SPEARMAN_ORACLE, tags=("profiling", "stats"))
+def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between value and event time per
+    event_type — the monotone-trend detector that sees what Pearson
+    (`a7_corr_pairs`) misses on non-linear drifts: ρ = Pearson on
+    AVERAGE ranks, ties handled exactly (each tie group gets the mean
+    of the row_numbers it spans, the textbook tie correction).
+
+    Plan shape: two row_number windows + two tie-averaging windows,
+    all PARTITIONED BY event_type (the per-group sort lane), then one
+    sufficient-statistics aggregate — the ranks never leave their
+    partition."""
+    base = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "value",
+        F.unix_micros("ts").alias("tsec"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wt = Window.partitionBy("event_type").orderBy("tsec", "event_id")
+    rx = base.withColumn("rn_v", F.row_number().over(wv)).withColumn(
+        "rn_t", F.row_number().over(wt)
+    )
+    # centered ranks (mean rank = (n+1)/2 EXACTLY) — the raw-moment
+    # formula n·Σrvrt − Σrv·Σrt cancels ~12 significant digits at
+    # n≈2000 and the engines disagreed at the 6th decimal; centered
+    # sums carry no cancellation
+    wg = Window.partitionBy("event_type")
+    mid = (F.count(F.lit(1)).over(wg) + 1) / 2.0
+    ranks = rx.select(
+        "event_type",
+        (
+            F.avg("rn_v").over(Window.partitionBy("event_type", "value"))
+            - mid
+        ).alias("c_v"),
+        (
+            F.avg("rn_t").over(Window.partitionBy("event_type", "tsec"))
+            - mid
+        ).alias("c_t"),
+    )
+    rho = F.sum(F.col("c_v") * F.col("c_t")) / (
+        F.sqrt(F.sum(F.col("c_v") * F.col("c_v")))
+        * F.sqrt(F.sum(F.col("c_t") * F.col("c_t")))
+    )
+    return ranks.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(rho, 6).alias("spearman_rho"),
+    )

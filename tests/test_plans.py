@@ -99,6 +99,8 @@ SINGLE_ROW_BROADCAST_OK = {
     "stat_anova_f",
     # 1-row distinct-user-count broadcast into the PMI normalization
     "behavior_event_pmi",
+    # 1-row exact-total aggregate broadcast beside the merged sketch
+    "sketch_hll_rollup",
 }
 
 
@@ -322,3 +324,49 @@ def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path):
     j.collect()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE must MERGE undersized shuffle partitions at runtime — the
+    lever that keeps a 1000-executor job from scheduling thousands of
+    empty reducers when a filter makes a stage's output small. Driven
+    with 32 declared shuffle partitions over a tiny aggregate; the
+    executed plan must show a coalesced AQEShuffleRead."""
+    from pyspark.sql import functions as F
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        df = (
+            load_table(spark, SF_DIR, "events")
+            .groupBy("event_type")
+            .agg(F.avg("value").alias("v"))
+        )
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead" in plan and "coalesced" in plan
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def test_self_join_reuses_exchange(spark):
+    """A self-join over the same aggregated subquery must REUSE the
+    shuffle output (ReusedExchange), not recompute the subtree — the
+    plan property that makes the w8/spread-style self-comparisons
+    one-scan at scale."""
+    from pyspark.sql import functions as F
+
+    daily = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.col("user_id").alias("k"), F.to_date("ts").alias("day"))
+        .agg(F.avg("value").alias("px"))
+    )
+    b = daily.select(
+        F.col("k").alias("k2"), F.col("day").alias("day2"), F.col("px").alias("px2")
+    )
+    j = daily.join(
+        b, (F.col("k") == F.col("k2")) & (F.col("day") == F.col("day2"))
+    )
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan

@@ -274,3 +274,39 @@ def test_event_pmi_matches_set_arithmetic(spark, duck):
             jac = len(both) / len(users_of[a] | users_of[b])
             assert abs(r["pmi"] - round(pmi, 6)) <= 1e-6
             assert abs(r["jaccard"] - round(jac, 6)) <= 1e-6
+
+
+def _avg_ranks(vals):
+    order = np.lexsort((np.arange(len(vals)), vals))
+    rn = np.empty(len(vals))
+    rn[order] = np.arange(1, len(vals) + 1)
+    out = np.empty(len(vals))
+    for v in np.unique(vals):
+        m = vals == v
+        out[m] = rn[m].mean()
+    return out
+
+
+def test_spearman_matches_manual_tie_corrected_ranks(spark, duck):
+    rows = duck.execute(
+        "SELECT event_type, value, epoch_us(ts) FROM events"
+    ).fetchall()
+    by_type = defaultdict(lambda: ([], []))
+    for et, v, t in rows:
+        by_type[et][0].append(v)
+        by_type[et][1].append(t)
+    got = {r["event_type"]: r for r in REGISTRY["stat_spearman_corr"].fn(spark, SF_SMOKE).collect()}
+    for et, (v, t) in by_type.items():
+        rv = _avg_ranks(np.array(v, dtype=np.float64))
+        rt = _avg_ranks(np.array(t, dtype=np.float64))
+        rho = float(np.corrcoef(rv, rt)[0, 1])
+        r = got[et]
+        assert r["n"] == len(v)
+        assert abs(r["spearman_rho"] - round(rho, 6)) <= 2e-6
+
+
+def test_hll_rollup_bounds_hold(spark):
+    [r] = REGISTRY["sketch_hll_rollup"].fn(spark, SF_SMOKE).collect()
+    assert r["merged_within_5pct"] and r["merged_le_sum_daily"]
+    assert r["n_days"] >= 28
+    assert r["sum_daily_exact"] >= r["exact_total"]
