@@ -899,3 +899,128 @@ def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("slope", 0.5), 6).alias("ts_slope"),
         F.round(F.avg("slope"), 6).alias("mean_pair_slope"),
     )
+
+
+_GRANGER_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), pair AS (
+  SELECT a.instrument AS leg_a, a.day, a.px AS pa, b.px AS pb
+  FROM daily a JOIN daily b
+    ON a.instrument + 1 = b.instrument AND a.day = b.day
+), lagged AS (
+  SELECT leg_a, pa AS y,
+         LAG(pa) OVER (PARTITION BY leg_a ORDER BY day) AS a1,
+         LAG(pb) OVER (PARTITION BY leg_a ORDER BY day) AS b1
+  FROM pair
+), ok AS (
+  SELECT leg_a, y, a1, b1 FROM lagged WHERE a1 IS NOT NULL
+), mu AS (
+  SELECT leg_a, y, a1, b1,
+         AVG(y) OVER (PARTITION BY leg_a) AS my,
+         AVG(a1) OVER (PARTITION BY leg_a) AS ma,
+         AVG(b1) OVER (PARTITION BY leg_a) AS mb,
+         COUNT(*) OVER (PARTITION BY leg_a) AS n
+  FROM ok
+), s AS (
+  SELECT leg_a, MAX(n) AS n,
+         SUM((a1 - ma) * (a1 - ma)) AS saa,
+         SUM((b1 - mb) * (b1 - mb)) AS sbb,
+         SUM((a1 - ma) * (b1 - mb)) AS sab,
+         SUM((a1 - ma) * (y - my)) AS say,
+         SUM((b1 - mb) * (y - my)) AS sby,
+         SUM((y - my) * (y - my)) AS syy
+  FROM mu GROUP BY leg_a HAVING MAX(n) >= 20
+), f AS (
+  SELECT leg_a, n, syy, say, saa, sby,
+         (saa * sby - sab * say) / (saa * sbb - sab * sab) AS gamma,
+         (sbb * say - sab * sby) / (saa * sbb - sab * sab) AS beta
+  FROM s
+), rss AS (
+  SELECT leg_a, n, beta, gamma,
+         syy - say * say / saa AS rss_r,
+         syy - beta * say - gamma * sby AS rss_u
+  FROM f
+)
+SELECT leg_a, CAST(n AS BIGINT) AS n,
+       ROUND(beta, 6) AS beta_own,
+       ROUND(gamma, 6) AS gamma_cross,
+       ROUND((rss_r - rss_u) * (n - 3) / rss_u, 6) AS f_stat,
+       (rss_r - rss_u) * (n - 3) / rss_u > 4.2 AS causal_05
+FROM rss
+"""
+
+
+@register("ts_granger_causality", oracle=_GRANGER_ORACLE, tags=("timeseries", "stats", "signals"))
+def ts_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality (lag-1) from the neighbour instrument onto
+    each leg: does yesterday's b price improve today's a forecast
+    beyond a's own lag — F = (RSS_restricted − RSS_unrestricted)·
+    (n−3)/RSS_unrestricted for the nested OLS pair a_t ~ a_{t−1} vs
+    a_t ~ a_{t−1} + b_{t−1}, both solved CLOSED-FORM from centered
+    sufficient statistics (demeaning removes the intercept, so the
+    unrestricted fit is one 2×2 Cramer solve — no iteration, no
+    cancellation-prone raw moments). causal_05 uses the F(1, n−3)
+    ≈ 4.2 critical value for the fixture's n≈28 (a nominal flag; the
+    F statistic itself is the oracle-checked surface).
+
+    Plan shape: neighbour equi-join on (instrument+1, day), one lag
+    window, mean windows, one sufficient-statistics aggregate per
+    pair — the m11/halflife regression lane with one extra
+    regressor."""
+    daily = daily_bars(spark, sf_dir)
+    b = daily.select(
+        F.col("instrument").alias("_ib"),
+        F.col("day").alias("_db"),
+        F.col("px").alias("pb"),
+    )
+    pair = daily.join(
+        b,
+        (F.col("instrument") + 1 == F.col("_ib")) & (F.col("day") == F.col("_db")),
+    ).select(F.col("instrument").alias("leg_a"), "day", F.col("px").alias("pa"), "pb")
+    w = Window.partitionBy("leg_a").orderBy("day")
+    lagged = (
+        pair.withColumn("a1", F.lag("pa").over(w))
+        .withColumn("b1", F.lag("pb").over(w))
+        .filter(F.col("a1").isNotNull())
+        .select("leg_a", F.col("pa").alias("y"), "a1", "b1")
+    )
+    wg = Window.partitionBy("leg_a")
+    mu = (
+        lagged.withColumn("my", F.avg("y").over(wg))
+        .withColumn("ma", F.avg("a1").over(wg))
+        .withColumn("mb", F.avg("b1").over(wg))
+    )
+    ca, cb, cy = (
+        F.col("a1") - F.col("ma"),
+        F.col("b1") - F.col("mb"),
+        F.col("y") - F.col("my"),
+    )
+    s = (
+        mu.groupBy("leg_a")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(ca * ca).alias("saa"),
+            F.sum(cb * cb).alias("sbb"),
+            F.sum(ca * cb).alias("sab"),
+            F.sum(ca * cy).alias("say"),
+            F.sum(cb * cy).alias("sby"),
+            F.sum(cy * cy).alias("syy"),
+        )
+        .filter(F.col("n") >= 20)
+    )
+    det = F.col("saa") * F.col("sbb") - F.col("sab") * F.col("sab")
+    gamma = (F.col("saa") * F.col("sby") - F.col("sab") * F.col("say")) / det
+    beta = (F.col("sbb") * F.col("say") - F.col("sab") * F.col("sby")) / det
+    rss_r = F.col("syy") - F.col("say") * F.col("say") / F.col("saa")
+    rss_u = F.col("syy") - beta * F.col("say") - gamma * F.col("sby")
+    fstat = (rss_r - rss_u) * (F.col("n") - 3) / rss_u
+    return s.select(
+        "leg_a",
+        F.col("n").cast("long").alias("n"),
+        F.round(beta, 6).alias("beta_own"),
+        F.round(gamma, 6).alias("gamma_cross"),
+        F.round(fstat, 6).alias("f_stat"),
+        (fstat > 4.2).alias("causal_05"),
+    )

@@ -310,3 +310,83 @@ def test_hll_rollup_bounds_hold(spark):
     assert r["merged_within_5pct"] and r["merged_le_sum_daily"]
     assert r["n_days"] >= 28
     assert r["sum_daily_exact"] >= r["exact_total"]
+
+
+def test_mannwhitney_matches_manual_ranksum(spark, duck):
+    rows = duck.execute(
+        "SELECT event_type, user_id % 2, value FROM events"
+    ).fetchall()
+    by_type = defaultdict(lambda: ([], []))
+    for et, g, v in rows:
+        by_type[et][g].append(v)
+    got = {r["event_type"]: r for r in REGISTRY["stat_mannwhitney_u"].fn(spark, SF_SMOKE).collect()}
+    for et, (a, b) in by_type.items():
+        allv = np.array(a + b)
+        ranks = _avg_ranks(allv)
+        r1 = ranks[: len(a)].sum()
+        n1, n2 = len(a), len(b)
+        u = r1 - n1 * (n1 + 1) / 2
+        n = n1 + n2
+        _, counts = np.unique(allv, return_counts=True)
+        tie = float((counts.astype(float) ** 3 - counts).sum())
+        sigma = math.sqrt(n1 * n2 / 12 * ((n + 1) - tie / (n * (n - 1))))
+        z = (u - n1 * n2 / 2) / sigma
+        r = got[et]
+        assert (r["n1"], r["n2"]) == (n1, n2)
+        assert abs(r["u_stat"] - round(u, 6)) <= 1e-6
+        assert abs(r["z_stat"] - round(z, 6)) <= 1e-5
+
+
+def test_benford_terms_are_consistent(spark, duck):
+    rows = REGISTRY["dq_benford_firstdigit"].fn(spark, SF_SMOKE).collect()
+    assert sorted(r["digit"] for r in rows) == list(range(1, 10))
+    assert abs(sum(r["obs_p"] for r in rows) - 1.0) <= 1e-4
+    assert abs(sum(r["benford_p"] for r in rows) - 1.0) <= 1e-4
+    n = duck.execute("SELECT COUNT(*) FROM events WHERE value > 0").fetchone()[0]
+    obs = {
+        d: c
+        for d, c in duck.execute(
+            "SELECT CAST(FLOOR(value / POWER(10, FLOOR(LOG10(value)))) AS BIGINT),"
+            " COUNT(*) FROM events WHERE value > 0 GROUP BY 1"
+        ).fetchall()
+    }
+    for r in rows:
+        assert r["n_obs"] == obs[r["digit"]]
+        e = n * math.log10(1 + 1 / r["digit"])
+        assert abs(r["chi2_term"] - round((r["n_obs"] - e) ** 2 / e, 6)) <= 1e-5
+
+
+def test_granger_matches_numpy_lstsq(spark, duck):
+    rows = duck.execute(
+        "SELECT user_id, CAST(ts AS DATE) AS day, AVG(value) "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = defaultdict(list)
+    for uid, day, px in rows:
+        series[uid].append((day, px))
+    got = {r["leg_a"]: r for r in REGISTRY["ts_granger_causality"].fn(spark, SF_SMOKE).collect()}
+    for leg, r in got.items():
+        a = dict(series[leg])
+        b = dict(series[leg + 1])
+        days = sorted(set(a) & set(b))
+        y, a1, b1 = [], [], []
+        for prev, cur in zip(days, days[1:]):
+            y.append(a[cur])
+            a1.append(a[prev])
+            b1.append(b[prev])
+        y = np.array(y)
+        a1 = np.array(a1)
+        b1 = np.array(b1)
+        n = len(y)
+        assert r["n"] == n
+        Xr = np.column_stack([np.ones(n), a1])
+        Xu = np.column_stack([np.ones(n), a1, b1])
+        cr = np.linalg.lstsq(Xr, y, rcond=None)[0]
+        cu = np.linalg.lstsq(Xu, y, rcond=None)[0]
+        rss_r = float(((y - Xr @ cr) ** 2).sum())
+        rss_u = float(((y - Xu @ cu) ** 2).sum())
+        f = (rss_r - rss_u) * (n - 3) / rss_u
+        assert abs(r["f_stat"] - round(f, 6)) <= 1e-4
+        assert abs(r["beta_own"] - round(float(cu[1]), 6)) <= 1e-5
+        assert abs(r["gamma_cross"] - round(float(cu[2]), 6)) <= 1e-5
+        assert r["causal_05"] == (f > 4.2)
