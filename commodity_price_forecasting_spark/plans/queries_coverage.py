@@ -1805,3 +1805,102 @@ def m7_diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dm, 6).alias("dm_stat"),
         F.when(F.abs(dm) > 1.96, F.lit(1)).otherwise(F.lit(0)).alias("significant"),
     )
+
+
+_TICKS_ORACLE = """
+WITH g AS (
+  SELECT i.i AS instrument, s.s AS seq,
+         100.0 + i.i / 2.0 + ((s.s * 9973) % 1000) / 100.0 AS px
+  FROM (SELECT UNNEST(range(8)) AS i) i
+  CROSS JOIN (SELECT UNNEST(range(500)) AS s) s
+)
+SELECT CAST(instrument AS INT) AS instrument,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       ROUND(AVG(px), 6) AS avg_px,
+       ROUND(MIN(px), 6) AS min_px,
+       ROUND(MAX(px), 6) AS max_px
+FROM g GROUP BY instrument
+"""
+
+
+@register("s11_python_datasource", oracle=_TICKS_ORACLE, tags=("source", "coverage"))
+def s11_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource end-to-end (Spark 4
+    ``pyspark.sql.datasource``): the ``ticks`` format generates a
+    deterministic synthetic feed with ONE InputPartition per
+    instrument — the planner runs 8 parallel read tasks here, 1000 on
+    a 1000-instrument feed — then a per-instrument aggregate. The
+    arithmetic feed is regenerated row-for-row by the DuckDB oracle
+    from ``range()``, so the source's partitioning, schema, and value
+    path are all hash-checked. See ``sources/ticksource.py`` for the
+    by-value-pickled source classes (works on executors without the
+    package on PYTHONPATH)."""
+    from commodity_price_forecasting_spark.sources.ticksource import (
+        register_tick_source,
+    )
+
+    register_tick_source(spark)
+    t = (
+        spark.read.format("ticks")
+        .option("instruments", "8")
+        .option("rows", "500")
+        .load()
+    )
+    return t.groupBy("instrument").agg(
+        F.count(F.lit(1)).alias("n_ticks"),
+        F.round(F.avg("px"), 6).alias("avg_px"),
+        F.round(F.min("px"), 6).alias("min_px"),
+        F.round(F.max("px"), 6).alias("max_px"),
+    )
+
+
+_SQLUDF_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT instrument,
+         px / LAG(px) OVER (PARTITION BY instrument ORDER BY day) - 1 AS ret
+  FROM daily
+)
+SELECT instrument,
+       CAST(COUNT(ret) AS BIGINT) AS n,
+       ROUND(AVG(LEAST(GREATEST(ret, -0.05), 0.05)), 6) AS mean_clipped,
+       CAST(SUM(CASE WHEN ret < -0.05 OR ret > 0.05 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped
+FROM r WHERE ret IS NOT NULL GROUP BY instrument
+"""
+
+
+@register("sql_scalar_udf_clip", oracle=_SQLUDF_ORACLE, tags=("sql", "coverage"))
+def sql_scalar_udf_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF surface (Spark 4 ``CREATE FUNCTION ... RETURN
+    expr``): a ``clip(x, lo, hi)`` function DEFINED IN SQL — not a
+    Python UDF — applied to winsorize daily returns per instrument.
+    SQL UDFs inline into the plan at analysis time (Catalyst sees
+    LEAST/GREATEST, not a black box), so pushdown/codegen survive —
+    THE reason to prefer them over Python UDFs for scalar rules at
+    100 TB; the oracle states the same expression inline."""
+    from commodity_price_forecasting_spark.plans.e1_pipeline import daily_bars
+    from pyspark.sql import Window as W
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION clip(x DOUBLE, lo DOUBLE, "
+        "hi DOUBLE) RETURNS DOUBLE RETURN LEAST(GREATEST(x, lo), hi)"
+    )
+    daily = daily_bars(spark, sf_dir)
+    w = W.partitionBy("instrument").orderBy("day")
+    r = daily.withColumn(
+        "ret", F.col("px") / F.lag("px").over(w) - 1
+    ).filter(F.col("ret").isNotNull())
+    r.createOrReplaceTempView("_clip_rets")
+    return spark.sql(
+        """
+        SELECT instrument,
+               CAST(COUNT(ret) AS BIGINT) AS n,
+               ROUND(AVG(clip(ret, -0.05, 0.05)), 6) AS mean_clipped,
+               CAST(SUM(CASE WHEN ret < -0.05 OR ret > 0.05 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped
+        FROM _clip_rets GROUP BY instrument
+        """
+    )

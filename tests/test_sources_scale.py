@@ -210,3 +210,66 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_csv_corrupt_record_handling(spark, tmp_path):
+    """Malformed-input robustness at the source layer: PERMISSIVE mode
+    must capture unparseable rows in the corrupt-record column while
+    keeping every valid row, DROPMALFORMED must silently skip them,
+    and FAILFAST must raise — the three production postures for a
+    100 TB CSV ingest where a handful of bad lines must not kill (or
+    silently poison) the job."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    p = tmp_path / "dirty.csv"
+    p.write_text(
+        "id,qty,name\n"
+        "1,10,alpha\n"
+        "2,notanumber,beta\n"  # qty fails to parse
+        "3,30,gamma\n"
+        "4,oops,delta\n"
+    )
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("qty", LongType()),
+            StructField("name", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    permissive = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+        .cache()
+    )
+    assert permissive.count() == 4
+    bad = permissive.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted(r["id"] for r in bad.collect()) == [2, 4]
+    assert permissive.filter(F.col("qty").isNotNull()).count() == 2
+
+    dropped = (
+        spark.read.schema(StructType(schema.fields[:3]))
+        .option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .csv(str(p))
+    )
+    assert sorted(r["id"] for r in dropped.collect()) == [1, 3]
+
+    failfast = (
+        spark.read.schema(StructType(schema.fields[:3]))
+        .option("header", "true")
+        .option("mode", "FAILFAST")
+        .csv(str(p))
+    )
+    with pytest.raises(Exception):
+        failfast.collect()
