@@ -846,3 +846,151 @@ def dq_benford_firstdigit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.col("n_obs") - F.col("n") * bp, 2) / (F.col("n") * bp), 6
         ).alias("chi2_term"),
     )
+
+
+# --- out-of-fold target encoding ----------------------------------------
+
+_TENC_ORACLE = """
+WITH f AS (
+  SELECT event_type,
+         CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 5 AS fold,
+         value
+  FROM events
+), per_fold AS (
+  SELECT event_type, fold, COUNT(*) AS n_f, SUM(value) AS s_f
+  FROM f GROUP BY event_type, fold
+), per_cat AS (
+  SELECT event_type, SUM(n_f) AS n_c, SUM(s_f) AS s_c
+  FROM per_fold GROUP BY event_type
+), prior AS (
+  SELECT SUM(s_c) / SUM(n_c) AS gm FROM per_cat
+)
+SELECT pf.event_type, CAST(pf.fold AS INT) AS fold,
+       CAST(pf.n_f AS BIGINT) AS n_fold,
+       ROUND(((pc.s_c - pf.s_f) + 10 * p.gm)
+             / ((pc.n_c - pf.n_f) + 10), 6) AS oof_encoding
+FROM per_fold pf
+JOIN per_cat pc ON pc.event_type = pf.event_type
+CROSS JOIN prior p
+"""
+
+
+@register("ml_target_encode_oof", oracle=_TENC_ORACLE, tags=("ml", "datapipe"))
+def ml_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-fold target encoding for a categorical feature — THE
+    leakage-safe way to feed a high-cardinality category to a model:
+    rows in fold f get the category's target mean computed WITHOUT
+    fold f ((S_c − S_f)/(N_c − N_f)), smoothed toward the global mean
+    with weight m=10 (Micci-Barreca 2001). Folds are md5-deterministic
+    (event_id % 5 via the repo's hex-prefix convention), so both
+    engines assign identical folds.
+
+    Plan shape: one (category, fold) sufficient-statistics aggregate
+    over raw data; everything after runs on the |cats|·5 cell frame —
+    subtracting the fold's own sums from the category totals gives
+    every out-of-fold mean WITHOUT 5 separate passes (the algebraic
+    trick that makes k-fold encoding one-pass at 100 TB)."""
+    f = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 5
+        ).alias("fold"),
+        "value",
+    )
+    per_fold = f.groupBy("event_type", "fold").agg(
+        F.count(F.lit(1)).alias("n_f"), F.sum("value").alias("s_f")
+    )
+    per_cat = per_fold.groupBy("event_type").agg(
+        F.sum("n_f").alias("n_c"), F.sum("s_f").alias("s_c")
+    )
+    prior = per_cat.agg((F.sum("s_c") / F.sum("n_c")).alias("gm"))
+    enc = ((F.col("s_c") - F.col("s_f")) + 10 * F.col("gm")) / (
+        (F.col("n_c") - F.col("n_f")) + 10
+    )
+    return (
+        per_fold.join(F.broadcast(per_cat), "event_type")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "event_type",
+            F.col("fold").cast("int").alias("fold"),
+            F.col("n_f").cast("long").alias("n_fold"),
+            F.round(enc, 6).alias("oof_encoding"),
+        )
+    )
+
+
+# --- forecast calibration bins ------------------------------------------
+
+_CALIB_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT instrument, day,
+         px / LAG(px) OVER (PARTITION BY instrument ORDER BY day) - 1
+           AS ret
+  FROM daily
+), m AS (
+  SELECT instrument, day, ret,
+         AVG(ret) OVER (PARTITION BY instrument ORDER BY day
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mom3,
+         LEAD(ret) OVER (PARTITION BY instrument ORDER BY day) AS next_ret
+  FROM r WHERE ret IS NOT NULL
+), ok AS (
+  SELECT LEAST(CAST(FLOOR(ABS(mom3) / 0.002) AS INT), 9) AS bucket,
+         ABS(mom3) AS am,
+         CASE WHEN (mom3 > 0) = (next_ret > 0) THEN 1.0 ELSE 0.0 END AS hit
+  FROM m
+  WHERE next_ret IS NOT NULL AND mom3 <> 0 AND next_ret <> 0
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(am), 6) AS mean_abs_mom,
+       ROUND(AVG(hit), 6) AS hit_rate
+FROM ok GROUP BY bucket
+"""
+
+
+@register("m7_calibration_bins", oracle=_CALIB_ORACLE, tags=("ml", "stats", "timeseries"))
+def m7_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the momentum direction signal: bucket
+    days by signal magnitude (|3-day mean return|, fixed-width bins —
+    no global NTILE sort) and report realized next-day hit rate per
+    bucket — calibrated signals show hit_rate rising with magnitude;
+    a flat curve says the confidence is noise. The binned counterpart
+    of m7's scalar direction-accuracy, and the evidence a
+    signal-sizing rule (F7 strength) should be conditioned on.
+
+    All windows instrument-partitioned; the bucket aggregate is
+    10-row output."""
+    daily = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("instrument").orderBy("day")
+    r = daily.withColumn(
+        "ret", F.col("px") / F.lag("px").over(w) - 1
+    ).filter(F.col("ret").isNotNull())
+    m = r.withColumn(
+        "mom3", F.avg("ret").over(w.rowsBetween(-2, 0))
+    ).withColumn("next_ret", F.lead("ret").over(w))
+    ok = m.filter(
+        F.col("next_ret").isNotNull()
+        & (F.col("mom3") != 0)
+        & (F.col("next_ret") != 0)
+    ).select(
+        F.least(
+            F.floor(F.abs("mom3") / 0.002).cast("int"), F.lit(9)
+        ).alias("bucket"),
+        F.abs("mom3").alias("am"),
+        F.when((F.col("mom3") > 0) == (F.col("next_ret") > 0), 1.0)
+        .otherwise(0.0)
+        .alias("hit"),
+    )
+    return ok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("am"), 6).alias("mean_abs_mom"),
+        F.round(F.avg("hit"), 6).alias("hit_rate"),
+    )

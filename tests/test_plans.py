@@ -101,6 +101,8 @@ SINGLE_ROW_BROADCAST_OK = {
     "behavior_event_pmi",
     # 1-row exact-total aggregate broadcast beside the merged sketch
     "sketch_hll_rollup",
+    # 1-row global-mean prior broadcast into the smoothing term
+    "ml_target_encode_oof",
 }
 
 

@@ -390,3 +390,38 @@ def test_granger_matches_numpy_lstsq(spark, duck):
         assert abs(r["beta_own"] - round(float(cu[1]), 6)) <= 1e-5
         assert abs(r["gamma_cross"] - round(float(cu[2]), 6)) <= 1e-5
         assert r["causal_05"] == (f > 4.2)
+
+
+def test_target_encoding_is_leakage_free(spark, duck):
+    """Recompute each (category, fold) encoding from the RAW rows of
+    the OTHER folds only — equality proves no own-fold leakage and
+    that the one-pass subtraction trick equals the naive 5-pass
+    definition."""
+    import hashlib
+
+    rows = duck.execute(
+        "SELECT event_type, event_id, value FROM events"
+    ).fetchall()
+    data = defaultdict(lambda: defaultdict(list))
+    for et, eid, v in rows:
+        fold = int(hashlib.md5(str(eid).encode()).hexdigest()[:8], 16) % 5
+        data[et][fold].append(v)
+    gm = np.mean([v for et in data.values() for f in et.values() for v in f])
+    got = {(r["event_type"], r["fold"]): r for r in REGISTRY["ml_target_encode_oof"].fn(spark, SF_SMOKE).collect()}
+    for et, folds in data.items():
+        for f in folds:
+            others = [v for f2, vs in folds.items() if f2 != f for v in vs]
+            enc = (sum(others) + 10 * gm) / (len(others) + 10)
+            r = got[(et, f)]
+            assert r["n_fold"] == len(folds[f])
+            assert abs(r["oof_encoding"] - round(enc, 6)) <= 1e-6
+
+
+def test_calibration_bins_partition_all_predictions(spark, duck):
+    rows = REGISTRY["m7_calibration_bins"].fn(spark, SF_SMOKE).collect()
+    assert rows and all(0 <= r["bucket"] <= 9 for r in rows)
+    assert all(0.0 <= r["hit_rate"] <= 1.0 for r in rows)
+    # bucket magnitudes must be ordered with the bucket index
+    by_b = sorted(rows, key=lambda r: r["bucket"])
+    mags = [r["mean_abs_mom"] for r in by_b]
+    assert mags == sorted(mags)
