@@ -1197,3 +1197,186 @@ def m11_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q, 6).alias("lb_q"),
         (q > 11.0705).alias("reject_white_noise"),
     )
+
+
+_QNORM_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT instrument, day, px,
+         ROW_NUMBER() OVER (PARTITION BY instrument ORDER BY px, day) AS rn,
+         COUNT(*) OVER (PARTITION BY instrument) AS n
+  FROM daily
+)
+SELECT instrument, day, ROUND(px, 6) AS px,
+       ROUND((rn - 1.0) / (n - 1.0), 6) AS pctl_rank
+FROM r
+"""
+
+
+@register("ml_quantile_normalize", oracle=_QNORM_ORACLE, tags=("ml", "timeseries"))
+def ml_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-instrument quantile (rank) normalization of the price
+    level — the distribution-free feature transform that makes
+    heavy-tailed levels comparable across instruments: each value
+    maps to its within-group percentile rank (rn−1)/(n−1) ∈ [0,1],
+    day as the deterministic tie-break. One partitioned sort window —
+    the per-group lane; cross-corpus normalization at 100 TB uses the
+    GK sketch (``sketch_quantile_approx``) as the rank source
+    instead."""
+    daily = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("instrument").orderBy("px", "day")
+    wn = Window.partitionBy("instrument")
+    return daily.select(
+        "instrument",
+        "day",
+        F.round("px", 6).alias("px"),
+        F.round(
+            (F.row_number().over(w) - 1.0)
+            / (F.count(F.lit(1)).over(wn) - 1.0),
+            6,
+        ).alias("pctl_rank"),
+    )
+
+
+_PIECEWISE_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT instrument, day, px,
+         CAST(ROW_NUMBER() OVER (PARTITION BY instrument ORDER BY day) - 1
+              AS DOUBLE) AS t
+  FROM daily
+), cum AS (
+  SELECT instrument, day, t, px,
+         SUM(1.0)   OVER w AS nl,
+         SUM(t)     OVER w AS sxl,
+         SUM(px)    OVER w AS syl,
+         SUM(t*t)   OVER w AS sxxl,
+         SUM(t*px)  OVER w AS sxyl,
+         SUM(px*px) OVER w AS syyl,
+         SUM(1.0)   OVER p AS n,
+         SUM(t)     OVER p AS sx,
+         SUM(px)    OVER p AS sy,
+         SUM(t*t)   OVER p AS sxx,
+         SUM(t*px)  OVER p AS sxy,
+         SUM(px*px) OVER p AS syy
+  FROM idx
+  WINDOW w AS (PARTITION BY instrument ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         p AS (PARTITION BY instrument)
+), rss AS (
+  SELECT instrument, day, n,
+         (syyl - syl*syl/nl)
+           - POWER(sxyl - sxl*syl/nl, 2) / NULLIF(sxxl - sxl*sxl/nl, 0)
+           AS rss_l,
+         ((syy-syyl) - (sy-syl)*(sy-syl)/(n-nl))
+           - POWER((sxy-sxyl) - (sx-sxl)*(sy-syl)/(n-nl), 2)
+             / NULLIF((sxx-sxxl) - (sx-sxl)*(sx-sxl)/(n-nl), 0) AS rss_r,
+         (syy - sy*sy/n)
+           - POWER(sxy - sx*sy/n, 2) / NULLIF(sxx - sx*sx/n, 0) AS rss_t,
+         nl
+  FROM cum
+  WHERE nl >= 2 AND n - nl >= 2
+), best AS (
+  SELECT instrument, day, n, rss_t, rss_l + rss_r AS rss_split,
+         ROW_NUMBER() OVER (PARTITION BY instrument
+           ORDER BY ROUND(rss_l + rss_r, 6), day) AS rk
+  FROM rss
+)
+SELECT instrument, CAST(n AS BIGINT) AS n, day AS break_day,
+       ROUND(rss_t, 6) AS rss_single,
+       ROUND(rss_split, 6) AS rss_split,
+       ROUND(1 - rss_split / NULLIF(rss_t, 0), 6) AS improvement
+FROM best WHERE rk = 1
+"""
+
+
+@register("ts_piecewise_trend", oracle=_PIECEWISE_ORACLE, tags=("timeseries", "stats"))
+def ts_piecewise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimal 2-segment piecewise-linear trend per instrument — the
+    structural-break locator (a one-knot segmented regression): for
+    EVERY candidate split the left/right OLS residual sums come from
+    CUMULATIVE sufficient statistics (6 prefix sums; right side =
+    totals − prefix), so the whole n-candidate search is O(n) inside
+    one ordered window — no per-candidate refit, no driver loop. The
+    reported break minimizes the 6dp-rounded combined RSS (earliest
+    day on ties), with the single-line RSS and the fractional
+    improvement beside it (CUSUM locates a LEVEL shift;
+    this locates a SLOPE change)."""
+    daily = daily_bars(spark, sf_dir)
+    wd = Window.partitionBy("instrument").orderBy("day")
+    idx = daily.withColumn(
+        "t", (F.row_number().over(wd) - 1).cast("double")
+    )
+    wc = Window.partitionBy("instrument").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wp = Window.partitionBy("instrument")
+    c = idx
+    for name, col in [
+        ("nl", F.lit(1.0)),
+        ("sxl", F.col("t")),
+        ("syl", F.col("px")),
+        ("sxxl", F.col("t") * F.col("t")),
+        ("sxyl", F.col("t") * F.col("px")),
+        ("syyl", F.col("px") * F.col("px")),
+    ]:
+        c = c.withColumn(name, F.sum(col).over(wc))
+    for name, col in [
+        ("n", F.lit(1.0)),
+        ("sx", F.col("t")),
+        ("sy", F.col("px")),
+        ("sxx", F.col("t") * F.col("t")),
+        ("sxy", F.col("t") * F.col("px")),
+        ("syy", F.col("px") * F.col("px")),
+    ]:
+        c = c.withColumn(name, F.sum(col).over(wp))
+
+    def _rss(syy, sy, n, sxy, sx, sxx):
+        return (syy - sy * sy / n) - F.pow(sxy - sx * sy / n, 2) / F.nullif(
+            sxx - sx * sx / n, F.lit(0.0)
+        )
+
+    nl, nr = F.col("nl"), F.col("n") - F.col("nl")
+    rss_l = _rss(
+        F.col("syyl"), F.col("syl"), nl, F.col("sxyl"), F.col("sxl"), F.col("sxxl")
+    )
+    rss_r = _rss(
+        F.col("syy") - F.col("syyl"),
+        F.col("sy") - F.col("syl"),
+        nr,
+        F.col("sxy") - F.col("sxyl"),
+        F.col("sx") - F.col("sxl"),
+        F.col("sxx") - F.col("sxxl"),
+    )
+    rss_t = _rss(
+        F.col("syy"), F.col("sy"), F.col("n"), F.col("sxy"), F.col("sx"), F.col("sxx")
+    )
+    rss = c.filter((nl >= 2) & (nr >= 2)).select(
+        "instrument",
+        "day",
+        F.col("n"),
+        rss_t.alias("rss_t"),
+        (rss_l + rss_r).alias("rss_split"),
+    )
+    best = rss.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("instrument").orderBy(
+                F.round("rss_split", 6), F.asc("day")
+            )
+        ),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        "instrument",
+        F.col("n").cast("long").alias("n"),
+        F.col("day").alias("break_day"),
+        F.round("rss_t", 6).alias("rss_single"),
+        F.round("rss_split", 6).alias("rss_split"),
+        F.round(
+            1 - F.col("rss_split") / F.nullif(F.col("rss_t"), F.lit(0.0)), 6
+        ).alias("improvement"),
+    )

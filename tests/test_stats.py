@@ -425,3 +425,37 @@ def test_calibration_bins_partition_all_predictions(spark, duck):
     by_b = sorted(rows, key=lambda r: r["bucket"])
     mags = [r["mean_abs_mom"] for r in by_b]
     assert mags == sorted(mags)
+
+
+def test_piecewise_trend_matches_bruteforce_refits(spark, duck):
+    """The O(n) prefix-sum search must agree with the naive
+    per-candidate numpy polyfit refit on every instrument."""
+    rows = duck.execute(
+        "SELECT user_id, CAST(ts AS DATE) AS day, AVG(value) "
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    series = defaultdict(list)
+    for uid, day, px in rows:
+        series[uid].append((day, px))
+    got = {r["instrument"]: r for r in REGISTRY["ts_piecewise_trend"].fn(spark, SF_SMOKE).collect()}
+
+    def rss_fit(t, y):
+        if len(t) < 2:
+            return 0.0
+        c = np.polyfit(t, y, 1)
+        return float(((y - np.polyval(c, t)) ** 2).sum())
+
+    for uid, pts in series.items():
+        y = np.array([p for _, p in pts])
+        t = np.arange(len(y), dtype=float)
+        cands = [
+            (round(rss_fit(t[: k + 1], y[: k + 1]) + rss_fit(t[k + 1:], y[k + 1:]), 6), k)
+            for k in range(1, len(y) - 2)
+        ]
+        best_rss, best_k = min(cands)
+        r = got[uid]
+        assert r["break_day"] == pts[best_k][0]
+        assert abs(r["rss_split"] - best_rss) <= 2e-6
+        assert abs(r["rss_single"] - round(rss_fit(t, y), 6)) <= 2e-6
+        assert r["n"] == len(y)
+        assert r["rss_split"] <= r["rss_single"] + 1e-9
