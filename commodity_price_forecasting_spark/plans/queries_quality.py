@@ -21,7 +21,7 @@ TBs) broadcasts into the contamination join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from commodity_price_forecasting_spark.operators.textops import word_ngrams
@@ -571,4 +571,100 @@ def quality_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_tokens"),
         "n_types",
         "kl_bits",
+    )
+
+
+_WATERFILL_ORACLE = """
+WITH avail AS (
+  SELECT source,
+         SUM(length(text) - length(replace(text, ' ', '')) + 1) AS avail_tok
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT SUM(avail_tok) AS corpus_tok, COUNT(*) AS k FROM avail
+), r1 AS (
+  SELECT a.source, a.avail_tok, t.corpus_tok, t.k,
+         0.5 * t.corpus_tok / t.k AS fair_share,
+         LEAST(CAST(a.avail_tok AS DOUBLE), 0.5 * t.corpus_tok / t.k)
+           AS alloc1
+  FROM avail a CROSS JOIN tot t
+), r2 AS (
+  SELECT source, avail_tok, corpus_tok, fair_share, alloc1,
+         0.5 * corpus_tok - SUM(alloc1) OVER () AS leftover,
+         CASE WHEN alloc1 < avail_tok THEN 1 ELSE 0 END AS open,
+         SUM(CASE WHEN alloc1 < avail_tok THEN 1 ELSE 0 END) OVER ()
+           AS n_open
+  FROM r1
+)
+SELECT source,
+       CAST(avail_tok AS BIGINT) AS avail_tok,
+       ROUND(fair_share, 6) AS fair_share,
+       ROUND(LEAST(CAST(avail_tok AS DOUBLE),
+                   alloc1 + open * leftover / n_open), 6) AS alloc_tok,
+       ROUND(LEAST(CAST(avail_tok AS DOUBLE),
+                   alloc1 + open * leftover / n_open) / avail_tok, 6)
+         AS fill_ratio
+FROM r2
+"""
+
+
+@register("curation_mix_waterfill", oracle=_WATERFILL_ORACLE, tags=("datapipe", "sampling", "quality"))
+def curation_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted source-mixing schedule by two-round waterfilling:
+    spend a 50%-of-corpus token budget equally across sources, cap
+    each source at what it actually has, then redistribute the
+    unspent remainder equally over the non-exhausted sources (one
+    redistribution round — the fixed-point waterfill's first-order
+    approximation, documented as such). The allocation table a
+    mixing sampler consumes: per source, available tokens, fair
+    share, final allocation, fill ratio.
+
+    Everything after the per-source token aggregate runs on the
+    |sources|-row frame (window-over-dimension); the corpus is
+    scanned once for lengths."""
+    docs = load_table(spark, sf_dir, "documents")
+    avail = docs.groupBy("source").agg(
+        (
+            F.sum(
+                F.length("text")
+                - F.length(F.regexp_replace("text", " ", ""))
+                + 1
+            )
+        ).alias("avail_tok")
+    )
+    tot = avail.agg(
+        F.sum("avail_tok").alias("corpus_tok"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    r1 = avail.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "avail_tok",
+        "corpus_tok",
+        (0.5 * F.col("corpus_tok") / F.col("k")).alias("fair_share"),
+        F.least(
+            F.col("avail_tok").cast("double"),
+            0.5 * F.col("corpus_tok") / F.col("k"),
+        ).alias("alloc1"),
+    )
+    wall = Window.partitionBy()
+    r2 = (
+        r1.withColumn(
+            "leftover",
+            0.5 * F.col("corpus_tok") - F.sum("alloc1").over(wall),
+        )
+        .withColumn(
+            "open",
+            F.when(F.col("alloc1") < F.col("avail_tok"), 1).otherwise(0),
+        )
+        .withColumn("n_open", F.sum("open").over(wall))
+    )
+    alloc = F.least(
+        F.col("avail_tok").cast("double"),
+        F.col("alloc1") + F.col("open") * F.col("leftover") / F.col("n_open"),
+    )
+    return r2.select(
+        "source",
+        F.col("avail_tok").cast("long").alias("avail_tok"),
+        F.round("fair_share", 6).alias("fair_share"),
+        F.round(alloc, 6).alias("alloc_tok"),
+        F.round(alloc / F.col("avail_tok"), 6).alias("fill_ratio"),
     )

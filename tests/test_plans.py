@@ -103,6 +103,8 @@ SINGLE_ROW_BROADCAST_OK = {
     "sketch_hll_rollup",
     # 1-row global-mean prior broadcast into the smoothing term
     "ml_target_encode_oof",
+    # 1-row (corpus_tok, k) total broadcast over the sources frame
+    "curation_mix_waterfill",
 }
 
 
@@ -372,3 +374,31 @@ def test_self_join_reuses_exchange(spark):
     j.collect()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
+
+
+def test_observation_metrics_capture_row_counts(spark):
+    """In-flight metrics via the Observation API — the ops surface
+    for validating a 100 TB job WITHOUT a second pass: the observe()
+    node aggregates alongside the query and the driver reads the
+    metrics after the action, costing zero extra scans."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF_DIR, "events")
+    obs = Observation("ingest_qc")
+    out = (
+        ev.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_seen"),
+            F.sum(F.col("value").isNull().cast("int")).alias("null_values"),
+            F.min("ts").alias("min_ts"),
+        )
+        .groupBy("event_type")
+        .agg(F.avg("value").alias("v"))
+    )
+    n_types = out.count()
+    assert n_types > 0
+    got = obs.get
+    assert got["rows_seen"] == ev.count()
+    assert got["null_values"] == 0
+    assert got["min_ts"] is not None

@@ -535,3 +535,33 @@ def test_chained_stateful_windowed_psi_stream(spark, events_batch):
     if missing:
         tail = max(w[0] for w in want)
         assert all(m[0] >= tail or (tail - m[0]).days <= 1 for m in missing)
+
+
+def test_streaming_under_rocksdb_state_store(spark, events_batch):
+    """The large-state lane: the same windowed aggregation must
+    produce identical results under the RocksDB state store provider
+    (the provider for state that exceeds executor heap — billions of
+    keys at 100 TB; the default HDFS-backed store keeps state in
+    memory). availableNow run, complete mode, compared to batch."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        run_stream_to_memory(
+            tumbling_stats(read_events_stream(spark, SF_DIR)),
+            "mem_rocksdb_tumbling",
+            output_mode="complete",
+        )
+        cols = ["window_start", "event_type", "n_events", "sum_value", "avg_value"]
+        got = _rows(spark.table("mem_rocksdb_tumbling"), cols)
+        want = _rows(tumbling_stats(events_batch), cols)
+        assert got == want and len(got) > 0
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
