@@ -1811,3 +1811,58 @@ def sketch_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "merged_le_sum_daily"
         ),
     )
+
+
+_FREQ_ORACLE = """
+WITH b AS (
+  SELECT CAST(FLOOR(value / 25) AS BIGINT) AS bin FROM events
+), c AS (
+  SELECT bin, COUNT(*) AS n_events FROM b GROUP BY bin
+), t AS (
+  SELECT SUM(n_events) AS n FROM c
+)
+SELECT c.bin, CAST(c.n_events AS BIGINT) AS n_events,
+       ROUND(CAST(c.n_events AS DOUBLE) / t.n, 6) AS share,
+       TRUE AS in_sketch_candidates
+FROM c CROSS JOIN t
+WHERE c.n_events >= 0.05 * t.n
+"""
+
+
+@register("sketch_freq_items", oracle=_FREQ_ORACLE, tags=("datapipe", "sketch"))
+def sketch_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters: ``df.stat.freqItems`` (the Karp–Shenker–
+    Papadimitriou one-pass candidate algorithm behind Misra–Gries
+    style sketches) at support 0.05, exact-verified — the third
+    classic sketch beside HLL cardinality and GK quantiles. KSP
+    guarantees the candidate set is a SUPERSET of every item above
+    the support threshold in one pass with O(1/support) state; the
+    exact pass then confirms counts on candidates only. The oracle
+    checks the exact frequent set plus the superset guarantee as a
+    boolean (every exact heavy hitter was in the sketch candidates).
+
+    At 100 TB: the sketch pass is one map-side scan with 20-entry
+    state; the exact confirmation aggregates ONLY rows matching the
+    ≤20 candidates (a broadcast isin filter), not every key."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") / 25).cast("long").alias("bin")
+    )
+    cands = set(ev.stat.freqItems(["bin"], 0.05).collect()[0][0])
+    c = (
+        ev.filter(F.col("bin").isin(*[int(x) for x in cands]))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    t = ev.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .filter(F.col("n_events") >= 0.05 * F.col("n"))
+        .select(
+            "bin",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round(F.col("n_events").cast("double") / F.col("n"), 6).alias(
+                "share"
+            ),
+            F.lit(True).alias("in_sketch_candidates"),
+        )
+    )

@@ -54,6 +54,9 @@ SKIP_BUILD = {
     # sim_ivf_topk); its plan is asserted in
     # test_semantic_dedup_plan_is_cell_local instead
     "sim_semantic_dedup",
+    # runs the freqItems sketch action at plan-build time (candidate
+    # list becomes a broadcast isin literal)
+    "sketch_freq_items",
 }
 
 
