@@ -1380,3 +1380,99 @@ def ts_piecewise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 - F.col("rss_split") / F.nullif(F.col("rss_t"), F.lit(0.0)), 6
         ).alias("improvement"),
     )
+
+
+_TRAINMATRIX_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT instrument, day,
+         px / LAG(px) OVER w - 1 AS ret
+  FROM daily WINDOW w AS (PARTITION BY instrument ORDER BY day)
+), f AS (
+  SELECT instrument, day, ret,
+         AVG(ret) OVER (PARTITION BY instrument ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS mom_3d,
+         STDDEV_SAMP(ret) OVER (PARTITION BY instrument ORDER BY day
+                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS vol_7d,
+         SUM(CASE WHEN ret > 0 THEN ret ELSE 0 END)
+           OVER (PARTITION BY instrument ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS gains_7d,
+         SUM(CASE WHEN ret < 0 THEN -ret ELSE 0 END)
+           OVER (PARTITION BY instrument ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS losses_7d,
+         COUNT(ret) OVER (PARTITION BY instrument ORDER BY day
+                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n_hist,
+         LEAD(ret) OVER (PARTITION BY instrument ORDER BY day) AS target
+  FROM r
+)
+SELECT instrument, day,
+       ROUND(ret, 6) AS ret_1d,
+       ROUND(mom_3d, 6) AS mom_3d,
+       ROUND(vol_7d, 6) AS vol_7d,
+       ROUND(gains_7d / NULLIF(gains_7d + losses_7d, 0), 6) AS rsi_7,
+       ROUND(target, 6) AS target_next_ret
+FROM f
+WHERE ret IS NOT NULL AND mom_3d IS NOT NULL AND vol_7d IS NOT NULL
+  AND target IS NOT NULL AND n_hist >= 7
+"""
+
+
+@register("e2_training_matrix", oracle=_TRAINMATRIX_ORACLE, tags=("timeseries", "ml", "bench"))
+def e2_training_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe supervised training matrix — the frame the m1-m6
+    model tier actually consumes, assembled in ONE multi-window pass:
+    yesterday-ending feature windows (1-day return, 3-day momentum,
+    7-day volatility, 7-day RSI ratio — every frame ends at ROW t−1 or
+    uses information available at t's close) against the t+1 return
+    target, rows kept only with a full 7-day history. The temporal
+    contract IS the query: no feature frame reaches past the label
+    boundary, the structural guarantee a feature store calls
+    point-in-time correctness.
+
+    All six windows share one (instrument, day) sort — Catalyst
+    evaluates them in a single Window operator chain on one
+    hash-partitioned sort, no joins at all."""
+    daily = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("instrument").orderBy("day")
+    r = daily.withColumn("ret", F.col("px") / F.lag("px").over(w) - 1)
+    past3 = w.rowsBetween(-3, -1)
+    past7 = w.rowsBetween(-7, -1)
+    f = (
+        r.withColumn("mom_3d", F.avg("ret").over(past3))
+        .withColumn("vol_7d", F.stddev_samp("ret").over(past7))
+        .withColumn(
+            "gains_7d",
+            F.sum(F.when(F.col("ret") > 0, F.col("ret")).otherwise(0.0)).over(
+                past7
+            ),
+        )
+        .withColumn(
+            "losses_7d",
+            F.sum(
+                F.when(F.col("ret") < 0, -F.col("ret")).otherwise(0.0)
+            ).over(past7),
+        )
+        .withColumn("n_hist", F.count("ret").over(past7))
+        .withColumn("target", F.lead("ret").over(w))
+    )
+    return f.filter(
+        F.col("ret").isNotNull()
+        & F.col("mom_3d").isNotNull()
+        & F.col("vol_7d").isNotNull()
+        & F.col("target").isNotNull()
+        & (F.col("n_hist") >= 7)
+    ).select(
+        "instrument",
+        "day",
+        F.round("ret", 6).alias("ret_1d"),
+        F.round("mom_3d", 6).alias("mom_3d"),
+        F.round("vol_7d", 6).alias("vol_7d"),
+        F.round(
+            F.col("gains_7d")
+            / F.nullif(F.col("gains_7d") + F.col("losses_7d"), F.lit(0.0)),
+            6,
+        ).alias("rsi_7"),
+        F.round("target", 6).alias("target_next_ret"),
+    )

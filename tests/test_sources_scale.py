@@ -273,3 +273,75 @@ def test_csv_corrupt_record_handling(spark, tmp_path):
     )
     with pytest.raises(Exception):
         failfast.collect()
+
+
+def test_dynamic_partition_overwrite_is_surgical(spark, tmp_path):
+    """Backfill posture: with partitionOverwriteMode=dynamic, an
+    INSERT OVERWRITE touching one day must replace ONLY that day's
+    partition and leave every other partition byte-identical — the
+    idempotent-backfill contract; static mode would wipe the whole
+    table root."""
+    from pyspark.sql import functions as F
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    saved = spark.conf.get(key, None)
+    path = str(tmp_path / "ev_backfill")
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    ev.write.partitionBy("day").mode("overwrite").parquet(path)
+    before = {
+        r["day"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    target_day = sorted(before)[2]
+    try:
+        spark.conf.set(key, "dynamic")
+        patch = (
+            ev.filter(F.col("day") == F.lit(target_day))
+            .limit(5)
+            .withColumn("value", F.lit(0.0))
+        )
+        patch.write.partitionBy("day").mode("overwrite").parquet(path)
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    after = {
+        r["day"]: r["n"]
+        for r in spark.read.parquet(path)
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert after[target_day] == 5
+    for d, n in before.items():
+        if d != target_day:
+            assert after[d] == n, d
+
+
+def test_max_records_per_file_bounds_file_sizes(spark, tmp_path):
+    """Small-files / giant-files control at the sink: maxRecordsPerFile
+    must cap every output file — the knob that keeps 100 TB writes
+    from producing unsplittable monoliths (its absence) or a million
+    tiny files (fixed by coalesce before write)."""
+    import glob
+
+    path = str(tmp_path / "ev_bounded")
+    ev = load_table(spark, SF_DIR, "events")
+    n = ev.count()
+    ev.coalesce(1).write.option("maxRecordsPerFile", 200).mode(
+        "overwrite"
+    ).parquet(path)
+    files = glob.glob(path + "/*.parquet")
+    assert len(files) >= n // 200
+    total = 0
+    for f in files:
+        c = spark.read.parquet(f).count()
+        assert c <= 200
+        total += c
+    assert total == n
