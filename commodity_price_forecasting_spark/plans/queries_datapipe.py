@@ -1866,3 +1866,84 @@ def sketch_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(True).alias("in_sketch_candidates"),
         )
     )
+
+
+_PATK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qemb, label AS qlab
+  FROM embeddings WHERE vec_id < 10
+), px AS (
+  SELECT q.qid, q.qlab, c.vec_id, c.label,
+         UNNEST(CAST(c.embedding AS DOUBLE[])) AS x,
+         UNNEST(CAST(q.qemb AS DOUBLE[])) AS y
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> q.qid
+), cs AS (
+  SELECT qid, qlab, vec_id, label,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+  FROM px GROUP BY qid, qlab, vec_id, label
+), rk AS (
+  SELECT qid, qlab, label,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, vec_id) AS rn
+  FROM cs
+)
+SELECT qid AS query_id, CAST(qlab AS INT) AS query_label,
+       ROUND(AVG(CASE WHEN label = qlab THEN 1.0 ELSE 0.0 END), 6)
+         AS p_at_10
+FROM rk WHERE rn <= 10
+GROUP BY qid, qlab
+"""
+
+
+@register("sim_precision_at_k", oracle=_PATK_ORACLE, tags=("datapipe", "similarity", "ml"))
+def sim_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation for the similarity surface:
+    precision@10 of exact cosine search against the ground-truth
+    ``label`` column, for the first 10 corpus vectors as queries —
+    the metric that tells you whether an ANN index (IVF/LSH/PQ) is
+    allowed to trade recall for speed, measured on the exact
+    baseline first. Near-random fixture embeddings put p@10 barely
+    above the 1/|labels| prior; the EVALUATION math is what's
+    hash-checked.
+
+    The 10-query set broadcasts against one corpus scan (10·n scored
+    pairs, map-side); per-query ranking partitions by query id."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("label").alias("qlab"),
+    )
+    from commodity_price_forecasting_spark.operators.similarity import (
+        _dot,
+        _norm,
+    )
+
+    pairs = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("qemb"))
+        / (_norm(F.col("embedding")) * _norm(F.col("qemb"))),
+        6,
+    )
+    scored = pairs.select(
+        "qid", "qlab", "vec_id", "label", cos.alias("cos")
+    )
+    rk = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+        ),
+    ).filter(F.col("rn") <= 10)
+    return rk.groupBy("qid", "qlab").agg(
+        F.round(
+            F.avg(F.when(F.col("label") == F.col("qlab"), 1.0).otherwise(0.0)),
+            6,
+        ).alias("p_at_10")
+    ).select(
+        F.col("qid").alias("query_id"),
+        F.col("qlab").cast("int").alias("query_label"),
+        "p_at_10",
+    )

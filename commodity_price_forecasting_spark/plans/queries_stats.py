@@ -994,3 +994,144 @@ def m7_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("am"), 6).alias("mean_abs_mom"),
         F.round(F.avg("hit"), 6).alias("hit_rate"),
     )
+
+
+# --- rank-based AUC ------------------------------------------------------
+
+_AUC_ORACLE = """
+WITH s AS (
+  SELECT event_id, value,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+), rx AS (
+  SELECT pos, value,
+         ROW_NUMBER() OVER (ORDER BY value, event_id) AS rn
+  FROM s
+), ranks AS (
+  SELECT pos, AVG(rn) OVER (PARTITION BY value) AS r
+  FROM rx
+)
+SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+       CAST(SUM(1 - pos) AS BIGINT) AS n_neg,
+       ROUND((SUM(CASE WHEN pos = 1 THEN r END)
+              - SUM(pos) * (SUM(pos) + 1) / 2.0)
+             / (SUM(pos) * CAST(SUM(1 - pos) AS DOUBLE)), 6) AS auc
+FROM ranks
+"""
+
+
+@register("m7_auc_rank", oracle=_AUC_ORACLE, tags=("ml", "stats"))
+def m7_auc_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC via the rank statistic — AUC =
+    (ΣR₊ − n₊(n₊+1)/2)/(n₊n₋), the Mann–Whitney identity that makes
+    AUC a SINGLE sort + aggregate instead of the O(n₊·n₋) pairwise
+    definition (the only way to score a classifier on 100 TB of
+    predictions); ties get average ranks, so tied scores contribute
+    exactly ½ as the pairwise definition requires. Scores the value
+    column as a detector of purchase events.
+
+    The one global sort is a ROW_NUMBER over the score — at cluster
+    scale this window range-partitions; the per-value tie-average
+    frame is value-partitioned."""
+    s = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    rx = s.withColumn(
+        "rn", F.row_number().over(Window.orderBy("value", "event_id"))
+    )
+    ranks = rx.select(
+        "pos", F.avg("rn").over(Window.partitionBy("value")).alias("r")
+    )
+    npos = F.sum("pos")
+    nneg = F.sum(1 - F.col("pos"))
+    auc = (
+        F.sum(F.when(F.col("pos") == 1, F.col("r"))) - npos * (npos + 1) / 2.0
+    ) / (npos * nneg.cast("double"))
+    return ranks.agg(
+        npos.cast("long").alias("n_pos"),
+        nneg.cast("long").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+    )
+
+
+# --- confusion matrix + F1 ----------------------------------------------
+
+_CONFUSION_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT instrument, day,
+         px / LAG(px) OVER w - 1 AS ret
+  FROM daily WINDOW w AS (PARTITION BY instrument ORDER BY day)
+), m AS (
+  SELECT AVG(ret) OVER (PARTITION BY instrument ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS mom,
+         LEAD(ret) OVER (PARTITION BY instrument ORDER BY day) AS nxt
+  FROM r WHERE ret IS NOT NULL
+), ok AS (
+  SELECT CASE WHEN mom > 0 THEN 1 ELSE 0 END AS pred,
+         CASE WHEN nxt > 0 THEN 1 ELSE 0 END AS actual
+  FROM m WHERE mom IS NOT NULL AND nxt IS NOT NULL
+         AND mom <> 0 AND nxt <> 0
+), c AS (
+  SELECT SUM(pred * actual) AS tp,
+         SUM(pred * (1 - actual)) AS fp,
+         SUM((1 - pred) * actual) AS fn,
+         SUM((1 - pred) * (1 - actual)) AS tn
+  FROM ok
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+       ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0), 6) AS precision_up,
+       ROUND(CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0), 6) AS recall_up,
+       ROUND(2.0 * tp / NULLIF(2.0 * tp + fp + fn, 0), 6) AS f1_up
+FROM c
+"""
+
+
+@register("m7_confusion_f1", oracle=_CONFUSION_ORACLE, tags=("ml", "stats"))
+def m7_confusion_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + precision/recall/F1 for the momentum
+    direction signal against realized next-day direction — the
+    classification-side readout beside the regression metrics (m7
+    MAE/RMSE) and the binned calibration curve: the four cells are
+    four conditional sums in ONE aggregate over the signal frame."""
+    daily = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("instrument").orderBy("day")
+    r = daily.withColumn(
+        "ret", F.col("px") / F.lag("px").over(w) - 1
+    ).filter(F.col("ret").isNotNull())
+    m = r.withColumn("mom", F.avg("ret").over(w.rowsBetween(-3, -1))).withColumn(
+        "nxt", F.lead("ret").over(w)
+    )
+    ok = m.filter(
+        F.col("mom").isNotNull()
+        & F.col("nxt").isNotNull()
+        & (F.col("mom") != 0)
+        & (F.col("nxt") != 0)
+    ).select(
+        F.when(F.col("mom") > 0, 1).otherwise(0).alias("pred"),
+        F.when(F.col("nxt") > 0, 1).otherwise(0).alias("actual"),
+    )
+    tp = F.sum(F.col("pred") * F.col("actual"))
+    fp = F.sum(F.col("pred") * (1 - F.col("actual")))
+    fn = F.sum((1 - F.col("pred")) * F.col("actual"))
+    tn = F.sum((1 - F.col("pred")) * (1 - F.col("actual")))
+    return ok.agg(
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        tn.cast("long").alias("tn"),
+        F.round(tp.cast("double") / F.nullif(tp + fp, F.lit(0)), 6).alias(
+            "precision_up"
+        ),
+        F.round(tp.cast("double") / F.nullif(tp + fn, F.lit(0)), 6).alias(
+            "recall_up"
+        ),
+        F.round(
+            2.0 * tp / F.nullif(2.0 * tp + fp + fn, F.lit(0)), 6
+        ).alias("f1_up"),
+    )

@@ -108,6 +108,8 @@ SINGLE_ROW_BROADCAST_OK = {
     "ml_target_encode_oof",
     # 1-row (corpus_tok, k) total broadcast over the sources frame
     "curation_mix_waterfill",
+    # 10-row query-vector set broadcast against one corpus scan
+    "sim_precision_at_k",
 }
 
 
@@ -360,9 +362,21 @@ def test_self_join_reuses_exchange(spark):
     """A self-join over the same aggregated subquery must REUSE the
     shuffle output (ReusedExchange), not recompute the subtree — the
     plan property that makes the w8/spread-style self-comparisons
-    one-scan at scale."""
+    one-scan at scale. Auto-broadcast is disabled for the assertion:
+    at fixture scale AQE may legally broadcast the tiny aggregate
+    instead (also one-scan), which hides the reuse node this test
+    exists to witness."""
     from pyspark.sql import functions as F
 
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     daily = (
         load_table(spark, SF_DIR, "events")
         .groupBy(F.col("user_id").alias("k"), F.to_date("ts").alias("day"))
@@ -374,9 +388,16 @@ def test_self_join_reuses_exchange(spark):
     j = daily.join(
         b, (F.col("k") == F.col("k2")) & (F.col("day") == F.col("day2"))
     )
-    j.collect()
-    plan = j._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in plan
+    try:
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def test_observation_metrics_capture_row_counts(spark):

@@ -459,3 +459,31 @@ def test_piecewise_trend_matches_bruteforce_refits(spark, duck):
         assert abs(r["rss_single"] - round(rss_fit(t, y), 6)) <= 2e-6
         assert r["n"] == len(y)
         assert r["rss_split"] <= r["rss_single"] + 1e-9
+
+
+def test_auc_rank_identity_matches_pairwise_definition(spark, duck):
+    """The Mann–Whitney rank identity must equal the O(n₊·n₋)
+    pairwise AUC definition (ties count ½) computed directly."""
+    rows = duck.execute(
+        "SELECT value, event_type = 'purchase' FROM events"
+    ).fetchall()
+    pos = np.array([v for v, p in rows if p])
+    neg = np.array([v for v, p in rows if not p])
+    wins = (pos[:, None] > neg[None, :]).sum()
+    ties = (pos[:, None] == neg[None, :]).sum()
+    auc = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    [r] = REGISTRY["m7_auc_rank"].fn(spark, SF_SMOKE).collect()
+    assert (r["n_pos"], r["n_neg"]) == (len(pos), len(neg))
+    assert abs(r["auc"] - round(auc, 6)) <= 1e-6
+
+
+def test_confusion_cells_partition_the_predictions(spark):
+    [r] = REGISTRY["m7_confusion_f1"].fn(spark, SF_SMOKE).collect()
+    assert r["tp"] + r["fp"] + r["fn"] + r["tn"] > 0
+    for m in ("precision_up", "recall_up", "f1_up"):
+        assert r[m] is None or 0.0 <= r[m] <= 1.0
+    if r["precision_up"] and r["recall_up"]:
+        h = 2 * r["precision_up"] * r["recall_up"] / (
+            r["precision_up"] + r["recall_up"]
+        )
+        assert abs(r["f1_up"] - h) <= 1e-4
