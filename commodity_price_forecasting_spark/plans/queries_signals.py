@@ -1024,3 +1024,178 @@ def ts_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fstat, 6).alias("f_stat"),
         (fstat > 4.2).alias("causal_05"),
     )
+
+
+_VAR_ES_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT instrument,
+         px / LAG(px) OVER (PARTITION BY instrument ORDER BY day) - 1
+           AS ret
+  FROM daily
+), ok AS (
+  SELECT instrument, ret FROM r WHERE ret IS NOT NULL
+), v AS (
+  SELECT instrument, COUNT(*) AS n,
+         quantile_cont(ret, 0.05) AS var95
+  FROM ok GROUP BY instrument
+), es AS (
+  SELECT o.instrument,
+         AVG(o.ret) AS es95,
+         COUNT(*) AS n_viol
+  FROM ok o JOIN v ON v.instrument = o.instrument
+  WHERE o.ret <= v.var95
+  GROUP BY o.instrument
+)
+SELECT v.instrument, CAST(v.n AS BIGINT) AS n,
+       ROUND(v.var95, 6) AS var95,
+       ROUND(e.es95, 6) AS es95,
+       CAST(e.n_viol AS BIGINT) AS n_viol,
+       ROUND(-2 * (e.n_viol * ln(0.05 * v.n / e.n_viol)
+                   + (v.n - e.n_viol)
+                     * ln(0.95 * v.n / (v.n - e.n_viol))), 6) AS kupiec_lr
+FROM v JOIN es e ON e.instrument = v.instrument
+"""
+
+
+@register("w19_var_es", oracle=_VAR_ES_ORACLE, tags=("timeseries", "signals", "stats"))
+def w19_var_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical 95% Value-at-Risk, Expected Shortfall, and the
+    Kupiec proportion-of-failures backtest per instrument: VaR is the
+    exact 5th return percentile, ES the mean of returns at-or-below
+    it, and the Kupiec LR = −2·ln(L₀/L₁) checks the realized
+    violation count against the nominal 5% rate (the regulatory
+    coverage test; in-sample here, so violations ≈ nominal by
+    construction and LR is small — the surface is the point).
+
+    One exact per-group percentile aggregate, then the violation
+    aggregate joins the per-instrument VaR back (broadcast — the VaR
+    table is |instruments| rows)."""
+    daily = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("instrument").orderBy("day")
+    ok = (
+        daily.withColumn("ret", F.col("px") / F.lag("px").over(w) - 1)
+        .filter(F.col("ret").isNotNull())
+        .select("instrument", "ret")
+    )
+    v = ok.groupBy("instrument").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("ret", 0.05).alias("var95"),
+    )
+    es = (
+        ok.join(F.broadcast(v), "instrument")
+        .filter(F.col("ret") <= F.col("var95"))
+        .groupBy("instrument")
+        .agg(F.avg("ret").alias("es95"), F.count(F.lit(1)).alias("n_viol"))
+    )
+    j = v.join(es, "instrument")
+    lr = -2 * (
+        F.col("n_viol") * F.log(0.05 * F.col("n") / F.col("n_viol"))
+        + (F.col("n") - F.col("n_viol"))
+        * F.log(0.95 * F.col("n") / (F.col("n") - F.col("n_viol")))
+    )
+    return j.select(
+        "instrument",
+        F.col("n").cast("long").alias("n"),
+        F.round("var95", 6).alias("var95"),
+        F.round("es95", 6).alias("es95"),
+        F.col("n_viol").cast("long").alias("n_viol"),
+        F.round(lr, 6).alias("kupiec_lr"),
+    )
+
+
+_UNDERWATER_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT instrument, day, px,
+         MAX(px) OVER (PARTITION BY instrument ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS peak
+  FROM daily
+), f AS (
+  SELECT instrument, day,
+         CASE WHEN peak IS NOT NULL AND px < peak THEN 1 ELSE 0 END AS uw
+  FROM m
+), grp AS (
+  SELECT instrument, day, uw,
+         ROW_NUMBER() OVER (PARTITION BY instrument ORDER BY day)
+           - ROW_NUMBER() OVER (PARTITION BY instrument, uw ORDER BY day)
+           AS island
+  FROM f
+), spells AS (
+  SELECT instrument, island, COUNT(*) AS len_days, MIN(day) AS spell_start
+  FROM grp WHERE uw = 1 GROUP BY instrument, island
+), best AS (
+  SELECT instrument, len_days, spell_start,
+         ROW_NUMBER() OVER (PARTITION BY instrument
+                            ORDER BY len_days DESC, spell_start) AS rk,
+         COUNT(*) OVER (PARTITION BY instrument) AS n_spells
+  FROM spells
+)
+SELECT instrument, CAST(len_days AS BIGINT) AS max_underwater_days,
+       spell_start AS longest_spell_start,
+       CAST(n_spells AS BIGINT) AS n_spells
+FROM best WHERE rk = 1
+"""
+
+
+@register("w20_underwater_duration", oracle=_UNDERWATER_ORACLE, tags=("timeseries", "signals"))
+def w20_underwater_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest underwater spell per instrument — the DURATION half of
+    drawdown risk (w10 gives depth): consecutive days below the
+    prior running peak, found with the gaps-and-islands double
+    row_number (rn_total − rn_within_state = island id, the same
+    trick as ``sessionize_events``), then the longest island with its
+    start date and the spell count.
+
+    Three windows and one aggregate, all instrument-partitioned; the
+    strictly-BEFORE peak frame (UNBOUNDED..1 PRECEDING) makes day one
+    never underwater by definition."""
+    daily = daily_bars(spark, sf_dir)
+    wd = Window.partitionBy("instrument").orderBy("day")
+    m = daily.withColumn(
+        "peak",
+        F.max("px").over(wd.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    f = m.withColumn(
+        "uw",
+        F.when(
+            F.col("peak").isNotNull() & (F.col("px") < F.col("peak")), 1
+        ).otherwise(0),
+    )
+    grp = f.withColumn(
+        "island",
+        F.row_number().over(wd)
+        - F.row_number().over(
+            Window.partitionBy("instrument", "uw").orderBy("day")
+        ),
+    )
+    spells = (
+        grp.filter(F.col("uw") == 1)
+        .groupBy("instrument", "island")
+        .agg(
+            F.count(F.lit(1)).alias("len_days"),
+            F.min("day").alias("spell_start"),
+        )
+    )
+    best = spells.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("instrument").orderBy(
+                F.desc("len_days"), F.asc("spell_start")
+            )
+        ),
+    ).withColumn(
+        "n_spells",
+        F.count(F.lit(1)).over(Window.partitionBy("instrument")),
+    )
+    return best.filter(F.col("rk") == 1).select(
+        "instrument",
+        F.col("len_days").cast("long").alias("max_underwater_days"),
+        F.col("spell_start").alias("longest_spell_start"),
+        F.col("n_spells").cast("long").alias("n_spells"),
+    )
