@@ -373,10 +373,15 @@ def test_self_join_reuses_exchange(spark):
         for k in (
             "spark.sql.autoBroadcastJoinThreshold",
             "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            # AQE renders reuse as shared query stages whose plan-string
+            # form varies run-to-run; the static planner names the node
+            # ReusedExchange deterministically
+            "spark.sql.adaptive.enabled",
         )
     }
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     daily = (
         load_table(spark, SF_DIR, "events")
         .groupBy(F.col("user_id").alias("k"), F.to_date("ts").alias("day"))
