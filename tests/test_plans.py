@@ -387,12 +387,14 @@ def test_self_join_reuses_exchange(spark):
         .groupBy(F.col("user_id").alias("k"), F.to_date("ts").alias("day"))
         .agg(F.avg("value").alias("px"))
     )
-    b = daily.select(
-        F.col("k").alias("k2"), F.col("day").alias("day2"), F.col("px").alias("px2")
-    )
-    j = daily.join(
-        b, (F.col("k") == F.col("k2")) & (F.col("day") == F.col("day2"))
-    )
+    # alias self-join: both join inputs are the SAME subtree, so the
+    # shuffle exchanges canonicalize equal by construction (a renamed
+    # projection can canonicalize differently depending on prior
+    # session state — observed flaky mid-suite)
+    j = daily.alias("l").join(
+        daily.alias("r"),
+        (F.col("l.k") == F.col("r.k")) & (F.col("l.day") == F.col("r.day")),
+    ).select(F.col("l.k"), F.col("l.day"), F.col("l.px"), F.col("r.px").alias("px2"))
     try:
         j.collect()
         plan = j._jdf.queryExecution().executedPlan().toString()
