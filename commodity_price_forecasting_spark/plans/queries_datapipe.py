@@ -1947,3 +1947,253 @@ def sim_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qlab").cast("int").alias("query_label"),
         "p_at_10",
     )
+
+
+_GEO_ORACLE = """
+WITH pts AS (
+  SELECT user_id AS pid,
+         (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 1000) / 100.0 AS x,
+         (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))
+               AS BIGINT) % 1000) / 100.0 AS y
+  FROM (SELECT DISTINCT user_id FROM events) u
+), cells AS (
+  SELECT pid, x, y,
+         CAST(FLOOR(x) AS BIGINT) AS cx, CAST(FLOOR(y) AS BIGINT) AS cy
+  FROM pts
+), cand AS (
+  SELECT a.pid AS pid_a, b.pid AS pid_b, a.x AS ax, a.y AS ay,
+         b.x AS bx, b.y AS by
+  FROM cells a
+  JOIN cells b
+    ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND a.pid < b.pid
+)
+SELECT pid_a, pid_b,
+       ROUND(SQRT((ax-bx)*(ax-bx) + (ay-by)*(ay-by)), 6) AS dist
+FROM cand
+WHERE SQRT((ax-bx)*(ax-bx) + (ay-by)*(ay-by)) <= 1.0
+"""
+
+
+@register("geo_grid_neighbors", oracle=_GEO_ORACLE, tags=("datapipe", "join", "spatial"))
+def geo_grid_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial radius join — the scale pattern for
+    ANY proximity join (geo points, embeddings in 2D projections,
+    sensor positions): bucket points into unit cells, candidates meet
+    only in the 3×3 neighbor-cell window of each point (a bounded
+    non-equi band join on integer cell ids, never all-pairs), exact
+    distance confirms. Radius 1.0 = cell size, so the 3×3 window
+    provably covers every qualifying pair. Coordinates are
+    md5-derived from user_id (deterministic both engines); distance
+    is Euclidean — deliberately trig-free, because Java Math.sin and
+    libm disagree at the last ulp and a haversine would make the
+    oracle flaky at rounding boundaries (same reason the feed in
+    ``sources/ticksource.py`` avoids libm).
+
+    At 100 TB the cell join hash-partitions on (cx, cy); skewed cells
+    (urban cores) take the salting lane; the band condition keeps the
+    blowup at 9·avg_cell_occupancy per point."""
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            F.col("user_id").alias("pid"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 1000
+                / 100.0
+            ).alias("x"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 9, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 1000
+                / 100.0
+            ).alias("y"),
+        )
+    )
+    cells = pts.withColumn("cx", F.floor("x")).withColumn("cy", F.floor("y"))
+    # each point probes its 9 neighbor cells explicitly, so the join is
+    # a pure HASH EQUI-join on (cell_x, cell_y) — a raw band condition
+    # would plan as a nested-loop; the explode trades 9x left rows for
+    # hash-partitionable keys (the winning trade at any scale)
+    probes = cells.select(
+        "pid",
+        "x",
+        "y",
+        F.explode(
+            F.array(*[F.lit(d) for d in (-1, 0, 1)])
+        ).alias("dx"),
+        "cx",
+        "cy",
+    ).select(
+        "pid",
+        "x",
+        "y",
+        (F.col("cx") + F.col("dx")).alias("pcx"),
+        F.explode(F.array(*[F.lit(d) for d in (-1, 0, 1)])).alias("dy"),
+        "cy",
+    ).select(
+        "pid", "x", "y", "pcx", (F.col("cy") + F.col("dy")).alias("pcy")
+    )
+    b = cells.select(
+        F.col("pid").alias("pid_b"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("cx").alias("bcx"),
+        F.col("cy").alias("bcy"),
+    )
+    cand = probes.join(
+        b,
+        (F.col("bcx") == F.col("pcx"))
+        & (F.col("bcy") == F.col("pcy"))
+        & (F.col("pid") < F.col("pid_b")),
+    )
+    dist = F.sqrt(
+        (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+        + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by"))
+    )
+    return cand.filter(dist <= 1.0).select(
+        F.col("pid").alias("pid_a"),
+        "pid_b",
+        F.round(dist, 6).alias("dist"),
+    )
+
+
+_ZIPF_ORACLE = """
+WITH toks AS (
+  SELECT UNNEST(string_split_regex(
+           lower(regexp_replace(text, '[^a-zA-Z0-9_ \\t\\n]', ' ', 'g')),
+           '\\s+')) AS token
+  FROM documents
+), c AS (
+  SELECT token, COUNT(*) AS freq FROM toks WHERE token <> ''
+  GROUP BY token
+), rk AS (
+  SELECT freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+  FROM c
+), top AS (
+  SELECT ln(CAST(rank AS DOUBLE)) AS lx, ln(CAST(freq AS DOUBLE)) AS ly
+  FROM rk WHERE rank <= 200
+), mu AS (
+  SELECT lx, ly, AVG(lx) OVER () AS mx, AVG(ly) OVER () AS my FROM top
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_ranks,
+       ROUND(SUM((lx - mx) * (ly - my)) / SUM((lx - mx) * (lx - mx)), 6)
+         AS zipf_slope,
+       ROUND(POWER(SUM((lx - mx) * (ly - my)), 2)
+             / (SUM((lx - mx) * (lx - mx)) * SUM((ly - my) * (ly - my))),
+             6) AS r2
+FROM mu
+"""
+
+
+@register("text_zipf_slope", oracle=_ZIPF_ORACLE, tags=("datapipe", "text", "stats"))
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: OLS slope of
+    ln(freq) on ln(rank) over the top-200 tokens (natural text ≈ −1;
+    a synthetic or templated corpus shows up immediately as a flat or
+    kinked slope — a one-number corpus-authenticity fingerprint next
+    to the char-entropy gate). Centered sums, the
+    cancellation-immune form the Spearman fix established.
+
+    The rank window is a top-200 TakeOrdered over the token-count
+    aggregate — vocabulary-sized input, corpus scanned once."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(
+                    F.lower(F.regexp_replace(F.col("text"), r"[^\w\s]", " ")),
+                    r"\s+",
+                )
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+    )
+    c = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    rk = c.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("token"))),
+    ).filter(F.col("rank") <= 200)
+    top = rk.select(
+        F.log(F.col("rank").cast("double")).alias("lx"),
+        F.log(F.col("freq").cast("double")).alias("ly"),
+    )
+    wall = Window.partitionBy()
+    mu = top.withColumn("mx", F.avg("lx").over(wall)).withColumn(
+        "my", F.avg("ly").over(wall)
+    )
+    sxy = F.sum((F.col("lx") - F.col("mx")) * (F.col("ly") - F.col("my")))
+    sxx = F.sum((F.col("lx") - F.col("mx")) * (F.col("lx") - F.col("mx")))
+    syy = F.sum((F.col("ly") - F.col("my")) * (F.col("ly") - F.col("my")))
+    return mu.agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranks"),
+        F.round(sxy / sxx, 6).alias("zipf_slope"),
+        F.round(F.pow(sxy, 2) / (sxx * syy), 6).alias("r2"),
+    )
+
+
+_TTR_ORACLE = """
+WITH toks AS (
+  SELECT source,
+         UNNEST(string_split_regex(
+           lower(regexp_replace(text, '[^a-zA-Z0-9_ \\t\\n]', ' ', 'g')),
+           '\\s+')) AS token
+  FROM documents
+), t2 AS (
+  SELECT source, token FROM toks WHERE token <> ''
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types,
+       ROUND(CAST(COUNT(DISTINCT token) AS DOUBLE) / COUNT(*), 6) AS ttr,
+       ROUND(CAST(COUNT(DISTINCT token) AS DOUBLE)
+             / SQRT(CAST(COUNT(*) AS DOUBLE)), 6) AS root_ttr
+FROM t2 GROUP BY source
+"""
+
+
+@register("text_ttr_by_source", oracle=_TTR_ORACLE, tags=("datapipe", "text", "quality"))
+def text_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical richness per source: type-token ratio and Guiraud's
+    root TTR (types/√tokens, the length-robust variant) — the
+    vocabulary-diversity screen that separates boilerplate mills from
+    organic text in a curation dashboard. One tokenize + one
+    two-measure aggregate per source (countDistinct shuffles
+    (source, token) pairs — bounded by vocabulary, not corpus)."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source",
+            F.explode(
+                F.split(
+                    F.lower(F.regexp_replace(F.col("text"), r"[^\w\s]", " ")),
+                    r"\s+",
+                )
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    return toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_types"),
+        F.round(
+            F.countDistinct("token").cast("double") / F.count(F.lit(1)), 6
+        ).alias("ttr"),
+        F.round(
+            F.countDistinct("token").cast("double")
+            / F.sqrt(F.count(F.lit(1)).cast("double")),
+            6,
+        ).alias("root_ttr"),
+    )
