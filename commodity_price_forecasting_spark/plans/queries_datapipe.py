@@ -2197,3 +2197,203 @@ def text_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("root_ttr"),
     )
+
+
+# --- late-interaction (maxsim) fuzzy retrieval --------------------------
+
+_LI_DIM = 16
+_LI_TERMS = ("merge", "window", "scanner")  # 'scanner' is OOV — maxsim
+# still ranks docs containing 'scan'/'scans' via shared char-trigrams
+
+
+def _li_token_vec(token: str) -> tuple[list[float], float]:
+    """Driver-side mirror of the char-trigram hashed embedding the
+    query/oracle compute with md5 — used ONLY to embed the literal
+    query terms (hashlib == md5() in both engines)."""
+    import hashlib
+    import math
+
+    grams = (
+        [token[i : i + 3] for i in range(len(token) - 2)]
+        if len(token) >= 3
+        else [token]
+    )
+    w = [0] * _LI_DIM
+    for g in grams:
+        h = hashlib.md5(g.encode()).hexdigest()
+        b = int(h[:8], 16) % _LI_DIM
+        # engines use 1-based strpos/instr over '0123456789abcdef', so
+        # the sign parity is (hex value + 1) % 2 — NOT the raw value
+        s = 1 if (int(h[8], 16) + 1) % 2 == 1 else -1
+        w[b] += s
+    nrm = math.sqrt(sum(x * x for x in w))
+    return w, nrm
+
+
+def _li_query_values() -> str:
+    """VALUES rows (term, bucket, qw, qnorm) for the oracle."""
+    rows = []
+    for t in _LI_TERMS:
+        w, nrm = _li_token_vec(t)
+        for b, x in enumerate(w):
+            if x:
+                rows.append(f"('{t}', {b}, {x}, {nrm!r})")
+    return ", ".join(rows)
+
+
+_LATE_INTERACTION_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(string_split_regex(
+           lower(regexp_replace(text, '[^a-zA-Z0-9_ \\t\\n]', ' ', 'g')),
+           '\\s+')) AS token
+  FROM documents
+), t2 AS (
+  SELECT doc_id, token FROM toks WHERE token <> ''
+), vocab AS (
+  SELECT DISTINCT token FROM t2
+), grams AS (
+  SELECT token,
+         CASE WHEN length(token) >= 3
+              THEN substr(token, CAST(g.i AS INTEGER) + 1, 3)
+              ELSE token END AS gram
+  FROM vocab
+  CROSS JOIN UNNEST(range(64)) AS g(i)
+  WHERE g.i < GREATEST(length(token) - 2, 1)
+), tw AS (
+  SELECT token,
+         CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % {_LI_DIM}
+           AS bucket,
+         SUM(CASE WHEN strpos('0123456789abcdef', substr(md5(gram), 9, 1))
+                       % 2 = 1
+                  THEN 1 ELSE -1 END) AS tw
+  FROM grams GROUP BY token, bucket
+), tn AS (
+  SELECT token, SQRT(SUM(tw * tw)) AS tnorm FROM tw GROUP BY token
+), q(term, bucket, qw, qnorm) AS (
+  VALUES {{values}}
+), dots AS (
+  SELECT w.token, q.term,
+         SUM(w.tw * q.qw) / (ANY_VALUE(n.tnorm) * ANY_VALUE(q.qnorm))
+           AS cos
+  FROM tw w
+  JOIN q ON q.bucket = w.bucket
+  JOIN tn n ON n.token = w.token AND n.tnorm > 0
+  GROUP BY w.token, q.term
+), doc_term AS (
+  SELECT d.doc_id, s.term, MAX(s.cos) AS maxsim
+  FROM t2 d JOIN dots s ON s.token = d.token
+  GROUP BY d.doc_id, s.term
+), scored AS (
+  SELECT doc_id, ROUND(SUM(maxsim), 6) AS li_score,
+         CAST(COUNT(*) AS INT) AS n_terms_hit
+  FROM doc_term GROUP BY doc_id
+)
+SELECT doc_id, li_score, n_terms_hit
+FROM scored ORDER BY li_score DESC, doc_id LIMIT 10
+"""
+
+
+@register(
+    "sim_late_interaction",
+    oracle=_LATE_INTERACTION_ORACLE.replace("{values}", _li_query_values()),
+    tags=("datapipe", "text", "similarity", "retrieval"),
+)
+def sim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (maxsim) retrieval — the ColBERT scoring
+    shape on subword vectors: every vocabulary token gets a
+    char-trigram feature-hashed embedding (fastText-style subword
+    robustness, md5-deterministic), each query term takes the MAX
+    cosine over a document's tokens, and the document score is the
+    sum over query terms. The third query term is deliberately
+    out-of-vocabulary ('scanner'): exact/BM25 retrieval scores it
+    zero, maxsim still ranks documents containing 'scan' via shared
+    trigrams — the behavior late interaction exists for.
+
+    Scale shape: token vectors are built over the DISTINCT vocabulary
+    (not token instances); the query side is a ≤|terms|·dim-row
+    literal joined on bucket (sparse dot — no dense arrays anywhere);
+    per-doc maxsim reuses the (doc, token) presence pairs with a
+    vocabulary-sized broadcast of scored tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    t2 = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(
+                    F.lower(F.regexp_replace(F.col("text"), r"[^\w\s]", " ")),
+                    r"\s+",
+                )
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    vocab = t2.select("token").distinct()
+    grams = vocab.select(
+        "token",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.length("token") - 3, F.lit(0))
+            )
+        ).alias("i"),
+    ).select(
+        "token",
+        F.when(
+            F.length("token") >= 3,
+            F.substring(F.col("token"), F.col("i") + 1, 3),
+        )
+        .otherwise(F.col("token"))
+        .alias("gram"),
+    ).filter(
+        (F.length("token") < 3) & (F.col("i") == 0)
+        | (F.length("token") >= 3)
+    )
+    sign = F.when(
+        F.expr("instr('0123456789abcdef', substring(md5(gram), 9, 1)) % 2")
+        == 1,
+        1,
+    ).otherwise(-1)
+    tw = grams.groupBy(
+        "token",
+        (F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long") % _LI_DIM).alias(
+            "bucket"
+        ),
+    ).agg(F.sum(sign).alias("tw"))
+    tn = tw.groupBy("token").agg(
+        F.sqrt(F.sum(F.col("tw") * F.col("tw"))).alias("tnorm")
+    ).filter(F.col("tnorm") > 0)
+    qrows = []
+    for term in _LI_TERMS:
+        w, nrm = _li_token_vec(term)
+        for bkt, x in enumerate(w):
+            if x:
+                qrows.append((term, bkt, float(x), nrm))
+    q = docs.sparkSession.createDataFrame(
+        qrows, "term string, bucket long, qw double, qnorm double"
+    )
+    dots = (
+        tw.join(F.broadcast(q), "bucket")
+        .join(tn, "token")
+        .groupBy("token", "term")
+        .agg(
+            (
+                F.sum(F.col("tw") * F.col("qw"))
+                / (F.first("tnorm") * F.first("qnorm"))
+            ).alias("cos")
+        )
+    )
+    doc_term = (
+        t2.join(dots, "token")
+        .groupBy("doc_id", "term")
+        .agg(F.max("cos").alias("maxsim"))
+    )
+    return (
+        doc_term.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("maxsim"), 6).alias("li_score"),
+            F.count(F.lit(1)).cast("int").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("li_score"), F.asc("doc_id"))
+        .limit(10)
+    )

@@ -979,3 +979,89 @@ def basket_item_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") >= 2)
         .select("part_a", "part_b", F.col("n_orders").cast("long").alias("n_orders"))
     )
+
+
+_REC_COSINE_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), sized AS (
+  SELECT l_orderkey FROM items GROUP BY l_orderkey
+  HAVING COUNT(*) BETWEEN 2 AND 20
+), ok AS (
+  SELECT i.l_orderkey, i.l_partkey FROM items i
+  JOIN sized s ON s.l_orderkey = i.l_orderkey
+), deg AS (
+  SELECT l_partkey, COUNT(*) AS n_ord FROM ok GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+  FROM ok a JOIN ok b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= 2
+)
+SELECT p.part_a, p.part_b, CAST(p.n_ab AS BIGINT) AS n_ab,
+       ROUND(p.n_ab / SQRT(da.n_ord * CAST(db.n_ord AS DOUBLE)), 6)
+         AS cosine
+FROM pairs p
+JOIN deg da ON da.l_partkey = p.part_a
+JOIN deg db ON db.l_partkey = p.part_b
+ORDER BY ROUND(p.n_ab / SQRT(da.n_ord * CAST(db.n_ord AS DOUBLE)), 6) DESC,
+         p.part_a, p.part_b
+LIMIT 20
+"""
+
+
+@register("rec_item_cosine", oracle=_REC_COSINE_ORACLE, tags=("relational", "ml", "behavior"))
+def rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering scores: cosine similarity of
+    the co-purchase incidence vectors, computed WITHOUT materializing
+    vectors — cos(a,b) = n_ab/√(n_a·n_b) from the pair-support counts
+    (``basket_item_pairs``) and per-item order degrees; top-20
+    recommendations by rounded score. This is the Amazon-style
+    item-to-item recipe: the quadratic stays bounded by the same
+    basket-size cap, and the degree table is a broadcast dimension."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter((F.col("n_items") >= 2) & (F.col("n_items") <= 20))
+        .select("l_orderkey")
+    )
+    ok = items.join(sized, "l_orderkey")
+    deg = ok.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_ord"))
+    a, b = ok.alias("a"), ok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    da = deg.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_ord").alias("na")
+    )
+    db = deg.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_ord").alias("nb")
+    )
+    cos = F.round(
+        F.col("n_ab") / F.sqrt(F.col("na") * F.col("nb").cast("double")), 6
+    )
+    return (
+        pairs.join(F.broadcast(da), "part_a")
+        .join(F.broadcast(db), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            cos.alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("part_a"), F.asc("part_b"))
+        .limit(20)
+    )

@@ -159,3 +159,26 @@ def test_semantic_dedup_auto_k_scales_with_corpus(spark):
     assert sorted(map(key, auto)) == sorted(map(key, explicit))
     # more, smaller cells than the oracle-pinned k=16 registry query
     assert len({r["cell"] for r in auto}) > 16
+
+
+def test_late_interaction_ranks_oov_term_via_subwords(spark):
+    """The OOV query term 'scanner' must still contribute: top docs
+    hit all 3 terms, and the per-term maxsim for 'scanner' is
+    strictly positive on docs containing 'scan' (shared trigram
+    'sca'/'can') — the behavior exact-match BM25 cannot produce."""
+    rows = REGISTRY["sim_late_interaction"].fn(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    assert all(r["n_terms_hit"] == 3 for r in rows[:3])
+    scores = [r["li_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # a pure exact-match scorer caps at 2 matched terms
+    assert max(r["li_score"] for r in rows) > 2.0
+
+
+def test_rec_item_cosine_bounds_and_support(spark):
+    rows = REGISTRY["rec_item_cosine"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 < r["cosine"] <= 1.0
+        assert r["n_ab"] >= 2
+        assert r["part_a"] < r["part_b"]
