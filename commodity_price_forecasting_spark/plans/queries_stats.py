@@ -1135,3 +1135,202 @@ def m7_confusion_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
             2.0 * tp / F.nullif(2.0 * tp + fp + fn, F.lit(0)), 6
         ).alias("f1_up"),
     )
+
+
+# --- rolling-origin forecast evaluation ---------------------------------
+
+_ROLLING_ORIGIN_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+), f AS (
+  SELECT instrument, day, px,
+         LAG(px, 1) OVER w AS naive,
+         LAG(px, 7) OVER w AS snaive
+  FROM daily WINDOW w AS (PARTITION BY instrument ORDER BY day)
+), ok AS (
+  SELECT instrument,
+         ABS(px - naive) AS e_naive,
+         ABS(px - snaive) AS e_snaive
+  FROM f WHERE naive IS NOT NULL AND snaive IS NOT NULL
+)
+SELECT instrument, CAST(COUNT(*) AS BIGINT) AS n_folds,
+       ROUND(AVG(e_naive), 6) AS mae_naive,
+       ROUND(AVG(e_snaive), 6) AS mae_snaive,
+       ROUND(AVG(e_naive) / AVG(e_snaive), 6) AS relative_mae,
+       AVG(e_naive) < AVG(e_snaive) AS naive_wins
+FROM ok GROUP BY instrument
+"""
+
+
+@register("m9_rolling_origin_eval", oracle=_ROLLING_ORIGIN_ORACLE, tags=("ml", "timeseries"))
+def m9_rolling_origin_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (expanding one-step) evaluation of the two
+    canonical baselines every forecast must beat — naive (lag-1) and
+    seasonal-naive (lag-7) — per instrument: each day is a fold, its
+    forecast is made strictly from the past, and the per-fold
+    absolute errors aggregate to MAE with the relative-MAE skill
+    ratio (the m9 walk-forward harness's statistic, expressed as one
+    window pass instead of a fit loop; MASE in m7 uses the same
+    naive denominator)."""
+    daily = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("instrument").orderBy("day")
+    f = daily.withColumn("naive", F.lag("px", 1).over(w)).withColumn(
+        "snaive", F.lag("px", 7).over(w)
+    )
+    ok = f.filter(
+        F.col("naive").isNotNull() & F.col("snaive").isNotNull()
+    ).select(
+        "instrument",
+        F.abs(F.col("px") - F.col("naive")).alias("e_naive"),
+        F.abs(F.col("px") - F.col("snaive")).alias("e_snaive"),
+    )
+    return ok.groupBy("instrument").agg(
+        F.count(F.lit(1)).cast("long").alias("n_folds"),
+        F.round(F.avg("e_naive"), 6).alias("mae_naive"),
+        F.round(F.avg("e_snaive"), 6).alias("mae_snaive"),
+        F.round(F.avg("e_naive") / F.avg("e_snaive"), 6).alias(
+            "relative_mae"
+        ),
+        (F.avg("e_naive") < F.avg("e_snaive")).alias("naive_wins"),
+    )
+
+
+# --- event study: abnormal returns around shocks ------------------------
+
+_EVENT_STUDY_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT instrument, day,
+         px / LAG(px) OVER (PARTITION BY instrument ORDER BY day) - 1
+           AS ret
+  FROM daily
+), mu AS (
+  SELECT instrument, AVG(ret) AS mret
+  FROM r WHERE ret IS NOT NULL GROUP BY instrument
+), shocks AS (
+  SELECT DISTINCT user_id AS instrument, CAST(ts AS DATE) AS shock_day
+  FROM events WHERE event_type = 'error'
+), win AS (
+  SELECT s.instrument, s.shock_day, CAST(k.i AS INTEGER) - 2 AS offset_day
+  FROM shocks s CROSS JOIN UNNEST(range(5)) AS k(i)
+), j AS (
+  SELECT w.offset_day, r.ret - m.mret AS ar
+  FROM win w
+  JOIN r ON r.instrument = w.instrument
+        AND r.day = w.shock_day + (w.offset_day || ' days')::INTERVAL
+  JOIN mu m ON m.instrument = w.instrument
+  WHERE r.ret IS NOT NULL
+)
+SELECT offset_day, CAST(COUNT(*) AS BIGINT) AS n_obs,
+       ROUND(AVG(ar), 6) AS avg_abnormal_ret,
+       ROUND(SUM(AVG(ar)) OVER (ORDER BY offset_day), 6) AS car
+FROM j GROUP BY offset_day
+"""
+
+
+@register("es_event_study", oracle=_EVENT_STUDY_ORACLE, tags=("timeseries", "stats", "signals"))
+def es_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event study (MacKinlay 1997): average abnormal return in the
+    ±2-day window around 'error'-event shocks, with the cumulative
+    abnormal return — does the shock move prices and does the move
+    persist. Abnormal = daily return minus the instrument's own mean
+    (the constant-mean-return benchmark model).
+
+    Plan shape: shocks × 5 literal offsets (explode, no blowup),
+    equi-join back to the daily return panel on (instrument,
+    shock_day + offset), instrument means broadcast; the CAR window
+    runs over the 5-row offset frame."""
+    daily = daily_bars(spark, sf_dir)
+    w = Window.partitionBy("instrument").orderBy("day")
+    r = daily.withColumn("ret", F.col("px") / F.lag("px").over(w) - 1).filter(
+        F.col("ret").isNotNull()
+    )
+    mu = r.groupBy("instrument").agg(F.avg("ret").alias("mret"))
+    shocks = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("instrument"),
+            F.to_date("ts").alias("shock_day"),
+        )
+        .distinct()
+    )
+    win = shocks.select(
+        "instrument",
+        "shock_day",
+        F.explode(F.sequence(F.lit(-2), F.lit(2))).alias("offset_day"),
+    ).withColumn("obs_day", F.date_add("shock_day", F.col("offset_day")))
+    j = (
+        win.join(
+            r.select("instrument", F.col("day").alias("obs_day"), "ret"),
+            ["instrument", "obs_day"],
+        )
+        .join(F.broadcast(mu), "instrument")
+        .select("offset_day", (F.col("ret") - F.col("mret")).alias("ar"))
+    )
+    agg = j.groupBy("offset_day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.avg("ar").alias("_aar"),
+    )
+    return agg.select(
+        "offset_day",
+        "n_obs",
+        F.round("_aar", 6).alias("avg_abnormal_ret"),
+        F.round(
+            F.sum("_aar").over(
+                Window.orderBy("offset_day").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+            6,
+        ).alias("car"),
+    )
+
+
+# --- Gini concentration --------------------------------------------------
+
+_GINI_ORACLE = """
+WITH u AS (
+  SELECT user_id, SUM(value) AS tot FROM events GROUP BY user_id
+), rk AS (
+  SELECT tot,
+         ROW_NUMBER() OVER (ORDER BY tot, user_id) AS i,
+         COUNT(*) OVER () AS n,
+         SUM(tot) OVER () AS s
+  FROM u
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+       ROUND(SUM((2.0 * i - n - 1) * tot) / (MAX(n) * MAX(s)), 6) AS gini
+FROM rk
+"""
+
+
+@register("stat_gini_value", oracle=_GINI_ORACLE, tags=("profiling", "stats"))
+def stat_gini_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user value totals — the concentration
+    number behind 'do 1% of users generate 90% of volume' (and, in
+    the curation tier, 'does one source dominate the corpus'):
+    G = Σ(2i−n−1)·xᵢ/(n·Σx) over ascending-sorted totals, the exact
+    closed form — one ordered window over the |users|-row aggregate,
+    never over raw events."""
+    u = load_table(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.sum("value").alias("tot")
+    )
+    rk = (
+        u.withColumn(
+            "i", F.row_number().over(Window.orderBy("tot", "user_id"))
+        )
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+        .withColumn("s", F.sum("tot").over(Window.partitionBy()))
+    )
+    return rk.agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.round(
+            F.sum((2.0 * F.col("i") - F.col("n") - 1) * F.col("tot"))
+            / (F.max("n") * F.max("s")),
+            6,
+        ).alias("gini"),
+    )
