@@ -382,10 +382,14 @@ def test_self_join_reuses_exchange(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # built over ORDERS: the e1 flagship (run by test_entry_contract)
+    # PERSISTS an events daily-bars aggregate, and cache substitution
+    # rewrites canonically-matching subtrees to InMemoryRelation —
+    # which removes the literal ReusedExchange node this test asserts
     daily = (
-        load_table(spark, SF_DIR, "events")
-        .groupBy(F.col("user_id").alias("k"), F.to_date("ts").alias("day"))
-        .agg(F.avg("value").alias("px"))
+        load_table(spark, SF_DIR, "orders")
+        .groupBy(F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("day"))
+        .agg(F.avg("o_totalprice").alias("px"))
     )
     # alias self-join: both join inputs are the SAME subtree, so the
     # shuffle exchanges canonicalize equal by construction (a renamed
