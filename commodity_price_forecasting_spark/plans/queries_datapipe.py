@@ -2397,3 +2397,74 @@ def sim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("li_score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+_DEGREE_POWERLAW_ORACLE = (
+    _LSH_BUCKET_CTE
+    + """
+, edges AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+), deg AS (
+  SELECT v, CAST(COUNT(*) AS DOUBLE) AS d FROM (
+    SELECT va AS v FROM edges UNION ALL SELECT vb AS v FROM edges
+  ) GROUP BY v
+), t AS (
+  SELECT d, MIN(d) OVER () AS dmin FROM deg
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MAX(dmin) AS BIGINT) AS d_min,
+       CAST(MAX(d) AS BIGINT) AS d_max,
+       ROUND(AVG(d), 6) AS mean_degree,
+       ROUND(1 + COUNT(*) / SUM(ln(d / (dmin - 0.5))), 6) AS hill_alpha
+FROM t
+"""
+)
+
+
+@register("graph_degree_powerlaw", oracle=_DEGREE_POWERLAW_ORACLE, tags=("datapipe", "graph", "stats"))
+def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill/Clauset MLE power-law exponent of the candidate-graph
+    degree distribution: α = 1 + n/Σln(dᵢ/(d_min−½)) (Clauset,
+    Shalizi & Newman 2009, continuous correction) over the
+    same-LSH-bucket near-dup graph — the one-number skew diagnostic
+    that predicts reducer hot-spots BEFORE a join runs: α ≤ 2 means
+    unbounded-mean degrees (salting mandatory), α > 3 means
+    hash-partitioning is safe. Complements the Zipf fit (the same
+    law, token side) and the Gini (the non-parametric cousin).
+
+    Degrees come from the edge list's union explode; everything after
+    runs on the |nodes|-row frame (window-over-dimension for d_min)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = lsh_buckets(emb, n_planes=8)
+    e2 = b.select(
+        F.col("vec_id").alias("vb"), F.col("bucket").alias("_bk")
+    )
+    edges = (
+        b.join(
+            e2,
+            (F.col("bucket") == F.col("_bk"))
+            & (F.col("vec_id") < F.col("vb")),
+        )
+        .select(F.col("vec_id").alias("va"), "vb")
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("va").alias("v"))
+        .unionAll(edges.select(F.col("vb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("double").alias("d"))
+    )
+    t = deg.withColumn("dmin", F.min("d").over(Window.partitionBy()))
+    return t.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.max("dmin").cast("long").alias("d_min"),
+        F.max("d").cast("long").alias("d_max"),
+        F.round(F.avg("d"), 6).alias("mean_degree"),
+        F.round(
+            1
+            + F.count(F.lit(1))
+            / F.sum(F.log(F.col("d") / (F.col("dmin") - 0.5))),
+            6,
+        ).alias("hill_alpha"),
+    )

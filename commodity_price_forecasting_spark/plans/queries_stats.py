@@ -1334,3 +1334,149 @@ def stat_gini_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --- two-proportion z-test + required sample size ------------------------
+
+_PROP_ORACLE = """
+WITH u AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, user_id % 2 AS grp,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), s AS (
+  SELECT grp, COUNT(*) AS n, SUM(conv) AS x, AVG(CAST(conv AS DOUBLE)) AS p
+  FROM u GROUP BY grp
+), w AS (
+  SELECT a.n AS n_a, b.n AS n_b, a.p AS p_a, b.p AS p_b,
+         (a.x + b.x) / (CAST(a.n AS DOUBLE) + b.n) AS pp
+  FROM s a JOIN s b ON a.grp = 0 AND b.grp = 1
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND(p_a, 6) AS rate_a, ROUND(p_b, 6) AS rate_b,
+       ROUND((p_a - p_b)
+             / NULLIF(SQRT(pp * (1 - pp) * (1.0 / n_a + 1.0 / n_b)), 0),
+             6) AS z_stat,
+       CAST(CEIL(POWER(1.959964 + 0.841621, 2)
+                 * (p_a * (1 - p_a) + p_b * (1 - p_b))
+                 / POWER(NULLIF(p_a - p_b, 0), 2)) AS BIGINT)
+         AS n_per_arm_80pct
+FROM w
+"""
+
+
+@register("stat_proportion_ztest", oracle=_PROP_ORACLE, tags=("profiling", "stats"))
+def stat_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user-level purchase conversion for
+    the parity A/B split, plus the experiment-DESIGN number every
+    readout should carry: the per-arm sample size needed to detect
+    the observed rate difference at α=0.05 two-sided with 80% power —
+    n = (z_{.975}+z_{.80})²·(p₁q₁+p₂q₂)/Δ² (z constants as shared
+    literals; inverse-normal is a special function, out of SQL
+    scope). Conversion is per USER-DAY (MAX over that day's
+    events — at fixture densities per-user conversion saturates at
+    1.0 and the test degenerates); one user-day aggregate, one 2-row
+    self-join."""
+    u = load_table(spark, sf_dir, "events").groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        (F.first(F.col("user_id")) % 2).alias("grp"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    ).groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("conv").alias("x"),
+        F.avg(F.col("conv").cast("double")).alias("p"),
+    )
+    a = u.filter(F.col("grp") == 0).select(
+        F.col("n").alias("n_a"), F.col("x").alias("x_a"), F.col("p").alias("p_a")
+    )
+    b = u.filter(F.col("grp") == 1).select(
+        F.col("n").alias("n_b"), F.col("x").alias("x_b"), F.col("p").alias("p_b")
+    )
+    w = a.crossJoin(b)
+    pp = (F.col("x_a") + F.col("x_b")) / (
+        F.col("n_a").cast("double") + F.col("n_b")
+    )
+    z = (F.col("p_a") - F.col("p_b")) / F.nullif(
+        F.sqrt(pp * (1 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))),
+        F.lit(0.0),
+    )
+    nreq = F.ceil(
+        F.pow(F.lit(1.959964 + 0.841621), 2)
+        * (
+            F.col("p_a") * (1 - F.col("p_a"))
+            + F.col("p_b") * (1 - F.col("p_b"))
+        )
+        / F.pow(F.nullif(F.col("p_a") - F.col("p_b"), F.lit(0.0)), 2)
+    ).cast("long")
+    return w.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("p_a", 6).alias("rate_a"),
+        F.round("p_b", 6).alias("rate_b"),
+        F.round(z, 6).alias("z_stat"),
+        nreq.alias("n_per_arm_80pct"),
+    )
+
+
+# --- Levene variance-equality test ---------------------------------------
+
+_LEVENE_ORACLE = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), z AS (
+  SELECT e.event_type, ABS(e.value - m.med) AS z
+  FROM events e JOIN med m ON m.event_type = e.event_type
+), s AS (
+  SELECT event_type, COUNT(*) AS n, AVG(z) AS mz, VAR_SAMP(z) AS vz
+  FROM z GROUP BY event_type
+), tot AS (
+  SELECT SUM(n) AS nn, COUNT(*) AS k, SUM(n * mz) / SUM(n) AS gm FROM s
+)
+SELECT CAST(t.k AS BIGINT) AS k_groups, CAST(t.nn AS BIGINT) AS n,
+       ROUND((SUM(s.n * (s.mz - t.gm) * (s.mz - t.gm)) / (t.k - 1))
+             / (SUM((s.n - 1) * s.vz) / (t.nn - t.k)), 6)
+         AS levene_w
+FROM s CROSS JOIN tot t
+GROUP BY t.k, t.nn
+"""
+
+
+@register("stat_levene_test", oracle=_LEVENE_ORACLE, tags=("profiling", "stats"))
+def stat_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe/Levene variance-homogeneity test across
+    event_types: one-way ANOVA on |x − group MEDIAN| — the check
+    that decides between pooled-variance and Welch procedures (this
+    repo defaults to Welch; Levene is the evidence). Median centering
+    (Brown–Forsythe) is the robust variant. One exact per-group
+    median, one broadcast join, then the ANOVA machinery on the
+    transformed column."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    z = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("z")
+    )
+    s = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("z").alias("mz"),
+        F.var_samp("z").alias("vz"),
+    )
+    tot = s.agg(
+        F.sum("n").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        (F.sum(F.col("n") * F.col("mz")) / F.sum("n")).alias("gm"),
+    )
+    j = s.crossJoin(F.broadcast(tot))
+    wnum = F.sum(
+        F.col("n") * (F.col("mz") - F.col("gm")) * (F.col("mz") - F.col("gm"))
+    ) / (F.max("k") - 1)
+    wden = F.sum((F.col("n") - 1) * F.col("vz")) / (F.max("nn") - F.max("k"))
+    return j.groupBy().agg(
+        F.max("k").cast("long").alias("k_groups"),
+        F.max("nn").cast("long").alias("n"),
+        F.round(wnum / wden, 6).alias("levene_w"),
+    )
