@@ -500,7 +500,7 @@ def semantic_dedup_drops(
     dominated = a.join(
         b, (F.col("cell") == F.col("_cellb")) & keeper_precedes
     ).filter(pair_cos >= threshold)
-    return (
+    result = (
         dominated.groupBy("_idb", "_cellb", "_cb")
         .agg(
             F.count(F.lit(1)).alias("n_dominators"),
@@ -514,6 +514,14 @@ def semantic_dedup_drops(
             "first_keeper",
         )
     )
+    # materialize the (small) drop list eagerly so the big n-row
+    # assignment cache can be released NOW rather than living for the
+    # session's lifetime; localCheckpoint blocks are ContextCleaner-
+    # collected once the caller drops the returned frame, unlike
+    # CacheManager entries which persist until an explicit unpersist
+    out = result.localCheckpoint(eager=True)
+    assigned.unpersist()
+    return out
 
 
 # --- distributed covariance / PCA (two physical strategies) --------------

@@ -171,7 +171,7 @@ def tf_idf(
         docs.select(
             F.col(id_col).alias("doc_id"),
             F.explode(
-                F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^\w\s]", " ")), r"\s+")
+                F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^a-zA-Z0-9_ \t\n]", " ")), r"\s+")
             ).alias("token"),
         )
         .filter(F.col("token") != "")

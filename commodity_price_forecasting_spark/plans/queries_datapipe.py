@@ -1848,8 +1848,13 @@ def sketch_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("value") / 25).cast("long").alias("bin")
     )
     cands = set(ev.stat.freqItems(["bin"], 0.05).collect()[0][0])
+    # empty-candidate guard: isin() raises with zero args, and an empty
+    # sketch means no bin can clear the support threshold anyway
+    cand_filter = (
+        F.col("bin").isin(*[int(x) for x in cands]) if cands else F.lit(False)
+    )
     c = (
-        ev.filter(F.col("bin").isin(*[int(x) for x in cands]))
+        ev.filter(cand_filter)
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
@@ -2114,7 +2119,7 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.explode(
                 F.split(
-                    F.lower(F.regexp_replace(F.col("text"), r"[^\w\s]", " ")),
+                    F.lower(F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9_ \t\n]", " ")),
                     r"\s+",
                 )
             ).alias("token")
@@ -2178,7 +2183,7 @@ def text_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.explode(
                 F.split(
-                    F.lower(F.regexp_replace(F.col("text"), r"[^\w\s]", " ")),
+                    F.lower(F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9_ \t\n]", " ")),
                     r"\s+",
                 )
             ).alias("token"),
@@ -2213,8 +2218,9 @@ def _li_token_vec(token: str) -> tuple[list[float], float]:
     import hashlib
     import math
 
+    # same start-position cap (< 64) as the Spark path and the oracle
     grams = (
-        [token[i : i + 3] for i in range(len(token) - 2)]
+        [token[i : i + 3] for i in range(min(len(token) - 2, 64))]
         if len(token) >= 3
         else [token]
     )
@@ -2321,7 +2327,7 @@ def sim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.split(
-                    F.lower(F.regexp_replace(F.col("text"), r"[^\w\s]", " ")),
+                    F.lower(F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9_ \t\n]", " ")),
                     r"\s+",
                 )
             ).alias("token"),
@@ -2330,11 +2336,17 @@ def sim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     vocab = t2.select("token").distinct()
+    # trigram start positions capped at 63 on BOTH engines (the oracle
+    # unnests range(64)): tokens longer than 66 chars hash only their
+    # first 64 trigrams — identical truncation by construction
     grams = vocab.select(
         "token",
         F.explode(
             F.sequence(
-                F.lit(0), F.greatest(F.length("token") - 3, F.lit(0))
+                F.lit(0),
+                F.least(
+                    F.greatest(F.length("token") - 3, F.lit(0)), F.lit(63)
+                ),
             )
         ).alias("i"),
     ).select(

@@ -22,7 +22,7 @@ REGISTRY = load_all()
 def _docs_tokens(duck):
     rows = duck.execute("SELECT doc_id, text FROM documents").fetchall()
     return {
-        did: [t for t in re.sub(r"[^\w\s]", " ", text.lower()).split() if t]
+        did: [t for t in re.sub(r"[^a-zA-Z0-9_ \t\n]", " ", text.lower()).split() if t]
         for did, text in rows
     }
 
