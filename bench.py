@@ -90,6 +90,19 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    # Compact ALL-query delta block, emitted LAST so it survives the
+    # driver's fixed-size output tail (r4's verbose per-query lines
+    # were truncated from the front, losing the earliest queries'
+    # comparisons — VERDICT r4 ask #6). One line, newest prior only.
+    if priors:
+        tag, prior = priors[0]
+        parts = [
+            f"{q} {100.0 * (timings[q] - prior[q]) / prior[q]:+.0f}%"
+            if q in prior and prior[q]
+            else f"{q} new"
+            for q in sorted(timings)
+        ]
+        print(f"# deltas vs {tag}: " + ", ".join(parts), file=sys.stderr)
     for prior_tag, prior in priors:
         shared = [q for q in timings if q in prior]
         if not shared:

@@ -192,6 +192,26 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semantic_dedup_auto",
+    tags=("datapipe", "similarity", "dedup", "bench"),
+)
+def semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION SemDeDup lane: cell count auto-scaled to ⌈√n⌉
+    (k=None) instead of the oracle-pinned k=16. With k fixed, cells
+    grow ∝n and the intra-cell pair stage grows ∝n² (measured 13.5×
+    time at 5× vectors — SCALE.md); with k ∝ √n the expected pair
+    count stays Θ(n), the Abbas et al. 2023 recipe. Rows-only on the
+    driver (the drop set depends on n through k, so no SF-independent
+    SQL oracle exists); `tests/test_retrieval.py` equality-tests the
+    auto-k lane against an explicit-k run at the same k, and the
+    registered oracle-pinned `sim_semantic_dedup` keeps the value-
+    level gate."""
+    return semantic_dedup_drops(
+        load_table(spark, sf_dir, "embeddings"), k=None, threshold=0.3
+    )
+
+
 # --- distributed covariance (PCA input), two physical strategies --------
 
 _COV_ORACLE = """
@@ -296,6 +316,111 @@ def er_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("edit_dist") <= 3)
+        .select(
+            "family",
+            "p_size",
+            "partkey_a",
+            "partkey_b",
+            "name_a",
+            "name_b",
+            "edit_dist",
+        )
+    )
+
+
+@register(
+    "er_fuzzy_match_scalable",
+    oracle=_ER_ORACLE,
+    tags=("relational", "dedup", "bench"),
+)
+def er_fuzzy_match_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale lane for blocked fuzzy ER — same match semantics and the
+    SAME oracle as ``er_fuzzy_match``, restructured so verification
+    cost no longer grows with record count (the fixed-key lane
+    measured 17.7× time at 5× data — SCALE.md):
+
+    1. **Distinct-value comparison.** Levenshtein runs once per
+       DISTINCT (family, name) pair, not once per record pair — the
+       attribute-level ER trick. Duplicated attribute values (the norm
+       in a real catalog AND in this generator) collapse: at sf0.1
+       this is ~10² name comparisons instead of ~5·10⁵ record pairs.
+    2. **Length-band multi-probe blocking.** Distinct values carry a
+       ⌊len/4⌋ band; the probe side explodes to {band−1, band, band+1}.
+       ed(a,b) ≤ 3 ⟹ |len(a)−len(b)| ≤ 3 ⟹ |Δband| ≤ 1, so every true
+       pair meets EXACTLY once (d = band_a − band_b is unique) —
+       complete by construction, no pair dedup needed. An explicit
+       |Δlen| ≤ 3 filter prunes before levenshtein (Gravano-style
+       length filtering).
+    3. **Id expansion is output-bound.** The ≤ |V|²-row ordered match
+       table broadcasts; two hash joins (on name, then on
+       (name, size)) expand to id pairs. No levenshtein, no inequality
+       predicate on the big join — pure equi-join throughput
+       proportional to the ANSWER size, which is the irreducible cost.
+
+    At 100 TB: stage 1–2 cost ∝ distinct-attribute-pairs (sublinear in
+    records), stage 3 ∝ output. The fixed-key ``er_fuzzy_match`` stays
+    registered as the oracle-pinned baseline; the driver checks both
+    against one oracle."""
+    part = load_table(spark, sf_dir, "part")
+    named = part.select(
+        "p_partkey",
+        "p_name",
+        "p_size",
+        F.element_at(F.split("p_name", " "), -1).alias("family"),
+    )
+    vals = (
+        named.select("family", "p_name")
+        .distinct()
+        .withColumn(
+            "band", F.floor(F.length("p_name") / F.lit(4)).cast("int")
+        )
+    )
+    probe = vals.select(
+        F.col("family").alias("_fb"),
+        F.col("p_name").alias("_nb"),
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("_pband"),
+    )
+    name_pairs = (
+        vals.join(
+            probe,
+            (F.col("family") == F.col("_fb"))
+            & (F.col("band") == F.col("_pband")),
+        )
+        .filter(F.abs(F.length("p_name") - F.length("_nb")) <= 3)
+        .withColumn("edit_dist", F.levenshtein("p_name", "_nb"))
+        .filter(F.col("edit_dist") <= 3)
+        .select(
+            F.col("family").alias("_mf"),
+            F.col("p_name").alias("_na"),
+            "_nb",
+            "edit_dist",
+        )
+    )
+    a = named.select(
+        "family",
+        "p_size",
+        F.col("p_partkey").alias("partkey_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = named.select(
+        F.col("p_size").alias("_sb"),
+        F.col("p_partkey").alias("partkey_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(
+            F.broadcast(name_pairs),
+            (F.col("family") == F.col("_mf"))
+            & (F.col("name_a") == F.col("_na")),
+        )
+        .join(
+            b,
+            (F.col("_nb") == F.col("name_b"))
+            & (F.col("p_size") == F.col("_sb"))
+            & (F.col("partkey_a") < F.col("partkey_b")),
+        )
         .select(
             "family",
             "p_size",

@@ -33,11 +33,16 @@ def test_oracle_keys_subset_of_queries():
     # m5_sarima_forecast gained a full oracle in r4 — Durbin two-stage
     # fit replicated in SQL)
     rows_only = set(qs) - set(oracles)
+    # semantic_dedup_auto (r5): production k=⌈√n⌉ lane — the drop set
+    # depends on n through k so no SF-independent oracle exists; the
+    # oracle-pinned sibling is sim_semantic_dedup, and the auto lane is
+    # equality-tested against explicit-k in tests/test_retrieval.py
     assert rows_only <= {
         "m6_ensemble_weights",
         "m11_stationarity_tests",
         "m4_svr_mlp",
         "m13_shap_tree",
+        "semantic_dedup_auto",
     }
 
 

@@ -144,6 +144,12 @@ def test_tree_shap_gbt_end_to_end_additivity(spark, supervised):
         .sort_index()
     )
     assert (out["prediction"] - pred["prediction"]).abs().max() < 1e-9
+    # Shapley efficiency asserted from the raw output columns (not the
+    # precomputed prediction): base_value + Σ phi_j == GBT weighted-sum
+    # prediction, row by row
+    recon = out["base_value"] + out[[f"phi_{c}" for c in FEATS]].sum(axis=1)
+    assert (recon - pred["prediction"]).abs().max() < 1e-9
+    assert len(model.treeWeights) > 1
 
 
 def test_ensemble_tree_weights_dispatch(spark, supervised):
