@@ -80,6 +80,22 @@ def _replica(name: str, tbl: pa.Table, r: int, ts_step_us: int) -> pa.Table:
         texts = [t.as_py().translate(trans) if t.is_valid else None for t in tbl.column("text")]
         idx = tbl.schema.get_field_index("text")
         tbl = tbl.set_column(idx, tbl.schema.field("text"), pa.array(texts, pa.string()))
+    if name == "part" and r > 0:
+        # Same fairness rule as documents: a real N× parts catalog has
+        # ~N× distinct names, not every name duplicated N× (which makes
+        # the ER answer itself grow ~N², drowning any blocking scheme
+        # in irreducible output). Per-replica caesar cipher preserves
+        # name lengths, within-replica duplicate structure and family
+        # cardinality while killing cross-replica matches.
+        trans = _caesar_table(r)
+        names = [
+            t.as_py().translate(trans) if t.is_valid else None
+            for t in tbl.column("p_name")
+        ]
+        idx = tbl.schema.get_field_index("p_name")
+        tbl = tbl.set_column(
+            idx, tbl.schema.field("p_name"), pa.array(names, pa.string())
+        )
     if name == "embeddings" and r > 0:
         col = tbl.column("embedding").combine_chunks()
         mat = np.asarray(col.values.to_numpy(zero_copy_only=False)).reshape(len(tbl), -1)
