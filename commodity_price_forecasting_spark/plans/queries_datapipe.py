@@ -1954,6 +1954,172 @@ def sim_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sim_ranked(spark: SparkSession, sf_dir: str):
+    """Shared exact-cosine ranking frame for the retrieval-metric
+    family (p@k / MRR / NDCG): 10 query vectors broadcast against one
+    corpus scan, per-query row_number on (cos DESC, vec_id)."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        _dot,
+        _norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("label").alias("qlab"),
+    )
+    pairs = emb.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    cos = F.round(
+        _dot(F.col("embedding"), F.col("qemb"))
+        / (_norm(F.col("embedding")) * _norm(F.col("qemb"))),
+        6,
+    )
+    scored = pairs.select("qid", "qlab", "vec_id", "label", cos.alias("cos"))
+    rk = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+        ),
+    )
+    return scored, rk
+
+
+_SIM_RANK_CTE = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qemb, label AS qlab
+  FROM embeddings WHERE vec_id < 10
+), px AS (
+  SELECT q.qid, q.qlab, c.vec_id, c.label,
+         UNNEST(CAST(c.embedding AS DOUBLE[])) AS x,
+         UNNEST(CAST(q.qemb AS DOUBLE[])) AS y
+  FROM embeddings c CROSS JOIN q
+  WHERE c.vec_id <> q.qid
+), cs AS (
+  SELECT qid, qlab, vec_id, label,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+  FROM px GROUP BY qid, qlab, vec_id, label
+), rk AS (
+  SELECT qid, qlab, label,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, vec_id) AS rn
+  FROM cs
+)"""
+
+_MRR_ORACLE = (
+    _SIM_RANK_CTE
+    + """
+SELECT qid AS query_id, CAST(qlab AS INT) AS query_label,
+       ROUND(COALESCE(
+         1.0 / MIN(CASE WHEN label = qlab THEN rn END), 0), 6) AS rr_at_10
+FROM rk WHERE rn <= 10
+GROUP BY qid, qlab
+"""
+)
+
+
+@register("sim_mrr_at_k", oracle=_MRR_ORACLE, tags=("datapipe", "similarity", "ml"))
+def sim_mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank@10 per query (the MRR components before the
+    mean — kept per-query so the oracle hash checks every rank, not
+    one average): 1/rank of the FIRST same-label hit in the exact
+    cosine top-10, 0 when the window has no hit. Same broadcast-
+    ranking plan as ``sim_precision_at_k`` — the 10-query literal set
+    broadcasts, ranking partitions by query id, nothing global."""
+    _scored, rk = _sim_ranked(spark, sf_dir)
+    first_hit = F.min(
+        F.when(F.col("label") == F.col("qlab"), F.col("rn"))
+    )
+    return (
+        rk.filter(F.col("rn") <= 10)
+        .groupBy("qid", "qlab")
+        .agg(
+            F.round(F.coalesce(1.0 / first_hit, F.lit(0.0)), 6).alias(
+                "rr_at_10"
+            )
+        )
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("qlab").cast("int").alias("query_label"),
+            "rr_at_10",
+        )
+    )
+
+
+_NDCG_ORACLE = (
+    _SIM_RANK_CTE
+    + """, base AS (
+  SELECT DISTINCT qid, qlab FROM cs
+), rel AS (
+  SELECT qid, COUNT(*) AS n_rel FROM cs WHERE label = qlab GROUP BY qid
+), dcg AS (
+  SELECT qid, SUM(1.0 / log2(CAST(rn AS DOUBLE) + 1)) AS dcg
+  FROM rk WHERE rn <= 10 AND label = qlab GROUP BY qid
+), idcg AS (
+  SELECT r.qid, SUM(1.0 / log2(CAST(g.i AS DOUBLE) + 1)) AS idcg
+  FROM rel r CROSS JOIN UNNEST(range(1, 11)) AS g(i)
+  WHERE g.i <= LEAST(r.n_rel, 10) GROUP BY r.qid
+)
+SELECT b.qid AS query_id, CAST(b.qlab AS INT) AS query_label,
+       ROUND(COALESCE(d.dcg / i.idcg, 0), 6) AS ndcg_at_10
+FROM base b
+LEFT JOIN dcg d ON d.qid = b.qid
+LEFT JOIN idcg i ON i.qid = b.qid
+"""
+)
+
+
+@register("sim_ndcg_at_k", oracle=_NDCG_ORACLE, tags=("datapipe", "similarity", "ml"))
+def sim_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 per query with binary gain (label match): DCG =
+    Σ 1/log2(rank+1) over hits in the top-10, IDCG normalizes by the
+    ideal ordering given the query's TOTAL relevant count (capped at
+    10) — so a query whose label has only 3 corpus members can still
+    score 1.0, the standard Järvelin–Kekäläinen definition. Plan
+    adds two vocabulary-free aggregates (per-query relevant count
+    from the already-scored frame; a 10-row ideal-gain explode) to
+    the shared broadcast-ranking shape — no extra corpus scan."""
+    scored, rk = _sim_ranked(spark, sf_dir)
+    base = scored.select("qid", "qlab").distinct()
+    rel = (
+        scored.filter(F.col("label") == F.col("qlab"))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_rel"))
+    )
+    dcg = (
+        rk.filter((F.col("rn") <= 10) & (F.col("label") == F.col("qlab")))
+        .groupBy("qid")
+        .agg(
+            F.sum(1.0 / F.log2(F.col("rn").cast("double") + 1)).alias("dcg")
+        )
+    )
+    idcg = (
+        rel.select(
+            "qid",
+            "n_rel",
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("i"),
+        )
+        .filter(F.col("i") <= F.least(F.col("n_rel"), F.lit(10)))
+        .groupBy("qid")
+        .agg(
+            F.sum(1.0 / F.log2(F.col("i").cast("double") + 1)).alias("idcg")
+        )
+    )
+    return (
+        base.join(dcg, "qid", "left")
+        .join(idcg, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("qlab").cast("int").alias("query_label"),
+            F.round(
+                F.coalesce(F.col("dcg") / F.col("idcg"), F.lit(0.0)), 6
+            ).alias("ndcg_at_10"),
+        )
+    )
+
+
 _GEO_ORACLE = """
 WITH pts AS (
   SELECT user_id AS pid,

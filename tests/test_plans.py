@@ -110,6 +110,9 @@ SINGLE_ROW_BROADCAST_OK = {
     "curation_mix_waterfill",
     # 10-row query-vector set broadcast against one corpus scan
     "sim_precision_at_k",
+    # same shared broadcast-ranking frame as sim_precision_at_k
+    "sim_mrr_at_k",
+    "sim_ndcg_at_k",
     # two 1-row per-arm summary frames stitched into the output row
     "stat_proportion_ztest",
     # 1-row (nn, k, grand-mean) total broadcast over the k-group frame
