@@ -47,13 +47,21 @@ def main() -> None:
     ap.add_argument("-q", "--query", action="append", default=[])
     ap.add_argument("--runs", type=int, default=1)
     ap.add_argument("--warm-dir", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--driver-mem",
+        default="24g",
+        help="local-mode JVM heap; the 1g default thrashes GC at sf>=0.5",
+    )
     args = ap.parse_args()
 
     spark = get_spark(
         app_name="cpf-bench-scale",
         master=f"local[{args.cpus}]",
         shuffle_partitions=int(args.cpus),
-        extra_conf={"spark.ui.enabled": "true"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.driver.memory": args.driver_mem,
+        },
     )
     sc = spark.sparkContext
     ui = sc.uiWebUrl
