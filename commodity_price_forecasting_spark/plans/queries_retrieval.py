@@ -212,6 +212,89 @@ def semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- int8 scalar quantization of embeddings -----------------------------
+
+_INT8_ORACLE = """
+WITH ex AS (
+  SELECT vec_id, label,
+         UNNEST(CAST(embedding AS DOUBLE[])) AS x
+  FROM embeddings
+), sc AS (
+  SELECT vec_id, label, MAX(ABS(x)) / 127.0 AS scale
+  FROM ex GROUP BY vec_id, label
+), q AS (
+  SELECT e.vec_id, e.label, s.scale,
+         FLOOR(e.x / s.scale + 0.5) * s.scale - e.x AS err
+  FROM ex e JOIN sc s ON s.vec_id = e.vec_id
+  WHERE s.scale > 0
+), per_vec AS (
+  SELECT vec_id, label, AVG(err * err) AS mse, MAX(ABS(err)) AS amax
+  FROM q GROUP BY vec_id, label
+)
+SELECT CAST(p.label AS INT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(AVG(p.mse), 6) + 0 AS mean_mse,
+       ROUND(MAX(p.amax), 6) AS max_abs_err,
+       ROUND(AVG(s2.scale), 6) AS mean_scale
+FROM per_vec p JOIN sc s2 USING (vec_id)
+GROUP BY p.label
+"""
+
+
+@register(
+    "emb_int8_quantize",
+    oracle=_INT8_ORACLE,
+    tags=("datapipe", "similarity", "ml"),
+)
+def emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization with
+    reconstruction-error audit — the 4×-memory-compression companion
+    to PQ (`sim_pq_adc_topk`): scale = max|x|/127 per vector, code =
+    ⌊x/scale + 0.5⌋ (explicit floor-plus-half on BOTH engines, because
+    Spark round() HALF_UPs through BigDecimal while DuckDB rounds the
+    double — the one formula the two engines agree on exactly), error
+    = code·scale − x. Output: per-label vector counts, mean MSE, max
+    abs error, mean scale — the go/no-go numbers before switching an
+    ANN corpus to int8.
+
+    Scale shape: one higher-order-function pass per vector (no
+    explode — `aggregate`/`transform` run inside codegen on the
+    array), one label-level aggregate. At 100 TB the corpus is read
+    once, nothing shuffles but the per-label partials."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(xd, lambda x: F.abs(x)))
+    v = emb.select(
+        "vec_id", "label", xd.alias("xs"), (amax / 127.0).alias("scale")
+    ).filter(F.col("scale") > 0)
+    err = F.transform(
+        F.col("xs"),
+        lambda x: F.floor(x / F.col("scale") + 0.5) * F.col("scale") - x,
+    )
+    d = F.size(F.col("xs")).cast("double")
+    per_vec = v.select(
+        "vec_id",
+        "label",
+        "scale",
+        (
+            F.aggregate(
+                err, F.lit(0.0), lambda acc, e: acc + e * e
+            )
+            / d
+        ).alias("mse"),
+        F.array_max(F.transform(err, lambda e: F.abs(e))).alias("amax"),
+    )
+    return (
+        per_vec.groupBy(F.col("label").cast("int").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            (F.round(F.avg("mse"), 6) + 0).alias("mean_mse"),
+            F.round(F.max("amax"), 6).alias("max_abs_err"),
+            F.round(F.avg("scale"), 6).alias("mean_scale"),
+        )
+    )
+
+
 # --- distributed covariance (PCA input), two physical strategies --------
 
 _COV_ORACLE = """
