@@ -2285,7 +2285,7 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.explode(
                 F.split(
-                    F.lower(F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9_ \t\n]", " ")),
+                    F.lower(F.regexp_replace(F.col("text"), r"[^\w \t\n]", " ")),
                     r"\s+",
                 )
             ).alias("token")
@@ -2349,7 +2349,7 @@ def text_ttr_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.explode(
                 F.split(
-                    F.lower(F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9_ \t\n]", " ")),
+                    F.lower(F.regexp_replace(F.col("text"), r"[^\w \t\n]", " ")),
                     r"\s+",
                 )
             ).alias("token"),
@@ -2493,7 +2493,7 @@ def sim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.split(
-                    F.lower(F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9_ \t\n]", " ")),
+                    F.lower(F.regexp_replace(F.col("text"), r"[^\w \t\n]", " ")),
                     r"\s+",
                 )
             ).alias("token"),

@@ -87,7 +87,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.explode(
                 F.split(
-                    F.lower(F.regexp_replace(F.col("text"), r"[^a-zA-Z0-9_ \t\n]", " ")),
+                    F.lower(F.regexp_replace(F.col("text"), r"[^\w \t\n]", " ")),
                     r"\s+",
                 )
             ).alias("token"),
