@@ -2120,6 +2120,88 @@ def sim_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HARDNEG_ORACLE = (
+    _SIM_RANK_CTE
+    + """, rkf AS (
+  SELECT qid, qlab, vec_id, label, cos,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, vec_id) AS rn
+  FROM cs
+), pos AS (
+  SELECT qid, qlab, MIN(rn) AS pos_rank
+  FROM rkf WHERE label = qlab GROUP BY qid, qlab
+), posrow AS (
+  SELECT f.qid, f.vec_id AS pos_id, f.cos AS pos_cos
+  FROM rkf f JOIN pos p ON p.qid = f.qid AND f.rn = p.pos_rank
+), hn AS (
+  SELECT f.qid, MIN(f.rn) AS hn_rank
+  FROM rkf f JOIN pos p ON p.qid = f.qid
+  WHERE f.label <> f.qlab AND f.rn < p.pos_rank
+  GROUP BY f.qid
+), hnrow AS (
+  SELECT h.qid, f.vec_id AS hn_id, f.cos AS hn_cos
+  FROM hn h JOIN rkf f ON f.qid = h.qid AND f.rn = h.hn_rank
+)
+SELECT p.qid AS query_id, CAST(p.qlab AS INT) AS query_label,
+       CAST(p.pos_rank AS BIGINT) AS pos_rank,
+       pr.pos_id, pr.pos_cos,
+       CAST(p.pos_rank - 1 AS BIGINT) AS n_hard_negs,
+       hr.hn_id, hr.hn_cos
+FROM pos p
+JOIN posrow pr ON pr.qid = p.qid
+LEFT JOIN hnrow hr ON hr.qid = p.qid
+"""
+)
+
+
+@register(
+    "sim_hard_negatives",
+    oracle=_HARDNEG_ORACLE,
+    tags=("datapipe", "similarity", "ml"),
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the SimCSE /
+    DPR data-prep step): per query, the top-ranked SAME-label item is
+    the positive; every DIFFERENT-label item ranked ABOVE it is a
+    hard negative (scores higher than the positive — exactly the
+    examples a contrastive loss needs). Emits the positive (id, cos,
+    rank), the hardest negative (best-ranked one, NULL when the
+    positive is rank 1), and the hard-negative count = pos_rank − 1.
+
+    Plan shape: the shared broadcast-ranking frame plus conditional
+    aggregates — ``min_by`` picks the positive/negative rows without a
+    second ranking pass; nothing beyond the per-query shuffle."""
+    _scored, rk = _sim_ranked(spark, sf_dir)
+    is_pos = F.col("label") == F.col("qlab")
+    # queries with no same-label corpus item drop out entirely (same
+    # as the oracle's pos CTE) — a contrastive pair needs a positive
+    pos = rk.filter(is_pos).groupBy("qid", "qlab").agg(
+        F.min("rn").alias("pos_rank"),
+        F.min_by("vec_id", "rn").alias("pos_id"),
+        F.min_by("cos", "rn").alias("pos_cos"),
+    )
+    neg = rk.filter(~is_pos).groupBy("qid").agg(
+        F.min("rn").alias("hn_rank"),
+        F.min_by("vec_id", "rn").alias("_hn_id"),
+        F.min_by("cos", "rn").alias("_hn_cos"),
+    )
+    return (
+        pos.join(neg, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("qlab").cast("int").alias("query_label"),
+            F.col("pos_rank").cast("long").alias("pos_rank"),
+            "pos_id",
+            "pos_cos",
+            (F.col("pos_rank") - 1).cast("long").alias("n_hard_negs"),
+            F.when(F.col("hn_rank") < F.col("pos_rank"), F.col("_hn_id"))
+            .alias("hn_id"),
+            F.when(F.col("hn_rank") < F.col("pos_rank"), F.col("_hn_cos"))
+            .alias("hn_cos"),
+        )
+    )
+
+
 _GEO_ORACLE = """
 WITH pts AS (
   SELECT user_id AS pid,

@@ -113,6 +113,7 @@ SINGLE_ROW_BROADCAST_OK = {
     # same shared broadcast-ranking frame as sim_precision_at_k
     "sim_mrr_at_k",
     "sim_ndcg_at_k",
+    "sim_hard_negatives",
     # two 1-row per-arm summary frames stitched into the output row
     "stat_proportion_ztest",
     # 1-row (nn, k, grand-mean) total broadcast over the k-group frame
