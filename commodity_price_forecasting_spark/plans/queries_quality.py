@@ -668,3 +668,113 @@ def curation_mix_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(alloc, 6).alias("alloc_tok"),
         F.round(alloc / F.col("avail_tok"), 6).alias("fill_ratio"),
     )
+
+
+# --- RAKE keyword extraction --------------------------------------------
+
+_RAKE_STOPS = ("a", "the")
+_RAKE_MAX_PHRASE = 4
+
+_RAKE_ORACLE = (
+    _TOK
+    + """
+, marked AS (
+  SELECT doc_id, token, pos,
+         SUM(CASE WHEN token IN ('a', 'the') THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+  FROM tok
+), words AS (
+  SELECT doc_id, pid, pos, token
+  FROM marked WHERE token NOT IN ('a', 'the')
+), phrases AS (
+  SELECT doc_id, pid,
+         STRING_AGG(token, ' ' ORDER BY pos) AS phrase,
+         COUNT(*) AS plen
+  FROM words GROUP BY doc_id, pid
+  HAVING COUNT(*) BETWEEN 1 AND 4
+), pw AS (
+  SELECT w.doc_id, w.pid, w.token, p.phrase, p.plen
+  FROM words w JOIN phrases p USING (doc_id, pid)
+), ws AS (
+  SELECT token, COUNT(*) AS freq, SUM(plen) AS degree
+  FROM pw GROUP BY token
+), inst AS (
+  SELECT w.doc_id, w.pid, w.phrase,
+         SUM(CAST(s.degree AS DOUBLE) / s.freq) AS score
+  FROM pw w JOIN ws s USING (token)
+  GROUP BY w.doc_id, w.pid, w.phrase
+)
+SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       ROUND(AVG(score), 6) AS rake_score
+FROM inst GROUP BY phrase
+ORDER BY ROUND(AVG(score), 6) DESC, phrase LIMIT 20
+"""
+)
+
+
+@register("text_rake_keywords", oracle=_RAKE_ORACLE, tags=("datapipe", "text"))
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, public): candidate
+    phrases are maximal stopword-free token runs (runs longer than 4
+    words dropped, the common RAKE cap), each word scores
+    degree/freq where degree sums the lengths of phrases containing
+    it, and a phrase scores the sum of its member-word scores; top-20
+    distinct phrases by score. The corpus-level cousin of TF-IDF
+    keywording that needs NO document frequency table — degree/freq
+    rewards words that appear inside longer collocations.
+
+    Plan shape: one tokenize, one cumulative-sum window per document
+    (stopword count = phrase id, the sessionize trick), then three
+    key-partitioned aggregates (phrase assembly, word stats, phrase
+    scoring) — word stats are vocabulary-sized, the ranking is a
+    TakeOrderedAndProject on the rounded score."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), " ")).alias("pos0", "token"),
+    ).filter(F.col("token") != "")
+    is_stop = F.col("token").isin(*_RAKE_STOPS)
+    marked = toks.withColumn(
+        "pid",
+        F.sum(F.when(is_stop, 1).otherwise(0)).over(
+            Window.partitionBy("doc_id").orderBy("pos0")
+        ),
+    )
+    words = marked.filter(~is_stop)
+    phrase_txt = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos0", "token"))),
+            lambda s: s["token"],
+        ),
+        " ",
+    )
+    phrases = (
+        words.groupBy("doc_id", "pid")
+        .agg(phrase_txt.alias("phrase"), F.count(F.lit(1)).alias("plen"))
+        .filter(F.col("plen") <= _RAKE_MAX_PHRASE)
+    )
+    pw = words.select("doc_id", "pid", "token").join(
+        phrases, ["doc_id", "pid"]
+    )
+    ws = pw.groupBy("token").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("degree"),
+    )
+    inst = (
+        pw.join(ws, "token")
+        .groupBy("doc_id", "pid", "phrase")
+        .agg(
+            F.sum(
+                F.col("degree").cast("double") / F.col("freq")
+            ).alias("score")
+        )
+    )
+    return (
+        inst.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.round(F.avg("score"), 6).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), F.asc("phrase"))
+        .limit(20)
+    )
