@@ -160,24 +160,37 @@ def asof_join(
     time_col: str,
     value_col: str,
     out_col: str = "asof_value",
+    direction: str = "backward",
+    tolerance_days: int | None = None,
 ) -> DataFrame:
-    """AS-OF join: for every left row, the most recent ``value_col``
-    from ``right`` with ``right.time <= left.time`` within the same
-    key (trades-to-quotes alignment; not in the reference, which
-    aligns by exact equality after shifting — this is the general
-    operator a multi-market engine needs).
+    """AS-OF join: for every left row, the nearest ``value_col`` from
+    ``right`` within the same key — ``direction="backward"`` takes the
+    most recent right row with ``right.time <= left.time`` (pandas
+    ``merge_asof`` default; trades-to-quotes alignment),
+    ``"forward"`` the next right row with ``right.time >= left.time``.
+    ``tolerance_days`` nulls the match when the matched right time is
+    further than that many days from the left time (merge_asof's
+    ``tolerance``) — stale quotes must not leak into pricing. (The
+    reference aligns by exact equality after shifting; this is the
+    general operator a multi-market engine needs.)
 
     Scalable single-shuffle form: union both sides tagged, one window
     pass per key ordered by (time, side) with right rows sorting
-    before left rows at equal timestamps (ties are inclusive), then
-    keep the left rows with the last seen right value. No per-row
-    Python, no range-join explosion; skewed keys split by AQE."""
+    before left rows at equal timestamps (ties are inclusive in both
+    directions; forward just reverses the time order), then keep the
+    left rows with the last seen right value AND right time — the
+    tolerance test is a plain column comparison on the carried time.
+    No per-row Python, no range-join explosion; skewed keys split by
+    AQE."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     l_tag = left.select(
         F.col(key_col).alias("_k"),
         F.col(time_col).alias("_t"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
         F.lit(None).cast(right.schema[value_col].dataType).alias("_rv"),
+        F.lit(None).cast(right.schema[time_col].dataType).alias("_rt"),
     )
     r_tag = right.select(
         F.col(key_col).alias("_k"),
@@ -187,15 +200,29 @@ def asof_join(
             "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields) + ">"
         ).alias("_lrow"),
         F.col(value_col).alias("_rv"),
+        F.col(time_col).alias("_rt"),
     )
+    order_t = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_side")
+        .orderBy(order_t, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    merged = l_tag.unionByName(r_tag).withColumn(
-        out_col, F.last("_rv", ignorenulls=True).over(w)
+    merged = (
+        l_tag.unionByName(r_tag)
+        .withColumn(out_col, F.last("_rv", ignorenulls=True).over(w))
+        .withColumn("_mt", F.last("_rt", ignorenulls=True).over(w))
     )
+    if tolerance_days is not None:
+        staleness = (
+            F.datediff(F.col("_t"), F.col("_mt"))
+            if direction == "backward"
+            else F.datediff(F.col("_mt"), F.col("_t"))
+        )
+        merged = merged.withColumn(
+            out_col,
+            F.when(staleness <= tolerance_days, F.col(out_col)),
+        )
     return (
         merged.filter(F.col("_side") == 1)
         .select("_lrow.*", out_col)

@@ -360,6 +360,102 @@ def ts_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ASOF_TOL_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+), purchases AS (
+  SELECT event_id, user_id, CAST(ts AS DATE) AS day, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       ROUND(d.px, 6) AS asof_px
+FROM purchases p
+ASOF JOIN daily d
+  ON p.user_id = d.instrument AND p.day >= d.day
+WHERE p.day - d.day <= 3
+"""
+
+
+@register("ts_asof_tolerance", oracle=_ASOF_TOL_ORACLE, tags=("timeseries", "join"))
+def ts_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join with a 3-day staleness tolerance (pandas
+    ``merge_asof(tolerance=...)``): a purchase whose latest daily bar
+    is older than 3 days gets NO price instead of a stale one — the
+    risk-control variant of ``ts_asof_join``. Same single-shuffle
+    union+window operator; the tolerance is one carried-time column
+    comparison, and a too-stale latest match implies no
+    within-tolerance match exists (the matches are a suffix of the
+    backward scan), so the filter IS the tolerance semantics."""
+    from commodity_price_forecasting_spark.operators.timeseries import asof_join
+    from commodity_price_forecasting_spark.plans.e1_pipeline import daily_bars
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    daily = daily_bars(spark, sf_dir).withColumnRenamed("instrument", "user_id")
+    joined = asof_join(
+        purchases,
+        daily,
+        "user_id",
+        "day",
+        "px",
+        out_col="asof_px",
+        tolerance_days=3,
+    )
+    return joined.filter(F.col("asof_px").isNotNull()).select(
+        "event_id", "user_id", F.round("asof_px", 6).alias("asof_px")
+    )
+
+
+_ASOF_FWD_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+), purchases AS (
+  SELECT event_id, user_id, CAST(ts AS DATE) AS day, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id,
+       ROUND(d.px, 6) AS next_px
+FROM purchases p
+ASOF JOIN daily d
+  ON p.user_id = d.instrument AND p.day <= d.day
+"""
+
+
+@register("ts_asof_forward", oracle=_ASOF_FWD_ORACLE, tags=("timeseries", "join"))
+def ts_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas ``merge_asof(direction=
+    "forward")``): each purchase gets the NEXT daily bar at or after
+    its day — the label-construction direction (future outcome
+    aligned to a present event) that backward as-of must never be
+    confused with. Identical union+window plan with the time order
+    reversed; ties stay inclusive because right rows still sort
+    before left rows at equal (reversed) timestamps."""
+    from commodity_price_forecasting_spark.operators.timeseries import asof_join
+    from commodity_price_forecasting_spark.plans.e1_pipeline import daily_bars
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.to_date("ts").alias("day"), "value"
+    )
+    daily = daily_bars(spark, sf_dir).withColumnRenamed("instrument", "user_id")
+    joined = asof_join(
+        purchases,
+        daily,
+        "user_id",
+        "day",
+        "px",
+        out_col="next_px",
+        direction="forward",
+    )
+    return joined.filter(F.col("next_px").isNotNull()).select(
+        "event_id", "user_id", F.round("next_px", 6).alias("next_px")
+    )
+
+
 _INTERVAL_ORACLE = """
 WITH marked AS (
   SELECT user_id, ts,

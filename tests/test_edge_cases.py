@@ -161,6 +161,65 @@ def test_asof_join_semantics(spark):
     assert out["d"] is None   # key 2 has no right row before t=7
 
 
+def test_asof_join_forward_and_tolerance(spark):
+    """merge_asof parity on a SPARSE fixture (the registered asof
+    queries run on dense daily bars where tolerance never trims):
+    forward takes the NEXT right row with ties inclusive; a backward
+    match staler than tolerance_days nulls out; an in-tolerance match
+    survives; direction validation raises."""
+    import datetime as dt
+
+    import pytest
+
+    from commodity_price_forecasting_spark.operators.timeseries import asof_join
+
+    d = dt.date
+    left = spark.createDataFrame(
+        [
+            (1, d(2024, 1, 10), "a"),   # right at 1/10 (tie) and 1/3
+            (1, d(2024, 1, 8), "b"),    # nearest earlier right 1/3 → 5d stale
+            (1, d(2024, 1, 4), "c"),    # nearest earlier right 1/3 → 1d
+            (2, d(2024, 1, 5), "e"),    # no right rows at all for key 2
+        ],
+        ["k", "t", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, d(2024, 1, 3), 3.0), (1, d(2024, 1, 10), 10.0)], ["k", "t", "v"]
+    )
+    back_tol = {
+        r["tag"]: r["v3"]
+        for r in asof_join(
+            left, right, "k", "t", "v", out_col="v3", tolerance_days=3
+        ).collect()
+    }
+    assert back_tol["a"] == 10.0  # tie inclusive, 0d stale
+    assert back_tol["b"] is None  # 5d > 3d tolerance
+    assert back_tol["c"] == 3.0   # 1d ≤ 3d
+    assert back_tol["e"] is None
+    fwd = {
+        r["tag"]: r["nv"]
+        for r in asof_join(
+            left, right, "k", "t", "v", out_col="nv", direction="forward"
+        ).collect()
+    }
+    assert fwd["a"] == 10.0   # tie at 1/10 is inclusive forward too
+    assert fwd["b"] == 10.0   # next right after 1/8
+    assert fwd["c"] == 10.0   # next right after 1/4
+    assert fwd["e"] is None
+    fwd_tol = {
+        r["tag"]: r["nv"]
+        for r in asof_join(
+            left, right, "k", "t", "v",
+            out_col="nv", direction="forward", tolerance_days=2,
+        ).collect()
+    }
+    assert fwd_tol["a"] == 10.0  # 0d ahead
+    assert fwd_tol["b"] == 10.0  # 2d ahead ≤ 2
+    assert fwd_tol["c"] is None  # 6d ahead > 2
+    with pytest.raises(ValueError):
+        asof_join(left, right, "k", "t", "v", direction="nearest")
+
+
 def test_upsert_latest_tie_prefers_update(spark):
     from commodity_price_forecasting_spark.operators.cleaning import upsert_latest
 
