@@ -189,6 +189,48 @@ def exact_jaccard(shingles: DataFrame, candidates: DataFrame) -> DataFrame:
     )
 
 
+def containment_scores(shingles: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Broder containment |A∩B|/|A| and |A∩B|/|B| per candidate pair,
+    alongside Jaccard — the ASYMMETRIC near-dup signal: a short
+    document quoted whole inside a long one has high containment but
+    low Jaccard, so a Jaccard-only gate misses it. Same candidate-
+    restricted equi-join shape as ``exact_jaccard``; only the final
+    ratios differ."""
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shingles.select(F.col("doc_id").alias("_db"), F.col("shingle").alias("_sh"))
+    inter = (
+        candidates.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("_db")) & (F.col("shingle") == F.col("_sh")), "inner")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    cont_a = F.round(F.col("n_inter") / F.col("sz_a"), 6)
+    cont_b = F.round(F.col("n_inter") / F.col("sz_b"), 6)
+    jac = F.round(
+        F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")), 6
+    )
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("long").alias("n_inter"),
+            cont_a.alias("containment_a"),
+            cont_b.alias("containment_b"),
+            F.greatest(cont_a, cont_b).alias("max_containment"),
+            jac.alias("jaccard"),
+            F.when(jac >= 0.5, F.lit("near_dup"))
+            .when(F.greatest(cont_a, cont_b) >= 0.8, F.lit("containment_dup"))
+            .otherwise(F.lit("candidate"))
+            .alias("dup_kind"),
+        )
+    )
+
+
 def simhash32(tokens: DataFrame, id_col: str = "doc_id", token_col: str = "token") -> DataFrame:
     """32-bit SimHash per document from distinct tokens.
 

@@ -17,6 +17,7 @@ from commodity_price_forecasting_spark.operators.dedup import (
     band_signatures,
     connected_components,
     char_shingles,
+    containment_scores,
     estimated_jaccard,
     exact_dedup_summary,
     exact_jaccard,
@@ -141,6 +142,56 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = minhash_wide(sh, num_hashes=12)
     cand = lsh_candidate_pairs(band_signatures(wide, num_hashes=12, rows_per_band=3))
     return exact_jaccard(sh, cand)
+
+
+_CONTAINMENT_ORACLE = (
+    _SHINGLE_CTE
+    + """
+, sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(n_inter AS BIGINT) AS n_inter,
+       ROUND(n_inter * 1.0 / za.sz, 6) AS containment_a,
+       ROUND(n_inter * 1.0 / zb.sz, 6) AS containment_b,
+       GREATEST(ROUND(n_inter * 1.0 / za.sz, 6),
+                ROUND(n_inter * 1.0 / zb.sz, 6)) AS max_containment,
+       ROUND(n_inter * 1.0 / (za.sz + zb.sz - n_inter), 6) AS jaccard,
+       CASE WHEN ROUND(n_inter * 1.0 / (za.sz + zb.sz - n_inter), 6) >= 0.5
+              THEN 'near_dup'
+            WHEN GREATEST(ROUND(n_inter * 1.0 / za.sz, 6),
+                          ROUND(n_inter * 1.0 / zb.sz, 6)) >= 0.8
+              THEN 'containment_dup'
+            ELSE 'candidate' END AS dup_kind
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+"""
+)
+
+
+@register("dedup_containment", oracle=_CONTAINMENT_ORACLE, tags=("datapipe", "dedup"))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder containment scores on the LSH candidate pairs — the
+    ASYMMETRIC near-dup lane: |A∩B|/|A| and |A∩B|/|B| flag a short
+    document wholly quoted inside a long one (high containment, low
+    Jaccard), the inclusion case a Jaccard-only dedup gate misses.
+    ``dup_kind`` buckets each pair: Jaccard ≥ 0.5 → near_dup, else
+    max containment ≥ 0.8 → containment_dup, else candidate.
+    Candidate-restricted equi-joins only — same Σ bucket² bound as
+    the other LSH-backed lanes (`operators/dedup.containment_scores`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = char_shingles(docs, k=5).cache()
+    wide = minhash_wide(sh, num_hashes=12)
+    cand = lsh_candidate_pairs(
+        band_signatures(wide, num_hashes=12, rows_per_band=3)
+    )
+    return containment_scores(sh, cand)
 
 
 _SIMHASH_ORACLE = """
