@@ -1904,3 +1904,105 @@ def sql_scalar_udf_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _clip_rets GROUP BY instrument
         """
     )
+
+
+# --- isotonic calibration (exact PAV via the minimax formula) -----------
+
+_ISO_ORACLE = """
+WITH pts AS (
+  SELECT CAST(FLOOR(value / 4) AS BIGINT) AS bin,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), bins AS (
+  SELECT bin, COUNT(*) AS n, SUM(y) AS sy FROM pts GROUP BY bin
+), pre AS (
+  SELECT bin, n, sy,
+         SUM(n) OVER (ORDER BY bin) AS pn,
+         SUM(sy) OVER (ORDER BY bin) AS py
+  FROM bins
+), pairs AS (
+  SELECT j.bin AS j, k.bin AS k,
+         CAST(k.py - (j.py - j.sy) AS DOUBLE)
+           / (k.pn - (j.pn - j.n)) AS a
+  FROM pre j JOIN pre k ON j.bin <= k.bin
+), inner_ AS (
+  SELECT p.j, i.bin AS i, MIN(p.a) AS mn
+  FROM pairs p JOIN bins i ON p.j <= i.bin AND i.bin <= p.k
+  GROUP BY p.j, i.bin
+), fit AS (
+  SELECT i AS bin, MAX(mn) AS iso FROM inner_ GROUP BY i
+)
+SELECT b.bin, CAST(b.n AS BIGINT) AS n,
+       ROUND(CAST(b.sy AS DOUBLE) / b.n, 6) AS raw_rate,
+       ROUND(f.iso, 6) AS iso_rate
+FROM bins b JOIN fit f ON f.bin = b.bin
+"""
+
+
+@register("m14_isotonic_calibration", oracle=_ISO_ORACLE, tags=("ml", "stats"))
+def m14_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact isotonic (PAV) calibration of P(purchase | value-bin),
+    computed RELATIONALLY through the minimax characterization
+    f(i) = max_{j≤i} min_{k≥i} mean(y over bins j..k) — no iterative
+    pool-adjacent-violators loop, so the fit is SQL-expressible and
+    oracle-checkable, and `tests/test_ml.py` additionally asserts
+    equality with Spark ML's distributed IsotonicRegression on the
+    same weighted bins (two independent algorithms, one answer).
+    Every intermediate is a ratio of INTEGER prefix sums, so both
+    engines agree bit-for-bit before the single edge rounding.
+
+    Scale shape: the corpus scan collapses to ≤26 calibration bins in
+    one map-side-combinable aggregate; the j≤i≤k triple frame is
+    bin-count-bounded (26³/6 rows — constant, independent of data
+    volume), so at 100 TB this is one aggregate plus a broadcast-
+    scale fit, the right split for any calibration curve."""
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        F.floor(F.col("value") / 4).cast("long").alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    bins = pts.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy")
+    )
+    wo = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = bins.select(
+        "bin",
+        "n",
+        "sy",
+        F.sum("n").over(wo).alias("pn"),
+        F.sum("sy").over(wo).alias("py"),
+    )
+    j = pre.select(
+        F.col("bin").alias("j"),
+        (F.col("py") - F.col("sy")).alias("py0"),
+        (F.col("pn") - F.col("n")).alias("pn0"),
+    )
+    k = pre.select(
+        F.col("bin").alias("k"), F.col("py").alias("pyk"), F.col("pn").alias("pnk")
+    )
+    pairs = j.join(k, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("pyk") - F.col("py0")).cast("double")
+            / (F.col("pnk") - F.col("pn0"))
+        ).alias("a"),
+    )
+    i = bins.select(F.col("bin").alias("i"))
+    inner = (
+        pairs.join(i, (F.col("j") <= F.col("i")) & (F.col("i") <= F.col("k")))
+        .groupBy("j", "i")
+        .agg(F.min("a").alias("mn"))
+    )
+    fit = inner.groupBy("i").agg(F.max("mn").alias("iso"))
+    return (
+        bins.join(fit, bins["bin"] == fit["i"])
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("sy").cast("double") / F.col("n"), 6).alias(
+                "raw_rate"
+            ),
+            F.round("iso", 6).alias("iso_rate"),
+        )
+    )

@@ -462,3 +462,44 @@ def test_df_statistic_equals_adf_lag0(spark):
             assert abs(jvm[inst] - want) < 2e-6, inst
             n_checked += 1
     assert n_checked >= 10  # sf0.001 carries ~15 instruments
+
+
+def test_isotonic_minimax_equals_spark_ml_pav(spark):
+    """m14's relational minimax fit must equal Spark ML's distributed
+    IsotonicRegression (pool-adjacent-violators) on the same points —
+    two independent algorithms, one answer — and be monotone."""
+    from pyspark.sql import functions as F
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+
+    from commodity_price_forecasting_spark.plans.registry import load_all
+    from commodity_price_forecasting_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        r["bin"]: (r["raw_rate"], r["iso_rate"])
+        for r in load_all()["m14_isotonic_calibration"].fn(spark, SF_SMOKE).collect()
+    }
+    iso_vals = [v[1] for _, v in sorted(got.items())]
+    assert iso_vals == sorted(iso_vals)  # monotone non-decreasing
+
+    pts = load_table(spark, SF_SMOKE, "events").select(
+        F.floor(F.col("value") / 4).cast("double").alias("x"),
+        F.when(F.col("event_type") == "purchase", 1.0).otherwise(0.0).alias(
+            "label"
+        ),
+    )
+    assembled = VectorAssembler(
+        inputCols=["x"], outputCol="features"
+    ).transform(pts)
+    model = IsotonicRegression(
+        featuresCol="features", labelCol="label"
+    ).fit(assembled)
+    bins = assembled.select("x", "features").distinct()
+    pred = {
+        int(r["x"]): round(r["prediction"], 6)
+        for r in model.transform(bins).collect()
+    }
+    assert set(pred) == set(got)
+    for b, (_raw, iso) in got.items():
+        assert abs(pred[b] - iso) < 1e-6, (b, pred[b], iso)

@@ -118,6 +118,9 @@ SINGLE_ROW_BROADCAST_OK = {
     "stat_proportion_ztest",
     # 1-row (nn, k, grand-mean) total broadcast over the k-group frame
     "stat_levene_test",
+    # bin-count-bounded (≤26-row) calibration frames: the j≤i≤k
+    # minimax triple join is constant-size regardless of data volume
+    "m14_isotonic_calibration",
 }
 
 
