@@ -542,3 +542,64 @@ def behavior_event_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pmi, 6).alias("pmi"),
         F.round(jac, 6).alias("jaccard"),
     )
+
+
+# --- first-order Markov transition matrix --------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS from_type, next_type AS to_type
+  FROM seq WHERE next_type IS NOT NULL
+), c AS (
+  SELECT from_type, to_type, COUNT(*) AS n FROM pairs GROUP BY 1, 2
+), tot AS (
+  SELECT from_type, SUM(n) AS row_n FROM c GROUP BY 1
+)
+SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+       ROUND(CAST(c.n AS DOUBLE) / t.row_n, 6) AS prob
+FROM c JOIN tot t USING (from_type)
+"""
+
+
+@register("behavior_markov_transitions", oracle=_MARKOV_ORACLE, tags=("behavior", "stats"))
+def behavior_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences:
+    P(next event type | current type), estimated from per-user
+    consecutive pairs (ties broken by event_id so the sequence is
+    deterministic on both engines). The behavioral fingerprint behind
+    next-action prediction and journey anomaly detection — a bot
+    shows up immediately as a near-degenerate row.
+
+    One window pass partitioned by user (the same shuffle the
+    sessionizer uses), a |types|²-bounded aggregate, and a row-
+    normalizing broadcast join — nothing scales with anything but
+    user-partition width."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    c = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = c.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (
+        c.join(F.broadcast(tot), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n").cast("double") / F.col("row_n"), 6).alias(
+                "prob"
+            ),
+        )
+    )

@@ -1480,3 +1480,132 @@ def stat_levene_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("nn").cast("long").alias("n"),
         F.round(wnum / wden, 6).alias("levene_w"),
     )
+
+
+# --- multiple testing: Benjamini–Hochberg FDR ---------------------------
+
+_FDR_ORACLE = """
+WITH b AS (
+  SELECT user_id,
+         CAST(LEAST(FLOOR(value / 33.0), 2) AS INTEGER) AS bin
+  FROM events
+), per AS (
+  SELECT user_id, bin, COUNT(*) AS n FROM b GROUP BY 1, 2
+), usr AS (
+  SELECT user_id, SUM(n) AS nu FROM per GROUP BY 1
+), gl AS (
+  SELECT bin, SUM(n) AS ng FROM per GROUP BY 1
+), tot AS (
+  SELECT SUM(n) AS nt FROM per
+), expd AS (
+  SELECT u.user_id, g.bin,
+         u.nu * CAST(g.ng AS DOUBLE) / t.nt AS e
+  FROM usr u CROSS JOIN gl g CROSS JOIN tot t
+), chi AS (
+  SELECT e.user_id,
+         SUM(POWER(COALESCE(p.n, 0) - e.e, 2) / e.e) AS chi2
+  FROM expd e
+  LEFT JOIN per p ON p.user_id = e.user_id AND p.bin = e.bin
+  GROUP BY e.user_id
+), pv AS (
+  SELECT user_id, chi2, EXP(-chi2 / 2) AS p
+  FROM chi
+), rk AS (
+  SELECT user_id, chi2, p,
+         ROW_NUMBER() OVER (ORDER BY p, user_id) AS rank,
+         COUNT(*) OVER () AS m
+  FROM pv
+), thr AS (
+  SELECT user_id, chi2, p, rank,
+         rank * 0.10 / m AS bh_threshold,
+         MAX(CASE WHEN p <= rank * 0.10 / m THEN rank ELSE 0 END)
+           OVER () AS k
+  FROM rk
+)
+SELECT user_id, ROUND(chi2, 6) AS chi2, ROUND(p, 6) AS p_value,
+       CAST(rank AS BIGINT) AS p_rank,
+       ROUND(bh_threshold, 6) AS bh_threshold,
+       rank <= k AS rejected
+FROM thr
+"""
+
+
+@register("stat_fdr_bh", oracle=_FDR_ORACLE, tags=("stats",))
+def stat_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control (q=0.10) over a family of
+    per-instrument chi-square goodness-of-fit tests — the multiple-
+    testing discipline every per-group testing query in this engine
+    feeds into (run 150 tests at α=0.05 and ~8 'discoveries' are
+    noise; BH caps the expected false-discovery fraction instead).
+    Each instrument's 3-bin value distribution is tested against the
+    global proportions; df=2 gives the CLOSED-FORM survival
+    p = exp(−χ²/2), so the whole pipeline — tests, ranking, the
+    max-rank step-up cutoff — is exact relational algebra on both
+    engines, no special-function library.
+
+    Plan: two aggregates (per-instrument bins, global bins), one
+    |instruments|×3 expected frame from broadcast globals, one
+    ranking window over the |instruments|-row p-value frame, one
+    window-max for the step-up cutoff. Nothing global touches
+    event-level data."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "user_id",
+        F.least(F.floor(F.col("value") / 33.0), F.lit(2))
+        .cast("int")
+        .alias("bin"),
+    )
+    per = b.groupBy("user_id", "bin").agg(F.count(F.lit(1)).alias("n"))
+    usr = per.groupBy("user_id").agg(F.sum("n").alias("nu"))
+    glob = per.groupBy("bin").agg(F.sum("n").alias("ng"))
+    tot = per.agg(F.sum("n").alias("nt"))
+    expd = usr.crossJoin(F.broadcast(glob)).crossJoin(
+        F.broadcast(tot)
+    ).select(
+        "user_id",
+        "bin",
+        (F.col("nu") * F.col("ng").cast("double") / F.col("nt")).alias("e"),
+    )
+    chi = (
+        expd.join(per, ["user_id", "bin"], "left")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.pow(F.coalesce(F.col("n"), F.lit(0)) - F.col("e"), 2)
+                / F.col("e")
+            ).alias("chi2")
+        )
+    )
+    pv = chi.select("user_id", "chi2", F.exp(-F.col("chi2") / 2).alias("p"))
+    wrank = Window.orderBy("p", "user_id")
+    wall = Window.partitionBy()
+    rk = pv.select(
+        "user_id",
+        "chi2",
+        "p",
+        F.row_number().over(wrank).alias("rank"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    thr = rk.select(
+        "user_id",
+        "chi2",
+        "p",
+        "rank",
+        (F.col("rank") * 0.10 / F.col("m")).alias("bh_threshold"),
+        F.max(
+            F.when(
+                F.col("p") <= F.col("rank") * 0.10 / F.col("m"),
+                F.col("rank"),
+            ).otherwise(0)
+        )
+        .over(wall)
+        .alias("k"),
+    )
+    return thr.select(
+        "user_id",
+        F.round("chi2", 6).alias("chi2"),
+        F.round("p", 6).alias("p_value"),
+        F.col("rank").cast("long").alias("p_rank"),
+        F.round("bh_threshold", 6).alias("bh_threshold"),
+        (F.col("rank") <= F.col("k")).alias("rejected"),
+    )

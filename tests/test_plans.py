@@ -121,6 +121,8 @@ SINGLE_ROW_BROADCAST_OK = {
     # bin-count-bounded (≤26-row) calibration frames: the j≤i≤k
     # minimax triple join is constant-size regardless of data volume
     "m14_isotonic_calibration",
+    # 3-row global-bin + 1-row total broadcast into the expected frame
+    "stat_fdr_bh",
 }
 
 
