@@ -1609,3 +1609,93 @@ def stat_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("bh_threshold", 6).alias("bh_threshold"),
         (F.col("rank") <= F.col("k")).alias("rejected"),
     )
+
+
+# --- weight of evidence / information value -----------------------------
+
+_WOE_ORACLE = """
+WITH b AS (
+  SELECT CAST(FLOOR(value / 10) AS BIGINT) AS bin,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+), c AS (
+  SELECT bin,
+         SUM(y) AS n_good,
+         SUM(1 - y) AS n_bad
+  FROM b GROUP BY bin
+), t AS (
+  SELECT SUM(n_good) AS gt, SUM(n_bad) AS bt FROM c
+), w AS (
+  SELECT c.bin, c.n_good, c.n_bad,
+         CAST(c.n_good AS DOUBLE) / t.gt AS gshare,
+         CAST(c.n_bad AS DOUBLE) / t.bt AS bshare,
+         LN((CAST(c.n_good AS DOUBLE) / t.gt)
+            / (CAST(c.n_bad AS DOUBLE) / t.bt)) AS woe
+  FROM c CROSS JOIN t
+  WHERE c.n_good > 0 AND c.n_bad > 0
+)
+SELECT bin, CAST(n_good AS BIGINT) AS n_good,
+       CAST(n_bad AS BIGINT) AS n_bad,
+       ROUND(gshare, 6) AS good_share,
+       ROUND(bshare, 6) AS bad_share,
+       ROUND(woe, 6) AS woe,
+       ROUND((gshare - bshare) * woe, 6) AS iv_contrib,
+       ROUND(SUM((gshare - bshare) * woe) OVER (), 6) AS iv_total
+FROM w
+"""
+
+
+@register("ml_woe_iv", oracle=_WOE_ORACLE, tags=("ml", "stats"))
+def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding + information value of the binned
+    ``value`` feature against the purchase label — the credit-scoring
+    feature screen (IV < 0.02 useless, > 0.3 strong) that pairs with
+    the out-of-fold target encoder (`ml_target_encode_oof`): WOE =
+    ln(good-share / bad-share) per bin, IV = Σ (Δshare)·WOE. Bins
+    with a zero class drop (WOE undefined) on both engines rather
+    than being epsilon-smoothed, so every number is a pure function
+    of integer counts.
+
+    One map-side-combinable aggregate over the corpus, a 1-row total
+    broadcast, one bounded window for the IV sum — nothing but the
+    scan touches event-level data."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.floor(F.col("value") / 10).cast("long").alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    c = b.groupBy("bin").agg(
+        F.sum("y").alias("n_good"),
+        F.sum(1 - F.col("y")).alias("n_bad"),
+    )
+    t = c.agg(F.sum("n_good").alias("gt"), F.sum("n_bad").alias("bt"))
+    gshare = F.col("n_good").cast("double") / F.col("gt")
+    bshare = F.col("n_bad").cast("double") / F.col("bt")
+    woe = F.log(gshare / bshare)
+    w = (
+        c.crossJoin(F.broadcast(t))
+        .filter((F.col("n_good") > 0) & (F.col("n_bad") > 0))
+        .select(
+            "bin",
+            F.col("n_good").cast("long").alias("n_good"),
+            F.col("n_bad").cast("long").alias("n_bad"),
+            gshare.alias("_g"),
+            bshare.alias("_b"),
+            woe.alias("_w"),
+        )
+    )
+    wall = Window.partitionBy()
+    return w.select(
+        "bin",
+        "n_good",
+        "n_bad",
+        F.round("_g", 6).alias("good_share"),
+        F.round("_b", 6).alias("bad_share"),
+        F.round("_w", 6).alias("woe"),
+        F.round((F.col("_g") - F.col("_b")) * F.col("_w"), 6).alias(
+            "iv_contrib"
+        ),
+        F.round(
+            F.sum((F.col("_g") - F.col("_b")) * F.col("_w")).over(wall), 6
+        ).alias("iv_total"),
+    )

@@ -123,6 +123,8 @@ SINGLE_ROW_BROADCAST_OK = {
     "m14_isotonic_calibration",
     # 3-row global-bin + 1-row total broadcast into the expected frame
     "stat_fdr_bh",
+    # 1-row (good_total, bad_total) broadcast into the WOE shares
+    "ml_woe_iv",
 }
 
 
