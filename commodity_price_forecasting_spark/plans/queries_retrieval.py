@@ -11,7 +11,7 @@ BEFORE the comparison; array math casts to double on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from commodity_price_forecasting_spark.operators.similarity import (
@@ -513,4 +513,167 @@ def er_fuzzy_match_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "name_b",
             "edit_dist",
         )
+    )
+
+
+# --- reciprocal rank fusion of lexical + semantic retrieval -------------
+
+_RRF_K = 60
+
+_RRF_ORACLE_TEMPLATE = """
+WITH btoks AS (
+  SELECT doc_id,
+         UNNEST(string_split_regex(
+           lower(regexp_replace(text, '[^a-zA-Z0-9_ \\t\\n]', ' ', 'g')),
+           '\\s+')) AS token
+  FROM documents
+), btoks2 AS (
+  SELECT doc_id, token FROM btoks WHERE token <> ''
+), bdl AS (
+  SELECT doc_id, COUNT(*) AS dl FROM btoks2 GROUP BY doc_id
+), bstats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs, AVG(dl) AS avgdl
+  FROM bdl
+), bqtf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM btoks2 WHERE token IN ('merge', 'window', 'scan')
+  GROUP BY doc_id, token
+), bqdf AS (
+  SELECT token, COUNT(DISTINCT doc_id) AS df FROM bqtf GROUP BY token
+), bscored AS (
+  SELECT t.doc_id,
+         SUM(ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+             * t.tf * (1.2 + 1)
+             / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / s.avgdl))) AS score
+  FROM bqtf t
+  JOIN bqdf d USING (token)
+  JOIN bdl l USING (doc_id)
+  CROSS JOIN bstats s
+  GROUP BY t.doc_id
+), bm_top AS (
+  SELECT doc_id, ROUND(score, 6) AS bm25
+  FROM bscored ORDER BY ROUND(score, 6) DESC, doc_id LIMIT 20
+), lt2 AS (
+  SELECT DISTINCT doc_id, token FROM btoks WHERE token <> ''
+), lvocab AS (
+  SELECT DISTINCT token FROM lt2
+), lgrams AS (
+  SELECT token,
+         CASE WHEN length(token) >= 3
+              THEN substr(token, CAST(g.i AS INTEGER) + 1, 3)
+              ELSE token END AS gram
+  FROM lvocab
+  CROSS JOIN UNNEST(range(64)) AS g(i)
+  WHERE g.i < GREATEST(length(token) - 2, 1)
+), ltw AS (
+  SELECT token,
+         CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % {dim}
+           AS bucket,
+         SUM(CASE WHEN strpos('0123456789abcdef', substr(md5(gram), 9, 1))
+                       % 2 = 1
+                  THEN 1 ELSE -1 END) AS tw
+  FROM lgrams GROUP BY token, bucket
+), ltn AS (
+  SELECT token, SQRT(SUM(tw * tw)) AS tnorm FROM ltw GROUP BY token
+), lq(term, bucket, qw, qnorm) AS (
+  VALUES {values}
+), ldots AS (
+  SELECT w.token, lq.term,
+         SUM(w.tw * lq.qw) / (ANY_VALUE(n.tnorm) * ANY_VALUE(lq.qnorm))
+           AS cos
+  FROM ltw w
+  JOIN lq ON lq.bucket = w.bucket
+  JOIN ltn n ON n.token = w.token AND n.tnorm > 0
+  GROUP BY w.token, lq.term
+), ldoc_term AS (
+  SELECT d.doc_id, s.term, MAX(s.cos) AS maxsim
+  FROM lt2 d JOIN ldots s ON s.token = d.token
+  GROUP BY d.doc_id, s.term
+), lscored AS (
+  SELECT doc_id, ROUND(SUM(maxsim), 6) AS li_score
+  FROM ldoc_term GROUP BY doc_id
+), li_top AS (
+  SELECT doc_id, li_score
+  FROM lscored ORDER BY li_score DESC, doc_id LIMIT 10
+), bmr AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk
+  FROM bm_top
+), lir AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY li_score DESC, doc_id) AS rnk
+  FROM li_top
+)
+SELECT COALESCE(b.doc_id, l.doc_id) AS doc_id,
+       CAST(b.rnk AS BIGINT) AS bm25_rank,
+       CAST(l.rnk AS BIGINT) AS li_rank,
+       ROUND(COALESCE(1.0 / (60 + b.rnk), 0)
+             + COALESCE(1.0 / (60 + l.rnk), 0), 6) AS rrf_score
+FROM bmr b FULL JOIN lir l ON l.doc_id = b.doc_id
+ORDER BY rrf_score DESC, doc_id LIMIT 20
+"""
+
+
+def _rrf_oracle() -> str:
+    from commodity_price_forecasting_spark.plans.queries_datapipe import (
+        _LI_DIM,
+        _li_query_values,
+    )
+
+    return _RRF_ORACLE_TEMPLATE.replace("{dim}", str(_LI_DIM)).replace(
+        "{values}", _li_query_values()
+    )
+
+
+@register(
+    "text_rrf_fusion",
+    oracle=_rrf_oracle(),
+    tags=("datapipe", "text", "retrieval"),
+)
+def text_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. 2009, k=60) of the two
+    registered rankers — lexical BM25 top-20 and semantic
+    late-interaction top-10 — the standard hybrid-retrieval merge in
+    a RAG stack: rrf = Σ 1/(60 + rank_i) over the rankers that
+    retrieved the document, full-outer so a doc found by either
+    ranker scores. Rank-based fusion needs NO score normalization
+    across incomparable scales, which is exactly why RRF beats
+    score-averaging here (bm25 ∈ [0,8], maxsim ∈ [0,3]).
+
+    Composes the two existing query plans as-is (each already
+    bounded: TakeOrdered tops, broadcast query sets); the fusion
+    itself joins two ≤20-row frames — free at any scale."""
+    from commodity_price_forecasting_spark.plans.queries_datapipe import (
+        sim_late_interaction,
+    )
+
+    bm = text_bm25_search(spark, sf_dir).select("doc_id", "bm25")
+    li = sim_late_interaction(spark, sf_dir).select("doc_id", "li_score")
+    bmr = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .alias("bm25_rank"),
+    )
+    lir = li.select(
+        F.col("doc_id").alias("_ld"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("li_score"), F.asc("doc_id")))
+        .alias("li_rank"),
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (_RRF_K + F.col("bm25_rank")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K + F.col("li_rank")), F.lit(0.0)),
+        6,
+    )
+    return (
+        bmr.join(lir, F.col("doc_id") == F.col("_ld"), "full")
+        .select(
+            F.coalesce(F.col("doc_id"), F.col("_ld")).alias("doc_id"),
+            F.col("bm25_rank").cast("long").alias("bm25_rank"),
+            F.col("li_rank").cast("long").alias("li_rank"),
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(20)
     )

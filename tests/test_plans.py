@@ -98,6 +98,8 @@ SINGLE_ROW_BROADCAST_OK = {
     "graph_pagerank",
     # (N, avgdl) 1-row corpus-stats aggregate broadcast into scoring
     "text_bm25_search",
+    # composes text_bm25_search, inheriting its 1-row stats broadcast
+    "text_rrf_fusion",
     # 1-row (nn, k, grand-mean) total broadcast over the k-group frame
     "stat_anova_f",
     # 1-row distinct-user-count broadcast into the PMI normalization
