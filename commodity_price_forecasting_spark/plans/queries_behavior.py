@@ -603,3 +603,131 @@ def behavior_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- RFM segmentation ----------------------------------------------------
+
+_RFM_ORACLE = """
+WITH mx AS (
+  SELECT MAX(CAST(ts AS DATE)) AS max_day FROM events
+), per AS (
+  SELECT e.user_id,
+         MAX(CAST(e.ts AS DATE)) AS last_day,
+         COUNT(*) AS frequency,
+         ROUND(SUM(e.value), 6) AS monetary
+  FROM events e WHERE e.event_type = 'purchase'
+  GROUP BY e.user_id
+), rfm AS (
+  SELECT p.user_id,
+         CAST(m.max_day - p.last_day AS BIGINT) AS recency_days,
+         CAST(p.frequency AS BIGINT) AS frequency,
+         p.monetary
+  FROM per p CROSS JOIN mx m
+), br AS (
+  SELECT PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY recency_days) AS r25,
+         PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY recency_days) AS r50,
+         PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY recency_days) AS r75,
+         PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY frequency) AS f25,
+         PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY frequency) AS f50,
+         PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY frequency) AS f75,
+         PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY monetary) AS m25,
+         PERCENTILE_DISC(0.50) WITHIN GROUP (ORDER BY monetary) AS m50,
+         PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY monetary) AS m75
+  FROM rfm
+), scored AS (
+  SELECT r.user_id, r.recency_days, r.frequency, r.monetary,
+         CASE WHEN r.recency_days <= b.r25 THEN 4
+              WHEN r.recency_days <= b.r50 THEN 3
+              WHEN r.recency_days <= b.r75 THEN 2 ELSE 1 END AS r_score,
+         CASE WHEN r.frequency <= b.f25 THEN 1
+              WHEN r.frequency <= b.f50 THEN 2
+              WHEN r.frequency <= b.f75 THEN 3 ELSE 4 END AS f_score,
+         CASE WHEN r.monetary <= b.m25 THEN 1
+              WHEN r.monetary <= b.m50 THEN 2
+              WHEN r.monetary <= b.m75 THEN 3 ELSE 4 END AS m_score
+  FROM rfm r CROSS JOIN br b
+)
+SELECT user_id, recency_days, frequency, monetary,
+       CAST(r_score AS INT) AS r_score,
+       CAST(f_score AS INT) AS f_score,
+       CAST(m_score AS INT) AS m_score,
+       CASE WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3
+              THEN 'champion'
+            WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+            WHEN r_score >= 3 AND f_score <= 2 THEN 'new_or_light'
+            ELSE 'hibernating' END AS segment
+FROM scored
+"""
+
+
+@register("behavior_rfm_segments", oracle=_RFM_ORACLE, tags=("behavior", "agg"))
+def behavior_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartile
+    scores + named segments) of purchasing users — the classic
+    customer-value stratification, built scale-safe: per-user stats
+    in one map-side-combinable aggregate, EXACT quartile boundaries
+    via percentile_disc over the |users|-row frame collapsed to ONE
+    broadcast row, scoring a pure CASE projection. percentile_DISC
+    (not cont) so every boundary is an actual data value — integer/
+    decimal-exact on both engines, no interpolation midpoints.
+    Segments: champion (high R,F,M), at_risk (stale but frequent),
+    new_or_light (fresh, infrequent), hibernating."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase")
+    mx = p.agg(F.max(F.to_date("ts")).alias("max_day"))
+    per = p.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.round(F.sum("value"), 6).alias("monetary"),
+    )
+    rfm = per.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.datediff("max_day", "last_day").cast("long").alias("recency_days"),
+        F.col("frequency").cast("long").alias("frequency"),
+        "monetary",
+    )
+    def q(col: str, p_: float) -> F.Column:
+        return F.expr(f"percentile_disc({p_}) WITHIN GROUP (ORDER BY {col})")
+
+    br = rfm.agg(
+        *[
+            q(c, pp).alias(f"{c[0]}{int(pp * 100)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for pp in (0.25, 0.50, 0.75)
+        ]
+    )
+    s = rfm.crossJoin(F.broadcast(br))
+    r_score = (
+        F.when(F.col("recency_days") <= F.col("r25"), 4)
+        .when(F.col("recency_days") <= F.col("r50"), 3)
+        .when(F.col("recency_days") <= F.col("r75"), 2)
+        .otherwise(1)
+    )
+    f_score = (
+        F.when(F.col("frequency") <= F.col("f25"), 1)
+        .when(F.col("frequency") <= F.col("f50"), 2)
+        .when(F.col("frequency") <= F.col("f75"), 3)
+        .otherwise(4)
+    )
+    m_score = (
+        F.when(F.col("monetary") <= F.col("m25"), 1)
+        .when(F.col("monetary") <= F.col("m50"), 2)
+        .when(F.col("monetary") <= F.col("m75"), 3)
+        .otherwise(4)
+    )
+    seg = (
+        F.when((r_score >= 3) & (f_score >= 3) & (m_score >= 3), "champion")
+        .when((r_score <= 2) & (f_score >= 3), "at_risk")
+        .when((r_score >= 3) & (f_score <= 2), "new_or_light")
+        .otherwise("hibernating")
+    )
+    return s.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        r_score.cast("int").alias("r_score"),
+        f_score.cast("int").alias("f_score"),
+        m_score.cast("int").alias("m_score"),
+        seg.alias("segment"),
+    )

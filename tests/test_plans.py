@@ -127,6 +127,8 @@ SINGLE_ROW_BROADCAST_OK = {
     "stat_fdr_bh",
     # 1-row (good_total, bad_total) broadcast into the WOE shares
     "ml_woe_iv",
+    # 1-row max-day + 1-row quartile-boundary broadcasts into scoring
+    "behavior_rfm_segments",
 }
 
 
