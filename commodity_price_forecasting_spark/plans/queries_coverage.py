@@ -1865,7 +1865,7 @@ WITH daily AS (
 )
 SELECT instrument,
        CAST(COUNT(ret) AS BIGINT) AS n,
-       ROUND(AVG(LEAST(GREATEST(ret, -0.05), 0.05)), 6) AS mean_clipped,
+       ROUND(AVG(LEAST(GREATEST(ret, -0.05), 0.05)), 6) + 0 AS mean_clipped,
        CAST(SUM(CASE WHEN ret < -0.05 OR ret > 0.05 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_clipped
 FROM r WHERE ret IS NOT NULL GROUP BY instrument
@@ -1898,7 +1898,7 @@ def sql_scalar_udf_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT instrument,
                CAST(COUNT(ret) AS BIGINT) AS n,
-               ROUND(AVG(clip(ret, -0.05, 0.05)), 6) AS mean_clipped,
+               ROUND(AVG(clip(ret, -0.05, 0.05)), 6) + 0 AS mean_clipped,
                CAST(SUM(CASE WHEN ret < -0.05 OR ret > 0.05 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_clipped
         FROM _clip_rets GROUP BY instrument

@@ -456,3 +456,29 @@ def test_observation_metrics_capture_row_counts(spark):
     assert got["rows_seen"] == ev.count()
     assert got["null_values"] == 0
     assert got["min_ts"] is not None
+
+
+def test_nested_schema_pruning_reaches_parquet_scan(spark, tmp_path):
+    """Catalyst's nested-schema pruning: selecting one field of a
+    struct must shrink the parquet ReadSchema to that field — at
+    100 TB a fat metadata struct (multimodal manifests, VARIANT-ish
+    props) must not be deserialized for a one-field projection."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "nested")
+    spark.range(200).select(
+        "id",
+        F.struct(
+            F.col("id").alias("x"),
+            (F.col("id") * 2).alias("y"),
+            F.lit("p" * 64).alias("bulk"),
+        ).alias("meta"),
+    ).write.parquet(path)
+    q = spark.read.parquet(path).select(F.col("meta.x"))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert m, plan
+    schema_line = m[0]
+    assert "x" in schema_line
+    assert "bulk" not in schema_line, schema_line
+    assert "y:" not in schema_line.replace("x:", ""), schema_line
