@@ -1711,6 +1711,129 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- per-node clustering coefficient (r5) -------------------------------
+
+_CLUSTCOEFF_ORACLE = (
+    _LSH_BUCKET_CTE
+    + """
+, edges AS (
+  SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+), deg AS (
+  SELECT v, COUNT(*) AS d FROM (
+    SELECT va AS v FROM edges UNION ALL SELECT vb AS v FROM edges
+  ) GROUP BY v
+), oriented AS (
+  SELECT CASE WHEN da.d * 1000000000 + va < db.d * 1000000000 + vb
+              THEN va ELSE vb END AS src,
+         CASE WHEN da.d * 1000000000 + va < db.d * 1000000000 + vb
+              THEN vb ELSE va END AS dst,
+         CASE WHEN da.d * 1000000000 + va < db.d * 1000000000 + vb
+              THEN db.d * 1000000000 + vb ELSE da.d * 1000000000 + va END AS rd
+  FROM edges JOIN deg da ON da.v = va JOIN deg db ON db.v = vb
+), wedges AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM oriented e1 JOIN oriented e2
+    ON e1.src = e2.src AND e1.rd < e2.rd
+), tri AS (
+  SELECT wd.a, wd.b, wd.c
+  FROM wedges wd JOIN oriented e3 ON e3.src = wd.b AND e3.dst = wd.c
+), pernode AS (
+  SELECT v, COUNT(*) AS t FROM (
+    SELECT a AS v FROM tri UNION ALL
+    SELECT b AS v FROM tri UNION ALL
+    SELECT c AS v FROM tri
+  ) GROUP BY v
+)
+SELECT d.v AS vec_id, CAST(d.d AS BIGINT) AS degree,
+       CAST(COALESCE(p.t, 0) AS BIGINT) AS n_triangles,
+       ROUND(2.0 * COALESCE(p.t, 0) / (d.d * (d.d - 1)), 6) AS clustering
+FROM deg d LEFT JOIN pernode p ON p.v = d.v
+WHERE d.d >= 2
+"""
+)
+
+
+@register("graph_clustering_coeff", oracle=_CLUSTCOEFF_ORACLE, tags=("datapipe", "graph"))
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient over the near-dup
+    candidate graph: cc(v) = 2·T(v)/(d(v)·(d(v)−1)) for nodes with
+    degree ≥ 2 — the community-density fingerprint that separates a
+    tight duplicate cluster (cc → 1) from a hub that merely bridges
+    many buckets (cc → 0), the next question after counting
+    triangles. Same degree-orientation enumeration as
+    ``graph_triangle_count`` (Suri–Vassilvitskii √m wedge bound), but
+    each found triangle credits ALL THREE corners via a 3-way explode
+    before the per-node aggregate — all integer arithmetic until the
+    one edge division."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    b = lsh_buckets(emb, n_planes=8)
+    x, y = b.alias("x"), b.alias("y")
+    edges = (
+        x.join(y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.vec_id") < F.col("y.vec_id")))
+        .select(F.col("x.vec_id").alias("va"), F.col("y.vec_id").alias("vb"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("va").alias("v"))
+        .unionAll(edges.select(F.col("vb").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    BIG = 1_000_000_000
+    er = (
+        edges.join(deg.withColumnRenamed("v", "va").withColumnRenamed("d", "da"), "va")
+        .join(deg.withColumnRenamed("v", "vb").withColumnRenamed("d", "db"), "vb")
+        .select(
+            "va",
+            "vb",
+            (F.col("da") * BIG + F.col("va")).alias("ra"),
+            (F.col("db") * BIG + F.col("vb")).alias("rb"),
+        )
+    )
+    lower = F.col("ra") < F.col("rb")
+    oriented = er.select(
+        F.when(lower, F.col("va")).otherwise(F.col("vb")).alias("src"),
+        F.when(lower, F.col("vb")).otherwise(F.col("va")).alias("dst"),
+        F.when(lower, F.col("rb")).otherwise(F.col("ra")).alias("rd"),
+    )
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src")) & (F.col("e1.rd") < F.col("e2.rd")),
+    ).select(
+        F.col("e1.src").alias("ta"),
+        F.col("e1.dst").alias("tb"),
+        F.col("e2.dst").alias("tc"),
+    )
+    tri = wedges.join(
+        oriented,
+        (F.col("src") == F.col("tb")) & (F.col("dst") == F.col("tc")),
+    ).select("ta", "tb", "tc")
+    pernode = (
+        tri.select(F.col("ta").alias("v"))
+        .unionAll(tri.select(F.col("tb").alias("v")))
+        .unionAll(tri.select(F.col("tc").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(pernode, "v", "left")
+        .select(
+            F.col("v").alias("vec_id"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                2.0
+                * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("clustering"),
+        )
+    )
+
+
 # --- PageRank over the near-dup candidate graph (r4) --------------------
 
 _PAGERANK_ITERS = 3

@@ -1065,3 +1065,106 @@ def rec_item_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("part_a"), F.asc("part_b"))
         .limit(20)
     )
+
+
+# --- association rules over capped baskets (r5) --------------------------
+
+_ASSOC_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), sized AS (
+  SELECT l_orderkey FROM items GROUP BY l_orderkey
+  HAVING COUNT(*) BETWEEN 2 AND 20
+), ok AS (
+  SELECT i.l_orderkey, i.l_partkey FROM items i JOIN sized s USING (l_orderkey)
+), nb AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM ok
+), ideg AS (
+  SELECT l_partkey, COUNT(*) AS n FROM ok GROUP BY l_partkey
+), pairs AS (
+  SELECT a.l_partkey AS ante, b.l_partkey AS cons, COUNT(*) AS n_ab
+  FROM ok a JOIN ok b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT p.ante, p.cons, CAST(p.n_ab AS BIGINT) AS n_ab,
+       ROUND(CAST(p.n_ab AS DOUBLE) / t.n_baskets, 6) AS support,
+       ROUND(CAST(p.n_ab AS DOUBLE) / da.n, 6) AS confidence,
+       ROUND(CAST(p.n_ab AS DOUBLE) * t.n_baskets / (da.n * db.n), 6)
+         AS lift,
+       ROUND(CAST(p.n_ab AS DOUBLE) / t.n_baskets
+             - CAST(da.n AS DOUBLE) * db.n / (t.n_baskets * t.n_baskets),
+             6) AS leverage,
+       ROUND((1.0 - CAST(db.n AS DOUBLE) / t.n_baskets)
+             / NULLIF(1.0 - CAST(p.n_ab AS DOUBLE) / da.n, 0), 6)
+         AS conviction
+FROM pairs p
+JOIN ideg da ON da.l_partkey = p.ante
+JOIN ideg db ON db.l_partkey = p.cons
+CROSS JOIN nb t
+"""
+
+
+@register("basket_association_rules", oracle=_ASSOC_ORACLE, tags=("relational", "agg", "ml"))
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules ante→cons over the capped baskets
+    (support ≥ 3 co-occurrences — co-occurrence counts DILUTE as the catalog grows, so the floor is set where every test SF keeps a non-trivial rule set): support, confidence, lift, leverage
+    and conviction — the full Agrawal-style rule readout on top of
+    ``basket_item_pairs``' counting core, with conviction NULL at
+    confidence 1 (NULLIF on both engines, no infinity). Every metric
+    is a ratio of integer counts; the basket-size cap bounds the
+    per-basket pair blowup exactly as in the pair query; item degrees
+    broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .filter((F.col("n_items") >= 2) & (F.col("n_items") <= 20))
+        .select("l_orderkey")
+    )
+    ok = items.join(sized, "l_orderkey")
+    nb = ok.agg(F.countDistinct("l_orderkey").alias("n_baskets"))
+    ideg = ok.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ok.alias("a"), ok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("ante"),
+            F.col("b.l_partkey").alias("cons"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 3)
+    )
+    da = ideg.select(F.col("l_partkey").alias("ante"), F.col("n").alias("na"))
+    db = ideg.select(F.col("l_partkey").alias("cons"), F.col("n").alias("nc"))
+    nab = F.col("n_ab").cast("double")
+    nbk = F.col("n_baskets")
+    conf = nab / F.col("na")
+    return (
+        pairs.join(F.broadcast(da), "ante")
+        .join(F.broadcast(db), "cons")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "ante",
+            "cons",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(nab / nbk, 6).alias("support"),
+            F.round(conf, 6).alias("confidence"),
+            F.round(nab * nbk / (F.col("na") * F.col("nc")), 6).alias("lift"),
+            F.round(
+                nab / nbk
+                - F.col("na").cast("double") * F.col("nc") / (nbk * nbk),
+                6,
+            ).alias("leverage"),
+            F.round(
+                (1.0 - F.col("nc").cast("double") / nbk)
+                / F.nullif(1.0 - conf, F.lit(0.0)),
+                6,
+            ).alias("conviction"),
+        )
+    )

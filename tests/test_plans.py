@@ -129,6 +129,8 @@ SINGLE_ROW_BROADCAST_OK = {
     "ml_woe_iv",
     # 1-row max-day + 1-row quartile-boundary broadcasts into scoring
     "behavior_rfm_segments",
+    # 1-row basket-count total broadcast into the rule metrics
+    "basket_association_rules",
 }
 
 
