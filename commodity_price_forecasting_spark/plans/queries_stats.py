@@ -1699,3 +1699,206 @@ def ml_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("_g") - F.col("_b")) * F.col("_w")).over(wall), 6
         ).alias("iv_total"),
     )
+
+
+# --- leave-one-group-out influence (data valuation) ----------------------
+
+_LOO_ORACLE = """
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         SUM(CAST(l_quantity AS DECIMAL(38, 10))) AS sx,
+         SUM(CAST(l_extendedprice AS DECIMAL(38, 10))) AS sy,
+         SUM(CAST(l_quantity AS DECIMAL(38, 10))
+             * CAST(l_quantity AS DECIMAL(18, 4))) AS sxx,
+         SUM(CAST(l_quantity AS DECIMAL(38, 10))
+             * CAST(l_extendedprice AS DECIMAL(18, 4))) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+), t AS (
+  SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+         SUM(sxx) AS sxx, SUM(sxy) AS sxy
+  FROM s
+), fullm AS (
+  SELECT (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+  FROM t
+), loo AS (
+  SELECT s.l_returnflag, s.n AS n_g,
+         CAST(t.n - s.n AS DOUBLE) AS ln_,
+         CAST(t.sx - s.sx AS DOUBLE) AS lsx,
+         CAST(t.sy - s.sy AS DOUBLE) AS lsy,
+         CAST(t.sxx - s.sxx AS DOUBLE) AS lsxx,
+         CAST(t.sxy - s.sxy AS DOUBLE) AS lsxy
+  FROM s CROSS JOIN t
+)
+SELECT l.l_returnflag AS return_flag, CAST(l.n_g AS BIGINT) AS n_rows,
+       ROUND(f.slope, 6) AS slope_full,
+       ROUND((l.ln_ * l.lsxy - l.lsx * l.lsy)
+             / (l.ln_ * l.lsxx - l.lsx * l.lsx), 6) AS slope_loo,
+       ROUND((l.ln_ * l.lsxy - l.lsx * l.lsy)
+             / (l.ln_ * l.lsxx - l.lsx * l.lsx) - f.slope, 6) + 0
+         AS slope_influence
+FROM loo l CROSS JOIN fullm f
+"""
+
+
+@register("ml_loo_influence", oracle=_LOO_ORACLE, tags=("ml", "stats"))
+def ml_loo_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-group-out influence — data valuation without refits:
+    the OLS slope of extendedprice on quantity is a pure function of
+    five sufficient statistics, so DELETING a return-flag stratum's data is a
+    subtraction, not a retrain (the influence-function idea behind
+    training-data valuation, applied at group granularity). Output:
+    full-fit slope, each leave-one-stratum-out slope, and the influence
+    delta — the groups whose removal moves the model most are the
+    ones to audit first in a curation loop.
+
+    Sufficient stats accumulate in DECIMAL (exact, order-independent
+    — the structural fix for float sum-order divergence), convert to
+    DOUBLE only inside the closed-form slope. One aggregate + a
+    3-row × 1-row broadcast stitch; no second data pass, ever."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xq = F.col("l_quantity").cast("decimal(38,10)")
+    yp = F.col("l_extendedprice").cast("decimal(38,10)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xq).alias("sx"),
+        F.sum(yp).alias("sy"),
+        F.sum(xq * F.col("l_quantity").cast("decimal(18,4)")).alias("sxx"),
+        F.sum(xq * F.col("l_extendedprice").cast("decimal(18,4)")).alias(
+            "sxy"
+        ),
+    )
+    t = s.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+    )
+    d = lambda c: F.col(c).cast("double")
+    full_slope = (d("tn") * d("tsxy") - d("tsx") * d("tsy")) / (
+        d("tn") * d("tsxx") - d("tsx") * d("tsx")
+    )
+    j = s.crossJoin(F.broadcast(t))
+    ln_ = (F.col("tn") - F.col("n")).cast("double")
+    lsx = (F.col("tsx") - F.col("sx")).cast("double")
+    lsy = (F.col("tsy") - F.col("sy")).cast("double")
+    lsxx = (F.col("tsxx") - F.col("sxx")).cast("double")
+    lsxy = (F.col("tsxy") - F.col("sxy")).cast("double")
+    loo_slope = (ln_ * lsxy - lsx * lsy) / (ln_ * lsxx - lsx * lsx)
+    return j.select(
+        F.col("l_returnflag").alias("return_flag"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(full_slope, 6).alias("slope_full"),
+        F.round(loo_slope, 6).alias("slope_loo"),
+        (F.round(loo_slope - full_slope, 6) + 0).alias("slope_influence"),
+    )
+
+
+# --- Kaplan–Meier survival of user activity lifetimes --------------------
+
+_KM_ORACLE = """
+WITH life AS (
+  SELECT user_id,
+         CAST(MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE)) AS BIGINT)
+           AS dur,
+         MAX(CAST(ts AS DATE)) AS last_day
+  FROM events GROUP BY user_id
+), horizon AS (
+  SELECT MAX(last_day) AS h FROM life
+), obs AS (
+  SELECT l.dur,
+         CASE WHEN h.h - l.last_day > 0 THEN 1 ELSE 0 END AS died
+  FROM life l CROSS JOIN horizon h
+), n_total AS (
+  SELECT COUNT(*) AS n FROM obs
+), ev AS (
+  SELECT dur,
+         SUM(died) AS d,
+         COUNT(*) AS leaving
+  FROM obs GROUP BY dur
+), rk AS (
+  SELECT dur, d, leaving,
+         t.n - COALESCE(SUM(leaving) OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS at_risk
+  FROM ev CROSS JOIN n_total t
+), km AS (
+  SELECT dur, d, at_risk,
+         EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / at_risk))
+             OVER (ORDER BY dur)) AS surv
+  FROM rk WHERE d > 0
+)
+SELECT dur AS duration_days, CAST(d AS BIGINT) AS n_events,
+       CAST(at_risk AS BIGINT) AS n_at_risk,
+       ROUND(surv, 6) AS km_survival
+FROM km
+"""
+
+
+@register("stat_kaplan_meier", oracle=_KM_ORACLE, tags=("stats", "behavior"))
+def stat_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier product-limit survival curve of user activity
+    lifetimes (first→last event day), right-censoring users still
+    active on the final observed day (this generator keeps users
+    near-always active, so the churn event is 'did not return on the
+    last day'; on production data the same query takes a wider gap) — the survival-
+    analysis readout behind every churn dashboard, with censoring
+    handled correctly instead of dropped. S(t) = Π_{t_i ≤ t}
+    (1 − d_i/n_i) computed as exp(Σ ln(·)) over the duration-ordered
+    event table — a cumulative-product window both engines evaluate
+    identically, at most |distinct durations| rows after the per-user
+    collapse.
+
+    One per-user aggregate (map-side), a 1-row horizon broadcast, and
+    windows over the |durations|-row event frame — event-level data
+    is touched exactly once."""
+    ev = load_table(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts")))
+        .cast("long")
+        .alias("dur"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    horizon = life.agg(F.max("last_day").alias("h"))
+    obs = life.crossJoin(F.broadcast(horizon)).select(
+        "dur",
+        F.when(F.datediff(F.col("h"), F.col("last_day")) > 0, 1)
+        .otherwise(0)
+        .alias("died"),
+    )
+    n_total = obs.agg(F.count(F.lit(1)).alias("n"))
+    evt = obs.groupBy("dur").agg(
+        F.sum("died").alias("d"), F.count(F.lit(1)).alias("leaving")
+    )
+    wprev = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    rk = evt.crossJoin(F.broadcast(n_total)).select(
+        "dur",
+        "d",
+        (
+            F.col("n")
+            - F.coalesce(F.sum("leaving").over(wprev), F.lit(0))
+        ).alias("at_risk"),
+    )
+    wcum = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    km = rk.filter(F.col("d") > 0).withColumn(
+        "surv",
+        F.exp(
+            F.sum(
+                F.log(1.0 - F.col("d").cast("double") / F.col("at_risk"))
+            ).over(wcum)
+        ),
+    )
+    return km.select(
+        F.col("dur").alias("duration_days"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("at_risk").cast("long").alias("n_at_risk"),
+        F.round("surv", 6).alias("km_survival"),
+    )

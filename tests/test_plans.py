@@ -131,6 +131,10 @@ SINGLE_ROW_BROADCAST_OK = {
     "behavior_rfm_segments",
     # 1-row basket-count total broadcast into the rule metrics
     "basket_association_rules",
+    # 3-row stratum frame × 1-row totals / full-model broadcasts
+    "ml_loo_influence",
+    # 1-row horizon + 1-row total broadcasts into the risk table
+    "stat_kaplan_meier",
 }
 
 
