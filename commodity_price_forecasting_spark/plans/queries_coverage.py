@@ -2006,3 +2006,85 @@ def m14_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("iso", 6).alias("iso_rate"),
         )
     )
+
+
+# --- MASE: mean absolute scaled error (r5) ------------------------------
+
+_MASE_ORACLE = """
+WITH daily AS (
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(28, 10))) AS DOUBLE) / COUNT(*)
+           AS px
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT instrument, px,
+         LAG(px, 1) OVER (PARTITION BY instrument ORDER BY day) AS l1,
+         LAG(px, 2) OVER (PARTITION BY instrument ORDER BY day) AS l2
+  FROM daily
+)
+SELECT instrument,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(ROUND(SUM(CAST(ABS(2 * l1 - l2 - px) AS DECIMAL(28, 10))), 6)
+            AS DOUBLE) AS sae_drift,
+       CAST(ROUND(SUM(CAST(ABS(l1 - px) AS DECIMAL(28, 10))), 6)
+            AS DOUBLE) AS sae_naive,
+       ROUND(CAST(SUM(CAST(ABS(2 * l1 - l2 - px) AS DECIMAL(28, 10)))
+                  AS DOUBLE)
+             / CAST(SUM(CAST(ABS(l1 - px) AS DECIMAL(28, 10)))
+                    AS DOUBLE), 6) AS mase
+FROM lagged WHERE l2 IS NOT NULL
+GROUP BY instrument
+"""
+
+
+@register("m7_mase", oracle=_MASE_ORACLE, tags=("ml", "metrics"))
+def m7_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE (Hyndman–Koehler 2006): the drift forecast's MAE scaled
+    by the in-sample naive (lag-1) MAE — the scale-free forecast
+    metric that lets instruments with different price levels share
+    one leaderboard (MASE < 1 ⇔ beats naive), completing the m7
+    metric family beside MAE/RMSE/SMAPE/pinball/Diebold–Mariano.
+    Drift forecast 2·lag1 − lag2 vs naive lag1 on the identical
+    scoring window so the ratio is well-defined per instrument; the
+    error columns are 6-dp SUMS (exact decimal arithmetic end-to-end
+    — midpoint-proof across engines), with n alongside for the mean. One
+    window pass + one aggregate, both on the instrument partitioning."""
+    # px built with a DECIMAL-sum mean (not daily_bars' double AVG):
+    # the double sum's order differs per engine at the last ulp, and
+    # at sf0.01 instrument 14's naive MAE lands exactly on a 6-dp
+    # rounding midpoint — decimal accumulation makes px bit-identical
+    # on both engines, so every downstream error term is too
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").alias("instrument"), F.to_date("ts").alias("day")
+    ).agg(
+        (
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("px")
+    )
+    w = Window.partitionBy("instrument").orderBy("day")
+    lagged = daily.select(
+        "instrument",
+        "px",
+        F.lag("px", 1).over(w).alias("l1"),
+        F.lag("px", 2).over(w).alias("l2"),
+    ).where(F.col("l2").isNotNull())
+    drift_err = F.abs(2 * F.col("l1") - F.col("l2") - F.col("px"))
+    naive_err = F.abs(F.col("l1") - F.col("px"))
+    # DECIMAL sums: order-independent accumulation (sf0.01 exposed a
+    # 6th-dp sum-order divergence in the plain double AVG)
+    # SUMS, not means, in the value columns: the decimal sums round
+    # HALF_UP identically on both engines (exact arithmetic, no
+    # double anywhere), where a mean's /n division re-introduced a
+    # 6-dp midpoint that Spark's BigDecimal round and DuckDB's
+    # double round resolve differently (observed: instrument 14 at
+    # sf0.01). n is in the output, so the mean is derivable.
+    sdd = F.sum(drift_err.cast("decimal(28,10)"))
+    snd = F.sum(naive_err.cast("decimal(28,10)"))
+    return lagged.groupBy("instrument").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(sdd, 6).cast("double").alias("sae_drift"),
+        F.round(snd, 6).cast("double").alias("sae_naive"),
+        F.round(sdd.cast("double") / snd.cast("double"), 6).alias("mase"),
+    )
