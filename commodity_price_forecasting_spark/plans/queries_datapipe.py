@@ -2902,3 +2902,95 @@ def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hill_alpha"),
     )
+
+
+# --- cross-source vocabulary overlap (r5) --------------------------------
+
+_SRCSIM_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT source,
+         UNNEST(string_split_regex(
+           lower(regexp_replace(text, '[^a-zA-Z0-9_ \\t\\n]', ' ', 'g')),
+           '\\s+')) AS token
+  FROM documents
+), t2 AS (
+  SELECT source, token FROM toks WHERE token <> ''
+), sz AS (
+  SELECT source, COUNT(*) AS v FROM t2 GROUP BY source
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+  FROM t2 a JOIN t2 b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.src_a, i.src_b, CAST(i.n_shared AS BIGINT) AS n_shared,
+       CAST(za.v AS BIGINT) AS vocab_a, CAST(zb.v AS BIGINT) AS vocab_b,
+       ROUND(CAST(i.n_shared AS DOUBLE)
+             / (za.v + zb.v - i.n_shared), 6) AS jaccard,
+       ROUND(CAST(i.n_shared AS DOUBLE)
+             / LEAST(za.v, zb.v), 6) AS overlap_coef
+FROM inter i
+JOIN sz za ON za.source = i.src_a
+JOIN sz zb ON zb.source = i.src_b
+"""
+
+
+@register("text_source_overlap", oracle=_SRCSIM_ORACLE, tags=("datapipe", "text", "quality"))
+def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between sources — Jaccard and the
+    Szymkiewicz–Simpson overlap coefficient on distinct-token sets —
+    the corpus-mixing diagnostic that shows which sources are
+    near-mirrors (high overlap) vs genuinely complementary BEFORE
+    committing mixture weights. The token-level join meets only on
+    shared tokens (vocabulary-bounded, never |sources|²·|vocab|);
+    per-source sizes broadcast. All integers until the edge ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    t2 = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(
+                    F.lower(
+                        F.regexp_replace(F.col("text"), r"[^\w \t\n]", " ")
+                    ),
+                    r"\s+",
+                )
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    sz = t2.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a = t2.select(F.col("source").alias("src_a"), "token")
+    b = t2.select(F.col("source").alias("src_b"), F.col("token").alias("_tb"))
+    inter = (
+        a.join(
+            b,
+            (F.col("token") == F.col("_tb"))
+            & (F.col("src_a") < F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    za = sz.select(F.col("source").alias("src_a"), F.col("v").alias("va"))
+    zb = sz.select(F.col("source").alias("src_b"), F.col("v").alias("vb"))
+    return (
+        inter.join(F.broadcast(za), "src_a")
+        .join(F.broadcast(zb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("va").cast("long").alias("vocab_a"),
+            F.col("vb").cast("long").alias("vocab_b"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("va") + F.col("vb") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least(F.col("va"), F.col("vb")),
+                6,
+            ).alias("overlap_coef"),
+        )
+    )

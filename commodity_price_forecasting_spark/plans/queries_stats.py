@@ -1902,3 +1902,98 @@ def stat_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("at_risk").cast("long").alias("n_at_risk"),
         F.round("surv", 6).alias("km_survival"),
     )
+
+
+# --- distribution-free median CI via order statistics --------------------
+
+_MEDCI_ORACLE = """
+WITH v AS (
+  SELECT user_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY value, event_id) AS rk
+  FROM events
+), cnt AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+), rks AS (
+  SELECT user_id, n,
+         CAST(FLOOR((n + 1) / 2.0) AS BIGINT) AS mrk,
+         GREATEST(CAST(CEIL(n / 2.0 - 1.959964 * SQRT(n) / 2) AS BIGINT),
+                  1) AS lrk,
+         LEAST(CAST(CEIL(n / 2.0 + 1.959964 * SQRT(n) / 2) AS BIGINT),
+               n) AS urk
+  FROM cnt
+)
+SELECT r.user_id, CAST(r.n AS BIGINT) AS n,
+       ROUND(m.value, 6) AS median,
+       ROUND(l.value, 6) AS ci_lo,
+       ROUND(u.value, 6) AS ci_hi
+FROM rks r
+JOIN v m ON m.user_id = r.user_id AND m.rk = r.mrk
+JOIN v l ON l.user_id = r.user_id AND l.rk = r.lrk
+JOIN v u ON u.user_id = r.user_id AND u.rk = r.urk
+"""
+
+
+@register("stat_median_ci", oracle=_MEDCI_ORACLE, tags=("stats",))
+def stat_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% CI for the per-instrument median via
+    order statistics (the binomial/normal rank bounds: ranks
+    ⌈n/2 ∓ z·√n/2⌉) — the robust uncertainty readout that needs NO
+    distributional assumption and, unlike a bootstrap, no resampling:
+    the CI endpoints are actual data values at computable ranks.
+    Every boundary is ⌈·⌉ of an expression both engines evaluate
+    bit-identically (IEEE sqrt is correctly rounded), and the
+    endpoints are raw data points — nothing to diverge.
+
+    One ranking window per instrument plus three (user, rank)
+    equi-joins of a 1-row-per-instrument rank table against the
+    ranked frame — the window partitioning is reused, no global
+    sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+    v = ev.select(
+        "user_id", "value", F.row_number().over(w).alias("rk")
+    )
+    cnt = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    z = 1.959964
+    half = F.col("n") / 2.0
+    rks = cnt.select(
+        "user_id",
+        "n",
+        F.floor((F.col("n") + 1) / 2.0).cast("long").alias("mrk"),
+        F.greatest(
+            F.ceil(half - z * F.sqrt(F.col("n")) / 2).cast("long"), F.lit(1)
+        ).alias("lrk"),
+        F.least(
+            F.ceil(half + z * F.sqrt(F.col("n")) / 2).cast("long"),
+            F.col("n"),
+        ).alias("urk"),
+    )
+    def pick(rank_col: str, out: str):
+        vv = v.select(
+            F.col("user_id").alias("_u"),
+            F.col("rk").alias("_r"),
+            F.col("value").alias(out),
+        )
+        return vv, (F.col("user_id") == F.col("_u")) & (
+            F.col(rank_col) == F.col("_r")
+        )
+
+    m, mc = pick("mrk", "_median")
+    lo, lc = pick("lrk", "_lo")
+    hi, hc = pick("urk", "_hi")
+    return (
+        rks.join(m, mc)
+        .drop("_u", "_r")
+        .join(lo, lc)
+        .drop("_u", "_r")
+        .join(hi, hc)
+        .drop("_u", "_r")
+        .select(
+            "user_id",
+            F.col("n").cast("long").alias("n"),
+            F.round("_median", 6).alias("median"),
+            F.round("_lo", 6).alias("ci_lo"),
+            F.round("_hi", 6).alias("ci_hi"),
+        )
+    )
