@@ -228,19 +228,24 @@ def ivf_seed_assign(
     )
     seeds = [(int(r[0]), [float(x) for x in r[1]]) for r in seeds_rows]
 
-    def seed_cos(vec: list[float]) -> Column:
-        q = F.array(*[F.lit(float(x)) for x in vec])
-        return F.round(
-            _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q)), 6
-        )
-
     # argmax via array_max over (cosine, -seed_id) structs: max cosine,
-    # ties resolved to the smallest seed id
-    scored = F.array(
-        *[
-            F.struct(seed_cos(vec).alias("c"), F.lit(-sid).alias("negid"))
-            for sid, vec in seeds
-        ]
+    # ties resolved to the smallest seed id. Seed matrix as one
+    # array-of-arrays literal + higher-order transform — per-element
+    # F.lit trees cost k·dim py4j calls of driver-side plan build
+    # (see semantic_dedup_drops for the measurement); the fold
+    # arithmetic is identical.
+    seed_mat = F.array(*[F.lit([float(x) for x in v]) for _sid, v in seeds])
+    neg_ids = F.array(*[F.lit(-sid) for sid, _v in seeds])
+    scored = F.transform(
+        seed_mat,
+        lambda sv, i: F.struct(
+            F.round(
+                _dot(F.col(vec_col), sv)
+                / (_norm(F.col(vec_col)) * _norm(sv)),
+                6,
+            ).alias("c"),
+            F.element_at(neg_ids, i + 1).alias("negid"),
+        ),
     )
     assigned = vectors.withColumn("cell", -F.array_max(scored)["negid"])
     return assigned, seeds
