@@ -165,3 +165,68 @@ def sample_frames(media: DataFrame, every: int = 10) -> DataFrame:
             ),
         )
     )
+
+
+AUDIO_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_windows", T.IntegerType(), True),
+        T.StructField("n_loud", T.IntegerType(), True),
+        T.StructField("peak_rms", T.DoubleType(), True),
+        T.StructField("doc_rms", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_window_energy(
+    media: DataFrame, window: int = 256, loud_rms: float = 45.0
+) -> DataFrame:
+    """Windowed RMS energy over audio payloads — the
+    voice-activity / silence-trim primitive of an audio training
+    pipeline, with the decode step stubbed as 8-bit PCM (payload
+    byte − 128; the sandbox has no codecs, the Arrow plumbing is the
+    real part): per clip, window count, loud-window count
+    (RMS ≥ ``loud_rms``), peak window RMS and whole-clip RMS.
+
+    Every statistic is a ratio/√ of INTEGER sums (numpy int64
+    accumulation), so the DuckDB oracle reproduces the doubles
+    bit-for-bit; the binary column is consumed inside the executor
+    and never shuffled (output is 5 scalars per clip)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"].values,
+                "n_windows": [],
+                "n_loud": [],
+                "peak_rms": [],
+                "doc_rms": [],
+            }
+            for p in pdf["payload"]:
+                arr = np.frombuffer(p, dtype=np.uint8).astype(np.int64) - 128
+                nb = len(arr)
+                sq = arr * arr
+                n_w = (nb + window - 1) // window
+                rms = [
+                    float(
+                        np.sqrt(
+                            sq[w * window : min((w + 1) * window, nb)].sum()
+                            / (min((w + 1) * window, nb) - w * window)
+                        )
+                    )
+                    for w in range(n_w)
+                ]
+                out["n_windows"].append(n_w)
+                out["n_loud"].append(sum(1 for r in rms if r >= loud_rms))
+                out["peak_rms"].append(max(rms) if rms else None)
+                out["doc_rms"].append(
+                    float(np.sqrt(sq.sum() / nb)) if nb else None
+                )
+            yield pd.DataFrame(out)
+
+    return (
+        media.filter(F.col("media_type") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=AUDIO_ENERGY_SCHEMA)
+    )

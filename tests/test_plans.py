@@ -18,6 +18,8 @@ SF_DIR = "/root/testdata/sf0.001"
 #: applyInPandas / MLlib fits) — everything else must be pure JVM.
 PYTHON_OK = {
     "mm_decode_features",
+    # stub-PCM windowed RMS — Arrow-batched decode, like mm_decode
+    "mm_audio_energy",
     "m11_stationarity_tests",
     "m5_ar_forecast",
     "m5_sarima_forecast",
