@@ -1436,23 +1436,25 @@ def m13_shap_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         featuresCol="features", labelCol="label", numTrees=20, maxDepth=4, seed=42
     ).fit(assembled)
     shap = tree_shap(sup, model, feats)
+    # returned LAZY (r5): the driver's rows-only check now executes
+    # the distributed mapInPandas SHAP pass + aggregate itself, not a
+    # driver-precomputed literal frame (closes the r4 verdict note
+    # that the rows-only ML checks couldn't catch a regression in the
+    # distributed part). The 1-row aggregate unpivots via stack.
     agg = shap.agg(
-        F.first("base_value").alias("base"),
-        *[F.avg(F.abs(F.col(f"phi_{c}"))).alias(f"a_{c}") for c in feats],
-        *[F.avg(F.col(f"phi_{c}")).alias(f"m_{c}") for c in feats],
-    ).first()
-    rows = [
-        (
-            c,
-            round(float(agg[f"a_{c}"]), 6),
-            round(float(agg[f"m_{c}"]), 6),
-            round(float(agg["base"]), 6),
-        )
-        for c in feats
-    ]
-    return spark.createDataFrame(
-        rows,
-        "feature STRING, mean_abs_shap DOUBLE, mean_shap DOUBLE, base_value DOUBLE",
+        F.round(F.first("base_value"), 6).alias("base"),
+        *[
+            F.round(F.avg(F.abs(F.col(f"phi_{c}"))), 6).alias(f"a_{c}")
+            for c in feats
+        ],
+        *[F.round(F.avg(F.col(f"phi_{c}")), 6).alias(f"m_{c}") for c in feats],
+    )
+    stack = ", ".join(f"'{c}', a_{c}, m_{c}" for c in feats)
+    return agg.select(
+        F.expr(
+            f"stack({len(feats)}, {stack}) AS (feature, mean_abs_shap, mean_shap)"
+        ),
+        F.col("base").alias("base_value"),
     )
 
 
