@@ -47,10 +47,10 @@ SKIP_BUILD = {
     "s8_bucketed_join",
     "s9_jsonl_roundtrip",
     "s10_orc_roundtrip",
-    # trains a 20-tree RF at plan-build time, and its returned frame is
-    # a driver-aggregated summary whose plan never shows the real
-    # mapInPandas — the inner plan is asserted directly in
-    # test_tree_shap_inner_plan_is_mapinpandas instead
+    # trains a 20-tree RF at plan-build time (too heavy for the sweep);
+    # since r5 the returned frame IS the lazy distributed aggregate,
+    # and the inner mapInPandas plan is asserted directly in
+    # test_tree_shap_inner_plan_is_mapinpandas
     "m13_shap_tree",
     # collects its 16 seed vectors at plan-build time (same pattern as
     # sim_ivf_topk); its plan is asserted in
