@@ -435,3 +435,44 @@ def test_connected_components_star_matches_halving(spark):
         for r in connected_components_star(df, "doc_a", "doc_b").collect()
     }
     assert got == want
+
+
+def test_containment_flags_quote_inclusion_pair(spark):
+    """A short doc fully quoted inside a long one must flag
+    containment_dup (containment ≈ 1, Jaccard < 0.5), while two
+    near-identical docs flag near_dup — the asymmetric case the
+    Jaccard-only gate misses, on a fixture built to exhibit both."""
+    from commodity_price_forecasting_spark.operators.dedup import (
+        char_shingles,
+        containment_scores,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog"
+    long_doc = (
+        "completely unrelated preamble text goes here first and then "
+        + short
+        + " and afterwards a long unrelated tail keeps going on and on"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, short),
+            (2, long_doc),
+            (3, short + "!"),  # near-identical to doc 1
+        ],
+        ["doc_id", "text"],
+    )
+    sh = char_shingles(docs, k=5)
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3)], ["doc_a", "doc_b"]
+    )
+    out = {
+        (r["doc_a"], r["doc_b"]): r
+        for r in containment_scores(sh, cand).collect()
+    }
+    quote = out[(1, 2)]
+    assert quote["containment_a"] == 1.0  # every shingle of 1 is in 2
+    assert quote["jaccard"] < 0.5
+    assert quote["dup_kind"] == "containment_dup"
+    near = out[(1, 3)]
+    assert near["jaccard"] >= 0.5
+    assert near["dup_kind"] == "near_dup"
