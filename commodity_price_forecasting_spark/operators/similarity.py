@@ -410,12 +410,125 @@ def pq_adc_topk(
 # --- semantic dedup (SemDeDup, Abbas et al. 2023, public) ----------------
 
 
+def _semdedup_seeds(
+    vectors: DataFrame, k: int | None, vec_col: str, id_col: str
+) -> list[tuple[int, list[float]]]:
+    """The k cluster centers: seed vectors with the smallest
+    ``md5(id)`` (0-iteration kmeans init — engine-reproducible).
+    ``k=None`` auto-scales to ⌈√n⌉ (one extra count job)."""
+    if k is None:
+        import math
+
+        k = max(16, math.isqrt(max(vectors.count(), 1)))
+    seeds_rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in seeds_rows]
+
+
+def assign_cells_fold(
+    vectors: DataFrame,
+    seeds: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Seed-cosine cell assignment as a pure-column expression: ONE
+    array-of-arrays literal + a higher-order ``transform`` whose
+    zip_with fold reproduces the oracle's Σxy arithmetic term-by-term
+    in source order — the BIT-REPRODUCIBLE lane the pinned-k oracle
+    query needs. Cost: n rows × k folds of d terms = Θ(n·k·d) inside
+    codegen; at k=⌈√n⌉ that stage is Θ(n^1.5) — use
+    ``assign_cells_blas`` at scale. Returns
+    ``(_vid, _emb, cell, _cent)``."""
+    seed_mat = F.array(*[F.lit([float(x) for x in v]) for _sid, v in seeds])
+    neg_ids = F.array(*[F.lit(-sid) for sid, _v in seeds])
+    scored = F.transform(
+        seed_mat,
+        lambda sv, i: F.struct(
+            F.round(
+                _dot(F.col(vec_col), sv)
+                / (_norm(F.col(vec_col)) * _norm(sv)),
+                6,
+            ).alias("c"),
+            F.element_at(neg_ids, i + 1).alias("negid"),
+        ),
+    )
+    best = F.array_max(scored)
+    return vectors.select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_emb"),
+        (-best["negid"]).alias("cell"),
+        best["c"].alias("_cent"),
+    )
+
+
+def assign_cells_blas(
+    vectors: DataFrame,
+    seeds: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Seed-cosine cell assignment as ONE BLAS matmul per Arrow batch
+    (``mapInPandas``, the ``emb_covariance_mapred`` pattern) — the
+    production lane for the Θ(n·k·d) stage: a (batch×d)·(d×k) sgemm
+    runs it at memory bandwidth instead of k scalar folds per row,
+    and the cost per ROW is k·d flops in vectorized form — the stage
+    SemDeDup deployments hand to BLAS/GPU (Abbas et al. 2023 do
+    exactly this).
+
+    Same semantics as ``assign_cells_fold``: cosines to every seed,
+    HALF_UP-rounded to 6 dp (sign·floor(|c|·1e6 + 0.5) — matching
+    Spark's BigDecimal HALF_UP for the away-from-midpoint mass),
+    argmax with ties to the smallest seed id (seeds sorted by id →
+    np.argmax's first-max). float32→float64 element conversion is
+    exact, so the ONLY divergence from the fold is summation order —
+    last-ulp, which can flip a 6-dp rounding only within ~1e-15 of a
+    midpoint; the tolerance-banded equality test in
+    tests/test_retrieval.py pins that band. Returns
+    ``(_vid, _emb, cell, _cent)``."""
+    import numpy as np
+
+    seeds_sorted = sorted(seeds)
+    sids = np.array([s for s, _ in seeds_sorted], dtype=np.int64)
+    S = np.array([v for _, v in seeds_sorted], dtype=np.float64)
+    Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+    elem = vectors.schema[vec_col].dataType.simpleString()
+    schema = f"_vid long, _emb {elem}, cell long, _cent double"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            C = (M @ Sn.T) / np.linalg.norm(M, axis=1, keepdims=True)
+            C = np.sign(C) * np.floor(np.abs(C) * 1e6 + 0.5) / 1e6
+            idx = np.argmax(C, axis=1)
+            yield pd.DataFrame(
+                {
+                    "_vid": pdf[id_col].values,
+                    "_emb": pdf[vec_col].values,
+                    "cell": sids[idx],
+                    "_cent": C[np.arange(len(idx)), idx],
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+
 def semantic_dedup_drops(
     vectors: DataFrame,
     k: int | None = 16,
     threshold: float = 0.3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assign: str = "fold",
 ) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): cluster the corpus, compare pairs
     only WITHIN a cluster, and drop every vector that is
@@ -447,50 +560,22 @@ def semantic_dedup_drops(
     with k ∝ √n, pairs stay Θ(n·√n/k)=Θ(n) per the SemDeDup recipe.
     The registered ``sim_semantic_dedup`` query pins k=16 so its
     ANSI-SQL oracle is SF-independent; production callers use
-    auto-k."""
-    if k is None:
-        import math
+    auto-k.
 
-        k = max(16, math.isqrt(max(vectors.count(), 1)))
-    seeds_rows = (
-        vectors.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(k)
-        .collect()
-    )
-    seeds = [(int(r[0]), [float(x) for x in r[1]]) for r in seeds_rows]
-
-    # Seed matrix as ONE array-of-arrays literal + a higher-order
-    # transform — NOT a per-element F.lit expression tree: the k·dim
-    # py4j round-trips of the literal form dominated wall clock
-    # (measured 5.6 s of driver-side plan BUILD at k=44, dim=64,
-    # while execution was 0.2 s), and the giant unrolled expression
-    # would break codegen entirely at k=⌈√n⌉ scale. Arithmetic is
-    # identical (_dot's zip_with fold over the same values), so the
-    # drop set is unchanged.
-    seed_mat = F.array(*[F.lit([float(x) for x in v]) for _sid, v in seeds])
-    neg_ids = F.array(*[F.lit(-sid) for sid, _v in seeds])
-    scored = F.transform(
-        seed_mat,
-        lambda sv, i: F.struct(
-            F.round(
-                _dot(F.col(vec_col), sv)
-                / (_norm(F.col(vec_col)) * _norm(sv)),
-                6,
-            ).alias("c"),
-            F.element_at(neg_ids, i + 1).alias("negid"),
-        ),
-    )
-    best = F.array_max(scored)
+    ``assign="fold"`` runs the assignment as codegen'd zip_with folds
+    (bit-reproducible vs the SQL oracle, but Θ(n·k·d) scalar work —
+    Θ(n^1.5) at k=⌈√n⌉); ``assign="blas"`` runs it as one numpy
+    matmul per Arrow batch (``assign_cells_blas``) — the scale lane,
+    identical away from 6-dp rounding ties (last-ulp summation-order
+    band, pinned by a tolerance test)."""
+    if assign not in ("fold", "blas"):
+        raise ValueError(f"assign must be fold|blas: {assign}")
+    seeds = _semdedup_seeds(vectors, k, vec_col, id_col)
+    assigner = assign_cells_blas if assign == "blas" else assign_cells_fold
     # persist: the self-join consumes the assignment on BOTH sides —
     # without it the n·k seed-cosine pass runs twice (measured 2× the
     # stage cost at 10k vectors, SCALE.md)
-    assigned = vectors.select(
-        F.col(id_col).alias("_vid"),
-        F.col(vec_col).alias("_emb"),
-        (-best["negid"]).alias("cell"),
-        best["c"].alias("_cent"),
-    ).persist()
+    assigned = assigner(vectors, seeds, vec_col, id_col).persist()
     a = assigned.select(
         F.col("_vid").alias("_ida"),
         F.col("_emb").alias("_ea"),

@@ -178,19 +178,27 @@ def asof_join(
     pass per key ordered by (time, side) with right rows sorting
     before left rows at equal timestamps (ties are inclusive in both
     directions; forward just reverses the time order), then keep the
-    left rows with the last seen right value AND right time — the
-    tolerance test is a plain column comparison on the carried time.
-    No per-row Python, no range-join explosion; skewed keys split by
-    AQE."""
+    left rows with the last seen right (time, value) PAIR — carried as
+    ONE struct through a single ``last(ignorenulls=True)`` so the
+    matched time and matched value always come from the SAME right
+    row (two independent last() passes would, when the right value
+    column has NULLs, pair a stale value with a newer row's time and
+    let it slip past the tolerance test; merge_asof matches the
+    nearest ROW and returns its value, NaN included). The tolerance
+    test is a plain column comparison on the carried time. No per-row
+    Python, no range-join explosion; skewed keys split by AQE."""
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
+    rtv_type = (
+        f"struct<_rt:{right.schema[time_col].dataType.simpleString()},"
+        f"_rv:{right.schema[value_col].dataType.simpleString()}>"
+    )
     l_tag = left.select(
         F.col(key_col).alias("_k"),
         F.col(time_col).alias("_t"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        F.lit(None).cast(right.schema[value_col].dataType).alias("_rv"),
-        F.lit(None).cast(right.schema[time_col].dataType).alias("_rt"),
+        F.lit(None).cast(rtv_type).alias("_rtv"),
     )
     r_tag = right.select(
         F.col(key_col).alias("_k"),
@@ -199,8 +207,9 @@ def asof_join(
         F.lit(None).cast(
             "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in left.schema.fields) + ">"
         ).alias("_lrow"),
-        F.col(value_col).alias("_rv"),
-        F.col(time_col).alias("_rt"),
+        F.struct(
+            F.col(time_col).alias("_rt"), F.col(value_col).alias("_rv")
+        ).alias("_rtv"),
     )
     order_t = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (
@@ -208,10 +217,12 @@ def asof_join(
         .orderBy(order_t, F.col("_side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    carried = F.last("_rtv", ignorenulls=True).over(w)
     merged = (
         l_tag.unionByName(r_tag)
-        .withColumn(out_col, F.last("_rv", ignorenulls=True).over(w))
-        .withColumn("_mt", F.last("_rt", ignorenulls=True).over(w))
+        .withColumn("_c", carried)
+        .withColumn(out_col, F.col("_c._rv"))
+        .withColumn("_mt", F.col("_c._rt"))
     )
     if tolerance_days is not None:
         staleness = (

@@ -674,7 +674,11 @@ def behavior_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_or_light (fresh, infrequent), hibernating."""
     ev = load_table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase")
-    mx = p.agg(F.max(F.to_date("ts")).alias("max_day"))
+    # "as of" day = latest day over ALL events (matches the oracle's
+    # mx CTE) — NOT the latest purchase: if the newest day in the feed
+    # has no purchase, recency must still be measured from it, or every
+    # recency/quartile/segment shifts by the gap
+    mx = ev.agg(F.max(F.to_date("ts")).alias("max_day"))
     per = p.groupBy("user_id").agg(
         F.max(F.to_date("ts")).alias("last_day"),
         F.count(F.lit(1)).alias("frequency"),

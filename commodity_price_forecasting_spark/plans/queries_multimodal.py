@@ -191,19 +191,27 @@ FROM agg a JOIN tot t USING (doc_id)
 
 @register("mm_audio_energy", oracle=_AUDIO_ORACLE, tags=("multimodal", "udf"))
 def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed RMS energy over the audio payloads (256-sample
-    windows of stub 8-bit PCM, loud ≥ 45 — chosen inside the fixture's 42..51 RMS spread so the flag actually discriminates: at sf0.01 it splits clips 79 silent / 46 mixed / 42 all-loud) — the voice-activity /
-    silence-trim primitive; see
-    ``operators/multimodal.audio_window_energy`` for the Arrow
-    plumbing. The oracle re-derives every window from ``ascii`` codes
-    (valid while the fixture is ASCII — same caveat as
-    mm_decode_features); all statistics are ratios/√ of integer sums,
-    so the doubles match bit-for-bit."""
+    """Windowed RMS energy over REAL WAV audio payloads (256-sample
+    windows, loud ≥ 45 — chosen inside the fixture's 42..51 RMS
+    spread so the flag actually discriminates: at sf0.01 it splits
+    clips 79 silent / 46 mixed / 42 all-loud) — the voice-activity /
+    silence-trim primitive. The payload is a genuine RIFF/WAVE
+    container (canonical 44-byte header built in pure column
+    expressions, text bytes as the 8-bit PCM data chunk) and the
+    decode is the real chunk-walking parser
+    (``operators/multimodal.decode_wav`` — pure numpy, no codec
+    library). 8-bit WAV samples are byte − 128, so the oracle still
+    re-derives every window from ``ascii`` codes (valid while the
+    fixture is ASCII — same caveat as mm_decode_features); all
+    statistics are ratios/√ of integer sums, so the doubles match
+    bit-for-bit."""
     from commodity_price_forecasting_spark.operators.multimodal import (
         audio_window_energy,
+        wav_media_from_documents,
     )
 
-    out = audio_window_energy(_media(spark, sf_dir))
+    wav = wav_media_from_documents(load_table(spark, sf_dir, "documents"))
+    out = audio_window_energy(wav, codec="wav")
     return out.select(
         "media_id",
         "n_windows",

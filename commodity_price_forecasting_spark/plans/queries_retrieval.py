@@ -212,6 +212,35 @@ def semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semantic_dedup_blas",
+    tags=("datapipe", "similarity", "dedup", "bench"),
+)
+def semantic_dedup_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup production lane with the BLAS assignment stage: same
+    auto-k=⌈√n⌉ recipe as ``semantic_dedup_auto``, but the
+    seed-cosine assignment — the lane's one Θ(n^1.5) stage when run
+    as per-row folds — executes as ONE numpy matmul per Arrow batch
+    (``operators/similarity.assign_cells_blas``, the
+    ``emb_covariance_mapred`` pattern; Abbas et al. 2023 hand this
+    stage to BLAS/GPU). Per-row cost drops from k scalar folds to a
+    vectorized sgemm row; the intra-cell pair stage (already Θ(n)) is
+    shared code with the fold lane.
+
+    Rows-only on the driver (the drop set depends on n through k, as
+    for the auto lane). Correctness: a tolerance-banded equality test
+    (tests/test_retrieval.py) proves the drop set identical to the
+    fold lane away from 6-dp rounding midpoints — the only band where
+    BLAS summation order can diverge, at the last ulp — and the fold
+    lane itself is oracle-pinned via ``sim_semantic_dedup``."""
+    return semantic_dedup_drops(
+        load_table(spark, sf_dir, "embeddings"),
+        k=None,
+        threshold=0.3,
+        assign="blas",
+    )
+
+
 # --- int8 scalar quantization of embeddings -----------------------------
 
 _INT8_ORACLE = """

@@ -1828,13 +1828,17 @@ WITH life AS (
   FROM ev CROSS JOIN n_total t
 ), km AS (
   SELECT dur, d, at_risk,
-         EXP(SUM(LN(1.0 - CAST(d AS DOUBLE) / at_risk))
-             OVER (ORDER BY dur)) AS surv
+         EXP(SUM(CASE WHEN d = at_risk THEN 0.0
+                      ELSE LN(1.0 - CAST(d AS DOUBLE) / at_risk) END)
+             OVER (ORDER BY dur)) AS surv,
+         MAX(CASE WHEN d = at_risk THEN 1 ELSE 0 END)
+             OVER (ORDER BY dur) AS extinct
   FROM rk WHERE d > 0
 )
 SELECT dur AS duration_days, CAST(d AS BIGINT) AS n_events,
        CAST(at_risk AS BIGINT) AS n_at_risk,
-       ROUND(surv, 6) AS km_survival
+       ROUND(CASE WHEN extinct = 1 THEN 0.0 ELSE surv END, 6)
+         AS km_survival
 FROM km
 """
 
@@ -1888,19 +1892,33 @@ def stat_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     wcum = Window.orderBy("dur").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    km = rk.filter(F.col("d") > 0).withColumn(
-        "surv",
-        F.exp(
-            F.sum(
-                F.log(1.0 - F.col("d").cast("double") / F.col("at_risk"))
-            ).over(wcum)
-        ),
+    # d == at_risk (the whole remaining risk set dies at this duration)
+    # would be ln(0) → NULL, which the window SUM silently SKIPS —
+    # yielding a wrong nonzero survival — while the oracle's LN(0)
+    # raises. Guard on BOTH engines: exclude the terminal factor from
+    # the log-sum and pin survival to exactly 0 from that row onward.
+    full_death = F.col("d") == F.col("at_risk")
+    log_term = F.when(full_death, F.lit(0.0)).otherwise(
+        F.log(1.0 - F.col("d").cast("double") / F.col("at_risk"))
+    )
+    km = (
+        rk.filter(F.col("d") > 0)
+        .withColumn("surv", F.exp(F.sum(log_term).over(wcum)))
+        .withColumn(
+            "extinct",
+            F.max(F.when(full_death, 1).otherwise(0)).over(wcum),
+        )
     )
     return km.select(
         F.col("dur").alias("duration_days"),
         F.col("d").cast("long").alias("n_events"),
         F.col("at_risk").cast("long").alias("n_at_risk"),
-        F.round("surv", 6).alias("km_survival"),
+        F.round(
+            F.when(F.col("extinct") == 1, F.lit(0.0)).otherwise(
+                F.col("surv")
+            ),
+            6,
+        ).alias("km_survival"),
     )
 
 

@@ -220,6 +220,45 @@ def test_asof_join_forward_and_tolerance(spark):
         asof_join(left, right, "k", "t", "v", direction="nearest")
 
 
+def test_asof_join_null_right_value_carries_matching_row(spark):
+    """merge_asof parity when the right VALUE column has NULLs: the
+    nearest right ROW wins and its value (NULL included) is returned
+    — the carried (time, value) must come from the SAME row. Two
+    independent last(ignorenulls) passes would pair the older row's
+    value with the newer row's time and let a stale value pass the
+    tolerance test (ADVICE r5)."""
+    import datetime as dt
+
+    from commodity_price_forecasting_spark.operators.timeseries import asof_join
+
+    d = dt.date
+    left = spark.createDataFrame(
+        [(1, d(2024, 1, 6), "near_null"), (1, d(2024, 1, 9), "stale")],
+        ["k", "t", "tag"],
+    )
+    right = spark.createDataFrame(
+        [(1, d(2024, 1, 1), 100.0), (1, d(2024, 1, 5), None)],
+        "k long, t date, v double",
+    )
+    out = {
+        r["tag"]: r["v3"]
+        for r in asof_join(
+            left, right, "k", "t", "v", out_col="v3", tolerance_days=2
+        ).collect()
+    }
+    # nearest row (1/5) is 1 day back and in tolerance, but its value
+    # is NULL → NULL, never the stale 100.0 from 1/1 (5 days back)
+    assert out["near_null"] is None
+    # nearest row (1/5) is 4 days back > tolerance → NULL either way
+    assert out["stale"] is None
+    # without tolerance the nearest row's NULL value still wins
+    no_tol = {
+        r["tag"]: r["v0"]
+        for r in asof_join(left, right, "k", "t", "v", out_col="v0").collect()
+    }
+    assert no_tol["near_null"] is None and no_tol["stale"] is None
+
+
 def test_upsert_latest_tie_prefers_update(spark):
     from commodity_price_forecasting_spark.operators.cleaning import upsert_latest
 

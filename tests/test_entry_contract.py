@@ -37,12 +37,16 @@ def test_oracle_keys_subset_of_queries():
     # depends on n through k so no SF-independent oracle exists; the
     # oracle-pinned sibling is sim_semantic_dedup, and the auto lane is
     # equality-tested against explicit-k in tests/test_retrieval.py
+    # semantic_dedup_blas (r6): same production lane with the BLAS
+    # assignment stage — rows-only for the same reason; tolerance-
+    # banded equality to the fold lane in tests/test_retrieval.py
     assert rows_only <= {
         "m6_ensemble_weights",
         "m11_stationarity_tests",
         "m4_svr_mlp",
         "m13_shap_tree",
         "semantic_dedup_auto",
+        "semantic_dedup_blas",
     }
 
 

@@ -92,6 +92,162 @@ def test_metadata_query_prunes_payload(media, spark):
     assert "payload" not in plan
 
 
-def test_real_decode_is_explicit_stub():
+def test_real_decode_is_explicit_stub_for_images():
     with pytest.raises(NotImplementedError):
         real_decode(b"x", "image")
+
+
+# --- real WAV codec (pure numpy RIFF/PCM parser) --------------------------
+
+
+def test_wav_roundtrip_8bit():
+    import numpy as np
+
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        decode_wav,
+        wav_encode,
+    )
+
+    samples = np.arange(256, dtype=np.uint8)
+    blob = wav_encode(samples, bits=8, sample_rate=8000)
+    d = decode_wav(blob)
+    assert d["bits"] == 8 and d["sample_rate"] == 8000 and d["channels"] == 1
+    assert d["n_samples"] == 256
+    # 8-bit WAV is unsigned; decoder centres at 128
+    assert (d["samples"] == samples.astype(np.int64) - 128).all()
+
+
+def test_wav_roundtrip_16bit_sine():
+    import numpy as np
+
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        decode_wav,
+        wav_encode,
+    )
+
+    t = np.arange(1000)
+    sine = (np.sin(2 * np.pi * 440 * t / 44100) * 12000).astype("<i2")
+    blob = wav_encode(sine, bits=16, sample_rate=44100, channels=1)
+    d = decode_wav(blob)
+    assert d["bits"] == 16 and d["sample_rate"] == 44100
+    assert d["n_samples"] == 1000
+    assert (d["samples"] == sine.astype(np.int64)).all()
+
+
+def test_wav_skips_foreign_chunks():
+    """Files from real recorders carry LIST/fact chunks between fmt
+    and data — the chunk walk must skip them (with odd-size pad)."""
+    import struct
+
+    import numpy as np
+
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        decode_wav,
+        wav_encode,
+    )
+
+    base = wav_encode(np.array([1, 2, 3, 250], dtype=np.uint8), bits=8)
+    # splice a 5-byte (odd → padded) LIST chunk before "data"
+    di = base.index(b"data")
+    foreign = b"LIST" + struct.pack("<I", 5) + b"INFOX" + b"\x00"
+    spliced = base[:di] + foreign + base[di:]
+    # patch RIFF size
+    spliced = (
+        spliced[:4] + struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    )
+    d = decode_wav(spliced)
+    assert d["n_samples"] == 4
+    assert list(d["samples"]) == [1 - 128, 2 - 128, 3 - 128, 250 - 128]
+
+
+def test_wav_rejects_non_riff_and_non_pcm():
+    import struct
+
+    import numpy as np
+
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        decode_wav,
+        wav_encode,
+    )
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"not a wav at all")
+    blob = bytearray(wav_encode(np.array([1, 2], dtype=np.uint8), bits=8))
+    blob[20:22] = struct.pack("<H", 3)  # IEEE-float format tag
+    with pytest.raises(ValueError, match="PCM"):
+        decode_wav(bytes(blob))
+
+
+def test_real_decode_dispatches_wav():
+    import numpy as np
+
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        wav_encode,
+    )
+
+    blob = wav_encode(np.array([128, 130], dtype=np.uint8), bits=8)
+    d = real_decode(blob, "audio")
+    assert list(d["samples"]) == [0, 2]
+
+
+def test_wav_wrap_expr_matches_wav_encode(spark):
+    """The pure-column-expression WAV wrapper must be byte-identical
+    to the Python struct-pack encoder for the same sample bytes."""
+    from pyspark.sql import functions as F
+
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        wav_encode,
+        wav_wrap,
+    )
+
+    texts = ["hello wav", "", "x" * 300, "tab\tand spaces"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    rows = {
+        r["i"]: bytes(r["blob"])
+        for r in df.select(
+            "i", wav_wrap(F.encode(F.col("text"), "UTF-8")).alias("blob")
+        ).collect()
+    }
+    import numpy as np
+
+    for i, t in enumerate(texts):
+        raw = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
+        assert rows[i] == wav_encode(raw, bits=8, sample_rate=8000)
+
+
+def test_wav_media_energy_matches_stub_numbers(spark):
+    """decode_wav(wav_wrap(text)) must yield the SAME energy numbers
+    as the headerless pcm8 stub on the same text — the invariant that
+    keeps mm_audio_energy's ascii-code oracle valid."""
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        audio_window_energy,
+        media_from_documents,
+        wav_media_from_documents,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    stub = audio_window_energy(media_from_documents(docs), codec="pcm8")
+    wav = audio_window_energy(wav_media_from_documents(docs), codec="wav")
+    s = {r["media_id"]: r.asDict() for r in stub.collect()}
+    w = {r["media_id"]: r.asDict() for r in wav.collect()}
+    assert s == w and len(s) > 0
+
+
+def test_audio_energy_drops_empty_clips(spark):
+    """Zero-length payloads produce NO row (oracle drop semantics)."""
+    from pyspark.sql import functions as F
+
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        audio_window_energy,
+        wav_wrap,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "loud"), (2, "")], "media_id long, text string"
+    ).select(
+        "media_id",
+        F.lit("audio").alias("media_type"),
+        wav_wrap(F.encode(F.col("text"), "UTF-8")).alias("payload"),
+    )
+    out = audio_window_energy(df, codec="wav").collect()
+    assert [r["media_id"] for r in out] == [1]

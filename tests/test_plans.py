@@ -30,6 +30,10 @@ PYTHON_OK = {
     # per-partition numpy outer-product partials — the documented
     # Python-earns-its-keep Gram strategy (operators/similarity.py)
     "emb_covariance_mapred",
+    # BLAS assignment stage (one matmul per Arrow batch) — the
+    # production SemDeDup lane; inner plan asserted in
+    # test_semantic_dedup_blas_assignment_plan
+    "semantic_dedup_blas",
 }
 #: queries that fit models / write files at plan-build time — too heavy
 #: or side-effectful for a plan-only sweep.
@@ -316,6 +320,29 @@ def test_semantic_dedup_plan_is_cell_local(spark):
         assert marker not in plan
     # the intra-cell self-join is an equi join keyed on cell
     assert "cell" in plan
+
+
+def test_semantic_dedup_blas_assignment_plan(spark):
+    """The BLAS assignment stage must be ONE Arrow-batched MapInPandas
+    over the embeddings scan with NO shuffle of its own (narrow map;
+    the lane's only shuffle stays the pair stage's hash on cell) and
+    no per-row Python eval."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        _semdedup_seeds,
+        assign_cells_blas,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    seeds = _semdedup_seeds(emb, 16, "embedding", "vec_id")
+    plan = (
+        assign_cells_blas(emb, seeds)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_covariance_mapred_shuffles_partials_not_rows(spark):

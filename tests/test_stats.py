@@ -487,3 +487,65 @@ def test_confusion_cells_partition_the_predictions(spark):
             r["precision_up"] + r["recall_up"]
         )
         assert abs(r["f1_up"] - h) <= 1e-4
+
+
+def test_kaplan_meier_full_death_row_pins_survival_to_zero(spark, tmp_path):
+    """When an event duration's ENTIRE risk set dies (d == at_risk),
+    survival from that row on is exactly 0. Unguarded, Spark's
+    ln(1 − d/n) = ln(0) is NULL, the window SUM silently skips it and
+    emits a wrong nonzero survival, while DuckDB's LN(0) raises —
+    both engines carry an explicit guard now (ADVICE r5). The sf
+    fixtures never hit d == at_risk, so this synthetic lifetime table
+    is the only coverage of the terminal row."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # users A,B: dur 5, die; C: dur 2, dies; D: dur 2, censored
+    # (D's last day IS the horizon). Event rows = first + last day.
+    def ts(day, hour=12):
+        return dt.datetime(2024, 1, 1 + day, hour)
+
+    rows = [
+        (1, ts(0), 10, "view", 1.0, "{}"),
+        (2, ts(5), 10, "view", 1.0, "{}"),   # A: 0→5, died
+        (3, ts(0), 11, "view", 1.0, "{}"),
+        (4, ts(5), 11, "view", 1.0, "{}"),   # B: 0→5, died
+        (5, ts(0), 12, "view", 1.0, "{}"),
+        (6, ts(2), 12, "view", 1.0, "{}"),   # C: 0→2, died
+        (7, ts(8), 13, "view", 1.0, "{}"),
+        (8, ts(10), 13, "view", 1.0, "{}"),  # D: 8→10, horizon ⇒ censored
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    spec = REGISTRY["stat_kaplan_meier"]
+    got = {
+        r["duration_days"]: r
+        for r in spec.fn(spark, str(tmp_path)).collect()
+    }
+    # dur 2: d=1 (C), at_risk=4 → S = 1 − 1/4 = 0.75
+    # dur 5: d=2 (A,B), at_risk=2 → FULL DEATH → S = 0 exactly
+    assert got[2]["n_at_risk"] == 4 and got[2]["km_survival"] == 0.75
+    assert got[5]["n_at_risk"] == 2 and got[5]["n_events"] == 2
+    assert got[5]["km_survival"] == 0.0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    oracle = {r[0]: r for r in con.execute(spec.oracle).fetchall()}
+    con.close()
+    assert oracle[5][3] == 0.0 and oracle[2][3] == 0.75
