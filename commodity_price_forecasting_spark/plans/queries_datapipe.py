@@ -1891,13 +1891,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the undirected embedding near-dup candidate graph — the
     canonical iterative-graph workload (Page et al. 1999 — public)
     next to connected components and triangle counting. Spark side:
-    a driver loop over LAZY DataFrame transformations (each iteration
-    = one contributions join + one groupBy-sum, both keyed on the
-    node id, so successive iterations reuse the same hash
-    partitioning); at convergence-loop scale each iteration would
-    checkpoint like the CC loop does. Oracle: the identical power
-    iteration as a DuckDB recursive CTE. All-node output (no top-k)
-    keeps the hash comparison free of float-ordering ties."""
+    a driver loop over LAZY DataFrame transformations
+    (``operators/dedup.pagerank_ranks``: each iteration = one
+    contributions join + one groupBy-sum, both keyed on the node id,
+    so successive iterations reuse the same hash partitioning); at
+    convergence-loop scale each iteration would checkpoint like the
+    CC loop does. 3 iterations are DEFENSIBLE here, not arbitrary:
+    the update is a 0.85-contraction in L1 (residual ≤ 0.85³·δ₁
+    ≈ 0.61·δ₁ worst case) and on this clique-dominated LSH candidate
+    graph the measured δ after round 1 is ~1e-17 — converged at init
+    (tests/test_edge_cases.py::test_pagerank_convergence_* measures
+    both facts). Oracle: the identical power iteration as a DuckDB
+    recursive CTE. All-node output (no top-k) keeps the hash
+    comparison free of float-ordering ties."""
+    from commodity_price_forecasting_spark.operators.dedup import pagerank_ranks
+
     emb = load_table(spark, sf_dir, "embeddings")
     b = lsh_buckets(emb, n_planes=8)
     x, y = b.alias("x"), b.alias("y")
@@ -1910,28 +1918,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("va").alias("src"), F.col("vb").alias("dst")
     ).unionAll(edges.select(F.col("vb").alias("src"), F.col("va").alias("dst")))
     deg = dir_edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    nodes = dir_edges.select(F.col("src").alias("v")).distinct()
-    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
-    # node frame carries N via a 1-row broadcast (allowlisted); ranks
-    # stay (v, rank, n) throughout the loop
-    base = nodes.crossJoin(F.broadcast(nn)).cache()
-    ranks = base.select("v", (F.lit(1.0) / F.col("n")).alias("rank"), "n")
-    contrib_edges = dir_edges.join(deg, "src")
-    for _ in range(_PAGERANK_ITERS):
-        contrib = ranks.join(
-            contrib_edges, ranks.v == contrib_edges.src
-        ).select(
-            F.col("dst").alias("v"), (F.col("rank") / F.col("d")).alias("w")
-        )
-        summed = contrib.groupBy("v").agg(F.sum("w").alias("s"))
-        ranks = base.join(summed, "v", "left").select(
-            "v",
-            (
-                F.lit(0.15) / F.col("n")
-                + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
-            ).alias("rank"),
-            "n",
-        )
+    ranks = pagerank_ranks(dir_edges, iters=_PAGERANK_ITERS)
     return ranks.join(deg, ranks.v == deg.src).select(
         F.col("v").alias("vec_id"),
         F.col("d").cast("long").alias("out_degree"),

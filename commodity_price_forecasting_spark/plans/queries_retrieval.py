@@ -473,7 +473,15 @@ def er_fuzzy_match_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
     records), stage 3 ∝ output. The fixed-key ``er_fuzzy_match`` stays
     registered as the oracle-pinned baseline; the driver checks both
     against one oracle."""
-    part = load_table(spark, sf_dir, "part")
+    return er_fuzzy_scalable_pairs(load_table(spark, sf_dir, "part"))
+
+
+def er_fuzzy_scalable_pairs(part: DataFrame) -> DataFrame:
+    """The scalable-lane body over an arbitrary ``part``-shaped frame
+    (p_partkey, p_name, p_size) — factored out so the skew-posture
+    test can drive it with a hot-key catalog variant (a real catalog
+    has hot names; the id-expansion join must split under AQE skew
+    handling, asserted in tests/test_retrieval.py)."""
     named = part.select(
         "p_partkey",
         "p_name",

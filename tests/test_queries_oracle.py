@@ -33,6 +33,35 @@ FLOAT_HEAVY = [
     "sim_semantic_dedup",
     "emb_covariance",
     "emb_covariance_mapred",
+    # every r5 addition (VERDICT r5 ask #6): a plain `pytest tests/`
+    # run now covers them at the DRIVER's SF without the separate
+    # mirror tool; the two rows-only production SemDeDup lanes ride
+    # along as sf0.01 execution smokes
+    "basket_association_rules",
+    "behavior_markov_transitions",
+    "behavior_rfm_segments",
+    "dedup_containment",
+    "emb_int8_quantize",
+    "er_fuzzy_match_scalable",
+    "graph_clustering_coeff",
+    "m14_isotonic_calibration",
+    "m7_mase",
+    "ml_loo_influence",
+    "ml_woe_iv",
+    "mm_audio_energy",
+    "semantic_dedup_auto",
+    "semantic_dedup_blas",
+    "sim_hard_negatives",
+    "sim_mrr_at_k",
+    "sim_ndcg_at_k",
+    "stat_fdr_bh",
+    "stat_kaplan_meier",
+    "stat_median_ci",
+    "text_rake_keywords",
+    "text_rrf_fusion",
+    "text_source_overlap",
+    "ts_asof_forward",
+    "ts_asof_tolerance",
 ]
 
 
