@@ -563,10 +563,15 @@ def connected_components_star(
 
 
 def pagerank_ranks(dir_edges: DataFrame, iters: int = 3) -> DataFrame:
-    """PageRank power iteration (damping 0.85, uniform init) over a
-    DIRECTED edge list ``(src, dst)`` — ``iters`` lazy rounds of one
-    contributions join + one groupBy-sum, both keyed on the node id
-    so successive iterations reuse the same hash partitioning.
+    """Standard PageRank power iteration (damping 0.85, uniform init)
+    over a DIRECTED edge list ``(src, dst)``: the node set is
+    ``src ∪ dst`` (sink nodes that only ever appear as ``dst`` are
+    ranked too), and the mass held by DANGLING nodes (out-degree 0)
+    is redistributed uniformly each round — so ranks sum to 1 on any
+    directed input, not just symmetrized ones. ``iters`` lazy rounds
+    of one contributions join + one groupBy-sum keyed on the node id
+    (successive iterations reuse the same hash partitioning), plus a
+    1-row dangling-mass aggregate broadcast into the update.
     Returns ``(v, rank, n)``.
 
     Iteration-count guidance (why the registered query's 3 rounds
@@ -577,26 +582,50 @@ def pagerank_ranks(dir_edges: DataFrame, iters: int = 3) -> DataFrame:
     uniform init is already stationary — measured δ after round 1 is
     ~1e-17 at sf0.001 AND sf0.01. A convergence-loop caller on an
     irregular graph raises ``iters`` and checkpoints per round like
-    the connected-components loop."""
+    the connected-components loop (the lazy plan doubles per round:
+    ranks feeds both the contributions join and the dangling sum)."""
     deg = dir_edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    nodes = dir_edges.select(F.col("src").alias("v")).distinct()
+    nodes = (
+        dir_edges.select(F.col("src").alias("v"))
+        .union(dir_edges.select(F.col("dst").alias("v")))
+        .distinct()
+    )
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
-    base = nodes.crossJoin(F.broadcast(nn)).cache()
-    ranks = base.select("v", (F.lit(1.0) / F.col("n")).alias("rank"), "n")
+    base = (
+        nodes.join(deg, nodes.v == deg.src, "left")
+        .select("v", F.col("d").isNull().alias("dangling"))
+        .crossJoin(F.broadcast(nn))
+        .cache()
+    )
+    ranks = base.select(
+        "v", "dangling", (F.lit(1.0) / F.col("n")).alias("rank"), "n"
+    )
     contrib_edges = dir_edges.join(deg, "src")
     for _ in range(iters):
+        dm = ranks.where("dangling").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
         contrib = ranks.join(
             contrib_edges, ranks.v == contrib_edges.src
         ).select(
             F.col("dst").alias("v"), (F.col("rank") / F.col("d")).alias("w")
         )
         summed = contrib.groupBy("v").agg(F.sum("w").alias("s"))
-        ranks = base.join(summed, "v", "left").select(
-            "v",
-            (
-                F.lit(0.15) / F.col("n")
-                + F.lit(0.85) * F.coalesce(F.col("s"), F.lit(0.0))
-            ).alias("rank"),
-            "n",
+        ranks = (
+            base.join(summed, "v", "left")
+            .crossJoin(F.broadcast(dm))
+            .select(
+                "v",
+                "dangling",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(0.85)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0.0))
+                        + F.col("dm") / F.col("n")
+                    )
+                ).alias("rank"),
+                "n",
+            )
         )
-    return ranks
+    return ranks.select("v", "rank", "n")

@@ -219,3 +219,63 @@ def mm_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("peak_rms", 6).alias("peak_rms"),
         F.round("doc_rms", 6).alias("doc_rms"),
     )
+
+
+_IMAGE_ORACLE = """
+WITH img AS (
+  SELECT doc_id, text,
+         CAST(octet_length(encode(text)) // 3 AS BIGINT) AS w
+  FROM documents
+  WHERE doc_id % 3 = 0 AND octet_length(encode(text)) >= 3
+), ch AS (
+  SELECT doc_id, w,
+         list_transform(range(0, CAST(w AS INTEGER)), i ->
+           CAST(ascii(substr(text, CAST(3*i+1 AS INTEGER), 1)) AS BIGINT)) AS r,
+         list_transform(range(0, CAST(w AS INTEGER)), i ->
+           CAST(ascii(substr(text, CAST(3*i+2 AS INTEGER), 1)) AS BIGINT)) AS g,
+         list_transform(range(0, CAST(w AS INTEGER)), i ->
+           CAST(ascii(substr(text, CAST(3*i+3 AS INTEGER), 1)) AS BIGINT)) AS b
+  FROM img
+)
+SELECT doc_id AS media_id, CAST(w AS INT) AS width, 1 AS height,
+       ROUND(list_reduce(list_prepend(CAST(0 AS BIGINT), r), (a, b) -> a + b)
+             * 1.0 / w, 6) AS mean_r,
+       ROUND(list_reduce(list_prepend(CAST(0 AS BIGINT), g), (a, b) -> a + b)
+             * 1.0 / w, 6) AS mean_g,
+       ROUND(list_reduce(list_prepend(CAST(0 AS BIGINT), b), (a, b) -> a + b)
+             * 1.0 / w, 6) AS mean_b
+FROM ch
+"""
+
+
+@register("mm_image_channel_stats", oracle=_IMAGE_ORACLE, tags=("multimodal", "udf"))
+def mm_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image channel means over REAL image containers — the
+    brightness-filter / channel-normalization primitive of an image
+    training pipeline. The payload is a genuine binary-PPM (P6)
+    container (ASCII header built in pure column expressions, text
+    bytes as the 1-row RGB raster — ``ppm_wrap``) and the decode is
+    the real header-tokenizing parser
+    (``operators/multimodal.decode_ppm`` via ``real_decode`` magic
+    dispatch — pure numpy, no codec library; the BMP twin
+    ``decode_bmp`` shares the dispatch and is round-trip-tested in
+    tests/test_multimodal.py). Raster bytes are the text's utf-8
+    bytes, so the oracle re-derives every channel from ``ascii``
+    codes (valid while the fixture is ASCII — same caveat as
+    mm_audio_energy); means are ratios of integer sums, so the
+    doubles match bit-for-bit."""
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        image_channel_stats,
+        ppm_media_from_documents,
+    )
+
+    ppm = ppm_media_from_documents(load_table(spark, sf_dir, "documents"))
+    out = image_channel_stats(ppm)
+    return out.select(
+        "media_id",
+        "width",
+        F.col("height").cast("int").alias("height"),
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )

@@ -194,19 +194,27 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semantic_dedup_auto",
-    tags=("datapipe", "similarity", "dedup", "bench"),
+    tags=("datapipe", "similarity", "dedup", "bench", "repro"),
 )
 def semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PRODUCTION SemDeDup lane: cell count auto-scaled to ⌈√n⌉
-    (k=None) instead of the oracle-pinned k=16. With k fixed, cells
-    grow ∝n and the intra-cell pair stage grows ∝n² (measured 13.5×
-    time at 5× vectors — SCALE.md); with k ∝ √n the expected pair
-    count stays Θ(n), the Abbas et al. 2023 recipe. Rows-only on the
-    driver (the drop set depends on n through k, so no SF-independent
-    SQL oracle exists); `tests/test_retrieval.py` equality-tests the
-    auto-k lane against an explicit-k run at the same k, and the
-    registered oracle-pinned `sim_semantic_dedup` keeps the value-
-    level gate."""
+    """The REPRODUCIBILITY SemDeDup lane — **use
+    ``semantic_dedup_blas`` at scale**: same auto-k=⌈√n⌉ recipe, but
+    the seed-cosine assignment runs as per-row column-expression
+    folds, which reproduce the pinned-k oracle's arithmetic
+    term-by-term (bit-identical drop sets) at Θ(n·k·d) = Θ(n^1.5)
+    cost when k=⌈√n⌉. That makes this lane the equality anchor the
+    BLAS lane's tolerance-banded test pins against, NOT the lane to
+    run on a 100 TB corpus (measured 2.3× slower than the BLAS lane
+    at sf0.1, and the gap widens with n — SCALE.md).
+
+    Why auto-k at all: with k fixed, cells grow ∝n and the
+    intra-cell pair stage grows ∝n² (measured 13.5× time at 5×
+    vectors — SCALE.md); with k ∝ √n the expected pair count stays
+    Θ(n), the Abbas et al. 2023 recipe. Rows-only on the driver (the
+    drop set depends on n through k, so no SF-independent SQL oracle
+    exists); `tests/test_retrieval.py` equality-tests the auto-k
+    lane against an explicit-k run at the same k, and the registered
+    oracle-pinned `sim_semantic_dedup` keeps the value-level gate."""
     return semantic_dedup_drops(
         load_table(spark, sf_dir, "embeddings"), k=None, threshold=0.3
     )
@@ -214,10 +222,12 @@ def semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semantic_dedup_blas",
-    tags=("datapipe", "similarity", "dedup", "bench"),
+    tags=("datapipe", "similarity", "dedup", "bench", "production"),
 )
 def semantic_dedup_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup production lane with the BLAS assignment stage: same
+    """The PRODUCTION SemDeDup lane (its bit-reproducibility anchor
+    is ``semantic_dedup_auto`` — pick THIS lane at scale), with the
+    BLAS assignment stage: same
     auto-k=⌈√n⌉ recipe as ``semantic_dedup_auto``, but the
     seed-cosine assignment — the lane's one Θ(n^1.5) stage when run
     as per-row folds — executes as ONE numpy matmul per Arrow batch

@@ -615,3 +615,53 @@ def test_pagerank_contraction_on_irregular_graph(spark):
         }
         for v, pr in got.items():
             assert abs(pr - ref_t[v]) <= 1e-12, (iters, v)
+
+
+def _numpy_pagerank_directed(edges, iters):
+    """Reference STANDARD PageRank on a raw directed edge list: node
+    set = src ∪ dst, dangling (out-degree-0) mass redistributed
+    uniformly each round. Returns the final rank dict."""
+    from collections import defaultdict
+
+    import numpy as np
+
+    nodes = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    out = defaultdict(list)
+    for a, b in edges:
+        out[idx[a]].append(idx[b])
+    n = len(nodes)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dm = sum(r[i] for i in range(n) if not out[i])
+        nxt = np.full(n, 0.15 / n) + 0.85 * dm / n
+        for i in range(n):
+            if out[i]:
+                nxt[np.array(out[i], int)] += 0.85 * r[i] / len(out[i])
+        r = nxt
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_directed_sinks_and_dangling_mass(spark):
+    """r6 ADVICE (medium): on a genuinely DIRECTED edge list the node
+    set must include sink nodes (appearing only as dst) and the rank
+    mass parked on dangling nodes must be redistributed — otherwise
+    ranks leak and don't sum to 1. Graph: a chain 0→1→2 into a sink,
+    a hub 3→{2,4}, and an isolated-source edge 5→0; nodes 2 and 4 are
+    pure sinks that the old src-only node set silently dropped."""
+    from commodity_price_forecasting_spark.operators.dedup import (
+        pagerank_ranks,
+    )
+
+    edges = [(0, 1), (1, 2), (3, 2), (3, 4), (5, 0)]
+    dir_edges = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 3, 5):
+        ref = _numpy_pagerank_directed(edges, iters)
+        got = {
+            r["v"]: r["rank"]
+            for r in pagerank_ranks(dir_edges, iters=iters).collect()
+        }
+        assert set(got) == set(ref), "sink nodes must be ranked"
+        for v, pr in got.items():
+            assert abs(pr - ref[v]) <= 1e-12, (iters, v)
+        assert abs(sum(got.values()) - 1.0) <= 1e-12, iters

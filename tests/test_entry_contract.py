@@ -50,6 +50,23 @@ def test_oracle_keys_subset_of_queries():
     }
 
 
+def test_semantic_dedup_lane_tags():
+    """r6 VERDICT ask #3: lane choice at scale must be explicit in
+    the registry — the fold lane is the bit-reproducibility anchor,
+    the BLAS lane is the production path. A user picking lanes by
+    tag gets the right one."""
+    from commodity_price_forecasting_spark.plans.registry import load_all
+
+    reg = load_all()
+    assert "repro" in reg["semantic_dedup_auto"].tags
+    assert "production" not in reg["semantic_dedup_auto"].tags
+    assert "production" in reg["semantic_dedup_blas"].tags
+    assert "repro" not in reg["semantic_dedup_blas"].tags
+    # the docstrings carry the cross-reference both ways
+    assert "semantic_dedup_blas" in reg["semantic_dedup_auto"].doc
+    assert "semantic_dedup_auto" in reg["semantic_dedup_blas"].doc
+
+
 def test_oracles_are_single_statements():
     e = _load_entry()
     for name, sql in e.oracle_sql().items():

@@ -92,9 +92,16 @@ def test_metadata_query_prunes_payload(media, spark):
     assert "payload" not in plan
 
 
-def test_real_decode_is_explicit_stub_for_images():
-    with pytest.raises(NotImplementedError):
-        real_decode(b"x", "image")
+def test_real_decode_is_explicit_stub_for_compressed_only():
+    """r7: only genuinely COMPRESSED formats still raise, and each
+    media type gets its own message (r6 ADVICE: an MP3 payload must
+    not get an error about image decoding)."""
+    with pytest.raises(NotImplementedError, match="JPEG|PIL"):
+        real_decode(b"\xff\xd8\xff\xe0jpeg", "image")
+    with pytest.raises(NotImplementedError, match="non-WAV audio"):
+        real_decode(b"ID3\x04mp3 bytes", "audio")
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        real_decode(b"\x00\x00\x00 ftypmp42", "video")
 
 
 # --- real WAV codec (pure numpy RIFF/PCM parser) --------------------------
@@ -251,3 +258,228 @@ def test_audio_energy_drops_empty_clips(spark):
     )
     out = audio_window_energy(df, codec="wav").collect()
     assert [r["media_id"] for r in out] == [1]
+
+
+# --- real PPM / BMP codecs (pure numpy, r7) -------------------------------
+
+
+def test_ppm_roundtrip_and_comments():
+    import numpy as np
+
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        decode_ppm,
+        ppm_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    blob = ppm_encode(px)
+    d = decode_ppm(blob)
+    assert (d["width"], d["height"], d["channels"]) == (9, 5, 3)
+    assert np.array_equal(d["pixels"], px)
+    # a '#' comment inside the header must be skipped (netpbm spec)
+    commented = b"P6\n# made by a real tool\n9 5\n255\n" + px.tobytes()
+    assert np.array_equal(decode_ppm(commented)["pixels"], px)
+
+
+def test_ppm_rejects_bad_inputs():
+    import numpy as np
+
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        decode_ppm,
+        ppm_encode,
+    )
+
+    with pytest.raises(ValueError, match="P6"):
+        decode_ppm(b"P3\n1 1\n255\n1 2 3")  # ASCII PPM is not P6
+    with pytest.raises(ValueError, match="truncated PPM raster"):
+        decode_ppm(b"P6\n4 4\n255\n" + b"\x00" * 10)
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n1 1\n65535\n" + b"\x00" * 6)
+    with pytest.raises(ValueError, match="truncated PPM header"):
+        decode_ppm(b"P6\n1 ")
+    blob = ppm_encode(np.zeros((1, 1, 3), dtype=np.uint8))
+    assert decode_ppm(blob)["maxval"] == 255
+
+
+def test_bmp_roundtrip_with_row_padding():
+    import numpy as np
+
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        bmp_encode,
+        decode_bmp,
+    )
+
+    rng = np.random.default_rng(11)
+    # width 3 -> 9-byte rows -> 3 pad bytes per row (exercises stride)
+    px = rng.integers(0, 256, size=(4, 3, 3), dtype=np.uint8)
+    blob = bmp_encode(px)
+    d = decode_bmp(blob)
+    assert (d["width"], d["height"]) == (3, 4)
+    assert np.array_equal(d["pixels"], px)
+    # width 4 -> 12-byte rows -> no padding
+    px2 = rng.integers(0, 256, size=(2, 4, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(bmp_encode(px2))["pixels"], px2)
+
+
+def test_bmp_top_down_and_rejections():
+    import struct
+
+    import numpy as np
+
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        bmp_encode,
+        decode_bmp,
+    )
+
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    blob = bytearray(bmp_encode(px))
+    # negate height -> top-down file: raster rows are already in
+    # display order, so flip the stored body to keep the same image
+    h = struct.unpack("<i", blob[22:26])[0]
+    blob[22:26] = struct.pack("<i", -h)
+    body = bytes(blob[54:])
+    stride = len(body) // h
+    flipped = b"".join(
+        body[r * stride : (r + 1) * stride] for r in reversed(range(h))
+    )
+    d = decode_bmp(bytes(blob[:54]) + flipped)
+    assert np.array_equal(d["pixels"], px)
+    # compressed / non-24bpp files must raise
+    bad = bytearray(bmp_encode(px))
+    bad[30:34] = struct.pack("<I", 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="BI_RGB"):
+        decode_bmp(bytes(bad))
+    bad2 = bytearray(bmp_encode(px))
+    bad2[28:30] = struct.pack("<H", 8)  # paletted 8-bit
+    with pytest.raises(ValueError, match="BI_RGB"):
+        decode_bmp(bytes(bad2))
+    with pytest.raises(ValueError, match="truncated BMP raster"):
+        decode_bmp(bytes(bytearray(bmp_encode(px))[:-5]))
+
+
+def test_real_decode_dispatches_images():
+    import numpy as np
+
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        bmp_encode,
+        ppm_encode,
+    )
+
+    px = np.full((2, 3, 3), 7, dtype=np.uint8)
+    assert np.array_equal(real_decode(ppm_encode(px), "image")["pixels"], px)
+    assert np.array_equal(real_decode(bmp_encode(px), "image")["pixels"], px)
+
+
+def test_wav_pad_byte_on_odd_data_chunk():
+    """r6 ADVICE: odd-length data chunks must carry the RIFF pad byte
+    (counted in the RIFF size, not the data size)."""
+    import struct
+
+    import numpy as np
+
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        decode_wav,
+        wav_encode,
+    )
+
+    blob = wav_encode(np.array([1, 2, 3], dtype=np.uint8), bits=8)
+    assert len(blob) % 2 == 0  # padded to word boundary
+    (riff_size,) = struct.unpack("<I", blob[4:8])
+    assert riff_size == len(blob) - 8  # pad counted in RIFF size
+    di = blob.index(b"data")
+    (data_size,) = struct.unpack("<I", blob[di + 4 : di + 8])
+    assert data_size == 3  # ...but not in the data size
+    assert blob[-1:] == b"\x00"  # the pad byte itself
+    assert list(decode_wav(blob)["samples"]) == [-127, -126, -125]
+    # even-length data: no pad
+    even = wav_encode(np.array([1, 2], dtype=np.uint8), bits=8)
+    assert len(even) == 44 + 2
+
+
+def test_wav_rejects_truncated_fmt_and_overrun_chunks():
+    """r6 ADVICE: a truncated fmt chunk raises ValueError (not
+    struct.error); a chunk whose declared size overruns the payload
+    is rejected, not silently truncated."""
+    import struct
+
+    import numpy as np
+
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        decode_wav,
+        wav_encode,
+    )
+
+    # fmt chunk declaring only 10 body bytes
+    short_fmt = (
+        b"RIFF" + struct.pack("<I", 26) + b"WAVEfmt "
+        + struct.pack("<I", 10) + b"\x00" * 10
+    )
+    with pytest.raises(ValueError, match="truncated fmt chunk"):
+        decode_wav(short_fmt)
+    # data chunk size overrunning the end of the payload
+    blob = bytearray(wav_encode(np.array([1, 2], dtype=np.uint8), bits=8))
+    blob[-6:-2] = struct.pack("<I", 1000)
+    with pytest.raises(ValueError, match="overruns"):
+        decode_wav(bytes(blob))
+
+
+def test_ppm_wrap_expr_matches_ppm_encode(spark):
+    """The pure-column-expression PPM wrapper must be byte-identical
+    to the Python encoder for the same text bytes (including nb % 3
+    truncation and the nb < 3 header-only case)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        ppm_encode,
+        ppm_wrap,
+    )
+
+    texts = ["hello ppm!", "abcdef", "xy", "", "z" * 301]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    rows = {
+        r["i"]: bytes(r["blob"])
+        for r in df.select(
+            "i", ppm_wrap(F.encode(F.col("text"), "UTF-8")).alias("blob")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        raw = t.encode("utf-8")
+        w = len(raw) // 3
+        expect = (
+            ppm_encode(
+                np.frombuffer(raw[: w * 3], dtype=np.uint8).reshape(1, w, 3)
+            )
+            if w
+            else b"P6\n0 1\n255\n"
+        )
+        assert rows[i] == expect, t
+
+
+def test_image_channel_stats_drops_tiny_and_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        image_channel_stats,
+        ppm_wrap,
+    )
+
+    texts = [(1, "abcdefghi"), (2, "xy"), (3, "0123456")]
+    df = spark.createDataFrame(texts, "media_id long, text string").select(
+        "media_id",
+        F.lit("image").alias("media_type"),
+        ppm_wrap(F.encode(F.col("text"), "UTF-8")).alias("payload"),
+    )
+    out = {r["media_id"]: r.asDict() for r in image_channel_stats(df).collect()}
+    assert set(out) == {1, 3}  # the 2-byte payload (w=0) is dropped
+    for mid, t in [(1, "abcdefghi"), (3, "0123456")]:
+        raw = np.frombuffer(t.encode(), dtype=np.uint8)
+        w = len(raw) // 3
+        px = raw[: w * 3].reshape(w, 3).astype(np.int64)
+        assert out[mid]["width"] == w and out[mid]["height"] == 1
+        for j, c in enumerate(["mean_r", "mean_g", "mean_b"]):
+            assert out[mid][c] == px[:, j].sum() / w, (mid, c)

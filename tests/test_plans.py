@@ -20,6 +20,8 @@ PYTHON_OK = {
     "mm_decode_features",
     # stub-PCM windowed RMS — Arrow-batched decode, like mm_decode
     "mm_audio_energy",
+    # real-PPM channel means — Arrow-batched decode, like mm_audio (r7)
+    "mm_image_channel_stats",
     "m11_stationarity_tests",
     "m5_ar_forecast",
     "m5_sarima_forecast",

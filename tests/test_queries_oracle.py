@@ -62,6 +62,8 @@ FLOAT_HEAVY = [
     "text_source_overlap",
     "ts_asof_forward",
     "ts_asof_tolerance",
+    # r7 addition: real-PPM image decode lane
+    "mm_image_channel_stats",
 ]
 
 
