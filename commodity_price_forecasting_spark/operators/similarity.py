@@ -578,15 +578,25 @@ def semantic_dedup_drops(
     Scale shape: seed selection is a k-row TakeOrdered; assignment is
     a map-side pure-column expression over literal seed vectors (no
     shuffle); the pair stage shuffles once on ``cell`` and meets only
-    within cells (Σ|cell|² pairs — k is chosen ~√n in practice so
-    cells stay bounded, exactly the SemDeDup recipe); the final
-    dominator aggregate is map-side combinable on the dropped id.
+    within cells (Σ|cell|²/2 ≈ n²/2k pairs); the final dominator
+    aggregate is map-side combinable on the dropped id.
 
     ``k=None`` auto-scales the cell count to ⌈√n⌉ (one extra count
     job) — REQUIRED at scale: with k fixed, cells grow linearly with
     the corpus and the intra-cell pair stage grows QUADRATICALLY
-    (measured: 13.5× time for 5× vectors at k=16 — see SCALE.md);
-    with k ∝ √n, pairs stay Θ(n·√n/k)=Θ(n) per the SemDeDup recipe.
+    (measured: 13.5× time for 5× vectors at k=16 — see SCALE.md).
+    Honest accounting (corrected r7; earlier rounds claimed the pair
+    stage was Θ(n) at k=⌈√n⌉, which is wrong): with uniform cells the
+    pair count is Σ|c|²/2 ≈ n²/2k, so k=⌈√n⌉ gives a Θ(n^1.5) pair
+    stage — and since assignment costs Θ(n·k·d), k≈√n is exactly the
+    choice that MINIMIZES assignment+pairs, at Θ(n^1.5) total. That
+    is the flat-clustering optimum, not linear; measured 10× ratios
+    (SCALE.md r7) run below n^1.5 only because constants and fixed
+    overhead still dominate at these SFs. Sub-n^1.5 needs
+    hierarchical assignment (two-level IVF: Θ(n·√k)) with k ∝ n for
+    constant cell size — the shape Abbas et al. 2023 get from GPU
+    k-means — which this operator deliberately trades away for exact
+    SQL-reproducible determinism.
     The registered ``sim_semantic_dedup`` query pins k=16 so its
     ANSI-SQL oracle is SF-independent; production callers use
     auto-k.

@@ -209,8 +209,10 @@ def semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Why auto-k at all: with k fixed, cells grow ∝n and the
     intra-cell pair stage grows ∝n² (measured 13.5× time at 5×
-    vectors — SCALE.md); with k ∝ √n the expected pair count stays
-    Θ(n), the Abbas et al. 2023 recipe. Rows-only on the driver (the
+    vectors — SCALE.md); k ∝ √n is the flat-clustering optimum that
+    balances assignment (Θ(n·k·d)) against pairs (Θ(n²/k)) at
+    Θ(n^1.5) total — the honest figure, corrected r7 (see
+    ``semantic_dedup_drops``). Rows-only on the driver (the
     drop set depends on n through k, so no SF-independent SQL oracle
     exists); `tests/test_retrieval.py` equality-tests the auto-k
     lane against an explicit-k run at the same k, and the registered
@@ -229,13 +231,16 @@ def semantic_dedup_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ``semantic_dedup_auto`` — pick THIS lane at scale), with the
     BLAS assignment stage: same
     auto-k=⌈√n⌉ recipe as ``semantic_dedup_auto``, but the
-    seed-cosine assignment — the lane's one Θ(n^1.5) stage when run
-    as per-row folds — executes as ONE numpy matmul per Arrow batch
-    (``operators/similarity.assign_cells_blas``, the
+    seed-cosine assignment executes as ONE numpy matmul per Arrow
+    batch (``operators/similarity.assign_cells_blas``, the
     ``emb_covariance_mapred`` pattern; Abbas et al. 2023 hand this
     stage to BLAS/GPU). Per-row cost drops from k scalar folds to a
-    vectorized sgemm row; the intra-cell pair stage (already Θ(n)) is
-    shared code with the fold lane.
+    vectorized sgemm row. Honest asymptotics (corrected r7): both
+    the assignment (n·k·d flops) and the intra-cell pair stage
+    (n²/2k pairs) are Θ(n^1.5) at k=⌈√n⌉ — the flat-clustering
+    optimum (see ``semantic_dedup_drops``); BLAS buys a large
+    constant, not a lower exponent. The pair stage is shared code
+    with the fold lane.
 
     Rows-only on the driver (the drop set depends on n through k, as
     for the auto lane). Correctness: a tolerance-banded equality test

@@ -175,9 +175,11 @@ def test_semantic_dedup_auto_registry_lane_matches_explicit_k(spark):
 
 
 def test_semantic_dedup_auto_k_scales_with_corpus(spark):
-    """k=None must resolve to ⌈√n⌉ cells (the SemDeDup recipe that
-    keeps intra-cell pairs Θ(n)) — asserted by equality with the
-    explicit-k call on the fixture (n=500 → k=22)."""
+    """k=None must resolve to ⌈√n⌉ cells (the flat-clustering
+    optimum balancing assignment against intra-cell pairs at
+    Θ(n^1.5) total — see semantic_dedup_drops) — asserted by
+    equality with the explicit-k call on the fixture (n=500 →
+    k=22)."""
     from commodity_price_forecasting_spark.operators.similarity import (
         semantic_dedup_drops,
     )
