@@ -551,6 +551,162 @@ def assign_cells_blas(
     return vectors.select(id_col, vec_col).mapInPandas(run, schema=schema)
 
 
+def _round6(x):
+    """HALF_UP 6-dp rounding on a numpy array — sign·floor(|x|·1e6 +
+    0.5), matching Spark's BigDecimal HALF_UP away from the last-ulp
+    midpoint band (same contract as ``assign_cells_blas``)."""
+    import numpy as np
+
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+def hier_seed_tree(
+    seeds: list[tuple[int, list[float]]], k1: int
+) -> tuple[list[tuple[int, list[float]]], dict[int, list[tuple[int, list[float]]]]]:
+    """Split a flat seed list into a 2-level tree: the ``k1`` seeds
+    with the smallest ``md5(id)`` (= the FIRST k1 entries of
+    ``_semdedup_seeds``'s md5-ordered output) become COARSE centers,
+    and every seed is attached to the coarse center with the highest
+    6-dp-rounded cosine (ties to the smallest coarse id) — a
+    driver-side k×k1 numpy job (seeds are broadcast-sized by
+    construction; at k=n/C this sub-assignment is itself the
+    one-level problem at 1/C scale, so for extreme k run it as a
+    distributed ``assign_cells_blas`` pass instead).
+    Returns ``(coarse, children)`` with every coarse id owning at
+    least itself (cosine 1 to itself)."""
+    import numpy as np
+
+    coarse = seeds[:k1]
+    cs = sorted(coarse)
+    c_ids = np.array([s for s, _ in cs], dtype=np.int64)
+    C = np.array([v for _, v in cs], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    S = np.array([v for _, v in sorted(seeds)], dtype=np.float64)
+    s_ids = [s for s, _ in sorted(seeds)]
+    sims = _round6((S / np.linalg.norm(S, axis=1, keepdims=True)) @ Cn.T)
+    owner = c_ids[np.argmax(sims, axis=1)]
+    children: dict[int, list[tuple[int, list[float]]]] = {}
+    by_id = dict(sorted(seeds))
+    for sid, o in zip(s_ids, owner):
+        children.setdefault(int(o), []).append((sid, by_id[sid]))
+    return cs, children
+
+
+def assign_cells_hier(
+    vectors: DataFrame,
+    seeds: list[tuple[int, list[float]]],
+    k1: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """TWO-LEVEL seed-cosine cell assignment (the IVF shape): per
+    Arrow batch, one sgemm against the k1 coarse centers picks each
+    row's coarse cell, then one sgemm per coarse group present in the
+    batch picks the final cell among that center's children — total
+    Θ(n·(k1 + k/k1)·d) flops instead of the flat Θ(n·k·d), i.e.
+    Θ(n·√k·d) at k1=⌈√k⌉. With k ∝ n (constant cell size C, pair
+    stage Θ(n·C)) that is Θ(n^1.5·d/√C): the EXPONENT matches the
+    flat-√n lane, but the constant shrinks by √C and every flop is
+    sgemm — honest framing, r7. Truly sub-n^1.5 routing needs a
+    deeper tree (L levels: Θ(n·L·k^{1/L}·d); L=log k → Θ(n·d·log n))
+    — straightforward to stack on this 2-level primitive, at one
+    more routing approximation per level.
+
+    Same per-level determinism contract as ``assign_cells_blas``
+    (6-dp HALF_UP cosines, argmax ties to the smallest seed id).
+    NOTE the semantics differ from flat assignment BY DESIGN: the
+    final cell is the best child OF THE WINNING COARSE CENTER, which
+    for a boundary vector may not be its globally-best seed — the
+    recall/cost trade every IVF makes. ``_cent`` is the cosine to
+    the FINAL cell's seed. Returns ``(_vid, _emb, cell, _cent)``."""
+    import numpy as np
+
+    coarse, children = hier_seed_tree(seeds, k1)
+    c_ids = np.array([s for s, _ in coarse], dtype=np.int64)
+    C = np.array([v for _, v in coarse], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+    sub_ids = {
+        o: np.array([s for s, _ in sorted(ch)], dtype=np.int64)
+        for o, ch in children.items()
+    }
+    sub_mats = {}
+    for o, ch in children.items():
+        S = np.array([v for _, v in sorted(ch)], dtype=np.float64)
+        sub_mats[o] = S / np.linalg.norm(S, axis=1, keepdims=True)
+    elem = vectors.schema[vec_col].dataType.simpleString()
+    schema = f"_vid long, _emb {elem}, cell long, _cent double"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            coarse_pick = c_ids[np.argmax(_round6(Mn @ Cn.T), axis=1)]
+            cell = np.empty(len(Mn), dtype=np.int64)
+            cent = np.empty(len(Mn), dtype=np.float64)
+            for o in np.unique(coarse_pick):
+                m = coarse_pick == o
+                sims = _round6(Mn[m] @ sub_mats[int(o)].T)
+                idx = np.argmax(sims, axis=1)
+                cell[m] = sub_ids[int(o)][idx]
+                cent[m] = sims[np.arange(len(idx)), idx]
+            yield pd.DataFrame(
+                {
+                    "_vid": pdf[id_col].values,
+                    "_emb": pdf[vec_col].values,
+                    "cell": cell,
+                    "_cent": cent,
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+
+def semantic_dedup_hier_drops(
+    vectors: DataFrame,
+    cell_size: int = 32,
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup with k ∝ n — the constant-cell-size lane the r7
+    SCALE.md analysis calls for: k = max(16, ⌈n/cell_size⌉) seeds
+    keep the EXPECTED cell size constant, so the intra-cell pair
+    stage is Θ(n·cell_size) = Θ(n) — the stage that dominates the
+    flat lanes' wall-clock goes linear. The two-level assignment
+    (``assign_cells_hier``, k1 = ⌈√k⌉) costs Θ(n·√k·d) =
+    Θ(n^1.5·d/√C) sgemm flops — same exponent as the flat-√n lane
+    with a √C-smaller constant (see ``assign_cells_hier`` for the
+    honest accounting and the deeper-tree path to sub-n^1.5). This
+    is the shape Abbas et al. 2023 run at production scale (their
+    k-means IS a hierarchical quantizer on GPU).
+
+    Trade, stated plainly: hierarchical routing is the IVF
+    approximation — a boundary vector can land in the best child of
+    the wrong coarse cell, so the drop set is NOT identical to the
+    flat lanes' (the flat k=⌈√n⌉ lanes and the pinned-k oracle
+    remain the exactness anchors; tests pin this lane against a
+    whole-corpus numpy twin of the SAME two-level rule instead).
+    Drop semantics within a cell are shared code
+    (``_drops_from_assigned``)."""
+    import math
+
+    n = vectors.count()
+    k = max(16, math.ceil(n / cell_size))
+    k1 = max(1, math.isqrt(k - 1) + 1) if k > 1 else 1
+    seeds = _semdedup_seeds(vectors, k, vec_col, id_col)
+    return _drops_from_assigned(
+        assign_cells_hier(vectors, seeds, k1, vec_col, id_col),
+        threshold,
+        id_col,
+    )
+
+
 def semantic_dedup_drops(
     vectors: DataFrame,
     k: int | None = 16,
@@ -611,10 +767,24 @@ def semantic_dedup_drops(
         raise ValueError(f"assign must be fold|blas: {assign}")
     seeds = _semdedup_seeds(vectors, k, vec_col, id_col)
     assigner = assign_cells_blas if assign == "blas" else assign_cells_fold
+    return _drops_from_assigned(
+        assigner(vectors, seeds, vec_col, id_col), threshold, id_col
+    )
+
+
+def _drops_from_assigned(
+    assigned_lazy: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """The SemDeDup pair/drop stage, shared by every assignment lane
+    (fold / BLAS / hierarchical): within each final cell, a vector is
+    dropped iff some partner with pair-cosine ≥ threshold precedes it
+    under (cent_cos ASC, id ASC). Input schema
+    ``(_vid, _emb, cell, _cent)``; one shuffle on ``cell``."""
     # persist: the self-join consumes the assignment on BOTH sides —
     # without it the n·k seed-cosine pass runs twice (measured 2× the
     # stage cost at 10k vectors, SCALE.md)
-    assigned = assigner(vectors, seeds, vec_col, id_col).persist()
+    assigned = assigned_lazy.persist()
+    threshold = float(threshold)
     a = assigned.select(
         F.col("_vid").alias("_ida"),
         F.col("_emb").alias("_ea"),

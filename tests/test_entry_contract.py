@@ -40,6 +40,9 @@ def test_oracle_keys_subset_of_queries():
     # semantic_dedup_blas (r6): same production lane with the BLAS
     # assignment stage — rows-only for the same reason; tolerance-
     # banded equality to the fold lane in tests/test_retrieval.py
+    # semantic_dedup_hier (r7): k ∝ n two-level lane — rows-only for
+    # the same n-dependence reason; pinned against a whole-corpus
+    # numpy twin of the two-level rule in tests/test_retrieval.py
     assert rows_only <= {
         "m6_ensemble_weights",
         "m11_stationarity_tests",
@@ -47,6 +50,7 @@ def test_oracle_keys_subset_of_queries():
         "m13_shap_tree",
         "semantic_dedup_auto",
         "semantic_dedup_blas",
+        "semantic_dedup_hier",
     }
 
 

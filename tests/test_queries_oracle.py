@@ -62,8 +62,10 @@ FLOAT_HEAVY = [
     "text_source_overlap",
     "ts_asof_forward",
     "ts_asof_tolerance",
-    # r7 addition: real-PPM image decode lane
+    # r7 additions: real-PPM image decode lane; the k∝n two-level
+    # SemDeDup lane rides along as an sf0.01 execution smoke
     "mm_image_channel_stats",
+    "semantic_dedup_hier",
 ]
 
 

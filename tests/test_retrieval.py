@@ -362,3 +362,151 @@ def test_er_expansion_join_splits_under_aqe_skew(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _hier_numpy_twin(seeds, vecs, k1, threshold=0.3):
+    """Whole-corpus numpy twin of the two-level SemDeDup rule
+    (hier_seed_tree + assign_cells_hier + the shared drop stage):
+    coarse = first k1 md5-ordered seeds; every seed attaches to its
+    best coarse center; every vector routes coarse → child; within a
+    final cell, a vector is dropped iff a partner with in-order
+    pair-cosine ≥ threshold precedes it under (cent ASC, id ASC).
+    Pair cosines accumulate IN ELEMENT ORDER (math.fsum-free plain
+    sum) to mirror the JVM expression fold bit-for-bit."""
+    import numpy as np
+
+    def r6(x):
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    coarse = sorted(seeds[:k1])
+    c_ids = np.array([s for s, _ in coarse])
+    Cn = np.array([v for _, v in coarse], dtype=np.float64)
+    Cn = Cn / np.linalg.norm(Cn, axis=1, keepdims=True)
+    S = np.array([v for _, v in sorted(seeds)], dtype=np.float64)
+    s_ids = [s for s, _ in sorted(seeds)]
+    owner = c_ids[np.argmax(r6((S / np.linalg.norm(S, axis=1, keepdims=True)) @ Cn.T), axis=1)]
+    children = {}
+    by_id = dict(sorted(seeds))
+    for sid, o in zip(s_ids, owner):
+        children.setdefault(int(o), []).append(sid)
+
+    assign = {}
+    for vid, v in sorted(vecs.items()):
+        a = np.asarray(v, dtype=np.float64)
+        an = a / np.linalg.norm(a)
+        co = c_ids[int(np.argmax(r6(an @ Cn.T)))]
+        ch = sorted(children[int(co)])
+        sub = np.array([by_id[s] for s in ch], dtype=np.float64)
+        sub = sub / np.linalg.norm(sub, axis=1, keepdims=True)
+        sims = r6(an @ sub.T)
+        j = int(np.argmax(sims))
+        assign[vid] = (int(ch[j]), float(sims[j]))
+
+    def pair_cos(a, b):
+        import math
+
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        c = dot / (na * nb)
+        return math.copysign(math.floor(abs(c) * 1e6 + 0.5) / 1e6, c)
+
+    drops = {}
+    cells = {}
+    for vid, (cell, cent) in assign.items():
+        cells.setdefault(cell, []).append((cent, vid))
+    for cell, members in cells.items():
+        members.sort()
+        for i, (cent_b, vid_b) in enumerate(members):
+            doms = [
+                vid_a
+                for cent_a, vid_a in members[:i]
+                if pair_cos(vecs[vid_a], vecs[vid_b]) >= threshold
+            ]
+            if doms:
+                drops[vid_b] = (cell, cent_b, len(doms), min(doms))
+    return assign, drops
+
+
+def test_semantic_dedup_hier_matches_numpy_twin(spark):
+    """r7: the registered hierarchical lane's drop set must equal a
+    whole-corpus numpy twin of the SAME two-level rule (seed tree,
+    coarse→child routing, shared drop semantics) — the exactness
+    pin for the one lane whose routing is deliberately approximate
+    relative to flat assignment."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        _semdedup_seeds,
+    )
+    from commodity_price_forecasting_spark.sources.readers import load_table
+
+    import math
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    vecs = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    n = len(vecs)
+    k = max(16, math.ceil(n / 32))
+    k1 = max(1, math.isqrt(k - 1) + 1) if k > 1 else 1
+    seeds = _semdedup_seeds(emb, k, "embedding", "vec_id")
+    _, want = _hier_numpy_twin(seeds, vecs, k1)
+
+    got = {
+        int(r["vec_id"]): (
+            int(r["cell"]),
+            r["cent_cos"],
+            int(r["n_dominators"]),
+            int(r["first_keeper"]),
+        )
+        for r in REGISTRY["semantic_dedup_hier"].fn(spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(want)
+    for vid, (cell, cent, nd, fk) in want.items():
+        g = got[vid]
+        assert g[0] == cell and g[2] == nd and g[3] == fk, vid
+        assert abs(g[1] - cent) < 5e-7, vid  # 6-dp-rounded on both sides
+
+
+def test_hier_tree_invariants(spark):
+    """Every coarse center owns itself; every vector's final cell is
+    a child of its coarse pick; the tree partitions the seed set."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        _semdedup_seeds,
+        hier_seed_tree,
+    )
+    from commodity_price_forecasting_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    seeds = _semdedup_seeds(emb, 25, "embedding", "vec_id")
+    coarse, children = hier_seed_tree(seeds, 5)
+    c_ids = {s for s, _ in coarse}
+    assert len(c_ids) == 5
+    for o in c_ids:
+        assert o in {s for s, _ in children.get(o, [])}, "coarse owns itself"
+    all_children = [s for ch in children.values() for s, _ in ch]
+    assert sorted(all_children) == sorted(s for s, _ in seeds)
+    assert set(children) <= c_ids
+
+
+def test_hier_assignment_plan_is_single_mapinpandas(spark):
+    """Like the BLAS lane: the two-level assignment must be ONE
+    Arrow-batched MapInPandas over the scan with no shuffle of its
+    own — the lane's only shuffle stays the pair stage."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        _semdedup_seeds,
+        assign_cells_hier,
+    )
+    from commodity_price_forecasting_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    seeds = _semdedup_seeds(emb, 25, "embedding", "vec_id")
+    plan = (
+        assign_cells_hier(emb, seeds, 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan

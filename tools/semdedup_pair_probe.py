@@ -28,15 +28,29 @@ from commodity_price_forecasting_spark.sources.readers import load_table
 def main() -> None:
     spark = get_spark(app_name="semdedup-pair-probe", master="local[8]",
                       shuffle_partitions=8)
-    for sf_dir in sys.argv[1:]:
+    args = list(sys.argv[1:])
+    cell_size = None
+    if "--hier" in args:  # k = ceil(n/C) two-level lane instead of flat sqrt(n)
+        i = args.index("--hier")
+        cell_size = int(args[i + 1])
+        del args[i : i + 2]
+    for sf_dir in args:
         emb = load_table(spark, sf_dir, "embeddings")
         n = emb.count()
-        k = max(16, math.isqrt(n))
-        seeds = _semdedup_seeds(emb, k, "embedding", "vec_id")
-        sizes = (
-            assign_cells_blas(emb, seeds)
-            .groupBy("cell").agg(F.count(F.lit(1)).alias("c"))
-        )
+        if cell_size:
+            from commodity_price_forecasting_spark.operators.similarity import (
+                assign_cells_hier,
+            )
+
+            k = max(16, math.ceil(n / cell_size))
+            k1 = max(1, math.isqrt(k - 1) + 1) if k > 1 else 1
+            seeds = _semdedup_seeds(emb, k, "embedding", "vec_id")
+            assigned = assign_cells_hier(emb, seeds, k1)
+        else:
+            k = max(16, math.isqrt(n))
+            seeds = _semdedup_seeds(emb, k, "embedding", "vec_id")
+            assigned = assign_cells_blas(emb, seeds)
+        sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("c"))
         row = sizes.agg(
             F.count(F.lit(1)).alias("cells"),
             F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("pairs"),
