@@ -474,6 +474,65 @@ def ppm_media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def resize_pixels(pixels, width: int, height: int):
+    """Nearest-neighbor resample of an (H, W, 3) array to
+    (height, width, 3): target cell (r2, c2) reads source cell
+    (⌊r2·H/height⌋, ⌊c2·W/width⌋) — the standard NN rule, exactly
+    reproducible in integer arithmetic (so a SQL oracle can re-derive
+    every output pixel)."""
+    import numpy as np
+
+    a = np.asarray(pixels)
+    h, w = a.shape[0], a.shape[1]
+    if h == 0 or w == 0:
+        raise ValueError("cannot resize an empty image")
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return a[rows][:, cols]
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """REAL image resize for the decodable containers: decode (PPM or
+    BMP by magic byte), nearest-neighbor resample, re-encode in the
+    SAME container format. Raises NotImplementedError for compressed
+    formats (via ``real_decode``)."""
+    d = real_decode(payload, "image")
+    out = resize_pixels(d["pixels"], width, height)
+    if payload[:2] == b"P6":
+        return ppm_encode(out)
+    return bmp_encode(out)
+
+
+def resize_media_real(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Real resize over a binary image column via ``mapInPandas`` —
+    the codec-backed counterpart of ``resize_stub`` (which only
+    rewrites metadata): each payload is decoded, NN-resampled and
+    re-encoded INSIDE the executor; non-image rows pass through
+    untouched so the operator composes with mixed-media frames.
+    Output schema: (media_id, media_type, payload)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mt, p in zip(pdf["media_type"], pdf["payload"]):
+                if mt == "image":
+                    out.append(resize_image(bytes(p), width, height))
+                else:
+                    out.append(bytes(p) if p is not None else None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "media_type": pdf["media_type"].values,
+                    "payload": out,
+                }
+            )
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        run,
+        schema="media_id long, media_type string, payload binary",
+    )
+
+
 IMAGE_STATS_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

@@ -279,3 +279,66 @@ def mm_image_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_g", 6).alias("mean_g"),
         F.round("mean_b", 6).alias("mean_b"),
     )
+
+
+_RESIZE_REAL_ORACLE = """
+WITH img AS (
+  SELECT doc_id, text,
+         CAST(octet_length(encode(text)) // 3 AS BIGINT) AS w
+  FROM documents
+  WHERE doc_id % 3 = 0 AND octet_length(encode(text)) >= 3
+), ch AS (
+  SELECT doc_id,
+         list_transform(range(0, 8), j ->
+           CAST(ascii(substr(text, CAST(3*((j*w)//8)+1 AS INTEGER), 1)) AS BIGINT)) AS r,
+         list_transform(range(0, 8), j ->
+           CAST(ascii(substr(text, CAST(3*((j*w)//8)+2 AS INTEGER), 1)) AS BIGINT)) AS g,
+         list_transform(range(0, 8), j ->
+           CAST(ascii(substr(text, CAST(3*((j*w)//8)+3 AS INTEGER), 1)) AS BIGINT)) AS b
+  FROM img
+)
+SELECT doc_id AS media_id, 8 AS width, 1 AS height,
+       ROUND(list_reduce(list_prepend(CAST(0 AS BIGINT), r), (a, b) -> a + b)
+             * 1.0 / 8, 6) AS mean_r,
+       ROUND(list_reduce(list_prepend(CAST(0 AS BIGINT), g), (a, b) -> a + b)
+             * 1.0 / 8, 6) AS mean_g,
+       ROUND(list_reduce(list_prepend(CAST(0 AS BIGINT), b), (a, b) -> a + b)
+             * 1.0 / 8, 6) AS mean_b
+FROM ch
+"""
+
+
+@register(
+    "mm_image_resize_stats",
+    oracle=_RESIZE_REAL_ORACLE,
+    tags=("multimodal", "udf"),
+)
+def mm_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize end-to-end (r7): every PPM payload is
+    decoded, nearest-neighbor-resampled to 8×1 and RE-ENCODED inside
+    the executor (``operators/multimodal.resize_media_real`` — the
+    codec-backed counterpart of the metadata-only ``resize_stub``),
+    then channel means run over the RESIZED containers. The NN rule
+    (target col j reads source col ⌊j·w/8⌋) is pure integer
+    arithmetic, so the DuckDB oracle re-derives every resampled pixel
+    from the text bytes and the means match bit-for-bit — a full SQL
+    oracle over a two-stage binary-payload pipeline."""
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        image_channel_stats,
+        ppm_media_from_documents,
+        resize_media_real,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.octet_length(F.encode(F.col("text"), "UTF-8")) >= 3
+    )
+    resized = resize_media_real(ppm_media_from_documents(docs), 8, 1)
+    out = image_channel_stats(resized)
+    return out.select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )

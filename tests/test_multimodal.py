@@ -483,3 +483,91 @@ def test_image_channel_stats_drops_tiny_and_matches_numpy(spark):
         assert out[mid]["width"] == w and out[mid]["height"] == 1
         for j, c in enumerate(["mean_r", "mean_g", "mean_b"]):
             assert out[mid][c] == px[:, j].sum() / w, (mid, c)
+
+
+# --- real NN resize (r7) --------------------------------------------------
+
+
+def test_resize_pixels_nn_rule():
+    import numpy as np
+
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        resize_pixels,
+    )
+
+    px = np.arange(2 * 4 * 3, dtype=np.uint8).reshape(2, 4, 3)
+    up = resize_pixels(px, 8, 4)  # 2x upsample: each cell duplicated
+    assert up.shape == (4, 8, 3)
+    for r2 in range(4):
+        for c2 in range(8):
+            assert (up[r2, c2] == px[r2 // 2, c2 // 2]).all()
+    down = resize_pixels(px, 2, 1)  # floor rule: cols 0 and 2, row 0
+    assert down.shape == (1, 2, 3)
+    assert (down[0, 0] == px[0, 0]).all()
+    assert (down[0, 1] == px[0, 2]).all()
+    with pytest.raises(ValueError, match="empty"):
+        resize_pixels(np.zeros((1, 0, 3), dtype=np.uint8), 4, 4)
+
+
+def test_resize_image_keeps_container_format():
+    import numpy as np
+
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        bmp_encode,
+        decode_bmp,
+        decode_ppm,
+        ppm_encode,
+        resize_image,
+    )
+
+    px = np.arange(3 * 5 * 3, dtype=np.uint8).reshape(3, 5, 3)
+    out_ppm = resize_image(ppm_encode(px), 10, 6)
+    assert out_ppm[:2] == b"P6"
+    d = decode_ppm(out_ppm)
+    assert (d["width"], d["height"]) == (10, 6)
+    assert (d["pixels"][0, 0] == px[0, 0]).all()
+    out_bmp = resize_image(bmp_encode(px), 2, 2)
+    assert out_bmp[:2] == b"BM"
+    d2 = decode_bmp(out_bmp)
+    assert (d2["width"], d2["height"]) == (2, 2)
+    # NN: (r2,c2) reads (floor(r2*3/2), floor(c2*5/2))
+    assert (d2["pixels"][1, 1] == px[1, 2]).all()
+
+
+def test_resize_media_real_passthrough_non_images(spark):
+    from pyspark.sql import functions as F
+
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        ppm_wrap,
+        resize_media_real,
+        wav_wrap,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "audio", "abc"), (2, "image", "rgbRGBrgb")],
+        "media_id long, media_type string, text string",
+    ).select(
+        "media_id",
+        "media_type",
+        F.when(
+            F.col("media_type") == "audio",
+            wav_wrap(F.encode(F.col("text"), "UTF-8")),
+        )
+        .otherwise(ppm_wrap(F.encode(F.col("text"), "UTF-8")))
+        .alias("payload"),
+    )
+    rows = {
+        r["media_id"]: bytes(r["payload"])
+        for r in resize_media_real(df, 2, 1).collect()
+    }
+    assert rows[1][:4] == b"RIFF"  # audio untouched
+    assert rows[2][:2] == b"P6"  # image resized, still PPM
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        decode_ppm,
+    )
+
+    d = decode_ppm(rows[2])
+    assert (d["width"], d["height"]) == (2, 1)
+    # source "rgbRGBrgb" -> 3 px; NN cols (0*3)//2=0, (1*3)//2=1
+    assert [chr(c) for c in d["pixels"][0, 0]] == ["r", "g", "b"]
+    assert [chr(c) for c in d["pixels"][0, 1]] == ["R", "G", "B"]

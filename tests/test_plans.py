@@ -22,6 +22,8 @@ PYTHON_OK = {
     "mm_audio_energy",
     # real-PPM channel means — Arrow-batched decode, like mm_audio (r7)
     "mm_image_channel_stats",
+    # real NN resize + re-encode, then decode — two chained mapInPandas (r7)
+    "mm_image_resize_stats",
     "m11_stationarity_tests",
     "m5_ar_forecast",
     "m5_sarima_forecast",

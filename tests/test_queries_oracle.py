@@ -62,9 +62,11 @@ FLOAT_HEAVY = [
     "text_source_overlap",
     "ts_asof_forward",
     "ts_asof_tolerance",
-    # r7 additions: real-PPM image decode lane; the k∝n two-level
+    # r7 additions: real-PPM image decode + resize lanes; the k∝n
+    # two-level
     # SemDeDup lane rides along as an sf0.01 execution smoke
     "mm_image_channel_stats",
+    "mm_image_resize_stats",
     "semantic_dedup_hier",
 ]
 
