@@ -507,18 +507,32 @@ def resize_media_real(media: DataFrame, width: int, height: int) -> DataFrame:
     """Real resize over a binary image column via ``mapInPandas`` —
     the codec-backed counterpart of ``resize_stub`` (which only
     rewrites metadata): each payload is decoded, NN-resampled and
-    re-encoded INSIDE the executor; non-image rows pass through
-    untouched so the operator composes with mixed-media frames.
-    Output schema: (media_id, media_type, payload)."""
+    re-encoded INSIDE the executor; non-image rows, NULL payloads and
+    zero-pixel containers pass through untouched so the operator
+    composes with mixed-media frames and dirty corpora (the stats
+    consumer drops what it cannot use). Compressed-format payloads
+    still raise — a codec gap is a caller error, not a data edge
+    case. Output schema: (media_id, media_type, payload)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:
             out = []
             for mt, p in zip(pdf["media_type"], pdf["payload"]):
-                if mt == "image":
-                    out.append(resize_image(bytes(p), width, height))
-                else:
+                if mt != "image" or p is None:
+                    # non-image rows and NULL payloads pass through
                     out.append(bytes(p) if p is not None else None)
+                    continue
+                blob = bytes(p)
+                try:
+                    out.append(resize_image(blob, width, height))
+                except ValueError:
+                    # un-resizable (zero-pixel) container: pass through
+                    # unchanged rather than kill the executor — the
+                    # channel-stats consumer drops it anyway (r7
+                    # self-review finding #2). Compressed-format
+                    # NotImplementedError still propagates: that is a
+                    # caller error, not a data edge case.
+                    out.append(blob)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,
@@ -568,6 +582,8 @@ def image_channel_stats(media: DataFrame) -> DataFrame:
                 "mean_b": [],
             }
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue  # NULL payload: no stats row (drop semantics)
                 d = real_decode(bytes(p), "image")
                 h, w = d["height"], d["width"]
                 if h * w == 0:
@@ -721,6 +737,8 @@ def audio_window_energy(
                 "doc_rms": [],
             }
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue  # NULL payload: no row (oracle drop semantics)
                 if codec == "wav":
                     arr = decode_wav(p)["samples"]
                 else:

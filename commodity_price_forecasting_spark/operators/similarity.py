@@ -536,8 +536,7 @@ def assign_cells_blas(
             M = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            C = (M @ Sn.T) / np.linalg.norm(M, axis=1, keepdims=True)
-            C = np.sign(C) * np.floor(np.abs(C) * 1e6 + 0.5) / 1e6
+            C = _round6((M @ Sn.T) / np.linalg.norm(M, axis=1, keepdims=True))
             idx = np.argmax(C, axis=1)
             yield pd.DataFrame(
                 {
@@ -549,6 +548,13 @@ def assign_cells_blas(
             )
 
     return vectors.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+
+#: largest seed count the hierarchical lane will hold driver-side
+#: (k·d doubles collected + k×√k tree matmul + closure shipping);
+#: ~2M seeds · 64 dims ≈ 1 GiB of float64 — a deliberate refusal
+#: point well before driver OOM (see semantic_dedup_hier_drops)
+MAX_DRIVER_SEEDS = 1 << 21
 
 
 def _round6(x):
@@ -578,6 +584,7 @@ def hier_seed_tree(
 
     coarse = seeds[:k1]
     cs = sorted(coarse)
+    coarse_ids = {s for s, _ in cs}
     c_ids = np.array([s for s, _ in cs], dtype=np.int64)
     C = np.array([v for _, v in cs], dtype=np.float64)
     Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
@@ -588,7 +595,16 @@ def hier_seed_tree(
     children: dict[int, list[tuple[int, list[float]]]] = {}
     by_id = dict(sorted(seeds))
     for sid, o in zip(s_ids, owner):
-        children.setdefault(int(o), []).append((sid, by_id[sid]))
+        # a coarse center ALWAYS owns itself — without this override, a
+        # coarse seed whose 6-dp cosine to ANOTHER coarse center rounds
+        # to 1.0 (near-duplicate seeds — exactly what a dedup corpus
+        # contains) would attach there via the smallest-id tie rule,
+        # leaving its own cell childless while data vectors can still
+        # route to it at level 1 → KeyError in assign_cells_hier
+        # (r7 self-review finding #1)
+        children.setdefault(
+            sid if sid in coarse_ids else int(o), []
+        ).append((sid, by_id[sid]))
     return cs, children
 
 
@@ -693,11 +709,29 @@ def semantic_dedup_hier_drops(
     remain the exactness anchors; tests pin this lane against a
     whole-corpus numpy twin of the SAME two-level rule instead).
     Drop semantics within a cell are shared code
-    (``_drops_from_assigned``)."""
+    (``_drops_from_assigned``).
+
+    **Driver-memory contract (r7 self-review finding #3).** With
+    k ∝ n, the seed list is NOT broadcast-sized by construction: the
+    driver collects k·d doubles, runs the k×k1 tree matmul, and the
+    seed tree rides the mapInPandas closure into every task. At
+    d=64, C=32 that is ~16 bytes·d·n/32 ≈ n·32 bytes of driver/task
+    state — fine to ~10⁸ vectors on a 24 GiB driver, NOT fine at
+    10¹⁰. The guard below refuses past ``MAX_DRIVER_SEEDS`` instead
+    of OOM-ing mid-job; the documented path beyond it is to make the
+    routing itself distributed (seed sub-assignment as an
+    ``assign_cells_blas`` pass over the seed table, level-2 as a
+    shuffle join on the coarse id — same math, no driver state)."""
     import math
 
     n = vectors.count()
     k = max(16, math.ceil(n / cell_size))
+    if k > MAX_DRIVER_SEEDS:
+        raise ValueError(
+            f"semantic_dedup_hier_drops: k={k} seeds exceed the "
+            f"driver-side tree bound ({MAX_DRIVER_SEEDS}); distribute "
+            "the seed routing (see docstring) or raise cell_size"
+        )
     k1 = max(1, math.isqrt(k - 1) + 1) if k > 1 else 1
     seeds = _semdedup_seeds(vectors, k, vec_col, id_col)
     return _drops_from_assigned(

@@ -571,3 +571,68 @@ def test_resize_media_real_passthrough_non_images(spark):
     # source "rgbRGBrgb" -> 3 px; NN cols (0*3)//2=0, (1*3)//2=1
     assert [chr(c) for c in d["pixels"][0, 0]] == ["r", "g", "b"]
     assert [chr(c) for c in d["pixels"][0, 1]] == ["R", "G", "B"]
+
+
+def test_resize_and_stats_survive_null_and_tiny_payloads(spark):
+    """r7 self-review finding #2: NULL payloads and zero-pixel
+    containers must not kill the executor — resize passes them
+    through, the stats consumers drop them."""
+    from pyspark.sql import functions as F
+
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        audio_window_energy,
+        image_channel_stats,
+        ppm_wrap,
+        resize_media_real,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "image", "abcdefghi"), (2, "image", "xy"), (3, "image", None)],
+        "media_id long, media_type string, text string",
+    ).select(
+        "media_id",
+        "media_type",
+        F.when(
+            F.col("text").isNotNull(),
+            ppm_wrap(F.encode(F.col("text"), "UTF-8")),
+        ).alias("payload"),
+    )
+    resized = resize_media_real(df, 2, 1)
+    rows = {r["media_id"]: r["payload"] for r in resized.collect()}
+    assert rows[3] is None  # null passthrough
+    assert bytes(rows[2]) == b"P6\n0 1\n255\n"  # zero-pixel passthrough
+    stats = image_channel_stats(resized).collect()
+    assert [r["media_id"] for r in stats] == [1]  # only the real image
+    # audio: null payload produces no row, no crash
+    adf = spark.createDataFrame(
+        [(7, "audio", None)], "media_id long, media_type string, payload binary"
+    )
+    assert audio_window_energy(adf, codec="wav").collect() == []
+
+
+def test_hier_refuses_oversized_driver_seed_tree(spark):
+    """r7 self-review finding #3: past MAX_DRIVER_SEEDS the lane must
+    refuse with a clear message instead of OOM-ing the driver."""
+    import pytest as _pytest
+
+    from commodity_price_forecasting_spark.operators.multimodal import (  # noqa: F401
+        ppm_wrap,
+    )
+    from commodity_price_forecasting_spark.operators.similarity import (
+        semantic_dedup_hier_drops,
+    )
+    from commodity_price_forecasting_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with _pytest.raises(ValueError, match="driver-side tree bound"):
+        # cell_size tiny enough that k = ceil(n / cell_size) can't
+        # exceed the bound on a 500-row fixture — so shrink the bound
+        # via monkeypatched constant instead of a giant corpus
+        import commodity_price_forecasting_spark.operators.similarity as sim
+
+        old = sim.MAX_DRIVER_SEEDS
+        sim.MAX_DRIVER_SEEDS = 4
+        try:
+            semantic_dedup_hier_drops(emb, cell_size=2)
+        finally:
+            sim.MAX_DRIVER_SEEDS = old

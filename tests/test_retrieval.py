@@ -387,8 +387,10 @@ def _hier_numpy_twin(seeds, vecs, k1, threshold=0.3):
     owner = c_ids[np.argmax(r6((S / np.linalg.norm(S, axis=1, keepdims=True)) @ Cn.T), axis=1)]
     children = {}
     by_id = dict(sorted(seeds))
+    coarse_ids = {s for s, _ in coarse}
     for sid, o in zip(s_ids, owner):
-        children.setdefault(int(o), []).append(sid)
+        # coarse centers own themselves (mirrors hier_seed_tree)
+        children.setdefault(sid if sid in coarse_ids else int(o), []).append(sid)
 
     assign = {}
     for vid, v in sorted(vecs.items()):
@@ -510,3 +512,45 @@ def test_hier_assignment_plan_is_single_mapinpandas(spark):
     assert "MapInPandas" in plan
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_hier_near_duplicate_coarse_seeds_stay_routable(spark):
+    """r7 self-review finding #1: two coarse seeds whose mutual
+    cosine rounds to 1.0 at 6 dp (near-duplicate seeds — the very
+    input a dedup corpus contains) must BOTH keep their own cell:
+    without the coarse-owns-itself override, the larger-id center
+    becomes childless while data vectors can still route to it at
+    level 1, and assignment dies with a KeyError."""
+    import math
+
+    import numpy as np
+
+    from commodity_price_forecasting_spark.operators.similarity import (
+        assign_cells_hier,
+        hier_seed_tree,
+    )
+
+    # seeds 1 and 2 are ~0.9999996-cosine near-duplicates (rounds to
+    # 1.0); seeds 3 and 4 point elsewhere so k1=2 picks 1,2 as coarse
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    seeds = [
+        (1, unit(0.0)),
+        (2, unit(0.0009)),
+        (3, unit(1.2)),
+        (4, unit(2.1)),
+    ]
+    coarse, children = hier_seed_tree(seeds, 2)
+    assert {s for s, _ in coarse} == {1, 2}
+    for o in (1, 2):
+        assert o in {s for s, _ in children[o]}, "coarse must own itself"
+    # a vector strictly closer to seed 2 than seed 1 after rounding
+    rows = [(10, unit(0.002)), (11, unit(1.19)), (12, unit(2.09))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["_vid"]: r["cell"]
+        for r in assign_cells_hier(df, seeds, 2).collect()
+    }
+    assert got[10] == 2  # routes to the near-duplicate center, no crash
+    assert got[11] == 3 and got[12] == 4
