@@ -580,10 +580,17 @@ def pagerank_ranks(dir_edges: DataFrame, iters: int = 3) -> DataFrame:
     0.85^t · δ₁; and on the LSH CANDIDATE graph specifically the
     components are near-cliques (every bucket is a clique), where the
     uniform init is already stationary — measured δ after round 1 is
-    ~1e-17 at sf0.001 AND sf0.01. A convergence-loop caller on an
-    irregular graph raises ``iters`` and checkpoints per round like
-    the connected-components loop (the lazy plan doubles per round:
-    ranks feeds both the contributions join and the dangling sum)."""
+    ~1e-17 at sf0.001 AND sf0.01.
+
+    Plan shape (r7 self-review): graphs with NO dangling nodes — any
+    symmetrized edge list, like the registered query's — skip the
+    dangling aggregate entirely (one cheap isEmpty probe on the
+    cached base decides), keeping the fully LAZY single-chain plan.
+    Graphs WITH sinks need the per-round dangling sum, which consumes
+    ``ranks`` twice; to stop the 2^iters lazy-plan blowup that path
+    cuts lineage per round with ``localCheckpoint`` (eager, like the
+    connected-components loop — measured 2.3× wall on the registered
+    query when the dangling sum was left lazy on it)."""
     deg = dir_edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     nodes = (
         dir_edges.select(F.col("src").alias("v"))
@@ -597,35 +604,37 @@ def pagerank_ranks(dir_edges: DataFrame, iters: int = 3) -> DataFrame:
         .crossJoin(F.broadcast(nn))
         .cache()
     )
+    has_dangling = not base.where("dangling").isEmpty()
     ranks = base.select(
         "v", "dangling", (F.lit(1.0) / F.col("n")).alias("rank"), "n"
     )
     contrib_edges = dir_edges.join(deg, "src")
     for _ in range(iters):
-        dm = ranks.where("dangling").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
-        )
+        if has_dangling:
+            ranks = ranks.localCheckpoint(eager=True)
+            dangling_term = F.col("dm") / F.col("n")
+        else:
+            dangling_term = F.lit(0.0)
         contrib = ranks.join(
             contrib_edges, ranks.v == contrib_edges.src
         ).select(
             F.col("dst").alias("v"), (F.col("rank") / F.col("d")).alias("w")
         )
         summed = contrib.groupBy("v").agg(F.sum("w").alias("s"))
-        ranks = (
-            base.join(summed, "v", "left")
-            .crossJoin(F.broadcast(dm))
-            .select(
-                "v",
-                "dangling",
-                (
-                    F.lit(0.15) / F.col("n")
-                    + F.lit(0.85)
-                    * (
-                        F.coalesce(F.col("s"), F.lit(0.0))
-                        + F.col("dm") / F.col("n")
-                    )
-                ).alias("rank"),
-                "n",
+        nxt = base.join(summed, "v", "left")
+        if has_dangling:
+            dm = ranks.where("dangling").agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
             )
+            nxt = nxt.crossJoin(F.broadcast(dm))
+        ranks = nxt.select(
+            "v",
+            "dangling",
+            (
+                F.lit(0.15) / F.col("n")
+                + F.lit(0.85)
+                * (F.coalesce(F.col("s"), F.lit(0.0)) + dangling_term)
+            ).alias("rank"),
+            "n",
         )
     return ranks.select("v", "rank", "n")
