@@ -689,6 +689,7 @@ def semantic_dedup_hier_drops(
     threshold: float = 0.3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    routing: str = "driver",
 ) -> DataFrame:
     """SemDeDup with k ∝ n — the constant-cell-size lane the r7
     SCALE.md analysis calls for: k = max(16, ⌈n/cell_size⌉) seeds
@@ -711,33 +712,149 @@ def semantic_dedup_hier_drops(
     Drop semantics within a cell are shared code
     (``_drops_from_assigned``).
 
-    **Driver-memory contract (r7 self-review finding #3).** With
-    k ∝ n, the seed list is NOT broadcast-sized by construction: the
-    driver collects k·d doubles, runs the k×k1 tree matmul, and the
-    seed tree rides the mapInPandas closure into every task. At
-    d=64, C=32 that is ~16 bytes·d·n/32 ≈ n·32 bytes of driver/task
-    state — fine to ~10⁸ vectors on a 24 GiB driver, NOT fine at
-    10¹⁰. The guard below refuses past ``MAX_DRIVER_SEEDS`` instead
-    of OOM-ing mid-job; the documented path beyond it is to make the
-    routing itself distributed (seed sub-assignment as an
-    ``assign_cells_blas`` pass over the seed table, level-2 as a
-    shuffle join on the coarse id — same math, no driver state)."""
+    **Driver-memory contract (r7 self-review finding #3) and the two
+    routings.** ``routing="driver"`` (default) collects the k·d seed
+    doubles, builds the tree on the driver and ships it in the
+    mapInPandas closure — at d=64, C=32 that is ~n·32 bytes of
+    driver/task state: fine to ~10⁸ vectors on a 24 GiB driver, NOT
+    fine at 10¹⁰, so it refuses past ``MAX_DRIVER_SEEDS`` instead of
+    OOM-ing mid-job. ``routing="cogroup"`` is the scale path: only
+    the k1 = ⌈√k⌉ COARSE centers are ever collected (√(n/C) rows —
+    broadcast-sized by construction at any n), seed routing runs as
+    a distributed ``assign_cells_blas`` pass over the k-row seed
+    frame (``seed_routing_frame``), and level-2 is a
+    ``cogroup().applyInPandas`` on the coarse id
+    (``assign_cells_hier_cogroup``) — no driver-held tree, rows
+    shuffled = n + k, exact equality with the driver routing pinned
+    in tests."""
     import math
 
+    if routing not in ("driver", "cogroup"):
+        raise ValueError(f"routing must be driver|cogroup: {routing}")
     n = vectors.count()
     k = max(16, math.ceil(n / cell_size))
+    k1 = max(1, math.isqrt(k - 1) + 1) if k > 1 else 1
+    if routing == "cogroup":
+        coarse = sorted(
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in vectors.select(id_col, vec_col)
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(k1)
+            .collect()
+        )
+        sr = seed_routing_frame(vectors, k, coarse, vec_col, id_col)
+        return _drops_from_assigned(
+            assign_cells_hier_cogroup(vectors, coarse, sr, vec_col, id_col),
+            threshold,
+            id_col,
+        )
     if k > MAX_DRIVER_SEEDS:
         raise ValueError(
             f"semantic_dedup_hier_drops: k={k} seeds exceed the "
-            f"driver-side tree bound ({MAX_DRIVER_SEEDS}); distribute "
-            "the seed routing (see docstring) or raise cell_size"
+            f"driver-side tree bound ({MAX_DRIVER_SEEDS}); pass "
+            "routing='cogroup' (distributed seed routing) or raise "
+            "cell_size"
         )
-    k1 = max(1, math.isqrt(k - 1) + 1) if k > 1 else 1
     seeds = _semdedup_seeds(vectors, k, vec_col, id_col)
     return _drops_from_assigned(
         assign_cells_hier(vectors, seeds, k1, vec_col, id_col),
         threshold,
         id_col,
+    )
+
+
+def assign_cells_hier_cogroup(
+    vectors: DataFrame,
+    coarse: list[tuple[int, list[float]]],
+    seed_routing: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """DISTRIBUTED two-level assignment — the ``MAX_DRIVER_SEEDS``
+    mitigation the driver-tree lane documents: level 1 routes every
+    vector to one of the k1 COARSE centers (``assign_cells_blas``
+    over the k1-row python list — k1 = ⌈√k⌉ IS broadcast-sized by
+    construction, ~√(n/C) rows), and level 2 runs as a
+    ``cogroup().applyInPandas`` on the coarse id: each group sees its
+    cell's vectors (left) and that cell's ~k/k1 child seeds (right,
+    the ``seed_routing`` frame) and computes the same
+    round6-cosine argmax in numpy. No driver-held seed tree, no
+    full-seed broadcast, no per-row duplication of the children —
+    rows shuffled = n vectors + k seeds, peak task memory = one
+    cell's children ((k/k1)·d doubles) + one Arrow batch.
+
+    ``seed_routing`` schema: ``(coarse, _sid, _svec)`` — every seed
+    with its owning coarse center (coarse centers own themselves,
+    same override as ``hier_seed_tree``). Same determinism contract
+    as the driver lane; exact equality is pinned in
+    tests/test_retrieval.py. Returns ``(_vid, _emb, cell, _cent)``."""
+    import numpy as np
+
+    lvl1 = assign_cells_blas(vectors, coarse, vec_col, id_col).select(
+        "_vid", "_emb", F.col("cell").alias("coarse")
+    )
+    elem = vectors.schema[vec_col].dataType.simpleString()
+    schema = f"_vid long, _emb {elem}, cell long, _cent double"
+
+    def fn(_key, left, right):
+        import pandas as pd
+
+        if not len(left) or not len(right):
+            # a coarse cell with no vectors, or (impossible by the
+            # owns-itself invariant) no children: emit nothing
+            return pd.DataFrame(
+                {"_vid": [], "_emb": [], "cell": [], "_cent": []}
+            )
+        r = right.sort_values("_sid")
+        sids = r["_sid"].to_numpy(dtype=np.int64)
+        S = np.stack([np.asarray(v, dtype=np.float64) for v in r["_svec"]])
+        Sn = S / np.linalg.norm(S, axis=1, keepdims=True)
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in left["_emb"]])
+        sims = _round6((M / np.linalg.norm(M, axis=1, keepdims=True)) @ Sn.T)
+        idx = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {
+                "_vid": left["_vid"].to_numpy(),
+                "_emb": left["_emb"].to_numpy(),
+                "cell": sids[idx],
+                "_cent": sims[np.arange(len(idx)), idx],
+            }
+        )
+
+    return (
+        lvl1.groupby("coarse")
+        .cogroup(seed_routing.groupby("coarse"))
+        .applyInPandas(fn, schema=schema)
+    )
+
+
+def seed_routing_frame(
+    vectors: DataFrame,
+    k: int,
+    coarse: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The DISTRIBUTED seed-routing frame ``(coarse, _sid, _svec)``:
+    re-derive the k md5-ordered seeds as a DataFrame (a k-row
+    TakeOrdered — never collected), route each to its best coarse
+    center with the same BLAS assignment the data path uses, and
+    apply the coarse-owns-itself override as a column expression.
+    The k1 coarse ids ride along as an ``isin`` literal (k1 = ⌈√k⌉,
+    broadcast-sized)."""
+    seeds_df = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+    )
+    routed = assign_cells_blas(seeds_df, coarse, vec_col, id_col)
+    coarse_ids = [s for s, _ in coarse]
+    return routed.select(
+        F.when(F.col("_vid").isin(coarse_ids), F.col("_vid"))
+        .otherwise(F.col("cell"))
+        .alias("coarse"),
+        F.col("_vid").alias("_sid"),
+        F.col("_emb").alias("_svec"),
     )
 
 

@@ -283,9 +283,22 @@ def semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold/BLAS pair; THIS lane is pinned in pytest against a
     whole-corpus numpy twin of the same two-level rule
     (tests/test_retrieval.py). Rows-only on the driver (k and the
-    tree depend on n)."""
+    tree depend on n).
+
+    Routing: ``cogroup`` — the DISTRIBUTED seed routing
+    (``assign_cells_hier_cogroup``: no driver-held tree, level-2 as
+    one matmul per coarse cell under ``cogroup().applyInPandas``).
+    Chosen over the driver-tree routing on BOTH axes: no
+    ``MAX_DRIVER_SEEDS`` bound, and measured 1.6×/5.1× faster at
+    sf0.1/sf1.0 (the driver tree re-slices ~k coarse groups inside
+    every Arrow batch and ships the full k·d closure per task —
+    SCALE.md r7). Exact equality between routings is pinned in
+    tests/test_retrieval.py."""
     return semantic_dedup_hier_drops(
-        load_table(spark, sf_dir, "embeddings"), cell_size=32, threshold=0.3
+        load_table(spark, sf_dir, "embeddings"),
+        cell_size=32,
+        threshold=0.3,
+        routing="cogroup",
     )
 
 

@@ -64,9 +64,11 @@ SKIP_BUILD = {
     # sim_ivf_topk); its plan is asserted in
     # test_semantic_dedup_plan_is_cell_local instead
     "sim_semantic_dedup",
-    # counts the corpus + collects the k=⌈n/32⌉ seed tree at build
-    # time and eagerly checkpoints; its assignment plan is asserted
-    # in test_hier_assignment_plan_is_single_mapinpandas (r7)
+    # counts the corpus + collects the k1 coarse centers at build
+    # time and eagerly checkpoints; its (cogroup) assignment plan is
+    # asserted in test_hier_cogroup_assignment_plan_shape, the
+    # driver-tree variant's in
+    # test_hier_assignment_plan_is_single_mapinpandas (r7)
     "semantic_dedup_hier",
     # runs the freqItems sketch action at plan-build time (candidate
     # list becomes a broadcast isin literal)

@@ -11,6 +11,7 @@ import re
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from commodity_price_forecasting_spark.plans.registry import load_all
 
@@ -554,3 +555,65 @@ def test_hier_near_duplicate_coarse_seeds_stay_routable(spark):
     }
     assert got[10] == 2  # routes to the near-duplicate center, no crash
     assert got[11] == 3 and got[12] == 4
+
+
+def test_hier_cogroup_routing_equals_driver_routing(spark):
+    """r7: the distributed (cogroup) seed routing must produce the
+    EXACT drop set of the driver-tree routing — same coarse pick,
+    same owns-itself override, same round6 argmax, pinned
+    value-for-value so the MAX_DRIVER_SEEDS mitigation is a free
+    swap, not a semantics change."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        semantic_dedup_hier_drops,
+    )
+    from commodity_price_forecasting_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    key = lambda r: (
+        r["vec_id"],
+        r["cell"],
+        round(r["cent_cos"], 6),
+        r["n_dominators"],
+        r["first_keeper"],
+    )
+    drv = sorted(
+        map(key, semantic_dedup_hier_drops(emb, cell_size=32).collect())
+    )
+    cg = sorted(
+        map(
+            key,
+            semantic_dedup_hier_drops(
+                emb, cell_size=32, routing="cogroup"
+            ).collect(),
+        )
+    )
+    assert drv == cg and len(drv) > 0
+
+
+def test_hier_cogroup_assignment_plan_shape(spark):
+    """The distributed routing's level-2 must be a FlatMapCoGroups
+    node keyed on the coarse id — no driver-held tree in a task
+    closure, no per-row duplication of the children."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        assign_cells_hier_cogroup,
+        seed_routing_frame,
+    )
+    from commodity_price_forecasting_spark.sources.readers import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    coarse = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in emb.select("vec_id", "embedding")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(5)
+        .collect()
+    )
+    sr = seed_routing_frame(emb, 25, coarse)
+    plan = (
+        assign_cells_hier_cogroup(emb, coarse, sr)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
