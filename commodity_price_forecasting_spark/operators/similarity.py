@@ -801,9 +801,15 @@ def assign_cells_hier_cogroup(
 
         if not len(left) or not len(right):
             # a coarse cell with no vectors, or (impossible by the
-            # owns-itself invariant) no children: emit nothing
+            # owns-itself invariant) no children: emit nothing —
+            # dtypes pinned so Arrow casts the empty batch cleanly
             return pd.DataFrame(
-                {"_vid": [], "_emb": [], "cell": [], "_cent": []}
+                {
+                    "_vid": pd.Series(dtype="int64"),
+                    "_emb": pd.Series(dtype=object),
+                    "cell": pd.Series(dtype="int64"),
+                    "_cent": pd.Series(dtype="float64"),
+                }
             )
         r = right.sort_values("_sid")
         sids = r["_sid"].to_numpy(dtype=np.int64)

@@ -617,3 +617,38 @@ def test_hier_cogroup_assignment_plan_shape(spark):
     )
     assert "FlatMapCoGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_hier_cogroup_handles_vectorless_coarse_cell(spark):
+    """A coarse cell whose only member is its own seed (no data
+    vectors route there) must contribute an empty group cleanly —
+    the empty pandas frame needs pinned dtypes or Arrow rejects the
+    cast. Geometry: 3 clustered vectors all route to coarse 1; seed
+    4 is orthogonal and becomes a coarse center nobody picks."""
+    import math
+
+    from commodity_price_forecasting_spark.operators.similarity import (
+        assign_cells_hier_cogroup,
+        seed_routing_frame,
+    )
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta)]
+
+    # ids chosen so md5 ordering puts both coarse candidates up front
+    rows = [(i, unit(0.01 * i)) for i in range(1, 4)] + [(4, unit(1.57))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    seeds_md5 = (
+        df.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(4)
+        .collect()
+    )
+    coarse = sorted(
+        (int(r[0]), [float(x) for x in r[1]]) for r in seeds_md5[:2]
+    )
+    sr = seed_routing_frame(df, 4, coarse)
+    got = {
+        r["_vid"]: r["cell"]
+        for r in assign_cells_hier_cogroup(df, coarse, sr).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}  # every vector assigned, no crash
