@@ -562,7 +562,11 @@ def connected_components_star(
     )
 
 
-def pagerank_ranks(dir_edges: DataFrame, iters: int = 3) -> DataFrame:
+def pagerank_ranks(
+    dir_edges: DataFrame,
+    iters: int = 3,
+    has_dangling: bool | None = None,
+) -> DataFrame:
     """Standard PageRank power iteration (damping 0.85, uniform init)
     over a DIRECTED edge list ``(src, dst)``: the node set is
     ``src ∪ dst`` (sink nodes that only ever appear as ``dst`` are
@@ -584,13 +588,22 @@ def pagerank_ranks(dir_edges: DataFrame, iters: int = 3) -> DataFrame:
 
     Plan shape (r7 self-review): graphs with NO dangling nodes — any
     symmetrized edge list, like the registered query's — skip the
-    dangling aggregate entirely (one cheap isEmpty probe on the
-    cached base decides), keeping the fully LAZY single-chain plan.
-    Graphs WITH sinks need the per-round dangling sum, which consumes
-    ``ranks`` twice; to stop the 2^iters lazy-plan blowup that path
-    cuts lineage per round with ``localCheckpoint`` (eager, like the
-    connected-components loop — measured 2.3× wall on the registered
-    query when the dangling sum was left lazy on it)."""
+    dangling aggregate entirely, keeping the fully LAZY single-chain
+    plan. Graphs WITH sinks need the per-round dangling sum, which
+    consumes ``ranks`` twice; to stop the 2^iters lazy-plan blowup
+    that path cuts lineage per round with ``localCheckpoint``
+    (eager, like the connected-components loop — measured 2.3× wall
+    on the registered query when the dangling sum was left lazy on
+    it).
+
+    ``has_dangling``: pass ``False`` when the edge list is known
+    sink-free (every symmetrized list is) — the call then builds a
+    PURE LAZY plan with no job at construction time; pass ``True``
+    to force the dangling path. The default ``None`` probes with one
+    ``isEmpty`` on the cached node base — correct for arbitrary
+    input but EAGER: the probe materializes the upstream edge
+    pipeline at call time (r7 review finding — the registered
+    symmetrized query passes False for this reason)."""
     deg = dir_edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     nodes = (
         dir_edges.select(F.col("src").alias("v"))
@@ -604,7 +617,8 @@ def pagerank_ranks(dir_edges: DataFrame, iters: int = 3) -> DataFrame:
         .crossJoin(F.broadcast(nn))
         .cache()
     )
-    has_dangling = not base.where("dangling").isEmpty()
+    if has_dangling is None:
+        has_dangling = not base.where("dangling").isEmpty()
     ranks = base.select(
         "v", "dangling", (F.lit(1.0) / F.col("n")).alias("rank"), "n"
     )

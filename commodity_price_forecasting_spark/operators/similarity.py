@@ -439,6 +439,23 @@ def pq_adc_topk(
 # --- semantic dedup (SemDeDup, Abbas et al. 2023, public) ----------------
 
 
+def _seed_frame(
+    vectors: DataFrame, k: int, vec_col: str, id_col: str
+) -> DataFrame:
+    """The k-row seed frame: vectors with the smallest ``md5(id)``
+    (total order (md5(id), id)) — THE single source of the seed
+    derivation rule, shared by the collecting helper below and the
+    distributed ``seed_routing_frame`` so the routings can never
+    silently diverge. NOTE the GlobalLimit materializes through one
+    partition; small-k callers don't care, extreme-k callers
+    repartition afterwards (see ``seed_routing_frame``)."""
+    return (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+    )
+
+
 def _semdedup_seeds(
     vectors: DataFrame, k: int | None, vec_col: str, id_col: str
 ) -> list[tuple[int, list[float]]]:
@@ -449,12 +466,7 @@ def _semdedup_seeds(
         import math
 
         k = max(16, math.isqrt(max(vectors.count(), 1)))
-    seeds_rows = (
-        vectors.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(k)
-        .collect()
-    )
+    seeds_rows = _seed_frame(vectors, k, vec_col, id_col).collect()
     return [(int(r[0]), [float(x) for x in r[1]]) for r in seeds_rows]
 
 
@@ -536,7 +548,13 @@ def assign_cells_blas(
             M = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
             )
-            C = _round6((M @ Sn.T) / np.linalg.norm(M, axis=1, keepdims=True))
+            # normalize BEFORE the matmul — the one fp order every
+            # lane shares (driver tree, cogroup, numpy twins), so
+            # cross-routing equality is bit-exact rather than
+            # last-ulp-banded (r7 review finding: normalize-after
+            # diverged from the tree lanes within ~1e-15 of 6-dp
+            # midpoints)
+            C = _round6((M / np.linalg.norm(M, axis=1, keepdims=True)) @ Sn.T)
             idx = np.argmax(C, axis=1)
             yield pd.DataFrame(
                 {
@@ -735,13 +753,7 @@ def semantic_dedup_hier_drops(
     k = max(16, math.ceil(n / cell_size))
     k1 = max(1, math.isqrt(k - 1) + 1) if k > 1 else 1
     if routing == "cogroup":
-        coarse = sorted(
-            (int(r[0]), [float(x) for x in r[1]])
-            for r in vectors.select(id_col, vec_col)
-            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-            .limit(k1)
-            .collect()
-        )
+        coarse = sorted(_semdedup_seeds(vectors, k1, vec_col, id_col))
         sr = seed_routing_frame(vectors, k, coarse, vec_col, id_col)
         return _drops_from_assigned(
             assign_cells_hier_cogroup(vectors, coarse, sr, vec_col, id_col),
@@ -842,16 +854,27 @@ def seed_routing_frame(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """The DISTRIBUTED seed-routing frame ``(coarse, _sid, _svec)``:
-    re-derive the k md5-ordered seeds as a DataFrame (a k-row
-    TakeOrdered — never collected), route each to its best coarse
-    center with the same BLAS assignment the data path uses, and
-    apply the coarse-owns-itself override as a column expression.
-    The k1 coarse ids ride along as an ``isin`` literal (k1 = ⌈√k⌉,
-    broadcast-sized)."""
-    seeds_df = (
-        vectors.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(k)
+    re-derive the k md5-ordered seeds as a DataFrame (``_seed_frame``
+    — the same derivation rule as every other lane, never
+    collected), route each to its best coarse center with the same
+    BLAS assignment the data path uses, and apply the
+    coarse-owns-itself override as a column expression. The k1
+    coarse ids ride along as an ``isin`` literal (k1 = ⌈√k⌉,
+    broadcast-sized).
+
+    Plan shape (r7 review finding): the seed frame's GlobalLimit
+    lands on ONE partition, so the routing pass is explicitly
+    repartitioned by seed id first — without it, all k×k1 routing
+    matmuls run as a single task, re-creating a single-node
+    bottleneck at exactly the scale this path exists for. The
+    GlobalLimit stage itself still funnels the k seed ROWS through
+    one partition (shuffle only, no compute); past the point where
+    even that hurts, exact distributed top-k by (md5, id) is the
+    range-partition + per-partition-count prefix-sum pattern the
+    repo already uses in ``pack_token_shards``."""
+    spark = vectors.sparkSession
+    seeds_df = _seed_frame(vectors, k, vec_col, id_col).repartition(
+        spark.sparkContext.defaultParallelism, F.col(id_col)
     )
     routed = assign_cells_blas(seeds_df, coarse, vec_col, id_col)
     coarse_ids = [s for s, _ in coarse]

@@ -1918,7 +1918,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("va").alias("src"), F.col("vb").alias("dst")
     ).unionAll(edges.select(F.col("vb").alias("src"), F.col("va").alias("dst")))
     deg = dir_edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    ranks = pagerank_ranks(dir_edges, iters=_PAGERANK_ITERS)
+    # has_dangling=False: the unionAll above symmetrizes the edge
+    # list, so every node has out-degree ≥ 1 by construction — the
+    # lane stays pure-lazy (no probe job at plan-build time)
+    ranks = pagerank_ranks(
+        dir_edges, iters=_PAGERANK_ITERS, has_dangling=False
+    )
     return ranks.join(deg, ranks.v == deg.src).select(
         F.col("v").alias("vec_id"),
         F.col("d").cast("long").alias("out_degree"),

@@ -620,11 +620,15 @@ def test_hier_cogroup_assignment_plan_shape(spark):
 
 
 def test_hier_cogroup_handles_vectorless_coarse_cell(spark):
-    """A coarse cell whose only member is its own seed (no data
-    vectors route there) must contribute an empty group cleanly —
-    the empty pandas frame needs pinned dtypes or Arrow rejects the
-    cast. Geometry: 3 clustered vectors all route to coarse 1; seed
-    4 is orthogonal and becomes a coarse center nobody picks."""
+    """The empty-group branch, ACTUALLY exercised (r7 second-review:
+    the first version of this test never created a vectorless cell):
+    coarse seeds 1 and 2 are near-duplicates whose mutual cosine
+    rounds to 1.0 at 6 dp, so EVERY data vector near them — seed 2's
+    own data row included — ties at 1.0 to both and routes to coarse
+    1 by the smallest-id rule. Coarse 2's cogroup group then has
+    children on the right (it owns itself) but NO vectors on the
+    left; the empty pandas frame must carry pinned dtypes or Arrow
+    rejects the cast."""
     import math
 
     from commodity_price_forecasting_spark.operators.similarity import (
@@ -635,20 +639,20 @@ def test_hier_cogroup_handles_vectorless_coarse_cell(spark):
     def unit(theta):
         return [math.cos(theta), math.sin(theta)]
 
-    # ids chosen so md5 ordering puts both coarse candidates up front
-    rows = [(i, unit(0.01 * i)) for i in range(1, 4)] + [(4, unit(1.57))]
+    seeds = [
+        (1, unit(0.0)),
+        (2, unit(0.0009)),  # cos(1,2) ≈ 0.9999996 → rounds to 1.0
+        (3, unit(1.2)),
+        (4, unit(2.1)),
+    ]
+    coarse = sorted(seeds[:2])
+    rows = [(i, v) for i, v in seeds] + [(10, unit(0.0002))]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
-    seeds_md5 = (
-        df.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
-        .limit(4)
-        .collect()
-    )
-    coarse = sorted(
-        (int(r[0]), [float(x) for x in r[1]]) for r in seeds_md5[:2]
-    )
     sr = seed_routing_frame(df, 4, coarse)
-    got = {
-        r["_vid"]: r["cell"]
-        for r in assign_cells_hier_cogroup(df, coarse, sr).collect()
-    }
-    assert set(got) == {1, 2, 3, 4}  # every vector assigned, no crash
+    out = assign_cells_hier_cogroup(df, coarse, sr).collect()
+    got = {r["_vid"]: r["cell"] for r in out}
+    assert set(got) == {1, 2, 3, 4, 10}  # every vector assigned
+    # nothing routed to coarse 2 (its left group was EMPTY), and seed
+    # 2's own data row tied at 1.0 → coarse 1 → final cell 1
+    assert 2 not in got.values()
+    assert got[2] == 1 and got[10] == 1
