@@ -8,11 +8,16 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
 Each query is timed end-to-end (plan + execute + collect-count) and
 run $SPARK_GRAFT_BENCH_RUNS times (default 3); the BEST run is
-reported. A warm-up pass on the smallest fixture primes the JVM so
-timings measure the engine, not classloading; best-of-n suppresses
-co-tenant / GC noise (round 3 showed a uniform ~1.4x slowdown across
-untouched plans that single-run timing could not distinguish from a
-real regression — see SCALE.md).
+reported. Warm-up discipline (r7 VERDICT ask #3, SCALE.md
+"first-in-session penalty"): each query gets ONE unmeasured
+execution AT THE TARGET SF immediately before its timed runs — the
+first execution of a heavy query in a fresh session costs 3-4x its
+steady state (codegen/JIT), and the old smallest-fixture warm-up did
+not compile the same plans AQE picks at the target SF, leaving +-34%
+swings on untouched queries in BENCH_r07. Best-of-n then suppresses
+co-tenant / GC noise on top (round 3 showed a uniform ~1.4x slowdown
+across untouched plans that single-run timing could not distinguish
+from a real regression — see SCALE.md).
 """
 
 from __future__ import annotations
@@ -45,7 +50,9 @@ def main() -> None:
     registry = load_all()
     bench = {name: spec for name, spec in registry.items() if "bench" in spec.tags}
 
-    # JVM/codegen warm-up on the smoke fixture (not timed).
+    # JVM classloading warm-up on the smoke fixture (not timed); the
+    # per-query target-SF warm-up below handles codegen for the
+    # actual plans.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
         for spec in bench.values():
@@ -73,6 +80,9 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name, spec in sorted(bench.items()):
+        # one unmeasured execution at the TARGET SF: compiles/JITs the
+        # exact plans (incl. AQE re-plans) the timed runs will use
+        spec.fn(spark, sf_dir).count()
         best, n = float("inf"), 0
         for _ in range(n_runs):
             t0 = time.perf_counter()

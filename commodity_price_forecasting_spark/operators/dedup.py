@@ -600,7 +600,7 @@ def pagerank_ranks(
     sink-free (every symmetrized list is) — the call then builds a
     PURE LAZY plan with no job at construction time; pass ``True``
     to force the dangling path. The default ``None`` probes with one
-    ``isEmpty`` on the cached node base — correct for arbitrary
+    ``isEmpty`` on the checkpointed node base — correct for arbitrary
     input but EAGER: the probe materializes the upstream edge
     pipeline at call time (r7 review finding — the registered
     symmetrized query passes False for this reason)."""
@@ -611,11 +611,21 @@ def pagerank_ranks(
         .distinct()
     )
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # localCheckpoint (lazy), not cache (r7 VERDICT ask #6 + ADVICE):
+    # the node base feeds every iteration's left join AND the rank
+    # init — a lazy local checkpoint materializes it once, truncates
+    # the src∪dst-distinct lineage out of all downstream plans
+    # (measured best-of-3 at sf0.1: 3.03 s vs 3.78 s with cache), and
+    # its blocks are ContextCleaner-collected when the returned frame
+    # is dropped, where a CacheManager entry leaked per call for the
+    # session lifetime. Trade (same as the CC loop's checkpoints):
+    # truncated lineage is not recomputable after executor loss — on
+    # a multi-node cluster prefer a reliable checkpoint dir.
     base = (
         nodes.join(deg, nodes.v == deg.src, "left")
         .select("v", F.col("d").isNull().alias("dangling"))
         .crossJoin(F.broadcast(nn))
-        .cache()
+        .localCheckpoint(eager=False)
     )
     if has_dangling is None:
         has_dangling = not base.where("dangling").isEmpty()

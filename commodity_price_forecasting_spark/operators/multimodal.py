@@ -491,16 +491,28 @@ def resize_pixels(pixels, width: int, height: int):
     return a[rows][:, cols]
 
 
+def reencode_image(pixels, original: bytes) -> bytes:
+    """Serialize a pixel array in the SAME container format as
+    ``original`` (magic-byte dispatch) — the re-encode half of
+    ``resize_image``, shared with ``resize_media_real``."""
+    if original[:2] == b"P6":
+        return ppm_encode(pixels)
+    if original[:2] == b"BM":
+        return bmp_encode(pixels)
+    raise NotImplementedError(
+        f"no encoder for container with magic {original[:2]!r}"
+    )
+
+
 def resize_image(payload: bytes, width: int, height: int) -> bytes:
-    """REAL image resize for the decodable containers: decode (PPM or
-    BMP by magic byte), nearest-neighbor resample, re-encode in the
-    SAME container format. Raises NotImplementedError for compressed
-    formats (via ``real_decode``)."""
+    """REAL image resize for the decodable containers: decode (by
+    magic byte via ``real_decode``), nearest-neighbor resample,
+    re-encode in the SAME container format. Raises
+    NotImplementedError for compressed formats (via ``real_decode``)
+    and ValueError for zero-pixel containers (via
+    ``resize_pixels``)."""
     d = real_decode(payload, "image")
-    out = resize_pixels(d["pixels"], width, height)
-    if payload[:2] == b"P6":
-        return ppm_encode(out)
-    return bmp_encode(out)
+    return reencode_image(resize_pixels(d["pixels"], width, height), payload)
 
 
 def resize_media_real(media: DataFrame, width: int, height: int) -> DataFrame:
@@ -510,9 +522,13 @@ def resize_media_real(media: DataFrame, width: int, height: int) -> DataFrame:
     re-encoded INSIDE the executor; non-image rows, NULL payloads and
     zero-pixel containers pass through untouched so the operator
     composes with mixed-media frames and dirty corpora (the stats
-    consumer drops what it cannot use). Compressed-format payloads
-    still raise — a codec gap is a caller error, not a data edge
-    case. Output schema: (media_id, media_type, payload)."""
+    consumer drops what it cannot use). Everything ELSE propagates:
+    compressed-format payloads raise NotImplementedError (a codec gap
+    is a caller error) and genuinely corrupt containers — truncated
+    raster, bad geometry — raise ValueError rather than sliding
+    through to kill a downstream stats job that does not expect them
+    (r7 ADVICE: the old blanket ValueError catch masked corruption).
+    Output schema: (media_id, media_type, payload)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:
@@ -523,16 +539,17 @@ def resize_media_real(media: DataFrame, width: int, height: int) -> DataFrame:
                     out.append(bytes(p) if p is not None else None)
                     continue
                 blob = bytes(p)
-                try:
-                    out.append(resize_image(blob, width, height))
-                except ValueError:
-                    # un-resizable (zero-pixel) container: pass through
-                    # unchanged rather than kill the executor — the
-                    # channel-stats consumer drops it anyway (r7
-                    # self-review finding #2). Compressed-format
-                    # NotImplementedError still propagates: that is a
-                    # caller error, not a data edge case.
+                # decode FIRST: corruption errors surface here, at
+                # the stage that touches the payload — only the
+                # well-formed-but-zero-pixel case (un-resizable by
+                # definition, droppable by every consumer) passes
+                # through unchanged (r7 self-review finding #2)
+                d = real_decode(blob, "image")
+                if d["height"] * d["width"] == 0:
                     out.append(blob)
+                    continue
+                resized = resize_pixels(d["pixels"], width, height)
+                out.append(reencode_image(resized, blob))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].values,

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -227,9 +228,11 @@ def ivf_seed_assign(
     r6 — pass ``assign="blas"`` instead, which routes the assignment
     through ``assign_cells_blas`` (one sgemm per Arrow batch; same
     cosine rounding and tie rule, equality-tested in
-    tests/test_similarity_ivf.py). The blas path returns only
-    ``(id_col, vec_col, cell)``; the fold path preserves every input
-    column.
+    tests/test_similarity_ivf.py). Both lanes return the SAME schema
+    — every input column plus ``cell`` (r7 ADVICE: the blas cell
+    assignment joins back onto the input by ``id_col``, one hash
+    join on a deterministic key, so callers carrying extra columns
+    can switch lanes without changing results).
 
     Returns ``(assigned_df, seeds)``; ``seeds`` is the k×dim python
     list (broadcast-sized). Assignment is a pure column expression
@@ -245,17 +248,16 @@ def ivf_seed_assign(
     )
     seeds = [(int(r[0]), [float(x) for x in r[1]]) for r in seeds_rows]
     if assign == "blas":
-        assigned = assign_cells_blas(
+        cells = assign_cells_blas(
             vectors.select(id_col, vec_col),
             seeds,
             vec_col=vec_col,
             id_col=id_col,
-        ).select(
-            F.col("_vid").alias(id_col),
-            F.col("_emb").alias(vec_col),
-            "cell",
-        )
-        return assigned, seeds
+        ).select(F.col("_vid").alias(id_col), "cell")
+        # join the assignment back by id so the schema matches the
+        # fold lane exactly (every input column + cell) — lane choice
+        # must not change the result shape (r7 ADVICE)
+        return vectors.join(cells, id_col), seeds
 
     # argmax via array_max over (cosine, -seed_id) structs: max cosine,
     # ties resolved to the smallest seed id. Seed matrix as one
@@ -470,6 +472,19 @@ def _semdedup_seeds(
     return [(int(r[0]), [float(x) for x in r[1]]) for r in seeds_rows]
 
 
+#: largest k·d (seed floats) the fold lane will embed as a plan
+#: literal — the array-of-arrays literal and the k-element transform
+#: land in the SQL plan text, and plan build/analysis time grows with
+#: them (the r5 py4j plan-build stall was this shape at per-element
+#: lit granularity; the single array literal moved the cliff, it did
+#: not remove it). 2^20 doubles ≈ 8 MiB of plan — at d=64 that is
+#: k=16,384 = a ⌈√n⌉-sized seed set for n ≈ 2.7·10^8 vectors, far
+#: past the fold lane's measured practical range (Θ(n^1.5) scalar
+#: folds). Refusal mirrors MAX_DRIVER_SEEDS: fail with the fix named
+#: rather than stall mid-plan-build.  (r7 VERDICT ask #7)
+MAX_FOLD_SEED_LITERALS = 1 << 20
+
+
 def assign_cells_fold(
     vectors: DataFrame,
     seeds: list[tuple[int, list[float]]],
@@ -482,8 +497,19 @@ def assign_cells_fold(
     in source order — the BIT-REPRODUCIBLE lane the pinned-k oracle
     query needs. Cost: n rows × k folds of d terms = Θ(n·k·d) inside
     codegen; at k=⌈√n⌉ that stage is Θ(n^1.5) — use
-    ``assign_cells_blas`` at scale. Returns
-    ``(_vid, _emb, cell, _cent)``."""
+    ``assign_cells_blas`` at scale. Refuses above
+    ``MAX_FOLD_SEED_LITERALS`` embedded seed floats (the literal
+    lives in the plan; plan build is driver-side and grows with it).
+    Returns ``(_vid, _emb, cell, _cent)``."""
+    if not seeds:
+        raise ValueError("assign_cells_fold: empty seed list")
+    n_lit = len(seeds) * len(seeds[0][1])
+    if n_lit > MAX_FOLD_SEED_LITERALS:
+        raise ValueError(
+            f"assign_cells_fold: k·d={n_lit} seed floats exceed the "
+            f"plan-literal bound ({MAX_FOLD_SEED_LITERALS}); use "
+            "assign='blas' (closure-shipped seeds, no plan literal)"
+        )
     seed_mat = F.array(*[F.lit([float(x) for x in v]) for _sid, v in seeds])
     neg_ids = F.array(*[F.lit(-sid) for sid, _v in seeds])
     scored = F.transform(
@@ -532,6 +558,12 @@ def assign_cells_blas(
     ``(_vid, _emb, cell, _cent)``."""
     import numpy as np
 
+    if not seeds:
+        # np.linalg.norm(axis=1) on a 0-row seed matrix raises
+        # AxisError deep inside the lane (r7 ADVICE) — fail at the
+        # contract boundary instead; the dedup entry points turn an
+        # empty CORPUS into an empty drop frame before reaching here
+        raise ValueError("assign_cells_blas: empty seed list")
     seeds_sorted = sorted(seeds)
     sids = np.array([s for s, _ in seeds_sorted], dtype=np.int64)
     S = np.array([v for _, v in seeds_sorted], dtype=np.float64)
@@ -574,6 +606,12 @@ def assign_cells_blas(
 #: point well before driver OOM (see semantic_dedup_hier_drops)
 MAX_DRIVER_SEEDS = 1 << 21
 
+#: largest coarse-id set ``seed_routing_frame`` encodes as an isin
+#: plan literal before switching to a broadcast join (r7 ADVICE:
+#: k1 = ⌈√k⌉ reaches ~18k ids at the 10^10-vector scale the cogroup
+#: path exists for — a plan-size/analysis-time cliff)
+_MAX_ISIN_COARSE_IDS = 4096
+
 
 def _round6(x):
     """HALF_UP 6-dp rounding on a numpy array — sign·floor(|x|·1e6 +
@@ -582,6 +620,26 @@ def _round6(x):
     import numpy as np
 
     return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+def _empty_drops(vectors: DataFrame, id_col: str) -> DataFrame:
+    """The n=0 result of every SemDeDup entry point: an empty frame
+    with the drop-list schema ``(id, cell, cent_cos, n_dominators,
+    first_keeper)``. An empty corpus yields an empty seed list, which
+    the assignment lanes correctly refuse (numpy AxisError otherwise
+    — r7 ADVICE); the DEDUP-level answer is simply "nothing to drop",
+    decided here before any lane is entered."""
+    idt = vectors.schema[id_col].dataType
+    schema = T.StructType(
+        [
+            T.StructField(id_col, idt),
+            T.StructField("cell", T.LongType()),
+            T.StructField("cent_cos", T.DoubleType()),
+            T.StructField("n_dominators", T.LongType()),
+            T.StructField("first_keeper", idt),
+        ]
+    )
+    return vectors.sparkSession.createDataFrame([], schema)
 
 
 def hier_seed_tree(
@@ -750,6 +808,8 @@ def semantic_dedup_hier_drops(
     if routing not in ("driver", "cogroup"):
         raise ValueError(f"routing must be driver|cogroup: {routing}")
     n = vectors.count()
+    if n == 0:
+        return _empty_drops(vectors, id_col)
     k = max(16, math.ceil(n / cell_size))
     k1 = max(1, math.isqrt(k - 1) + 1) if k > 1 else 1
     if routing == "cogroup":
@@ -859,8 +919,13 @@ def seed_routing_frame(
     collected), route each to its best coarse center with the same
     BLAS assignment the data path uses, and apply the
     coarse-owns-itself override as a column expression. The k1
-    coarse ids ride along as an ``isin`` literal (k1 = ⌈√k⌉,
-    broadcast-sized).
+    coarse ids ride along as an ``isin`` literal while k1 is small;
+    past ``_MAX_ISIN_COARSE_IDS`` the override switches to a
+    broadcast LEFT JOIN against a tiny coarse-id frame — an isin
+    literal grows the PLAN with √k entries (~18k literals at the
+    10^10-vector scale this cogroup path exists for), a plan-size /
+    analysis-time cliff at exactly the extreme end of the lane's
+    stated range (r7 ADVICE). Both forms compute the same column.
 
     Plan shape (r7 review finding): the seed frame's GlobalLimit
     lands on ONE partition, so the routing pass is explicitly
@@ -878,8 +943,18 @@ def seed_routing_frame(
     )
     routed = assign_cells_blas(seeds_df, coarse, vec_col, id_col)
     coarse_ids = [s for s, _ in coarse]
+    if len(coarse_ids) <= _MAX_ISIN_COARSE_IDS:
+        is_coarse = F.col("_vid").isin(coarse_ids)
+    else:
+        cdf = spark.createDataFrame(
+            [(int(s),) for s in coarse_ids], "_coarse_id long"
+        )
+        routed = routed.join(
+            F.broadcast(cdf), routed["_vid"] == cdf["_coarse_id"], "left"
+        )
+        is_coarse = F.col("_coarse_id").isNotNull()
     return routed.select(
-        F.when(F.col("_vid").isin(coarse_ids), F.col("_vid"))
+        F.when(is_coarse, F.col("_vid"))
         .otherwise(F.col("cell"))
         .alias("coarse"),
         F.col("_vid").alias("_sid"),
@@ -946,9 +1021,98 @@ def semantic_dedup_drops(
     if assign not in ("fold", "blas"):
         raise ValueError(f"assign must be fold|blas: {assign}")
     seeds = _semdedup_seeds(vectors, k, vec_col, id_col)
+    if not seeds:
+        return _empty_drops(vectors, id_col)
     assigner = assign_cells_blas if assign == "blas" else assign_cells_fold
     return _drops_from_assigned(
         assigner(vectors, seeds, vec_col, id_col), threshold, id_col
+    )
+
+
+#: measured flat-BLAS ↔ hier-cogroup crossover (SCALE.md r7, solo
+#: best-of-3, fresh session per SF, d=64):
+#:
+#:   n = 2,000  (sf0.1): flat-BLAS 2.089 s  vs  hier-cogroup 2.245 s
+#:   n = 20,000 (sf1.0): flat-BLAS 43.94 s  vs  hier-cogroup 6.839 s
+#:
+#: flat is Θ(n^1.5) total (pairs 31.6× at 10× = n^1.5 exactly), hier
+#: is linear-pairs with Θ(n·√k·d) sgemm routing (3.0× wall at 10×);
+#: fitting those walls puts the crossing at n ≈ 2.3–4k, and the gap
+#: above it widens as √n. 4,000 keeps the exactness-anchor flat lane
+#: for everything at-or-below the largest SF where it measured
+#: faster, and routes everything bigger to the lane that won by 6.4×
+#: one decade up.  (r7 VERDICT ask #5)
+SEMDEDUP_CROSSOVER_N = 4000
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    lane: str = "auto",
+    cell_size: int = 32,
+) -> DataFrame:
+    """The single SemDeDup front door (r7 VERDICT ask #5): one count
+    job picks the measured-fastest lane, ``lane=`` forces one.
+
+    Decision table (measured, SCALE.md r7 — see
+    ``SEMDEDUP_CROSSOVER_N`` for the raw numbers):
+
+    ==========  =====================  ================================
+    corpus      lane="auto" picks      why
+    ==========  =====================  ================================
+    n ≤ 4,000   ``blas``  (flat k=√n)  measured faster at every SF in
+                                       this range AND exact vs the
+                                       fold/SQL anchors
+    n > 4,000   ``hier``  (k=n/32,     6.4× faster one decade up, gap
+                cogroup routing)       widening as √n; linear pairs,
+                                       no driver bound
+    ==========  =====================  ================================
+
+    Exactness trade, stated plainly: the hier lane's two-level
+    routing is the IVF approximation — its drop set differs from the
+    flat lanes' (~10% at sf1, SCALE.md). Callers who need the
+    bit-reproducible SQL-oracle drop set at ANY size force
+    ``lane="blas"`` (or ``"fold"``) and accept Θ(n^1.5).
+
+    ``lane``: ``"auto" | "blas" | "hier" | "fold"``. The registry
+    keeps all three named lanes registered individually for oracles
+    and curvature tracking."""
+    import math
+
+    if lane not in ("auto", "blas", "hier", "fold"):
+        raise ValueError(f"lane must be auto|blas|hier|fold: {lane}")
+    if lane == "auto":
+        n = vectors.count()
+        lane = "blas" if n <= SEMDEDUP_CROSSOVER_N else "hier"
+        if lane == "blas":
+            # reuse the count: k=⌈√n⌉ per the flat lanes' auto rule,
+            # skipping _semdedup_seeds' second count job
+            return semantic_dedup_drops(
+                vectors,
+                k=max(16, math.isqrt(max(n, 1))),
+                threshold=threshold,
+                vec_col=vec_col,
+                id_col=id_col,
+                assign="blas",
+            )
+    if lane == "hier":
+        return semantic_dedup_hier_drops(
+            vectors,
+            cell_size=cell_size,
+            threshold=threshold,
+            vec_col=vec_col,
+            id_col=id_col,
+            routing="cogroup",
+        )
+    return semantic_dedup_drops(
+        vectors,
+        k=None,
+        threshold=threshold,
+        vec_col=vec_col,
+        id_col=id_col,
+        assign=lane,
     )
 
 

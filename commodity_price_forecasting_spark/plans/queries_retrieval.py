@@ -195,7 +195,11 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semantic_dedup_auto",
-    tags=("datapipe", "similarity", "dedup", "bench", "repro"),
+    # NOT "bench" (r7 VERDICT ask #2): this repro lane was 18% of the
+    # headline bench while users are told not to run it at scale —
+    # the headline set carries only the production-tagged lanes; this
+    # lane stays mirror-checked and curvature-tracked (SCALE.md).
+    tags=("datapipe", "similarity", "dedup", "repro"),
 )
 def semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REPRODUCIBILITY SemDeDup lane — **use

@@ -656,3 +656,134 @@ def test_hier_cogroup_handles_vectorless_coarse_cell(spark):
     # 2's own data row tied at 1.0 → coarse 1 → final cell 1
     assert 2 not in got.values()
     assert got[2] == 1 and got[10] == 1
+
+
+def test_semantic_dedup_empty_corpus_returns_empty_drops(spark):
+    """r7 ADVICE: an empty embeddings table must yield an empty drop
+    frame from every dedup entry point, not a numpy AxisError from an
+    empty seed matrix inside the assignment lanes."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_drops,
+        semantic_dedup_hier_drops,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    for out in (
+        semantic_dedup_drops(empty, k=None),
+        semantic_dedup_drops(empty, k=None, assign="blas"),
+        semantic_dedup_hier_drops(empty, routing="driver"),
+        semantic_dedup_hier_drops(empty, routing="cogroup"),
+        semantic_dedup(empty),
+    ):
+        assert out.columns == [
+            "vec_id",
+            "cell",
+            "cent_cos",
+            "n_dominators",
+            "first_keeper",
+        ]
+        assert out.count() == 0
+
+
+def test_assign_lanes_refuse_empty_seed_list(spark):
+    """The assignment lanes fail at the contract boundary on an empty
+    seed list (r7 ADVICE), with the error naming the lane."""
+    import pytest
+
+    from commodity_price_forecasting_spark.operators.similarity import (
+        assign_cells_blas,
+        assign_cells_fold,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="assign_cells_fold: empty seed"):
+        assign_cells_fold(df, [])
+    with pytest.raises(ValueError, match="assign_cells_blas: empty seed"):
+        assign_cells_blas(df, [])
+
+
+def test_fold_lane_refuses_past_plan_literal_bound(spark):
+    """r7 VERDICT ask #7: the fold lane embeds a k×d array literal in
+    the plan; past MAX_FOLD_SEED_LITERALS floats it must refuse with
+    the blas lane named, mirroring MAX_DRIVER_SEEDS, instead of
+    stalling in driver-side plan build."""
+    import pytest
+
+    from commodity_price_forecasting_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    # k·d just over the bound without materializing gigabytes: d=2,
+    # so k = bound//2 + 1 seeds of 2 floats each
+    k = S.MAX_FOLD_SEED_LITERALS // 2 + 1
+    seeds = [(i, [1.0, 0.0]) for i in range(k)]
+    with pytest.raises(ValueError, match="blas"):
+        S.assign_cells_fold(df, seeds)
+
+
+def test_semantic_dedup_front_door_dispatch(spark):
+    """r7 VERDICT ask #5: ONE semantic_dedup front door with measured
+    lane dispatch — below SEMDEDUP_CROSSOVER_N vectors lane="auto"
+    must produce exactly the flat-BLAS lane's drop set; lane= forces
+    a specific lane (hier differs by design on boundary vectors)."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        SEMDEDUP_CROSSOVER_N,
+        semantic_dedup,
+        semantic_dedup_drops,
+        semantic_dedup_hier_drops,
+    )
+    from commodity_price_forecasting_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    assert n <= SEMDEDUP_CROSSOVER_N  # fixture sits below the crossover
+
+    def key(df):
+        return sorted(
+            (r["vec_id"], r["cell"], r["first_keeper"])
+            for r in df.collect()
+        )
+
+    auto = key(semantic_dedup(emb))
+    blas = key(semantic_dedup_drops(emb, k=None, assign="blas"))
+    assert auto == blas and len(auto) > 0
+
+    forced_hier = key(semantic_dedup(emb, lane="hier"))
+    direct_hier = key(
+        semantic_dedup_hier_drops(emb, cell_size=32, routing="cogroup")
+    )
+    assert forced_hier == direct_hier
+
+    forced_fold = key(semantic_dedup(emb, lane="fold"))
+    assert forced_fold == blas  # fold and blas agree on this corpus
+
+    import pytest
+
+    with pytest.raises(ValueError, match="lane must be"):
+        semantic_dedup(emb, lane="nope")
+
+
+def test_seed_routing_frame_broadcast_join_form_matches_isin(spark, monkeypatch):
+    """r7 ADVICE: past _MAX_ISIN_COARSE_IDS the coarse-owns-itself
+    override switches from an isin plan literal to a broadcast join —
+    both forms must compute the identical routing frame."""
+    from commodity_price_forecasting_spark.operators import similarity as S
+    from commodity_price_forecasting_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    coarse = sorted(S._semdedup_seeds(emb, 4, "embedding", "vec_id"))
+
+    isin_rows = sorted(
+        (r["coarse"], r["_sid"])
+        for r in S.seed_routing_frame(emb, 16, coarse).collect()
+    )
+    monkeypatch.setattr(S, "_MAX_ISIN_COARSE_IDS", 1)
+    join_rows = sorted(
+        (r["coarse"], r["_sid"])
+        for r in S.seed_routing_frame(emb, 16, coarse).collect()
+    )
+    assert isin_rows == join_rows and len(isin_rows) == 16

@@ -55,6 +55,10 @@ def test_ivf_seed_assign_blas_lane_matches_fold(spark):
     fold, seeds_f = ivf_seed_assign(emb, k=16)
     blas, seeds_b = ivf_seed_assign(emb, k=16, assign="blas")
     assert seeds_f == seeds_b
+    # r7 ADVICE: the lanes advertise "switch without changing
+    # results" — that includes the SCHEMA (the blas lane joins its
+    # cell assignment back onto the input, preserving every column)
+    assert fold.columns == blas.columns
     f = {r["vec_id"]: r["cell"] for r in fold.select("vec_id", "cell").collect()}
     b = {r["vec_id"]: r["cell"] for r in blas.select("vec_id", "cell").collect()}
     assert set(f) == set(b) and len(f) > 100
