@@ -636,3 +636,218 @@ def test_hier_refuses_oversized_driver_seed_tree(spark):
             semantic_dedup_hier_drops(emb, cell_size=2)
         finally:
             sim.MAX_DRIVER_SEEDS = old
+
+
+# --- real PNG codec (stdlib zlib + numpy unfilter) -------------------------
+
+
+def test_png_roundtrip_rgb_and_rgba():
+    """encode → decode is the identity for 8-bit truecolor, both with
+    and without an alpha plane (r7 VERDICT ask #4)."""
+    import numpy as np
+
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        decode_png,
+        png_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(5, 9, 3), dtype=np.uint8)
+    d = decode_png(png_encode(rgb))
+    assert (d["width"], d["height"], d["channels"]) == (9, 5, 3)
+    assert np.array_equal(d["pixels"], rgb)
+
+    rgba = rng.integers(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    d4 = decode_png(png_encode(rgba))
+    assert d4["channels"] == 4
+    assert np.array_equal(d4["pixels"], rgba)
+
+
+def _forward_filter(pixels, ftypes):
+    """Build the FILTERED byte stream of an image with a chosen
+    per-row filter type — the test-side forward transform (RFC 2083
+    §6) whose inversion decode_png implements."""
+    import numpy as np
+
+    a = np.asarray(pixels, dtype=np.int64)
+    h, w, c = a.shape
+    flat = a.reshape(h, w * c)
+    out = []
+    for r, f in enumerate(ftypes):
+        cur = flat[r]
+        prev = flat[r - 1] if r else np.zeros(w * c, dtype=np.int64)
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            left = np.concatenate([np.zeros(c, dtype=np.int64), cur[:-c]])
+            enc = (cur - left) % 256
+        elif f == 2:
+            enc = (cur - prev) % 256
+        elif f == 3:
+            left = np.concatenate([np.zeros(c, dtype=np.int64), cur[:-c]])
+            enc = (cur - (left + prev) // 2) % 256
+        elif f == 4:
+            from commodity_price_forecasting_spark.operators.multimodal import (
+                _paeth,
+            )
+
+            enc = np.empty(w * c, dtype=np.int64)
+            for i in range(w * c):
+                left = int(cur[i - c]) if i >= c else 0
+                ul = int(prev[i - c]) if i >= c else 0
+                enc[i] = (cur[i] - _paeth(left, int(prev[i]), ul)) % 256
+        out.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+    return b"".join(out)
+
+
+def test_png_decode_inverts_every_filter_type():
+    """Hand-assemble a PNG whose five rows use filters 0-4 (our
+    encoder only emits 0; foreign files use all five) and check the
+    decoder reconstructs the exact pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    raw = _forward_filter(px, [0, 1, 2, 3, 4])
+    ihdr = struct.pack(">IIBBBBB", 6, 5, 8, 2, 0, 0, 0)
+    payload = (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+    d = decode_png(payload)
+    assert np.array_equal(d["pixels"], px)
+
+
+def test_png_rejects_bad_inputs():
+    """Corruption and out-of-scope features fail loudly with the
+    limitation named: bad magic, CRC mismatch, truncated chunk,
+    palette color type, interlacing."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        PNG_SIG,
+        _png_chunk,
+        decode_png,
+        png_encode,
+    )
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"\x89PNX rest")
+    good = png_encode(np.zeros((1, 2, 3), dtype=np.uint8))
+    # flip one raster byte inside the IDAT body -> CRC mismatch
+    bad = bytearray(good)
+    bad[-18] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(bad))
+    # cutting into the closing IEND leaves a stream with no IEND —
+    # a truncated file, flagged as such (the decoder must not accept
+    # a file that merely happens to have IHDR+IDAT intact)
+    with pytest.raises(ValueError, match="truncated PNG"):
+        decode_png(good[:-6])
+    # cutting into the IDAT body trips the declared-length check
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        decode_png(good[: len(good) - 14])
+
+    def container(color_type=2, interlace=0, depth=8):
+        ihdr = struct.pack(">IIBBBBB", 2, 1, depth, color_type, 0, 0, interlace)
+        raw = b"\x00" + bytes(6)
+        return (
+            PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(ValueError, match="color_type=3"):
+        decode_png(container(color_type=3))
+    with pytest.raises(ValueError, match="Adam7"):
+        decode_png(container(interlace=1))
+    with pytest.raises(ValueError, match="depth=16"):
+        decode_png(container(depth=16))
+
+
+def test_real_decode_dispatches_png_and_resize_keeps_format():
+    """The magic dispatch routes PNG to the real parser; resize
+    re-encodes PNG as PNG (reencode_image), and JPEG still raises."""
+    import numpy as np
+
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        PNG_SIG,
+        png_encode,
+        real_decode,
+        resize_image,
+    )
+
+    px = np.arange(36, dtype=np.uint8).reshape(2, 6, 3)
+    blob = png_encode(px)
+    assert np.array_equal(real_decode(blob, "image")["pixels"], px)
+    resized = resize_image(blob, 3, 1)
+    assert resized[:8] == PNG_SIG
+    d = real_decode(resized, "image")
+    assert (d["width"], d["height"]) == (3, 1)
+    # NN rule: target col j reads source col floor(j*6/3), row 0
+    assert np.array_equal(d["pixels"], px[[0]][:, [0, 2, 4]])
+    with pytest.raises(NotImplementedError, match="JPEG|PIL"):
+        real_decode(b"\xff\xd8\xff\xe0jpeg", "image")
+
+
+def test_png_channel_stats_rgba_ignores_alpha(spark):
+    """image_channel_stats over a 4-channel PNG reports RGB means
+    with the alpha plane excluded."""
+    import numpy as np
+
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        image_channel_stats,
+        png_encode,
+    )
+
+    rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+    rgba[..., 0] = 10
+    rgba[..., 1] = 20
+    rgba[..., 2] = 30
+    rgba[..., 3] = 255  # alpha must not leak into the means
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(png_encode(rgba)))],
+        "media_id long, media_type string, payload binary",
+    )
+    row = image_channel_stats(df).collect()[0]
+    assert (row["mean_r"], row["mean_g"], row["mean_b"]) == (10.0, 20.0, 30.0)
+    assert (row["width"], row["height"]) == (2, 2)
+
+
+def test_png_media_lane_matches_ppm_lane(spark):
+    """The PNG fixture lane must produce the SAME channel stats as
+    the PPM lane (same pixel values = the text bytes), proving the
+    zlib round trip is value-exact end-to-end in the executors."""
+    from commodity_price_forecasting_spark.operators.multimodal import (
+        image_channel_stats,
+        png_media_from_documents,
+        ppm_media_from_documents,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    png_rows = sorted(
+        tuple(r) for r in image_channel_stats(
+            png_media_from_documents(docs)
+        ).collect()
+    )
+    ppm_rows = sorted(
+        tuple(r) for r in image_channel_stats(
+            ppm_media_from_documents(docs)
+        ).collect()
+    )
+    assert png_rows == ppm_rows and len(png_rows) > 50

@@ -24,6 +24,12 @@ PYTHON_OK = {
     "mm_image_channel_stats",
     # real NN resize + re-encode, then decode — two chained mapInPandas (r7)
     "mm_image_resize_stats",
+    # PNG encode (zlib, executor-side fixture) + inflate/unfilter
+    # decode — Arrow-batched, like the PPM lanes (r8)
+    "mm_png_channel_stats",
+    # PNG fixture + resize/re-deflate + decode — three chained
+    # mapInPandas stages (r8)
+    "mm_png_resize_stats",
     "m11_stationarity_tests",
     "m5_ar_forecast",
     "m5_sarima_forecast",
