@@ -100,7 +100,19 @@ def _replica(name: str, tbl: pa.Table, r: int, ts_step_us: int) -> pa.Table:
         col = tbl.column("embedding").combine_chunks()
         mat = np.asarray(col.values.to_numpy(zero_copy_only=False)).reshape(len(tbl), -1)
         dim = mat.shape[1]
-        rolled = np.roll(mat, r * max(1, dim // 4), axis=1).ravel()
+        # roll by r (NOT r*dim//4, the r6 recipe — its rolls repeat
+        # mod 4 replicas, so replicas r and r+4 held EXACT duplicate
+        # vectors, inflating dedup pair stages superlinearly at high
+        # replica counts; r8 fix). Measured on the sf0.1 fixture:
+        # every lag 1..dim-1 decorrelates equally (self-cos mean ~0,
+        # <1% of vectors above the 0.3 drop threshold), so roll-by-r
+        # gives dim collision-free replicas with identical fairness.
+        if r >= dim:
+            raise SystemExit(
+                f"replicas={r + 1} exceeds the {dim} distinct rolls the "
+                "embedding axis supports without cross-replica duplicates"
+            )
+        rolled = np.roll(mat, r, axis=1).ravel()
         out = pa.ListArray.from_arrays(col.offsets, pa.array(rolled, col.values.type))
         idx = tbl.schema.get_field_index("embedding")
         tbl = tbl.set_column(idx, tbl.schema.field("embedding"), out)

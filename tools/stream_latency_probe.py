@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Sustained micro-batch latency/throughput probe for the streaming
+extension (VERDICT r7 ask #8): every prior streaming number is
+availableNow replay EQUALITY — correct, but silent on latency. This
+tool runs a real sustained micro-batch stream and records what the
+equality tests cannot: per-trigger latency, sustained rows/s, and
+state-store size, from StreamingQueryProgress.
+
+Method:
+  1. stage the events table as N time-ordered parquet chunks (so
+     watermarks advance across micro-batches like a live source);
+  2. file-stream them with maxFilesPerTrigger=1 -> one chunk per
+     micro-batch = a sustained run of N triggers;
+  3. run the chosen pipeline (windowed_psi: TWO chained stateful
+     aggregations + a stream-static broadcast join — the repo's most
+     state-heavy registered stream; or funnel: the
+     applyInPandasWithState custom operator) into a memory sink;
+  4. report per-batch progress JSON and a one-line summary
+     (mean/p95/max trigger ms, sustained rows/s, state rows/bytes).
+
+Usage:
+  python tools/stream_latency_probe.py [--sf-dir .scratch/sf1]
+      [--chunks 50] [--pipeline psi|funnel] [--out FILE.jsonl]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from commodity_price_forecasting_spark.session import get_spark
+from commodity_price_forecasting_spark.sources.readers import (
+    load_table,
+    normalize_event_ts,
+)
+
+
+def stage_chunks(spark, sf_dir: str, n_chunks: int, stage_dir: str) -> int:
+    """Write the events table as n_chunks time-ordered parquet files:
+    chunk i holds the i-th slice of the ts order, one file each, so
+    maxFilesPerTrigger=1 replays history in event-time order."""
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    per = (total + n_chunks - 1) // n_chunks
+    ranked = ev.select(
+        F.floor((F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window
+            .orderBy("ts", "event_id")
+        ) - 1) / per).alias("_chunk"),
+        "*",
+    )
+    # one file per chunk value; write sequentially to keep file mtimes
+    # (and therefore file-source pickup order) aligned with event time
+    for i in range(n_chunks):
+        (
+            ranked.filter(F.col("_chunk") == i)
+            .drop("_chunk")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(stage_dir)
+        )
+    return total
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/repo/.scratch/sf1")
+    ap.add_argument("--chunks", type=int, default=50)
+    ap.add_argument("--pipeline", choices=("psi", "funnel"), default="psi")
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(
+        app_name="cpf-stream-latency",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=int(args.cpus),
+    )
+    stage_dir = tempfile.mkdtemp(prefix="cpf_stream_stage_")
+    try:
+        total_rows = stage_chunks(spark, args.sf_dir, args.chunks, stage_dir)
+        schema = spark.read.parquet(stage_dir).schema
+        src = normalize_event_ts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
+        if args.pipeline == "psi":
+            from commodity_price_forecasting_spark.streaming.events_stream import (
+                value_bin_baseline,
+                windowed_psi,
+            )
+
+            baseline = value_bin_baseline(load_table(spark, args.sf_dir, "events"))
+            out_df = windowed_psi(src, baseline)
+            mode = "append"
+        else:
+            from commodity_price_forecasting_spark.streaming.events_stream import (
+                funnel_stage,
+            )
+
+            out_df = funnel_stage(src)
+            mode = "update"
+
+        t0 = time.perf_counter()
+        q = (
+            out_df.writeStream.format("memory")
+            .queryName("latency_probe")
+            .outputMode(mode)
+            .start()
+        )
+        # drain: the file source reports 0 available files once every
+        # chunk is consumed; two consecutive empty triggers = done
+        empty = 0
+        seen_batches: dict[int, dict] = {}
+        while empty < 3:
+            time.sleep(0.2)
+            p = q.lastProgress
+            if p is None:
+                continue
+            seen_batches[p["batchId"]] = p
+            empty = empty + 1 if p["numInputRows"] == 0 else 0
+        wall = time.perf_counter() - t0
+        q.stop()
+        q.awaitTermination(30)
+
+        progresses = [seen_batches[b] for b in sorted(seen_batches)]
+        data_batches = [p for p in progresses if p["numInputRows"] > 0]
+        trig_ms = sorted(
+            p["durationMs"]["triggerExecution"] for p in data_batches
+        )
+        state_rows = state_bytes = 0
+        if data_batches and data_batches[-1].get("stateOperators"):
+            last = data_batches[-1]["stateOperators"]
+            state_rows = sum(s.get("numRowsTotal", 0) for s in last)
+            state_bytes = sum(s.get("memoryUsedBytes", 0) for s in last)
+        rows_in = sum(p["numInputRows"] for p in data_batches)
+        summary = {
+            "pipeline": args.pipeline,
+            "sf_dir": args.sf_dir,
+            "chunks": args.chunks,
+            "rows_staged": total_rows,
+            "rows_processed": rows_in,
+            "micro_batches": len(data_batches),
+            "wall_sec": round(wall, 2),
+            "sustained_rows_per_sec": round(rows_in / wall, 1),
+            "trigger_ms_mean": round(sum(trig_ms) / max(len(trig_ms), 1), 1),
+            "trigger_ms_p95": trig_ms[int(0.95 * (len(trig_ms) - 1))]
+            if trig_ms
+            else None,
+            "trigger_ms_max": trig_ms[-1] if trig_ms else None,
+            "state_rows_total": state_rows,
+            "state_memory_bytes": state_bytes,
+        }
+        # default=str: progress dicts carry UUID ids in Spark 4.x
+        lines = [json.dumps(p, default=str) for p in data_batches] + [
+            json.dumps(summary)
+        ]
+        if args.out:
+            with open(args.out, "w") as fh:
+                fh.write("\n".join(lines) + "\n")
+        print(json.dumps(summary))
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
