@@ -129,6 +129,40 @@ def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
+def lsh_star_pairs(bands: DataFrame) -> DataFrame:
+    """STAR candidate pairs: per (band, sig) bucket every doc pairs
+    with the bucket's REPRESENTATIVE (min doc_id) only — the
+    production mitigation for the all-pairs rule's quadratic bucket
+    cost that the r8 30× sweep measured (SCALE.md: candidate pairs
+    grew 49.5× for 30× docs under ``lsh_candidate_pairs`` because
+    Σ|bucket|² grows with occupancy; star candidates are bounded by
+    n·bands regardless of bucket sizes — large-scale minhash dedup
+    deployments cluster by bucket this way, e.g. Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better").
+
+    Semantics trade, stated plainly: star edges are a SUBSET of the
+    all-pairs edges, so downstream connected components can SPLIT a
+    cluster the all-pairs rule would join (two docs that both fail
+    verification against the representative but would pass against
+    each other). Each doc still meets ``n_bands`` representatives,
+    and transitive closure over bands recovers most merges — the
+    recall/cost dial every bucketed dedup turns. Exact parity with
+    the all-pairs rule on the fixtures is NOT expected or claimed;
+    the query has its own SQL oracle of the same star rule.
+
+    Plan shape: one groupBy (band, sig) min — map-side combinable —
+    and one equi-join of bands against the tiny rep frame; output
+    ≤ n·bands rows. The min-rep groupBy and the join shuffle on the
+    same (band, sig) key, so the exchange is reused."""
+    rep = bands.groupBy("band", "sig").agg(F.min("doc_id").alias("doc_a"))
+    return (
+        bands.join(rep, ["band", "sig"])
+        .filter(F.col("doc_id") != F.col("doc_a"))
+        .select("doc_a", F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def estimated_jaccard(
     wide: DataFrame, candidates: DataFrame, num_hashes: int = 12
 ) -> DataFrame:

@@ -22,6 +22,7 @@ from commodity_price_forecasting_spark.operators.dedup import (
     exact_dedup_summary,
     exact_jaccard,
     lsh_candidate_pairs,
+    lsh_star_pairs,
     minhash_wide,
     simhash32,
 )
@@ -642,9 +643,9 @@ def sketch_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COMPONENTS_ORACLE = (
-    _SHINGLE_CTE.replace("WITH pos AS", "WITH RECURSIVE pos AS", 1)
-    + """
+# Shared CC tail (edges -> sym -> recursive walk -> labels); the cand
+# CTE upstream decides the pairing rule (all-pairs vs star).
+_CC_TAIL = """
 , edges AS (
   SELECT c.doc_a, c.doc_b
   FROM cand c
@@ -667,6 +668,10 @@ SELECT doc_id, component,
        count(*) OVER (PARTITION BY component) AS component_size
 FROM labels
 """
+
+_COMPONENTS_ORACLE = (
+    _SHINGLE_CTE.replace("WITH pos AS", "WITH RECURSIVE pos AS", 1)
+    + _CC_TAIL
 )
 
 
@@ -684,6 +689,59 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = char_shingles(docs, k=5, distinct=False)
     wide = minhash_wide(sh, num_hashes=12).cache()
     cand = lsh_candidate_pairs(band_signatures(wide, num_hashes=12, rows_per_band=3))
+    edges = estimated_jaccard(wide, cand, num_hashes=12).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    comp = connected_components(edges, "doc_a", "doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.count(F.lit(1)).over(W.partitionBy("component")).alias("component_size"),
+    )
+
+
+# _SHINGLE_CTE with the all-pairs cand CTE swapped for the star rule:
+# per (band, sig) bucket, each doc pairs with the bucket MIN only.
+_STAR_COMPONENTS_ORACLE = (
+    _SHINGLE_CTE[: _SHINGLE_CTE.index(", cand AS")].replace(
+        "WITH pos AS", "WITH RECURSIVE pos AS", 1
+    )
+    + """
+, rep AS (
+  SELECT band, sig, MIN(doc_id) AS rep FROM bands GROUP BY band, sig
+), cand AS (
+  SELECT DISTINCT r.rep AS doc_a, b.doc_id AS doc_b
+  FROM bands b JOIN rep r ON b.band = r.band AND b.sig = r.sig
+  WHERE b.doc_id <> r.rep
+)
+"""
+    + _CC_TAIL
+)
+
+
+@register(
+    "dedup_components_star",
+    oracle=_STAR_COMPONENTS_ORACLE,
+    tags=("datapipe", "dedup"),
+)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation with STAR candidate generation
+    (r8): per LSH bucket each doc is verified against the bucket's
+    min-id REPRESENTATIVE only (``operators/dedup.lsh_star_pairs``),
+    so candidates are bounded by n·bands where the all-pairs rule
+    (``dedup_components``) meets Σ|bucket|² — the quantity the r8 30×
+    sweep measured growing 49.5× for 30× docs (SCALE.md). Edges that
+    pass the same est-Jaccard ≥ 0.5 cut feed the same O(log d)
+    connected components. The star rule can split clusters the
+    all-pairs rule joins (documented recall trade in the operator);
+    this query's oracle replicates the star rule itself, so the value
+    gate is exact."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = char_shingles(docs, k=5, distinct=False)
+    wide = minhash_wide(sh, num_hashes=12).cache()
+    cand = lsh_star_pairs(band_signatures(wide, num_hashes=12, rows_per_band=3))
     edges = estimated_jaccard(wide, cand, num_hashes=12).filter(
         F.col("est_jaccard") >= 0.5
     )

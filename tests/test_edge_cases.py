@@ -665,3 +665,46 @@ def test_pagerank_directed_sinks_and_dangling_mass(spark):
         for v, pr in got.items():
             assert abs(pr - ref[v]) <= 1e-12, (iters, v)
         assert abs(sum(got.values()) - 1.0) <= 1e-12, iters
+
+
+def test_lsh_star_pairs_bound_and_edge_subset(spark):
+    """r8: star candidates are (a) bounded by n·bands, (b) always
+    anchored at the bucket min (doc_a < doc_b), and (c) the verified
+    star EDGES are a subset of the all-pairs edges — the documented
+    recall trade, in the subset direction only."""
+    from pyspark.sql import functions as F
+
+    from commodity_price_forecasting_spark.operators.dedup import (
+        band_signatures,
+        char_shingles,
+        estimated_jaccard,
+        lsh_candidate_pairs,
+        lsh_star_pairs,
+        minhash_wide,
+    )
+    from commodity_price_forecasting_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n_docs = docs.count()
+    sh = char_shingles(docs, k=5, distinct=False)
+    wide = minhash_wide(sh, num_hashes=12).cache()
+    bands = band_signatures(wide, num_hashes=12, rows_per_band=3)
+    star = lsh_star_pairs(bands).cache()
+    allp = lsh_candidate_pairs(bands)
+
+    n_star = star.count()
+    assert 0 < n_star <= n_docs * 4  # 12 hashes / 3 rows = 4 bands
+    assert star.filter(F.col("doc_a") >= F.col("doc_b")).count() == 0
+
+    def edge_set(cand):
+        return {
+            (r["doc_a"], r["doc_b"])
+            for r in estimated_jaccard(wide, cand, num_hashes=12)
+            .filter(F.col("est_jaccard") >= 0.5)
+            .collect()
+        }
+
+    star_edges, all_edges = edge_set(star), edge_set(allp)
+    assert star_edges and star_edges <= all_edges
+    wide.unpersist()
+    star.unpersist()
