@@ -1038,10 +1038,14 @@ def semantic_dedup_drops(
 #: flat is Θ(n^1.5) total (pairs 31.6× at 10× = n^1.5 exactly), hier
 #: is linear-pairs with Θ(n·√k·d) sgemm routing (3.0× wall at 10×);
 #: fitting those walls puts the crossing at n ≈ 2.3–4k, and the gap
-#: above it widens as √n. 4,000 keeps the exactness-anchor flat lane
-#: for everything at-or-below the largest SF where it measured
-#: faster, and routes everything bigger to the lane that won by 6.4×
-#: one decade up.  (r7 VERDICT ask #5)
+#: above it widens as √n — measured one more decade in r8:
+#:
+#:   n = 60,000 (sf3, 30×): flat-BLAS 223.97 s  vs  hier 12.18 s (18.4×)
+#:
+#: 4,000 keeps the exactness-anchor flat lane for everything
+#: at-or-below the largest SF where it measured faster, and routes
+#: everything bigger to the lane that won by 18.4× 1.5 decades up.
+#: (r7 VERDICT ask #5; r8 sf3 sweep, SCALE.md)
 SEMDEDUP_CROSSOVER_N = 4000
 
 
