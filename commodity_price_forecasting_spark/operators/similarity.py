@@ -438,6 +438,125 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_adc_topk(
+    vectors: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    k_coarse: int = 16,
+    n_probe: int = 2,
+    n_centroids: int = 16,
+    m_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with asymmetric distance (Jégou et al. 2011 §III —
+    public): the PRODUCTION composition of the repo's two ANN halves.
+    IVF coarse-quantizes the corpus (the deterministic md5-min seed
+    rule of ``ivf_seed_assign``), PQ encodes each vector's RESIDUAL
+    v − seed(cell) — residuals are tighter-clustered than raw
+    vectors, which is why every large FAISS deployment quantizes
+    them instead — and a query probes only ``n_probe`` cells,
+    scoring candidates by the LUT sum over the query's OWN residual
+    in that cell: dist(q, v) ≈ ‖(q − seed_c) − r_v‖².
+
+    Scale shape: assignment is one map-side pass over broadcast
+    seeds; the residual is a ``zip_with`` column expression (no
+    Python); the corpus side of the index carries m_sub small-int
+    codes per vector (the PQ memory win) partitionable by cell
+    (probes become partition-pruned scans when written bucketed);
+    the per-cell LUT is n_probe·m_sub·n_centroids rows — broadcast.
+    Everything is deterministic (md5-min coarse seeds, smallest-id
+    residual codebook, 6-dp rounded cosines for routing, lexicographic
+    tie-breaks), so the whole index has an exact ANSI-SQL oracle.
+
+    Returns top-``k`` ``(vec_id, cell, adc_dist)`` over the probed
+    cells, excluding the query row itself (the query is also
+    excluded from the corpus before seed/codebook selection, matching
+    ``sim_ivf_topk``'s convention)."""
+    import math
+
+    spark = vectors.sparkSession
+    corpus = vectors.filter(F.col(id_col) != query_id)
+    assigned, seeds = ivf_seed_assign(
+        corpus, k=k_coarse, vec_col=vec_col, id_col=id_col
+    )
+    seed_df = spark.createDataFrame(
+        [(int(s), [float(x) for x in v]) for s, v in seeds],
+        "_sid long, _svec array<double>",
+    )
+    res = (
+        assigned.join(F.broadcast(seed_df), F.col("cell") == F.col("_sid"))
+        .select(
+            id_col,
+            "cell",
+            F.zip_with(
+                F.col(vec_col), F.col("_svec"), lambda a, b: a.cast("double") - b
+            ).alias("_res"),
+        )
+    )
+    res_named = res.select(F.col(id_col), F.col("_res").alias(vec_col))
+    codes = pq_encode(
+        pq_distances(res_named, n_centroids, m_sub, id_col, vec_col)
+    )
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    q = [
+        float(x)
+        for x in vectors.filter(F.col(id_col) == query_id)
+        .select(vec_col)
+        .first()[0]
+    ]
+    probe = sorted(seeds, key=lambda s: (-round(cos(s[1], q), 6), s[0]))[
+        :n_probe
+    ]
+    dim = len(q)
+    d_sub = dim // m_sub
+    qres_df = spark.createDataFrame(
+        [
+            (int(c), [qi - vi for qi, vi in zip(q, v)])
+            for c, v in probe
+        ],
+        f"qcell long, {vec_col} array<double>",
+    )
+    qsub = pq_subvectors(
+        qres_df, m_sub, d_sub, id_col="qcell", vec_col=vec_col, out_id="qcell"
+    )
+    cb = pq_subvectors(
+        res_named.orderBy(id_col).limit(n_centroids),
+        m_sub,
+        d_sub,
+        id_col,
+        vec_col,
+        out_id="c",
+    ).select("c", "m", F.col("sv").alias("cv"))
+    lut = qsub.join(F.broadcast(cb), "m").select(
+        F.col("qcell"),
+        F.col("m").alias("_lm"),
+        F.col("c").alias("_lc"),
+        _sq_l2(F.col("sv"), F.col("cv")).alias("qd"),
+    )
+    cells = res.select(id_col, "cell")
+    return (
+        codes.join(cells, id_col)
+        .join(
+            F.broadcast(lut),
+            (F.col("cell") == F.col("qcell"))
+            & (F.col("m") == F.col("_lm"))
+            & (F.col("code") == F.col("_lc")),
+        )
+        .groupBy(id_col, "cell")
+        .agg(F.sum("qd").alias("_s"))
+        .orderBy(F.asc("_s"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "cell", F.round(F.col("_s"), 6).alias("adc_dist"))
+    )
+
+
 # --- semantic dedup (SemDeDup, Abbas et al. 2023, public) ----------------
 
 

@@ -1602,6 +1602,137 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, query_id=0, k=10, n_centroids=16, m_sub=8)
 
 
+# IVF-PQ (residual quantization): IVF coarse assignment (md5-min
+# seeds, round6-cosine argmax) -> residual v - seed(cell) ->
+# PQ codes on residuals -> per-probed-cell query-residual LUT sum.
+_IVFPQ_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+), seeds AS (
+  SELECT vec_id AS sid, embedding AS semb
+  FROM corpus
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+), q AS (
+  SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0
+), assign_x AS (
+  SELECT c.vec_id, s.sid,
+         UNNEST(CAST(c.embedding AS DOUBLE[])) AS x,
+         UNNEST(CAST(s.semb AS DOUBLE[])) AS y
+  FROM corpus c CROSS JOIN seeds s
+), assign_cs AS (
+  SELECT vec_id, sid, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+  FROM assign_x GROUP BY vec_id, sid
+), assign_rk AS (
+  SELECT vec_id, sid AS cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY ROUND(dot / (SQRT(nx) * SQRT(ny)), 6) DESC, sid) AS rk
+  FROM assign_cs
+), cells AS (
+  SELECT vec_id, cell FROM assign_rk WHERE rk = 1
+), res AS (
+  SELECT c.vec_id, cl.cell,
+         list_transform(range(64), i ->
+           CAST(c.embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+           - CAST(s.semb[CAST(i + 1 AS INTEGER)] AS DOUBLE)) AS r
+  FROM corpus c
+  JOIN cells cl ON cl.vec_id = c.vec_id
+  JOIN seeds s ON s.sid = cl.cell
+), sub AS (
+  SELECT vec_id, CAST(mm.m AS INTEGER) AS m,
+         list_transform(range(8),
+           i -> r[CAST(mm.m * 8 + i + 1 AS INTEGER)]) AS sv
+  FROM res, generate_series(0, 7) mm(m)
+), cbv AS (
+  SELECT vec_id, r FROM res ORDER BY vec_id LIMIT 16
+), csub AS (
+  SELECT vec_id AS c, CAST(mm.m AS INTEGER) AS m,
+         list_transform(range(8),
+           i -> r[CAST(mm.m * 8 + i + 1 AS INTEGER)]) AS cv
+  FROM cbv, generate_series(0, 7) mm(m)
+), dists AS (
+  SELECT s.vec_id, s.m, cb.c,
+         list_sum(list_transform(range(8),
+           i -> (sv[CAST(i + 1 AS INTEGER)] - cv[CAST(i + 1 AS INTEGER)])
+              * (sv[CAST(i + 1 AS INTEGER)] - cv[CAST(i + 1 AS INTEGER)])))
+           AS d2
+  FROM sub s JOIN csub cb ON s.m = cb.m
+), codes AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT vec_id, m, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rk
+    FROM dists) WHERE rk = 1
+), probe_x AS (
+  SELECT s.sid,
+         UNNEST(CAST(s.semb AS DOUBLE[])) AS x,
+         UNNEST(CAST(q.qemb AS DOUBLE[])) AS y
+  FROM seeds s CROSS JOIN q
+), probe_cs AS (
+  SELECT sid, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+  FROM probe_x GROUP BY sid
+), probe AS (
+  SELECT sid FROM probe_cs
+  ORDER BY ROUND(dot / (SQRT(nx) * SQRT(ny)), 6) DESC, sid
+  LIMIT 2
+), qres AS (
+  SELECT p.sid AS qcell,
+         list_transform(range(64), i ->
+           CAST(q.qemb[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+           - CAST(s.semb[CAST(i + 1 AS INTEGER)] AS DOUBLE)) AS qr
+  FROM probe p JOIN seeds s ON s.sid = p.sid CROSS JOIN q
+), qsub AS (
+  SELECT qcell, CAST(mm.m AS INTEGER) AS m,
+         list_transform(range(8),
+           i -> qr[CAST(mm.m * 8 + i + 1 AS INTEGER)]) AS sv
+  FROM qres, generate_series(0, 7) mm(m)
+), lut AS (
+  SELECT qs.qcell, qs.m, cb.c,
+         list_sum(list_transform(range(8),
+           i -> (qs.sv[CAST(i + 1 AS INTEGER)] - cb.cv[CAST(i + 1 AS INTEGER)])
+              * (qs.sv[CAST(i + 1 AS INTEGER)] - cb.cv[CAST(i + 1 AS INTEGER)])))
+           AS qd
+  FROM qsub qs JOIN csub cb ON qs.m = cb.m
+)
+SELECT co.vec_id, cl.cell, ROUND(SUM(l.qd), 6) AS adc_dist
+FROM codes co
+JOIN cells cl ON cl.vec_id = co.vec_id
+JOIN lut l ON l.qcell = cl.cell AND l.m = co.m AND l.c = co.code
+GROUP BY co.vec_id, cl.cell
+ORDER BY SUM(l.qd), co.vec_id
+LIMIT 10
+"""
+
+
+@register(
+    "sim_ivfpq_adc_topk",
+    oracle=_IVFPQ_ORACLE,
+    tags=("datapipe", "similarity"),
+)
+def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ asymmetric-distance ANN (r8) — the production FAISS
+    index shape, composing the repo's IVF and PQ halves the way
+    Jégou et al. 2011 §III prescribe: PQ codes are trained on and
+    encode the RESIDUAL v − seed(cell) (residuals cluster tighter
+    than raw vectors), the query probes 2 of 16 coarse cells, and
+    each candidate is scored by the LUT sum over the query's OWN
+    residual in the candidate's cell. Fully deterministic (md5-min
+    coarse seeds, smallest-id residual codebook, 6-dp routing
+    cosines, lexicographic ties), so the entire two-level index has
+    an exact ANSI-SQL oracle — assignment, residuals, codebook,
+    codes, probe and LUT all re-derived in SQL. See
+    ``operators/similarity.ivf_pq_adc_topk`` for the 100 TB plan
+    shape (map-side assignment, zip_with residuals, 8 codes/vector,
+    broadcast LUT)."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ivf_pq_adc_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_adc_topk(
+        emb, query_id=0, k=10, k_coarse=16, n_probe=2, n_centroids=16, m_sub=8
+    )
+
+
 # --- feature-hashing text embedding (r4) ---------------------------------
 
 _HASH_EMB_DIM = 16

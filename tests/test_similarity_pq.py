@@ -66,3 +66,98 @@ def test_pq_codes_cover_corpus_once(spark):
     seed_ids = {r["vec_id"] for r in emb.orderBy("vec_id").limit(16).collect()}
     bad = codes.filter(~F.col("code").isin(*seed_ids)).count()
     assert bad == 0
+
+
+def test_ivfpq_numpy_twin_and_probe_containment(spark):
+    """r8 IVF-PQ: the full two-level index (coarse assignment ->
+    residual -> codebook -> codes -> probe -> LUT sum) must match a
+    whole-corpus numpy twin of the same rules EXACTLY, and every
+    returned candidate must come from a probed cell."""
+    import math
+
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ivf_pq_adc_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = mat[ids == 0][0]
+    cids = ids[ids != 0]
+    cmat = mat[ids != 0]
+
+    # coarse seeds: md5-min 16 of the corpus (query excluded)
+    import hashlib
+
+    order = sorted(
+        range(len(cids)),
+        key=lambda i: (hashlib.md5(str(cids[i]).encode()).hexdigest(), cids[i]),
+    )[:16]
+    sids = cids[order]
+    S = cmat[order]
+
+    def r6(x):
+        return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+    def cell_of(M):
+        C = r6(
+            (M / np.linalg.norm(M, axis=1, keepdims=True))
+            @ (S / np.linalg.norm(S, axis=1, keepdims=True)).T
+        )
+        # argmax with ties to the smallest seed id: seeds sorted by id
+        by_id = np.argsort(sids)
+        Cs = C[:, by_id]
+        return sids[by_id][np.argmax(Cs, axis=1)]
+
+    cells = cell_of(cmat)
+    seed_by_id = {int(s): S[i] for i, s in enumerate(sids)}
+    res = cmat - np.array([seed_by_id[int(c)] for c in cells])
+
+    # codebook: residuals of the 16 smallest corpus ids
+    cb_idx = np.argsort(cids)[:16]
+    cb = res[cb_idx]
+    cb_ids = cids[cb_idx]
+
+    def codes_of(R):
+        out = np.empty((len(R), 8), dtype=np.int64)
+        for m in range(8):
+            sub = R[:, m * 8 : (m + 1) * 8]
+            csub = cb[:, m * 8 : (m + 1) * 8]
+            d2 = ((sub[:, None, :] - csub[None, :, :]) ** 2).sum(axis=2)
+            # argmin with ties to the smallest codebook id: sort the
+            # codebook by id so np.argmin's first-min is the tie rule
+            ordc = np.argsort(cb_ids)
+            out[:, m] = cb_ids[ordc][np.argmin(d2[:, ordc], axis=1)]
+        return out
+
+    codes = codes_of(res)
+
+    # probe: 2 nearest seeds to q by round6 cosine (python-round rule)
+    def pycos(a, b):
+        dot = float(np.dot(a, b))
+        return dot / (math.sqrt(float(a @ a)) * math.sqrt(float(b @ b)))
+
+    probe = sorted(
+        zip(sids, S), key=lambda s: (-round(pycos(s[1], q), 6), s[0])
+    )[:2]
+    probe_ids = [int(c) for c, _ in probe]
+    dists = {}
+    for c, sv in probe:
+        qr = q - sv
+        mask = cells == c
+        for vid, code_row in zip(cids[mask], codes[mask]):
+            d = 0.0
+            for m in range(8):
+                entry = cb[np.argwhere(cb_ids == code_row[m])[0][0]]
+                d += float(
+                    ((qr[m * 8 : (m + 1) * 8] - entry[m * 8 : (m + 1) * 8]) ** 2).sum()
+                )
+            dists[int(vid)] = d
+    want = sorted(dists.items(), key=lambda kv: (kv[1], kv[0]))[:10]
+
+    got = ivf_pq_adc_topk(emb, query_id=0, k=10).collect()
+    assert [r["vec_id"] for r in got] == [v for v, _ in want]
+    assert all(r["cell"] in probe_ids for r in got)
+    for r, (_, d) in zip(got, want):
+        assert abs(r["adc_dist"] - round(d, 6)) < 1e-9

@@ -35,6 +35,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from commodity_price_forecasting_spark.session import get_spark
@@ -52,10 +53,9 @@ def stage_chunks(spark, sf_dir: str, n_chunks: int, stage_dir: str) -> int:
     total = ev.count()
     per = (total + n_chunks - 1) // n_chunks
     ranked = ev.select(
-        F.floor((F.row_number().over(
-            __import__("pyspark.sql.window", fromlist=["Window"]).Window
-            .orderBy("ts", "event_id")
-        ) - 1) / per).alias("_chunk"),
+        F.floor(
+            (F.row_number().over(Window.orderBy("ts", "event_id")) - 1) / per
+        ).alias("_chunk"),
         "*",
     )
     # one file per chunk value; write sequentially to keep file mtimes
