@@ -154,7 +154,9 @@ def main() -> None:
             "wall_sec": round(wall, 2),
             "sustained_rows_per_sec": round(rows_in / wall, 1),
             "trigger_ms_mean": round(sum(trig_ms) / max(len(trig_ms), 1), 1),
-            "trigger_ms_p95": trig_ms[int(0.95 * (len(trig_ms) - 1))]
+            "trigger_ms_p95": trig_ms[
+                min(len(trig_ms) - 1, max(0, -(-95 * len(trig_ms) // 100) - 1))
+            ]
             if trig_ms
             else None,
             "trigger_ms_max": trig_ms[-1] if trig_ms else None,
