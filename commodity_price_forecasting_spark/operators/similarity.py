@@ -484,6 +484,12 @@ def ivf_pq_adc_topk(
         [(int(s), [float(x) for x in v]) for s, v in seeds],
         "_sid long, _svec array<double>",
     )
+    # cache: the residual frame feeds FOUR consumers (the PQ distance
+    # build, the codebook limit, the cell map, and the dim probe
+    # inside pq_distances) — uncached, the n·k·d fold assignment
+    # upstream re-executes per consumer (measured 1.6× the query wall
+    # at sf0.1). cache() per the r8 rule (SCALE.md): CacheManager
+    # dedupes by plan across calls and serves column-pruned reads.
     res = (
         assigned.join(F.broadcast(seed_df), F.col("cell") == F.col("_sid"))
         .select(
@@ -493,6 +499,7 @@ def ivf_pq_adc_topk(
                 F.col(vec_col), F.col("_svec"), lambda a, b: a.cast("double") - b
             ).alias("_res"),
         )
+        .cache()
     )
     res_named = res.select(F.col(id_col), F.col("_res").alias(vec_col))
     codes = pq_encode(

@@ -722,7 +722,11 @@ _STAR_COMPONENTS_ORACLE = (
 @register(
     "dedup_components_star",
     oracle=_STAR_COMPONENTS_ORACLE,
-    tags=("datapipe", "dedup"),
+    # "bench": this is the production dedup-components lane at scale
+    # (linear candidates; 3.4x faster at 30x — SCALE.md r8), so the
+    # headline tracks it round-over-round alongside the all-pairs
+    # exactness-maximal variant
+    tags=("datapipe", "dedup", "bench", "production"),
 )
 def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster formation with STAR candidate generation
@@ -1706,7 +1710,9 @@ LIMIT 10
 @register(
     "sim_ivfpq_adc_topk",
     oracle=_IVFPQ_ORACLE,
-    tags=("datapipe", "similarity"),
+    # "bench": the production ANN index shape (IVF routing + residual
+    # PQ codes) — headline-tracked alongside its PQ-only sibling
+    tags=("datapipe", "similarity", "bench", "production"),
 )
 def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ asymmetric-distance ANN (r8) — the production FAISS
