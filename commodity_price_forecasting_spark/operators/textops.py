@@ -200,3 +200,45 @@ def tf_idf(
             F.round(F.col("tf") * idf, 6).alias("tf_idf"),
         )
     )
+
+
+#: PII patterns, ordered so earlier redactions cannot create or
+#: destroy later matches: emails carry dots+digits (phone class has
+#: no dots), SSN-shaped ids would otherwise match the phone class,
+#: IPv4 dots break phone runs. Every pattern is shared-subset regex
+#: (character classes + bounded repetition, no lookaround or
+#: backreferences) so Java (Spark) and RE2 (DuckDB) agree exactly.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("id", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<ID>"),
+    ("ip", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_redact(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """PII scrubbing — the compliance stage every training-data
+    pipeline runs before anything else sees the text: emails,
+    SSN-shaped ids, IPv4 addresses and phone-shaped digit runs are
+    replaced with typed placeholders, and the per-doc match counts
+    (taken BEFORE redaction) ride along for audit lanes. One chained
+    ``regexp_replace`` projection — whole-stage codegen, no shuffle,
+    no Python; at 100 TB this is a map-only pass.
+
+    Pattern order is load-bearing (see ``PII_PATTERNS``): an
+    SSN-shaped id also matches the phone class, so ids redact first;
+    placeholders contain no digits, so later patterns cannot match
+    inside earlier redactions. Returns
+    ``(id, redacted, n_email, n_id, n_ip, n_phone)``."""
+    red = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        )
+        red = F.regexp_replace(red, pat, repl)
+    return docs.select(
+        F.col(id_col), red.alias("redacted"), *counts
+    )

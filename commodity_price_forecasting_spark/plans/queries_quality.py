@@ -778,3 +778,83 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), F.asc("phrase"))
         .limit(20)
     )
+
+
+# PII injected deterministically from doc_id (the fixture text is
+# letters+spaces, so every match is the injected one); counts are
+# per-pattern matches in the RAW text, independent per pattern — the
+# SSN-shaped id intentionally also counts as a phone-shaped digit
+# run, in BOTH engines, because the audit counts measure pattern
+# exposure, not disjoint classification.
+_PII_ORACLE = """
+WITH raw AS (
+  SELECT doc_id,
+         text || ' mail u' || CAST(doc_id AS VARCHAR)
+              || '@ex.org tel +1 (555) 010-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' ip 10.2.' || CAST(doc_id % 250 AS VARCHAR)
+              || '.7 id 123-45-6789' AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<ID>', 'g'),
+           '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+         '\\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+       len(regexp_extract_all(t,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(t,
+         '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b')) AS n_id,
+       len(regexp_extract_all(t,
+         '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n_ip,
+       len(regexp_extract_all(t,
+         '\\+?[0-9][0-9 ()-]{6,}[0-9]')) AS n_phone
+FROM raw
+"""
+
+
+@register("quality_pii_redact", oracle=_PII_ORACLE, tags=("datapipe", "text", "quality"))
+def quality_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (r8) — the compliance pass a training pipeline
+    runs corpus-wide before any other stage sees the text: emails,
+    SSN-shaped ids, IPv4 addresses and phone-shaped digit runs
+    become typed placeholders, with per-pattern audit counts taken on
+    the raw text (``operators/textops.pii_redact`` — one chained
+    regexp_replace projection, whole-stage codegen, zero shuffle).
+    The fixture text carries no PII, so the query injects a
+    deterministic doc_id-derived suffix (email, phone, IP, SSN shape)
+    identically in Spark and the oracle — the value gate then checks
+    the REDACTED STRING byte-for-byte plus all four counts per doc.
+    Patterns are the Java∩RE2 regex subset (classes + bounded
+    repetition, no lookaround), so both engines match identically;
+    redaction order is load-bearing and documented in
+    ``PII_PATTERNS``."""
+    from commodity_price_forecasting_spark.operators.textops import pii_redact
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex.org tel +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ip 10.2."),
+            (F.col("doc_id") % 250).cast("string"),
+            F.lit(".7 id 123-45-6789"),
+        ).alias("text"),
+    )
+    out = pii_redact(injected)
+    return out.select(
+        "doc_id",
+        "redacted",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_id").cast("long").alias("n_id"),
+        F.col("n_ip").cast("long").alias("n_ip"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+    )

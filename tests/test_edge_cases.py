@@ -708,3 +708,30 @@ def test_lsh_star_pairs_bound_and_edge_subset(spark):
     assert star_edges and star_edges <= all_edges
     wide.unpersist()
     star.unpersist()
+
+
+def test_pii_redact_ordering_and_placeholder_inertness(spark):
+    """r8: redaction order is load-bearing — an SSN-shaped id must
+    become <ID>, not <PHONE> (it matches both patterns), and
+    placeholders must not be re-matched by later patterns."""
+    from commodity_price_forecasting_spark.operators.textops import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at a.b+c@mail.example.co or 123-45-6789"),
+            (2, "server 192.168.001.9 then call +44 (0) 7700-900123"),
+            (3, "no pii here at all"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert rows[1]["redacted"] == "reach me at <EMAIL> or <ID>"
+    assert rows[1]["n_email"] == 1 and rows[1]["n_id"] == 1
+    # the SSN also counts as a phone-shaped run in the RAW text —
+    # audit counts measure pattern exposure, not disjoint classes
+    assert rows[1]["n_phone"] == 1 and rows[1]["n_ip"] == 0
+    assert rows[2]["redacted"] == "server <IP> then call <PHONE>"
+    assert rows[2]["n_ip"] == 1 and rows[2]["n_phone"] == 1
+    assert rows[3]["redacted"] == "no pii here at all"
+    assert rows[4]["redacted"] is None
