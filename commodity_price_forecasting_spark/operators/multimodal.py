@@ -494,6 +494,10 @@ def decode_png(payload: bytes) -> dict:
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
+            if clen != 13:
+                raise ValueError(
+                    f"bad PNG IHDR chunk length: {clen} (spec requires 13)"
+                )
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"IDAT":
             idat.append(body)

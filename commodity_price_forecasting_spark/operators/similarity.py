@@ -36,6 +36,18 @@ def _norm(a: Column) -> Column:
     )
 
 
+def _half_up6(x: float) -> float:
+    """HALF_UP 6-dp rounding for DRIVER-side scalars — sign·floor(
+    |x|·1e6 + 0.5)/1e6, matching Spark's ``F.round`` (BigDecimal
+    HALF_UP), the DuckDB oracle's ``ROUND`` (half away from zero),
+    and the numpy ``_round6``. Python's builtin ``round`` is
+    banker's (half-to-even) and would pick a DIFFERENT probe cell on
+    an exact 6-dp cosine tie (r8 ADVICE)."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
 def cosine_topk(
     emb: DataFrame,
     query_id: int,
@@ -307,7 +319,7 @@ def ivf_seed_topk(
     probe = [
         sid
         for sid, _ in sorted(
-            seeds, key=lambda s: (-round(cos(s[1], query), 6), s[0])
+            seeds, key=lambda s: (-_half_up6(cos(s[1], query)), s[0])
         )[:n_probe]
     ]
     q = F.array(*[F.lit(float(x)) for x in query])
@@ -381,22 +393,22 @@ def pq_distances(
     cb = pq_subvectors(seeds, m_sub, d_sub, id_col, vec_col, out_id="c").select(
         "c", "m", F.col("sv").alias("cv")
     )
-    sv = pq_subvectors(vectors, m_sub, d_sub, id_col, vec_col)
+    sv = pq_subvectors(vectors, m_sub, d_sub, id_col, vec_col, out_id=id_col)
     return sv.join(F.broadcast(cb), "m").select(
-        "vec_id", "m", "c", _sq_l2(F.col("sv"), F.col("cv")).alias("d2")
+        id_col, "m", "c", _sq_l2(F.col("sv"), F.col("cv")).alias("d2")
     )
 
 
-def pq_encode(dists: DataFrame) -> DataFrame:
-    """``(vec_id, m, code)``: per subspace, the nearest codebook entry
+def pq_encode(dists: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    """``(id_col, m, code)``: per subspace, the nearest codebook entry
     (min squared-L2, ties to the smallest centroid id via lexicographic
-    struct min). The groupBy is keyed on (vec_id, m) — hash-partitioned,
+    struct min). The groupBy is keyed on (id_col, m) — hash-partitioned,
     map-side combinable."""
     best = F.min(F.struct(F.col("d2"), F.col("c"))).alias("best")
     return (
-        dists.groupBy("vec_id", "m")
+        dists.groupBy(id_col, "m")
         .agg(best)
-        .select("vec_id", "m", F.col("best.c").alias("code"))
+        .select(id_col, "m", F.col("best.c").alias("code"))
     )
 
 
@@ -420,8 +432,8 @@ def pq_adc_topk(
     the per-vector sum is a groupBy on vec_id, map-side combinable.
     No full-precision corpus vector is touched after encoding."""
     dists = pq_distances(vectors, n_centroids, m_sub, id_col, vec_col)
-    codes = pq_encode(dists)
-    lut = dists.filter(F.col("vec_id") == query_id).select(
+    codes = pq_encode(dists, id_col)
+    lut = dists.filter(F.col(id_col) == query_id).select(
         F.col("m").alias("_lm"), F.col("c").alias("_lc"), F.col("d2").alias("qd")
     )
     return (
@@ -429,12 +441,12 @@ def pq_adc_topk(
             F.broadcast(lut),
             (F.col("m") == F.col("_lm")) & (F.col("code") == F.col("_lc")),
         )
-        .filter(F.col("vec_id") != query_id)
-        .groupBy("vec_id")
+        .filter(F.col(id_col) != query_id)
+        .groupBy(id_col)
         .agg(F.sum("qd").alias("_s"))
-        .orderBy(F.asc("_s"), F.asc("vec_id"))
+        .orderBy(F.asc("_s"), F.asc(id_col))
         .limit(k)
-        .select("vec_id", F.round(F.col("_s"), 6).alias("adc_dist"))
+        .select(id_col, F.round(F.col("_s"), 6).alias("adc_dist"))
     )
 
 
@@ -503,7 +515,7 @@ def ivf_pq_adc_topk(
     )
     res_named = res.select(F.col(id_col), F.col("_res").alias(vec_col))
     codes = pq_encode(
-        pq_distances(res_named, n_centroids, m_sub, id_col, vec_col)
+        pq_distances(res_named, n_centroids, m_sub, id_col, vec_col), id_col
     )
 
     def cos(a: list[float], b: list[float]) -> float:
@@ -512,13 +524,16 @@ def ivf_pq_adc_topk(
         nb = math.sqrt(sum(x * x for x in b))
         return dot / (na * nb) if na and nb else 0.0
 
-    q = [
-        float(x)
-        for x in vectors.filter(F.col(id_col) == query_id)
-        .select(vec_col)
-        .first()[0]
-    ]
-    probe = sorted(seeds, key=lambda s: (-round(cos(s[1], q), 6), s[0]))[
+    q_row = (
+        vectors.filter(F.col(id_col) == query_id).select(vec_col).first()
+    )
+    if q_row is None:
+        raise ValueError(
+            f"ivf_pq_adc_topk: query {id_col}={query_id} not found in the "
+            "corpus"
+        )
+    q = [float(x) for x in q_row[0]]
+    probe = sorted(seeds, key=lambda s: (-_half_up6(cos(s[1], q)), s[0]))[
         :n_probe
     ]
     dim = len(q)

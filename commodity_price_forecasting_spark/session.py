@@ -30,6 +30,10 @@ _DEFAULT_CONF: dict[str, str] = {
     # 64 MiB broadcast threshold: every dimension table in this engine
     # (region/nation/supplier/part, target_pairs) is far below it.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # reliable-checkpoint hygiene: checkpointed RDD files are removed
+    # when their RDD is GC'd, so long sessions (the 263-query mirror)
+    # don't fill the checkpoint dir with dead iteration cuts.
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
     "spark.ui.enabled": "false",
     "spark.driver.extraJavaOptions": "-Dio.netty.tryReflectionSetAccessible=true",
 }
@@ -64,6 +68,20 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Default checkpoint dir (r8 VERDICT ask #7): the iterative-graph
+    # operators (connected_components, pagerank) auto-select RELIABLE
+    # df.checkpoint() whenever a checkpoint dir is configured and fall
+    # back to single-JVM localCheckpoint otherwise — without this the
+    # fallback was the DEFAULT, inverted from the 100 TB posture. A
+    # cluster deployment points SPARK_GRAFT_CHECKPOINT_DIR at HDFS/S3;
+    # locally a per-session temp dir keeps runs isolated.
+    if spark.sparkContext.getCheckpointDir() is None:
+        ckpt = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        if not ckpt:
+            import tempfile
+
+            ckpt = tempfile.mkdtemp(prefix="spark-graft-ckpt-")
+        spark.sparkContext.setCheckpointDir(ckpt)
     return spark
 
 

@@ -134,3 +134,43 @@ def test_connected_components_fast_path_equals_distributed(spark):
     got_halv = sorted(tuple(r) for r in halv.collect())
     assert got_fast == got_star == got_halv
     assert len(got_fast) == 1000 + 101 + 20
+
+
+def test_session_default_checkpoint_dir_and_reliable_cc(spark, tmp_path):
+    """r8 VERDICT ask #7: the session factory must configure a
+    checkpoint dir OUT OF THE BOX, so connected_components' auto rule
+    (reliable df.checkpoint() whenever a dir is configured) takes the
+    cluster-safe path by default instead of silently falling back to
+    single-JVM localCheckpoint."""
+    import os
+
+    from commodity_price_forecasting_spark.operators.dedup import (
+        connected_components,
+    )
+
+    sc = spark.sparkContext
+    ckpt_dir = sc.getCheckpointDir()
+    assert ckpt_dir is not None, "session factory left no checkpoint dir"
+    # the distributed loop must actually write reliable checkpoints
+    # there: run the star loop (the >1M-edge production strategy) and
+    # observe new checkpoint payloads under the configured dir.
+    local = ckpt_dir[len("file:"):] if ckpt_dir.startswith("file:") else ckpt_dir
+
+    def _ckpt_files() -> set[str]:
+        found: set[str] = set()
+        for root, _dirs, files in os.walk(local):
+            found.update(os.path.join(root, f) for f in files)
+        return found
+
+    # set difference, not a count: the session enables
+    # cleanCheckpoints, so stale checkpoint files from EARLIER tests
+    # may be GC-collected while this test runs — only NEW files prove
+    # the reliable path was taken.
+    before = _ckpt_files()
+    edges = spark.range(50).selectExpr("id AS doc_a", "id + 1 AS doc_b")
+    out = connected_components(edges, small_graph_threshold=0, strategy="star")
+    assert out.select("component").distinct().count() == 1
+    assert _ckpt_files() - before, (
+        "connected_components ran without writing reliable checkpoints "
+        "to the session checkpoint dir"
+    )

@@ -772,6 +772,16 @@ def test_png_rejects_bad_inputs():
             + _png_chunk(b"IEND", b"")
         )
 
+    # short IHDR body must raise the contract ValueError, not a
+    # struct.error leaking from unpack (r8 ADVICE)
+    short_ihdr = struct.pack(">IIBBB", 2, 1, 8, 2, 0)
+    with pytest.raises(ValueError, match="IHDR chunk length"):
+        decode_png(
+            PNG_SIG
+            + _png_chunk(b"IHDR", short_ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" + bytes(6)))
+            + _png_chunk(b"IEND", b"")
+        )
     with pytest.raises(ValueError, match="color_type=3"):
         decode_png(container(color_type=3))
     with pytest.raises(ValueError, match="Adam7"):

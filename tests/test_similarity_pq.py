@@ -161,3 +161,32 @@ def test_ivfpq_numpy_twin_and_probe_containment(spark):
     assert all(r["cell"] in probe_ids for r in got)
     for r, (_, d) in zip(got, want):
         assert abs(r["adc_dist"] - round(d, 6)) < 1e-9
+
+
+def test_ivfpq_threads_custom_id_col_and_guards_missing_query(spark):
+    """r8 ADVICE (medium): ivf_pq_adc_topk advertised id_col but the
+    PQ helpers hard-coded 'vec_id', so any renamed id column raised
+    AnalysisException. The renamed frame must now return EXACTLY the
+    default-named result (modulo the id column name), and a missing
+    query_id must raise a NAMED ValueError, not TypeError on None."""
+    import pytest as _pytest
+
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ivf_pq_adc_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = ivf_pq_adc_topk(emb, query_id=0, k=5).collect()
+    renamed = emb.withColumnRenamed("vec_id", "doc_id")
+    got = ivf_pq_adc_topk(renamed, query_id=0, k=5, id_col="doc_id").collect()
+    assert [r["doc_id"] for r in got] == [r["vec_id"] for r in base]
+    assert [r["adc_dist"] for r in got] == [r["adc_dist"] for r in base]
+    assert got[0].__fields__ == ["doc_id", "cell", "adc_dist"]
+
+    with _pytest.raises(ValueError, match="query vec_id=-12345 not found"):
+        ivf_pq_adc_topk(emb, query_id=-12345, k=5).collect()
+
+    # pq_adc_topk gets the same threading (shared helpers)
+    got_pq = pq_adc_topk(renamed, query_id=0, k=5, id_col="doc_id").collect()
+    base_pq = pq_adc_topk(emb, query_id=0, k=5).collect()
+    assert [r["doc_id"] for r in got_pq] == [r["vec_id"] for r in base_pq]

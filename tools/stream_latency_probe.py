@@ -119,16 +119,24 @@ def main() -> None:
             .start()
         )
         # drain: the file source reports 0 available files once every
-        # chunk is consumed; two consecutive empty triggers = done
-        empty = 0
+        # chunk is consumed; three consecutive DISTINCT empty
+        # micro-batches = done. Counting distinct batchIds (not polls
+        # of the same lastProgress object) means a single mid-stream
+        # zero-row batch that stays lastProgress for a few polls can't
+        # end the drain early and under-report throughput (r8 ADVICE).
+        empty_ids: list[int] = []
         seen_batches: dict[int, dict] = {}
-        while empty < 3:
+        while len(empty_ids) < 3:
             time.sleep(0.2)
             p = q.lastProgress
             if p is None:
                 continue
+            if p["batchId"] not in seen_batches:
+                if p["numInputRows"] == 0:
+                    empty_ids.append(p["batchId"])
+                else:
+                    empty_ids.clear()
             seen_batches[p["batchId"]] = p
-            empty = empty + 1 if p["numInputRows"] == 0 else 0
         wall = time.perf_counter() - t0
         q.stop()
         q.awaitTermination(30)
