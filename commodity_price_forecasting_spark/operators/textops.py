@@ -215,6 +215,63 @@ PII_PATTERNS = (
     ("phone", r"\+?[0-9][0-9 ()-]{6,}[0-9]", "<PHONE>"),
 )
 
+#: checksum-gated PII classes (r8 VERDICT ask #6). A 16-digit run is
+#: only a credit card if it passes the Luhn mod-10 check, and an
+#: IBAN-shaped token is only an account if its mod-97 remainder is 1
+#: (ISO 13616 / ECBS, public) — gating on the checksum redacts real
+#: account numbers while leaving order ids / random digit runs for
+#: the (coarser) phone class. Same Java∩RE2 shared-subset regex
+#: discipline as PII_PATTERNS. These redact BETWEEN email and the
+#: digit-class patterns: earlier placeholders carry no digits, and a
+#: checksum-valid candidate must be consumed before the phone class
+#: can eat its digit run.
+CC_PATTERN = r"\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}\b"
+IBAN_PATTERN = r"\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"
+
+
+def luhn_valid(x: Column) -> Column:
+    """Luhn mod-10 validity of a credit-card candidate (separators
+    stripped) as a PURE column expression: fold over digit positions
+    from the right, doubling every second digit and casting out
+    nines — whole-stage codegen, reproducible term-by-term in ANSI
+    SQL (the DuckDB oracle runs the identical fold)."""
+    digs = F.regexp_replace(x, F.lit("[ -]"), F.lit(""))
+    n = F.length(digs)
+    total = F.aggregate(
+        F.sequence(F.lit(1), n),
+        F.lit(0),
+        lambda acc, i: acc
+        + F.when(
+            i % 2 == 0,
+            F.when(
+                digs.substr(n - i + 1, F.lit(1)).cast("int") * 2 > 9,
+                digs.substr(n - i + 1, F.lit(1)).cast("int") * 2 - 9,
+            ).otherwise(digs.substr(n - i + 1, F.lit(1)).cast("int") * 2),
+        ).otherwise(digs.substr(n - i + 1, F.lit(1)).cast("int")),
+    )
+    return total % 10 == 0
+
+
+def iban_valid(x: Column) -> Column:
+    """ISO 13616 mod-97 validity of an IBAN candidate as a pure
+    column expression: rotate the first four chars to the end, map
+    A–Z to 10–35, and fold the resulting digit stream mod 97 (the
+    streaming form of the big-integer remainder — acc stays < 9 700,
+    no overflow). Valid iff the remainder is 1."""
+    r = F.concat(x.substr(F.lit(5), F.length(x)), x.substr(F.lit(1), F.lit(4)))
+    codes = F.transform(
+        F.sequence(F.lit(1), F.length(r)),
+        lambda i: F.ascii(r.substr(i, F.lit(1))).cast("long"),
+    )
+    m = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, a: F.when(
+            a <= 57, (acc * 10 + (a - 48)) % 97
+        ).otherwise((acc * 100 + (a - 55)) % 97),
+    )
+    return m == 1
+
 
 def pii_redact(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -230,14 +287,54 @@ def pii_redact(
     Pattern order is load-bearing (see ``PII_PATTERNS``): an
     SSN-shaped id also matches the phone class, so ids redact first;
     placeholders contain no digits, so later patterns cannot match
-    inside earlier redactions. Returns
-    ``(id, redacted, n_email, n_id, n_ip, n_phone)``."""
-    red = F.col(text_col)
-    counts = []
-    for name, pat, repl in PII_PATTERNS:
-        counts.append(
-            F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
-        )
+    inside earlier redactions.
+
+    r9: two CHECKSUM-GATED classes join the chain between email and
+    the digit classes — credit cards (Luhn mod-10) and IBANs (mod-97)
+    redact only when the checksum passes, so real account numbers go,
+    random digit runs stay (and fall through to the coarse phone
+    class). Gated redaction = ``regexp_extract_all`` → ``filter`` by
+    the checksum fold → ``aggregate`` literal ``replace`` of each
+    distinct valid candidate — still one zero-shuffle codegen
+    projection, no Python. Caveat (documented, shared by the oracle):
+    the gated replace is LITERAL, so a valid candidate string that
+    also occurs as a substring of a longer digit run is replaced
+    there too — the regex boundary applies to candidate EXTRACTION,
+    not re-location. All counts are raw-text exposure counts,
+    independent per class (a valid card also counts as n_cc and
+    n_phone exposure).
+
+    Returns ``(id, redacted, n_email, n_id, n_ip, n_phone, n_cc,
+    n_cc_valid, n_iban, n_iban_valid)``."""
+    raw = F.col(text_col)
+    counts = [
+        F.regexp_count(raw, F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _repl in PII_PATTERNS
+    ]
+    cc_cands = F.regexp_extract_all(raw, F.lit(CC_PATTERN), F.lit(0))
+    ib_cands = F.regexp_extract_all(raw, F.lit(IBAN_PATTERN), F.lit(0))
+    cc_ok = F.filter(cc_cands, luhn_valid)
+    ib_ok = F.filter(ib_cands, iban_valid)
+    counts += [
+        F.size(cc_cands).alias("n_cc"),
+        F.size(cc_ok).alias("n_cc_valid"),
+        F.size(ib_cands).alias("n_iban"),
+        F.size(ib_ok).alias("n_iban_valid"),
+    ]
+    email_name, email_pat, email_repl = PII_PATTERNS[0]
+    assert email_name == "email"
+    red = F.regexp_replace(raw, email_pat, email_repl)
+    red = F.aggregate(
+        F.array_distinct(cc_ok),
+        red,
+        lambda acc, s: F.replace(acc, s, F.lit("<CC>")),
+    )
+    red = F.aggregate(
+        F.array_distinct(ib_ok),
+        red,
+        lambda acc, s: F.replace(acc, s, F.lit("<IBAN>")),
+    )
+    for _name, pat, repl in PII_PATTERNS[1:]:
         red = F.regexp_replace(red, pat, repl)
     return docs.select(
         F.col(id_col), red.alias("redacted"), *counts

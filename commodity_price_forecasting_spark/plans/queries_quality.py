@@ -858,3 +858,158 @@ def quality_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_ip").cast("long").alias("n_ip"),
         F.col("n_phone").cast("long").alias("n_phone"),
     )
+
+
+# Checksum-gated PII (r8 VERDICT ask #6): the fixture text is
+# letters+spaces, so the query injects — per doc, doc_id-derived,
+# identically in both engines — a Luhn-VALID card, a Luhn-INVALID
+# card (check digit +5 mod 10), a mod-97-VALID IBAN, and an INVALID
+# one (check value −1, which shifts the remainder off 1 for every
+# possible m). The valid pair must become <CC>/<IBAN>; the invalid
+# pair must survive the gate and fall through to the coarse phone
+# class. Both engines compute the check digits with the SAME integer
+# folds (Luhn over left positions 1..15, doubled at odd p; streaming
+# mod-97 over the digit expansion of bban||'131400').
+_PII_CHECKSUM_ORACLE = """
+WITH base AS (
+  SELECT doc_id, text,
+         '411111' || lpad(CAST(doc_id % 1000000000 AS VARCHAR), 9, '0') AS pay,
+         '3704' || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') || '013000' AS bban
+  FROM documents
+), der AS (
+  SELECT doc_id, text, pay, bban,
+    CAST((10 - (CAST(list_sum(list_transform(range(1, 16),
+        p -> CASE WHEN p % 2 = 1
+             THEN CASE WHEN 2 * CAST(substring(pay, p, 1) AS INTEGER) > 9
+                  THEN 2 * CAST(substring(pay, p, 1) AS INTEGER) - 9
+                  ELSE 2 * CAST(substring(pay, p, 1) AS INTEGER) END
+             ELSE CAST(substring(pay, p, 1) AS INTEGER) END)) AS INTEGER) % 10)) % 10
+      AS INTEGER) AS ccd,
+    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(range(1, len(bban || '131400') + 1),
+          i -> CAST(substring(bban || '131400', i, 1) AS BIGINT))),
+        (acc, d) -> (acc * 10 + d) % 97) AS m97
+  FROM base
+), inj AS (
+  SELECT doc_id,
+    text || ' card ' || pay || CAST(ccd AS VARCHAR)
+         || ' alt ' || pay || CAST((ccd + 5) % 10 AS VARCHAR)
+         || ' acct DE' || lpad(CAST(98 - m97 AS VARCHAR), 2, '0') || bban
+         || ' ref DE' || lpad(CAST(97 - m97 AS VARCHAR), 2, '0') || bban AS t
+  FROM der
+), gated AS (
+  SELECT doc_id, t,
+    list_filter(regexp_extract_all(t, '\\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}\\b'),
+      x -> list_sum(list_transform(range(1, len(regexp_replace(x, '[ -]', '', 'g')) + 1),
+             i -> CASE WHEN i % 2 = 0
+                  THEN CASE WHEN 2 * CAST(substring(regexp_replace(x, '[ -]', '', 'g'), len(regexp_replace(x, '[ -]', '', 'g')) - i + 1, 1) AS INTEGER) > 9
+                       THEN 2 * CAST(substring(regexp_replace(x, '[ -]', '', 'g'), len(regexp_replace(x, '[ -]', '', 'g')) - i + 1, 1) AS INTEGER) - 9
+                       ELSE 2 * CAST(substring(regexp_replace(x, '[ -]', '', 'g'), len(regexp_replace(x, '[ -]', '', 'g')) - i + 1, 1) AS INTEGER) END
+                  ELSE CAST(substring(regexp_replace(x, '[ -]', '', 'g'), len(regexp_replace(x, '[ -]', '', 'g')) - i + 1, 1) AS INTEGER) END))
+           % 10 = 0) AS cc_ok,
+    list_filter(regexp_extract_all(t, '\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b'),
+      x -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(1, len(x) + 1),
+               i -> CAST(ascii(substring(substring(x, 5) || substring(x, 1, 4), i, 1)) AS BIGINT))),
+             (acc, a) -> CASE WHEN a <= 57 THEN (acc * 10 + (a - 48)) % 97
+                              ELSE (acc * 100 + (a - 55)) % 97 END) = 1) AS ib_ok,
+    len(regexp_extract_all(t, '\\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}\\b')) AS n_cc,
+    len(regexp_extract_all(t, '\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b')) AS n_iban
+  FROM inj
+)
+SELECT doc_id,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(
+        list_reduce(
+          list_prepend(
+            list_reduce(
+              list_prepend(
+                regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                list_distinct(cc_ok)),
+              (acc, s) -> replace(acc, s, '<CC>')),
+            list_distinct(ib_ok)),
+          (acc, s) -> replace(acc, s, '<IBAN>')),
+        '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<ID>', 'g'),
+      '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+    '\\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+  n_cc, len(cc_ok) AS n_cc_valid, n_iban, len(ib_ok) AS n_iban_valid
+FROM gated
+"""
+
+
+@register(
+    "quality_pii_checksum",
+    oracle=_PII_CHECKSUM_ORACLE,
+    tags=("datapipe", "text", "quality"),
+)
+def quality_pii_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-gated PII scrubbing (r9): credit-card candidates
+    redact only when the Luhn mod-10 check passes, IBAN candidates
+    only at mod-97 remainder 1 (``operators/textops.luhn_valid`` /
+    ``iban_valid`` — pure column-expression folds, zero shuffle, no
+    Python). The doc_id-derived injection plants one VALID and one
+    INVALID instance of each class per doc; the value gate checks the
+    redacted string BYTE-FOR-BYTE (valid → <CC>/<IBAN>; invalid →
+    left for the coarse <PHONE> class) plus all four audit counts.
+    Extends ``quality_pii_redact``'s Java∩RE2 pattern discipline to
+    checksum classes computed with identical integer folds in both
+    engines."""
+    from commodity_price_forecasting_spark.operators.textops import pii_redact
+
+    docs = load_table(spark, sf_dir, "documents")
+    pay = F.concat(
+        F.lit("411111"),
+        F.lpad((F.col("doc_id") % 1000000000).cast("string"), 9, "0"),
+    )
+    bban = F.concat(
+        F.lit("3704"),
+        F.lpad((F.col("doc_id") % 100000000).cast("string"), 8, "0"),
+        F.lit("013000"),
+    )
+    luhn_sum = F.aggregate(
+        F.sequence(F.lit(1), F.lit(15)),
+        F.lit(0),
+        lambda acc, p: acc
+        + F.when(
+            p % 2 == 1,
+            F.when(
+                pay.substr(p, F.lit(1)).cast("int") * 2 > 9,
+                pay.substr(p, F.lit(1)).cast("int") * 2 - 9,
+            ).otherwise(pay.substr(p, F.lit(1)).cast("int") * 2),
+        ).otherwise(pay.substr(p, F.lit(1)).cast("int")),
+    )
+    ccd = (F.lit(10) - luhn_sum % 10) % 10
+    mstr = F.concat(bban, F.lit("131400"))
+    m97 = F.aggregate(
+        F.sequence(F.lit(1), F.length(mstr)),
+        F.lit(0).cast("long"),
+        lambda acc, i: (acc * 10 + mstr.substr(i, F.lit(1)).cast("long")) % 97,
+    )
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" card "),
+            pay,
+            ccd.cast("string"),
+            F.lit(" alt "),
+            pay,
+            ((ccd + 5) % 10).cast("string"),
+            F.lit(" acct DE"),
+            F.lpad((F.lit(98) - m97).cast("string"), 2, "0"),
+            bban,
+            F.lit(" ref DE"),
+            F.lpad((F.lit(97) - m97).cast("string"), 2, "0"),
+            bban,
+        ).alias("text"),
+    )
+    out = pii_redact(injected)
+    return out.select(
+        "doc_id",
+        "redacted",
+        F.col("n_cc").cast("long").alias("n_cc"),
+        F.col("n_cc_valid").cast("long").alias("n_cc_valid"),
+        F.col("n_iban").cast("long").alias("n_iban"),
+        F.col("n_iban_valid").cast("long").alias("n_iban_valid"),
+    )

@@ -735,3 +735,42 @@ def test_pii_redact_ordering_and_placeholder_inertness(spark):
     assert rows[2]["n_ip"] == 1 and rows[2]["n_phone"] == 1
     assert rows[3]["redacted"] == "no pii here at all"
     assert rows[4]["redacted"] is None
+
+
+def test_pii_checksum_gate_luhn_and_iban(spark):
+    """r9: checksum-gated classes — a Luhn-valid card (contiguous or
+    separator-grouped) becomes <CC> and a mod-97-valid IBAN becomes
+    <IBAN>; checksum-FAILING lookalikes survive the gate and fall
+    through to the coarse phone class. Known vectors: 4111111111111111
+    (valid test PAN), DE89370400440532013000 (valid IBAN from the ISO
+    13616 example family)."""
+    from commodity_price_forecasting_spark.operators.textops import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "pay 4111111111111111 now"),
+            (2, "pay 4111 1111 1111 1111 or 4012-8888-8888-1881 now"),
+            (3, "pay 4111111111111112 now"),
+            (4, "acct DE89370400440532013000 end"),
+            (5, "acct DE21370400440532013000 end"),
+            (6, "GB82WEST12345698765432 and GB82WEST12345698765431"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert rows[1]["redacted"] == "pay <CC> now"
+    assert rows[1]["n_cc"] == 1 and rows[1]["n_cc_valid"] == 1
+    assert rows[2]["redacted"] == "pay <CC> or <CC> now"
+    assert rows[2]["n_cc"] == 2 and rows[2]["n_cc_valid"] == 2
+    # invalid check digit: not a card; the digit run still redacts as
+    # the coarse phone class (exposure, not silence)
+    assert rows[3]["redacted"] == "pay <PHONE> now"
+    assert rows[3]["n_cc"] == 1 and rows[3]["n_cc_valid"] == 0
+    assert rows[4]["redacted"] == "acct <IBAN> end"
+    assert rows[4]["n_iban"] == 1 and rows[4]["n_iban_valid"] == 1
+    assert rows[5]["redacted"] == "acct DE<PHONE> end"
+    assert rows[5]["n_iban"] == 1 and rows[5]["n_iban_valid"] == 0
+    # letters inside the BBAN exercise the A-Z=10..35 mapping; the
+    # invalid sibling keeps its letter prefix, loses its digit tail
+    assert rows[6]["redacted"] == "<IBAN> and GB82WEST<PHONE>"
+    assert rows[6]["n_iban"] == 2 and rows[6]["n_iban_valid"] == 1
