@@ -774,3 +774,42 @@ def test_pii_checksum_gate_luhn_and_iban(spark):
     # invalid sibling keeps its letter prefix, loses its digit tail
     assert rows[6]["redacted"] == "<IBAN> and GB82WEST<PHONE>"
     assert rows[6]["n_iban"] == 2 and rows[6]["n_iban_valid"] == 1
+
+
+def test_near_dup_candidates_dispatch_and_equality(spark):
+    """r9 front door: below the bucket-pair threshold auto IS the
+    all-pairs result exactly; above it (forced via a tiny threshold
+    by monkeypatching the module constant) it IS the star result;
+    bad lane names are refused with the options listed."""
+    import pytest as _pytest
+
+    from commodity_price_forecasting_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, ("alpha beta gamma delta " * 4) + ("x" if i % 3 else "")) for i in range(24)],
+        "doc_id long, text string",
+    )
+    sh = D.char_shingles(docs, distinct=False)
+    bands = D.band_signatures(D.minhash_wide(sh))
+
+    auto = sorted(tuple(r) for r in D.near_dup_candidates(bands).collect())
+    allp = sorted(tuple(r) for r in D.lsh_candidate_pairs(bands).collect())
+    star = sorted(tuple(r) for r in D.lsh_star_pairs(bands).collect())
+    assert auto == allp and allp  # small corpus -> all-pairs lane
+    assert set(star) <= set(allp)
+
+    orig = D.NEAR_DUP_ALLPAIRS_MAX_PAIRS
+    try:
+        D.NEAR_DUP_ALLPAIRS_MAX_PAIRS = 0
+        forced = sorted(
+            tuple(r) for r in D.near_dup_candidates(bands).collect()
+        )
+        assert forced == star
+    finally:
+        D.NEAR_DUP_ALLPAIRS_MAX_PAIRS = orig
+
+    assert sorted(
+        tuple(r) for r in D.near_dup_candidates(bands, candidates="star").collect()
+    ) == star
+    with _pytest.raises(ValueError, match="auto|all|star"):
+        D.near_dup_candidates(bands, candidates="bogus")
