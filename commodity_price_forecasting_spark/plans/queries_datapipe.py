@@ -3195,3 +3195,260 @@ def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_coef"),
         )
     )
+
+
+# --- the FULL curation pipeline (r8 VERDICT ask #8) ----------------------
+#
+# PII redact -> quality gate -> exact dedup -> star-LSH components +
+# canonical pick -> semantic_dedup front door -> deterministic split,
+# with per-stage survivor counts: the single query a training-data
+# user actually runs. The SQL-expressible prefix (stages 0-4) is its
+# own registered query with a spliced-CTE oracle; the full query adds
+# the semantic stage (rows-only by declared design — the drop set is
+# pinned against a direct semantic_dedup call in
+# tests/test_plans.py) and the 80/10/10 split tail.
+
+_PIPELINE_FULL_PREFIX_ORACLE = """
+WITH RECURSIVE red AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b', '<ID>', 'g'),
+        '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g'),
+      '\\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS text
+  FROM documents
+), quality AS (
+  SELECT doc_id, ROUND(0.4 * LEAST(n_tokens / 50.0, 1.0)
+       + 0.3 * (n_distinct * 1.0 / n_tokens)
+       + 0.3 * (1 - ABS(n_stop * 1.0 / n_tokens - 0.10) / 0.9), 6) AS quality
+  FROM (
+    SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS n_distinct,
+           SUM(CASE WHEN token IN ('the','a','of','and','in') THEN 1 ELSE 0 END)
+             AS n_stop
+    FROM (SELECT r.doc_id, UNNEST(string_split(trim(r.text), ' ')) AS token
+          FROM red r) tk
+    WHERE token <> ''
+    GROUP BY doc_id
+  ) t
+), s2 AS (
+  SELECT r.doc_id, r.text FROM red r
+  JOIN quality q ON r.doc_id = q.doc_id
+  WHERE q.quality >= 0.7
+), s3 AS (
+  SELECT MIN(doc_id) AS doc_id FROM s2 GROUP BY md5(text)
+), s3d AS (
+  SELECT s2.doc_id, s2.text FROM s2 JOIN s3 ON s2.doc_id = s3.doc_id
+), pos AS (
+  SELECT doc_id, text,
+         UNNEST(range(1, GREATEST(length(text) - 4, 1) + 1)) AS i
+  FROM s3d
+), sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS shingle FROM pos
+), mh AS (
+  SELECT doc_id, h.i,
+         MIN(md5(CAST(h.i AS VARCHAR) || ':' || shingle)) AS mh
+  FROM sh, generate_series(0, 11) h(i)
+  GROUP BY doc_id, h.i
+), bands AS (
+  SELECT doc_id, CAST(FLOOR(i / 3) AS INTEGER) AS band,
+         md5(string_agg(mh, '|' ORDER BY i)) AS sig
+  FROM mh GROUP BY doc_id, CAST(FLOOR(i / 3) AS INTEGER)
+), rep AS (
+  SELECT band, sig, MIN(doc_id) AS rep FROM bands GROUP BY band, sig
+), cand AS (
+  SELECT DISTINCT r.rep AS doc_a, b.doc_id AS doc_b
+  FROM bands b JOIN rep r ON b.band = r.band AND b.sig = r.sig
+  WHERE b.doc_id <> r.rep
+), edges AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN mh a ON a.doc_id = c.doc_a
+  JOIN mh b ON b.doc_id = c.doc_b AND a.i = b.i
+  GROUP BY c.doc_a, c.doc_b
+  HAVING SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 12.0 >= 0.5
+), sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM edges
+  UNION
+  SELECT doc_b, doc_a FROM edges
+), walk(node, label) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.v, w.label FROM walk w JOIN sym s ON s.u = w.node
+), labels AS (
+  SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+), ranked AS (
+  SELECT l.component, l.doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY l.component
+           ORDER BY q.quality DESC, l.doc_id ASC) AS rk
+  FROM labels l JOIN quality q ON l.doc_id = q.doc_id
+), s4 AS (
+  SELECT s3.doc_id FROM s3
+  WHERE s3.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rk > 1)
+)
+SELECT CAST(0 AS INT) AS stage_no, 'raw' AS stage, COUNT(*) AS n_docs FROM documents
+UNION ALL SELECT 1, 'pii_redact', COUNT(*) FROM red
+UNION ALL SELECT 2, 'quality_gate', COUNT(*) FROM s2
+UNION ALL SELECT 3, 'exact_dedup', COUNT(*) FROM s3
+UNION ALL SELECT 4, 'star_canonical', COUNT(*) FROM s4
+"""
+
+
+def _curation_full_stages(spark: SparkSession, sf_dir: str) -> dict:
+    """Shared stage frames for the full curation pipeline; each value
+    is a (doc_id[, text]) frame of that stage's SURVIVORS. Heavy
+    lifting is staged once: PII redaction is a zero-shuffle
+    projection whose output feeds BOTH the quality gate and the exact
+    fingerprints; shingles/minhashes are computed only for exact-dedup
+    survivors; components run on star candidates (n·bands bound)."""
+    from pyspark.sql import Window as W
+
+    from commodity_price_forecasting_spark.operators.textops import (
+        pii_redact,
+        quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    red = pii_redact(docs).select(
+        "doc_id", F.col("redacted").alias("text")
+    )
+    q = quality_score(red).select(F.col("doc_id").alias("q_doc"), "quality")
+    s2 = red.join(
+        q.filter(F.col("quality") >= 0.7),
+        red.doc_id == F.col("q_doc"),
+    ).select("doc_id", "text")
+    s3_ids = (
+        s2.groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s3d = s2.join(s3_ids, "doc_id")
+    sh = char_shingles(s3d, k=5, distinct=False)
+    wide = minhash_wide(sh, num_hashes=12).cache()
+    cand = lsh_star_pairs(band_signatures(wide, num_hashes=12, rows_per_band=3))
+    edges = estimated_jaccard(wide, cand, num_hashes=12).filter(
+        F.col("est_jaccard") >= 0.5
+    )
+    comp = connected_components(edges, "doc_a", "doc_b")
+    ranked = comp.join(q, comp.node == F.col("q_doc")).select(
+        "component",
+        F.col("node").alias("doc_id"),
+        F.row_number()
+        .over(W.partitionBy("component").orderBy(F.desc("quality"), F.asc("node")))
+        .alias("rk"),
+    )
+    dropped = ranked.filter(F.col("rk") > 1).select("doc_id")
+    s4 = s3_ids.join(dropped, "doc_id", "left_anti")
+    return {"docs": docs, "red": red, "s2": s2, "s3": s3_ids, "s4": s4}
+
+
+def _stage_row(no: int, name: str, df: DataFrame) -> DataFrame:
+    return df.agg(
+        F.lit(no).cast("int").alias("stage_no"),
+        F.lit(name).alias("stage"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "curation_pipeline_prefix",
+    oracle=_PIPELINE_FULL_PREFIX_ORACLE,
+    tags=("datapipe", "pipeline"),
+)
+def curation_pipeline_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-expressible prefix of the FULL curation pipeline
+    (stages 0-4), fully oracled: PII redaction feeds the quality gate
+    and the exact fingerprints (redaction happens BEFORE hashing, so
+    two docs differing only in their PII dedup together), exact dedup
+    survivors feed star-LSH candidate generation
+    (``operators/dedup.lsh_star_pairs`` — the production n·bands
+    lane), and the quality-argmax canonical pick closes near-dedup.
+    Oracle note: the spliced-CTE oracle replicates the four REGEX PII
+    classes; the checksum-gated classes are elided there because the
+    fixture corpus is letters+spaces (no candidates exist — their
+    byte-exactness is pinned separately by ``quality_pii_checksum``).
+    """
+    s = _curation_full_stages(spark, sf_dir)
+    return (
+        _stage_row(0, "raw", s["docs"])
+        .unionAll(_stage_row(1, "pii_redact", s["red"]))
+        .unionAll(_stage_row(2, "quality_gate", s["s2"]))
+        .unionAll(_stage_row(3, "exact_dedup", s["s3"]))
+        .unionAll(_stage_row(4, "star_canonical", s["s4"]))
+    )
+
+
+@register(
+    "curation_pipeline_full",
+    # rows-only by declared design: stage 5 is the semantic_dedup
+    # front door, whose hier lane (chosen above the measured n=4000
+    # crossover) has no SQL twin; stages 0-4 are value-oracled via
+    # curation_pipeline_prefix and the drop set is equality-pinned in
+    # tests/test_plans.py
+    oracle=None,
+    tags=("datapipe", "pipeline", "bench", "production"),
+)
+def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE training-data curation story in one plan (r8 VERDICT
+    ask #8): PII redact -> quality gate (>= 0.7 on redacted text) ->
+    exact dedup -> star-LSH components + quality-argmax canonical ->
+    ``semantic_dedup`` front door over the survivors' embeddings
+    (auto lane: flat-BLAS <= 4000 vectors, hier cogroup above) ->
+    deterministic 80/10/10 hash split. One row per stage with the
+    survivor count — the acceptance dashboard of a curation run.
+
+    Scale shape: every stage hands the next a doc_id set; text is
+    touched once for redaction (zero-shuffle projection), once for
+    shingles (exact-dedup survivors only); star candidates are
+    bounded n·bands; the semantic stage ships only survivor
+    embeddings into the front door. Stages 0-4 are value-oracled as
+    ``curation_pipeline_prefix``; this query is rows-only because the
+    semantic drop set is engine-side (pinned by pytest against a
+    direct ``semantic_dedup`` call)."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    s = _curation_full_stages(spark, sf_dir)
+    embs = (
+        load_table(spark, sf_dir, "embeddings")
+        .join(s["s4"], F.col("vec_id") == F.col("doc_id"))
+        .select("vec_id", "embedding")
+    )
+    drops = semantic_dedup(embs).select(F.col("vec_id").alias("doc_id"))
+    s5 = s["s4"].join(drops, "doc_id", "left_anti")
+    pct = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    split = s5.select(
+        "doc_id",
+        F.when(pct < 80, "split_train")
+        .when(pct < 90, "split_val")
+        .otherwise("split_test")
+        .alias("split"),
+    )
+    split_rows = (
+        split.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.when(F.col("split") == "split_train", 6)
+            .when(F.col("split") == "split_val", 7)
+            .otherwise(8)
+            .cast("int")
+            .alias("stage_no"),
+            F.col("split").alias("stage"),
+            "n_docs",
+        )
+    )
+    return (
+        _stage_row(0, "raw", s["docs"])
+        .unionAll(_stage_row(1, "pii_redact", s["red"]))
+        .unionAll(_stage_row(2, "quality_gate", s["s2"]))
+        .unionAll(_stage_row(3, "exact_dedup", s["s3"]))
+        .unionAll(_stage_row(4, "star_canonical", s["s4"]))
+        .unionAll(_stage_row(5, "semantic_dedup", s5))
+        .unionAll(split_rows)
+    )

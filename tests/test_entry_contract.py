@@ -43,6 +43,10 @@ def test_oracle_keys_subset_of_queries():
     # semantic_dedup_hier (r7): k ∝ n two-level lane — rows-only for
     # the same n-dependence reason; pinned against a whole-corpus
     # numpy twin of the two-level rule in tests/test_retrieval.py
+    # curation_pipeline_full (r9): its semantic stage routes through
+    # the n-dependent semantic_dedup front door — stages 0-4 are
+    # value-oracled as curation_pipeline_prefix and the semantic drop
+    # set is equality-pinned in tests/test_plans.py
     assert rows_only <= {
         "m6_ensemble_weights",
         "m11_stationarity_tests",
@@ -51,6 +55,7 @@ def test_oracle_keys_subset_of_queries():
         "semantic_dedup_auto",
         "semantic_dedup_blas",
         "semantic_dedup_hier",
+        "curation_pipeline_full",
     }
 
 

@@ -44,6 +44,10 @@ PYTHON_OK = {
     # production SemDeDup lane; inner plan asserted in
     # test_semantic_dedup_blas_assignment_plan
     "semantic_dedup_blas",
+    # full curation pipeline: its semantic stage routes through the
+    # semantic_dedup front door, which picks the BLAS lane at this
+    # fixture's size (r9)
+    "curation_pipeline_full",
 }
 #: queries that fit models / write files at plan-build time — too heavy
 #: or side-effectful for a plan-only sweep.
@@ -533,3 +537,54 @@ def test_nested_schema_pruning_reaches_parquet_scan(spark, tmp_path):
     assert "x" in schema_line
     assert "bulk" not in schema_line, schema_line
     assert "y:" not in schema_line.replace("x:", ""), schema_line
+
+
+def test_curation_pipeline_full_stage_consistency(spark):
+    """r9 full pipeline pins: (a) stages 0-4 equal the value-oracled
+    prefix query row-for-row; (b) the semantic stage's survivor count
+    equals stage 4 minus a DIRECT semantic_dedup drop count over the
+    same survivor embeddings (the rows-only stage is thereby
+    equality-pinned, not just smoke-checked); (c) the split rows
+    partition the semantic survivors exactly."""
+    from pyspark.sql import functions as F
+
+    from commodity_price_forecasting_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from commodity_price_forecasting_spark.plans.queries_datapipe import (
+        _curation_full_stages,
+        curation_pipeline_full,
+        curation_pipeline_prefix,
+    )
+
+    full = {r["stage_no"]: r for r in curation_pipeline_full(spark, SF_DIR).collect()}
+    prefix = {
+        r["stage_no"]: r for r in curation_pipeline_prefix(spark, SF_DIR).collect()
+    }
+    assert set(prefix) == {0, 1, 2, 3, 4}
+    for no in prefix:
+        assert (full[no]["stage"], full[no]["n_docs"]) == (
+            prefix[no]["stage"],
+            prefix[no]["n_docs"],
+        )
+    # monotone survivors through the dropping stages
+    assert (
+        full[0]["n_docs"]
+        >= full[2]["n_docs"]
+        >= full[3]["n_docs"]
+        >= full[4]["n_docs"]
+        >= full[5]["n_docs"]
+        > 0
+    )
+    # (b) direct drop-set pin
+    s4 = _curation_full_stages(spark, SF_DIR)["s4"]
+    embs = (
+        load_table(spark, SF_DIR, "embeddings")
+        .join(s4, F.col("vec_id") == F.col("doc_id"))
+        .select("vec_id", "embedding")
+    )
+    n_drops = semantic_dedup(embs).count()
+    assert full[5]["n_docs"] == full[4]["n_docs"] - n_drops
+    # (c) split partitions the survivors
+    split_total = sum(full[no]["n_docs"] for no in (6, 7, 8) if no in full)
+    assert split_total == full[5]["n_docs"]
