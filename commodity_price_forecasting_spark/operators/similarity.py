@@ -450,6 +450,156 @@ def pq_adc_topk(
     )
 
 
+def ivf_pq_index(
+    vectors: DataFrame,
+    exclude_id: int | None = None,
+    k_coarse: int = 16,
+    n_centroids: int = 16,
+    m_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Materialize the IVF-PQ index (the BUILD half of
+    ``ivf_pq_adc_topk``, split out per r8 VERDICT ask #2 so the
+    one-off build cost and the per-query probe cost can be measured
+    — and persisted — separately, the way a 100 TB deployment runs
+    them). Returns a dict:
+
+    - ``codes``: ``(id_col, m, code)`` — m_sub small-int PQ codes per
+      vector over RESIDUALS v − seed(cell) (the FAISS shape).
+    - ``cells``: ``(id_col, cell)`` — the coarse IVF assignment.
+    - ``cb``: ``(c, m, cv)`` — the residual codebook's subvectors
+      (n_centroids × m_sub tiny rows, broadcastable).
+    - ``seeds``: the k_coarse python-list coarse centers (driver-side
+      routing table, KB-sized).
+    - ``res``: the cached residual frame backing all of the above
+      (callers that persist codes/cells/cb to parquet can unpersist
+      it; ``ivf_pq_adc_topk`` keeps it for the single-plan form).
+
+    ``codes``+``cells`` written bucketed by cell turn every probe
+    into a partition-pruned scan. ``exclude_id`` removes one row
+    before seed/codebook selection (the registered query's
+    leave-the-query-out convention)."""
+    spark = vectors.sparkSession
+    corpus = (
+        vectors.filter(F.col(id_col) != exclude_id)
+        if exclude_id is not None
+        else vectors
+    )
+    assigned, seeds = ivf_seed_assign(
+        corpus, k=k_coarse, vec_col=vec_col, id_col=id_col
+    )
+    seed_df = spark.createDataFrame(
+        [(int(s), [float(x) for x in v]) for s, v in seeds],
+        "_sid long, _svec array<double>",
+    )
+    # cache: the residual frame feeds FOUR consumers (the PQ distance
+    # build, the codebook limit, the cell map, and the dim probe
+    # inside pq_distances) — uncached, the n·k·d fold assignment
+    # upstream re-executes per consumer (measured 1.6× the query wall
+    # at sf0.1). cache() per the r8 rule (SCALE.md): CacheManager
+    # dedupes by plan across calls and serves column-pruned reads.
+    res = (
+        assigned.join(F.broadcast(seed_df), F.col("cell") == F.col("_sid"))
+        .select(
+            id_col,
+            "cell",
+            F.zip_with(
+                F.col(vec_col), F.col("_svec"), lambda a, b: a.cast("double") - b
+            ).alias("_res"),
+        )
+        .cache()
+    )
+    res_named = res.select(F.col(id_col), F.col("_res").alias(vec_col))
+    codes = pq_encode(
+        pq_distances(res_named, n_centroids, m_sub, id_col, vec_col), id_col
+    )
+    dim = len(seeds[0][1])
+    d_sub = dim // m_sub
+    cb = pq_subvectors(
+        res_named.orderBy(id_col).limit(n_centroids),
+        m_sub,
+        d_sub,
+        id_col,
+        vec_col,
+        out_id="c",
+    ).select("c", "m", F.col("sv").alias("cv"))
+    cells = res.select(id_col, "cell")
+    return {
+        "codes": codes,
+        "cells": cells,
+        "cb": cb,
+        "seeds": seeds,
+        "res": res,
+        "m_sub": m_sub,
+        "dim": dim,
+    }
+
+
+def ivf_pq_probe(
+    index: dict,
+    q: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """The PROBE half of ``ivf_pq_adc_topk``: route the query to its
+    ``n_probe`` nearest coarse seeds (driver-side over the KB routing
+    table, HALF_UP 6-dp cosines, ties to the smallest seed id), build
+    the per-cell LUT from the query's OWN residual in each probed
+    cell (n_probe·m_sub·n_centroids rows — broadcast), and score only
+    vectors in probed cells by the LUT sum. This is the recurring
+    per-query cost at scale; the index (``ivf_pq_index``) is the
+    amortized one-off. ``index`` may carry parquet-reloaded
+    codes/cells/cb frames — nothing here touches ``res``."""
+    import math
+
+    spark = index["codes"].sparkSession
+    m_sub, dim = index["m_sub"], index["dim"]
+    d_sub = dim // m_sub
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    probe = sorted(
+        index["seeds"], key=lambda s: (-_half_up6(cos(s[1], q)), s[0])
+    )[:n_probe]
+    qres_df = spark.createDataFrame(
+        [(int(c), [qi - vi for qi, vi in zip(q, v)]) for c, v in probe],
+        f"qcell long, {vec_col} array<double>",
+    )
+    qsub = pq_subvectors(
+        qres_df, m_sub, d_sub, id_col="qcell", vec_col=vec_col, out_id="qcell"
+    )
+    lut = qsub.join(F.broadcast(index["cb"]), "m").select(
+        F.col("qcell"),
+        F.col("m").alias("_lm"),
+        F.col("c").alias("_lc"),
+        _sq_l2(F.col("sv"), F.col("cv")).alias("qd"),
+    )
+    scored = index["codes"].join(index["cells"], id_col)
+    if exclude_id is not None:
+        scored = scored.filter(F.col(id_col) != exclude_id)
+    return (
+        scored.join(
+            F.broadcast(lut),
+            (F.col("cell") == F.col("qcell"))
+            & (F.col("m") == F.col("_lm"))
+            & (F.col("code") == F.col("_lc")),
+        )
+        .groupBy(id_col, "cell")
+        .agg(F.sum("qd").alias("_s"))
+        .orderBy(F.asc("_s"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "cell", F.round(F.col("_s"), 6).alias("adc_dist"))
+    )
+
+
 def ivf_pq_adc_topk(
     vectors: DataFrame,
     query_id: int = 0,
@@ -481,49 +631,18 @@ def ivf_pq_adc_topk(
     residual codebook, 6-dp rounded cosines for routing, lexicographic
     tie-breaks), so the whole index has an exact ANSI-SQL oracle.
 
+    Cost split (r9): this single-plan form times index BUILD + probe
+    together — the registered query's reproducible shape. At scale
+    the build is one-off and the probe is the per-query latency;
+    ``ivf_pq_index`` / ``ivf_pq_probe`` are the same two halves split
+    for separate materialization and measurement (composition
+    equality pinned in tests/test_similarity_pq.py; measured split in
+    SCALE.md r9).
+
     Returns top-``k`` ``(vec_id, cell, adc_dist)`` over the probed
     cells, excluding the query row itself (the query is also
     excluded from the corpus before seed/codebook selection, matching
     ``sim_ivf_topk``'s convention)."""
-    import math
-
-    spark = vectors.sparkSession
-    corpus = vectors.filter(F.col(id_col) != query_id)
-    assigned, seeds = ivf_seed_assign(
-        corpus, k=k_coarse, vec_col=vec_col, id_col=id_col
-    )
-    seed_df = spark.createDataFrame(
-        [(int(s), [float(x) for x in v]) for s, v in seeds],
-        "_sid long, _svec array<double>",
-    )
-    # cache: the residual frame feeds FOUR consumers (the PQ distance
-    # build, the codebook limit, the cell map, and the dim probe
-    # inside pq_distances) — uncached, the n·k·d fold assignment
-    # upstream re-executes per consumer (measured 1.6× the query wall
-    # at sf0.1). cache() per the r8 rule (SCALE.md): CacheManager
-    # dedupes by plan across calls and serves column-pruned reads.
-    res = (
-        assigned.join(F.broadcast(seed_df), F.col("cell") == F.col("_sid"))
-        .select(
-            id_col,
-            "cell",
-            F.zip_with(
-                F.col(vec_col), F.col("_svec"), lambda a, b: a.cast("double") - b
-            ).alias("_res"),
-        )
-        .cache()
-    )
-    res_named = res.select(F.col(id_col), F.col("_res").alias(vec_col))
-    codes = pq_encode(
-        pq_distances(res_named, n_centroids, m_sub, id_col, vec_col), id_col
-    )
-
-    def cos(a: list[float], b: list[float]) -> float:
-        dot = sum(x * y for x, y in zip(a, b))
-        na = math.sqrt(sum(x * x for x in a))
-        nb = math.sqrt(sum(x * x for x in b))
-        return dot / (na * nb) if na and nb else 0.0
-
     q_row = (
         vectors.filter(F.col(id_col) == query_id).select(vec_col).first()
     )
@@ -533,49 +652,17 @@ def ivf_pq_adc_topk(
             "corpus"
         )
     q = [float(x) for x in q_row[0]]
-    probe = sorted(seeds, key=lambda s: (-_half_up6(cos(s[1], q)), s[0]))[
-        :n_probe
-    ]
-    dim = len(q)
-    d_sub = dim // m_sub
-    qres_df = spark.createDataFrame(
-        [
-            (int(c), [qi - vi for qi, vi in zip(q, v)])
-            for c, v in probe
-        ],
-        f"qcell long, {vec_col} array<double>",
+    index = ivf_pq_index(
+        vectors,
+        exclude_id=query_id,
+        k_coarse=k_coarse,
+        n_centroids=n_centroids,
+        m_sub=m_sub,
+        id_col=id_col,
+        vec_col=vec_col,
     )
-    qsub = pq_subvectors(
-        qres_df, m_sub, d_sub, id_col="qcell", vec_col=vec_col, out_id="qcell"
-    )
-    cb = pq_subvectors(
-        res_named.orderBy(id_col).limit(n_centroids),
-        m_sub,
-        d_sub,
-        id_col,
-        vec_col,
-        out_id="c",
-    ).select("c", "m", F.col("sv").alias("cv"))
-    lut = qsub.join(F.broadcast(cb), "m").select(
-        F.col("qcell"),
-        F.col("m").alias("_lm"),
-        F.col("c").alias("_lc"),
-        _sq_l2(F.col("sv"), F.col("cv")).alias("qd"),
-    )
-    cells = res.select(id_col, "cell")
-    return (
-        codes.join(cells, id_col)
-        .join(
-            F.broadcast(lut),
-            (F.col("cell") == F.col("qcell"))
-            & (F.col("m") == F.col("_lm"))
-            & (F.col("code") == F.col("_lc")),
-        )
-        .groupBy(id_col, "cell")
-        .agg(F.sum("qd").alias("_s"))
-        .orderBy(F.asc("_s"), F.asc(id_col))
-        .limit(k)
-        .select(id_col, "cell", F.round(F.col("_s"), 6).alias("adc_dist"))
+    return ivf_pq_probe(
+        index, q, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col
     )
 
 

@@ -190,3 +190,37 @@ def test_ivfpq_threads_custom_id_col_and_guards_missing_query(spark):
     got_pq = pq_adc_topk(renamed, query_id=0, k=5, id_col="doc_id").collect()
     base_pq = pq_adc_topk(emb, query_id=0, k=5).collect()
     assert [r["doc_id"] for r in got_pq] == [r["vec_id"] for r in base_pq]
+
+
+def test_ivfpq_split_build_probe_equals_single_plan(spark, tmp_path):
+    """r8 VERDICT ask #2: the split form — materialize the index once
+    (codes/cells/cb to parquet, the deployment shape), then run the
+    probe-only plan — must return EXACTLY the single-plan
+    ivf_pq_adc_topk result. This is what makes the separate
+    build-vs-probe timings in SCALE.md claims about the SAME
+    computation."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ivf_pq_adc_topk,
+        ivf_pq_index,
+        ivf_pq_probe,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = ivf_pq_adc_topk(emb, query_id=0, k=10).collect()
+
+    q = [
+        float(x)
+        for x in emb.filter("vec_id = 0").select("embedding").first()[0]
+    ]
+    idx = ivf_pq_index(emb, exclude_id=0)
+    for part in ("codes", "cells", "cb"):
+        idx[part].write.mode("overwrite").parquet(str(tmp_path / part))
+    idx["res"].unpersist()
+    reloaded = dict(
+        idx,
+        codes=spark.read.parquet(str(tmp_path / "codes")),
+        cells=spark.read.parquet(str(tmp_path / "cells")),
+        cb=spark.read.parquet(str(tmp_path / "cb")),
+    )
+    got = ivf_pq_probe(reloaded, q, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in base]

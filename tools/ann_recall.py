@@ -1,0 +1,300 @@
+#!/usr/bin/env python
+"""Cross-lane ANN recall@k table (r8 VERDICT ask #3).
+
+One fixture, one ground truth per metric, every single-vector ANN
+lane side by side — the recall-vs-cost dial a user choosing a lane
+actually needs:
+
+- ``brute``   — exact cosine top-k (recall 1.0 by definition).
+- ``ivf``     — coarse md5-min seeds, probe n_probe cells, exact
+                cosines inside (``ivf_seed_assign``/probe filter).
+                Metric: cosine.
+- ``ivf_kmeans`` — the TRAINED coarse quantizer (MLlib KMeans,
+                ``ivf_assign``): same probe/rank rule, cells that
+                actually cluster the data. The recall uplift over
+                ``ivf`` is the price of the md5-seed lanes'
+                engine-reproducibility (0-iteration init).
+                Metric: cosine.
+- ``pq_adc``  — PQ codes on RAW vectors, ADC LUT sum. Metric: L2.
+- ``ivf_pq``  — PQ codes on RESIDUALS, per-cell LUT, n_probe cells
+                (``ivf_pq_index``/``ivf_pq_probe``). Metric: L2.
+
+Ground truth is exact top-k under EACH LANE'S OWN metric (cosine for
+ivf, squared-L2 for the PQ lanes), computed on the driver in numpy
+with the repo's HALF_UP 6-dp rounding + smallest-id tie-break — the
+same total order the lanes use. The index is built ONCE over the full
+corpus; each query excludes itself from its result (standard
+recall@k protocol; the registered queries' leave-one-out BUILD
+convention is an oracle-reproducibility device, not the deployment
+shape). ``sim_late_interaction`` is excluded: it is a multi-vector
+text lane (token trigrams), not a single-vector ANN over this
+fixture.
+
+Usage:
+  python tools/ann_recall.py --sf-dir /root/testdata/sf0.1
+  python tools/ann_recall.py --sf-dir .scratch/sf1 --n-queries 20
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+
+def _half_up6_np(x: np.ndarray) -> np.ndarray:
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+def exact_topk(
+    mat: np.ndarray, ids: np.ndarray, qi: int, k: int, metric: str
+) -> list[int]:
+    """Exact top-k under the lane's metric with the repo's total
+    order: 6-dp HALF_UP score, ties to the smallest id; self
+    excluded."""
+    q = mat[ids == qi][0]
+    if metric == "cosine":
+        denom = np.linalg.norm(mat, axis=1) * np.linalg.norm(q)
+        score = _half_up6_np(np.divide(mat @ q, denom, where=denom > 0))
+        order = sorted(
+            ((float(-s), int(i)) for s, i in zip(score, ids) if i != qi)
+        )
+    else:  # squared L2, ascending
+        d2 = _half_up6_np(((mat - q) ** 2).sum(axis=1))
+        order = sorted(
+            ((float(s), int(i)) for s, i in zip(d2, ids) if i != qi)
+        )
+    return [i for _, i in order[:k]]
+
+
+def recall_table(
+    spark, sf_dir: str, k: int = 10, n_queries: int = 20
+) -> list[dict]:
+    """Compute the recall@k table; returns a list of result dicts
+    (one per lane × n_probe setting). Importable so pytest can pin
+    the measured floors."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_probe,
+        ivf_seed_assign,
+        pq_distances,
+        pq_encode,
+    )
+    from commodity_price_forecasting_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    n = len(ids)
+    qids = [int(ids[(i * n) // n_queries]) for i in range(min(n_queries, n))]
+
+    # --- shared index builds (once, full corpus) -------------------------
+    assigned, seeds = ivf_seed_assign(emb, k=16)
+    assigned = assigned.select("vec_id", "cell").cache()
+    assigned.count()
+    dists = pq_distances(emb, n_centroids=16, m_sub=8).cache()
+    codes_raw = pq_encode(dists).cache()
+    codes_raw.count()
+    idx = ivf_pq_index(emb)
+    idx["codes"] = idx["codes"].cache()
+    idx["cells"] = idx["cells"].cache()
+    idx["codes"].count()
+
+    cells_by_id = {
+        r["vec_id"]: r["cell"] for r in assigned.collect()
+    }
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    def half_up6(x: float) -> float:
+        return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
+
+    gt_cos = {qi: exact_topk(mat, ids, qi, k, "cosine") for qi in qids}
+    gt_l2 = {qi: exact_topk(mat, ids, qi, k, "l2") for qi in qids}
+
+    results = []
+
+    def add(lane: str, metric: str, n_probe, recs: list[float]) -> None:
+        results.append(
+            {
+                "lane": lane,
+                "metric": metric,
+                "n_probe": n_probe,
+                "recall_at_k": round(float(np.mean(recs)), 4),
+                "min_query_recall": round(float(np.min(recs)), 4),
+                "k": k,
+                "n_queries": len(recs),
+            }
+        )
+
+    add("brute", "cosine", None, [1.0] * len(qids))  # by definition
+
+    # --- IVF: probe n cells, exact cosines inside ------------------------
+    for n_probe in (1, 2, 4):
+        recs = []
+        for qi in qids:
+            q = mat[ids == qi][0]
+            probe = [
+                sid
+                for sid, _ in sorted(
+                    seeds, key=lambda s: (-half_up6(cos(s[1], q)), s[0])
+                )[:n_probe]
+            ]
+            qlit = F.array(*[F.lit(float(x)) for x in q])
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), qlit, lambda a, b: a.cast("double") * b
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            nrm = F.sqrt(
+                F.aggregate(
+                    F.col("embedding"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            )
+            qn = float(np.linalg.norm(q))
+            got = (
+                emb.join(assigned, "vec_id")
+                .filter(F.col("cell").isin(probe) & (F.col("vec_id") != qi))
+                .select(
+                    "vec_id", F.round(dot / (nrm * F.lit(qn)), 6).alias("c")
+                )
+                .orderBy(F.desc("c"), F.asc("vec_id"))
+                .limit(k)
+                .collect()
+            )
+            recs.append(len({r["vec_id"] for r in got} & set(gt_cos[qi])) / k)
+        add("ivf", "cosine", n_probe, recs)
+
+    # --- IVF with a TRAINED coarse quantizer (MLlib KMeans) ---------------
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ivf_assign,
+    )
+
+    km_assigned, centers = ivf_assign(emb, k=16)
+    km_assigned = km_assigned.select("vec_id", "cell").cache()
+    km_assigned.count()
+    for n_probe in (1, 2, 4):
+        recs = []
+        for qi in qids:
+            q = mat[ids == qi][0]
+            probe = [
+                int(ci)
+                for ci, _ in sorted(
+                    enumerate(centers),
+                    key=lambda c: (-half_up6(cos(c[1], q)), c[0]),
+                )[:n_probe]
+            ]
+            qlit = F.array(*[F.lit(float(x)) for x in q])
+            dot = F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), qlit, lambda a, b: a.cast("double") * b
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            nrm = F.sqrt(
+                F.aggregate(
+                    F.col("embedding"),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            )
+            qn = float(np.linalg.norm(q))
+            got = (
+                emb.join(km_assigned, "vec_id")
+                .filter(F.col("cell").isin(probe) & (F.col("vec_id") != qi))
+                .select(
+                    "vec_id", F.round(dot / (nrm * F.lit(qn)), 6).alias("c")
+                )
+                .orderBy(F.desc("c"), F.asc("vec_id"))
+                .limit(k)
+                .collect()
+            )
+            recs.append(len({r["vec_id"] for r in got} & set(gt_cos[qi])) / k)
+        add("ivf_kmeans", "cosine", n_probe, recs)
+    km_assigned.unpersist()
+
+    # --- PQ-ADC on raw vectors -------------------------------------------
+    recs = []
+    for qi in qids:
+        lut = dists.filter(F.col("vec_id") == qi).select(
+            F.col("m").alias("_lm"),
+            F.col("c").alias("_lc"),
+            F.col("d2").alias("qd"),
+        )
+        got = (
+            codes_raw.join(
+                F.broadcast(lut),
+                (F.col("m") == F.col("_lm")) & (F.col("code") == F.col("_lc")),
+            )
+            .filter(F.col("vec_id") != qi)
+            .groupBy("vec_id")
+            .agg(F.sum("qd").alias("s"))
+            .orderBy(F.asc("s"), F.asc("vec_id"))
+            .limit(k)
+            .collect()
+        )
+        recs.append(len({r["vec_id"] for r in got} & set(gt_l2[qi])) / k)
+    add("pq_adc", "l2", None, recs)
+
+    # --- IVF-PQ (residual codes, per-cell LUT) ----------------------------
+    for n_probe in (1, 2, 4):
+        recs = []
+        for qi in qids:
+            q = [float(x) for x in mat[ids == qi][0]]
+            got = ivf_pq_probe(
+                idx, q, k=k, n_probe=n_probe, exclude_id=qi
+            ).collect()
+            recs.append(len({r["vec_id"] for r in got} & set(gt_l2[qi])) / k)
+        add("ivf_pq", "l2", n_probe, recs)
+
+    assigned.unpersist()
+    dists.unpersist()
+    codes_raw.unpersist()
+    idx["res"].unpersist()
+    return results
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--n-queries", type=int, default=20)
+    ap.add_argument("--driver-mem", default="24g")
+    args = ap.parse_args()
+
+    from commodity_price_forecasting_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="cpf-ann-recall",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=int(args.cpus),
+        extra_conf={"spark.driver.memory": args.driver_mem},
+    )
+    for row in recall_table(
+        spark, args.sf_dir, k=args.k, n_queries=args.n_queries
+    ):
+        print(json.dumps({"sf_dir": args.sf_dir, **row}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

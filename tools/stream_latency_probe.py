@@ -77,13 +77,21 @@ def main() -> None:
     ap.add_argument("--chunks", type=int, default=50)
     ap.add_argument("--pipeline", choices=("psi", "funnel"), default="psi")
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument(
+        "--shuffle-partitions",
+        type=int,
+        default=None,
+        help="override spark.sql.shuffle.partitions (default: --cpus); "
+        "the r9 knob sweep varies this to locate the trigger floor's "
+        "owner (shuffle-stage fixed cost vs compute)",
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     spark = get_spark(
         app_name="cpf-stream-latency",
         master=f"local[{args.cpus}]",
-        shuffle_partitions=int(args.cpus),
+        shuffle_partitions=args.shuffle_partitions or int(args.cpus),
     )
     stage_dir = tempfile.mkdtemp(prefix="cpf_stream_stage_")
     try:
@@ -156,6 +164,7 @@ def main() -> None:
             "pipeline": args.pipeline,
             "sf_dir": args.sf_dir,
             "chunks": args.chunks,
+            "shuffle_partitions": args.shuffle_partitions or int(args.cpus),
             "rows_staged": total_rows,
             "rows_processed": rows_in,
             "micro_batches": len(data_batches),
