@@ -113,6 +113,16 @@ def main() -> None:
             for q in sorted(timings)
         ]
         print(f"# deltas vs {tag}: " + ", ".join(parts), file=sys.stderr)
+    if "sim_ivfpq_adc_topk" in timings:
+        # r8 VERDICT ask #2: say which cost the headline row is
+        print(
+            "# note: sim_ivfpq_adc_topk times index BUILD + probe in one "
+            "plan (the reproducible registered shape); the one-off build "
+            "vs per-query probe split is measured separately in SCALE.md "
+            "r9 via tools/ivfpq_split_probe.py (probe-only is ~10x "
+            "cheaper)",
+            file=sys.stderr,
+        )
     for prior_tag, prior in priors:
         shared = [q for q in timings if q in prior]
         if not shared:

@@ -370,31 +370,88 @@ def _sq_l2(a: Column, b: Column) -> Column:
     )
 
 
+def pq_codebook_kmeans(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    m_sub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """TRAINED per-subspace PQ codebook — the FAISS-standard upgrade
+    over the deterministic min-id codebook, added after the r9
+    cross-lane recall table measured the untrained 16-entry codebook's
+    ADC recall collapsing with corpus size (0.21 at 500 vectors →
+    0.065 at 20k, SCALE.md r9): quantization error from a fixed
+    0-iteration init swamps the true L2 gaps as density grows, which
+    is exactly why production PQ trains its codebooks (Jégou et al.
+    2011 §II train k-means per subspace).
+
+    One MLlib KMeans per subspace over the corpus subvectors —
+    m_sub small distributed fits (k·d_sub floats of model state
+    each). Returns ``(c, m, cv)``, broadcast-sized, drop-in for the
+    ``codebook=`` parameter of ``pq_distances``/``pq_adc_topk``/
+    ``ivf_pq_index``. Trade, stated plainly: trained centroids are
+    MLlib-run-specific (seeded → reproducible within Spark, but not
+    re-derivable in ANSI SQL), so trained lanes have no DuckDB
+    oracle — the registered queries keep the deterministic codebook;
+    recall-critical deployments pass this one."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = vectors.sparkSession
+    dim = vectors.select(F.size(vec_col).alias("_sz")).first()["_sz"]
+    d_sub = dim // m_sub
+    sv = pq_subvectors(vectors, m_sub, d_sub, id_col, vec_col).withColumn(
+        "_v", array_to_vector("sv")
+    )
+    sv = sv.cache()
+    rows: list[tuple[int, int, list[float]]] = []
+    try:
+        for m in range(m_sub):
+            model = KMeans(
+                k=n_centroids, seed=seed, featuresCol="_v", predictionCol="_c"
+            ).fit(sv.filter(F.col("m") == m))
+            rows += [
+                (ci, m, [float(x) for x in v])
+                for ci, v in enumerate(model.clusterCenters())
+            ]
+    finally:
+        sv.unpersist()
+    return spark.createDataFrame(rows, "c int, m int, cv array<double>")
+
+
 def pq_distances(
     vectors: DataFrame,
     n_centroids: int = 16,
     m_sub: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """``(vec_id, m, c, d2)``: squared L2 distance from every vector's
     m-th subvector to every codebook entry's m-th subvector.
 
-    Deterministic codebook: the ``n_centroids`` corpus vectors with
-    the smallest ids (a 0-iteration kmeans init, like
+    Default codebook is deterministic: the ``n_centroids`` corpus
+    vectors with the smallest ids (a 0-iteration kmeans init, like
     ``ivf_seed_assign`` — PQ requires a fixed quantizer, not a
     trained one, for the index to be reproducible across engines).
-    The codebook is ``n_centroids × m_sub`` tiny rows and BROADCASTS
-    into the corpus scan; at 100 TB the distance table is one
-    map-side pass."""
+    Pass ``codebook=`` (a ``(c, m, cv)`` frame, e.g.
+    ``pq_codebook_kmeans``) to quantize against trained centroids
+    instead — better recall, no SQL oracle. Either way the codebook
+    is ``n_centroids × m_sub`` tiny rows and BROADCASTS into the
+    corpus scan; at 100 TB the distance table is one map-side pass."""
     dim = vectors.select(F.size(vec_col).alias("_sz")).first()["_sz"]
     d_sub = dim // m_sub
-    seeds = vectors.select(id_col, vec_col).orderBy(id_col).limit(n_centroids)
-    cb = pq_subvectors(seeds, m_sub, d_sub, id_col, vec_col, out_id="c").select(
-        "c", "m", F.col("sv").alias("cv")
-    )
+    if codebook is None:
+        seeds = (
+            vectors.select(id_col, vec_col).orderBy(id_col).limit(n_centroids)
+        )
+        codebook = pq_subvectors(
+            seeds, m_sub, d_sub, id_col, vec_col, out_id="c"
+        ).select("c", "m", F.col("sv").alias("cv"))
     sv = pq_subvectors(vectors, m_sub, d_sub, id_col, vec_col, out_id=id_col)
-    return sv.join(F.broadcast(cb), "m").select(
+    return sv.join(F.broadcast(codebook), "m").select(
         id_col, "m", "c", _sq_l2(F.col("sv"), F.col("cv")).alias("d2")
     )
 
@@ -420,6 +477,7 @@ def pq_adc_topk(
     m_sub: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: the query keeps full precision,
     the corpus is represented by PQ codes, and each candidate's
@@ -431,7 +489,9 @@ def pq_adc_topk(
     (the 100 TB memory win PQ exists for: 64 float32 dims → 8 bytes);
     the per-vector sum is a groupBy on vec_id, map-side combinable.
     No full-precision corpus vector is touched after encoding."""
-    dists = pq_distances(vectors, n_centroids, m_sub, id_col, vec_col)
+    dists = pq_distances(
+        vectors, n_centroids, m_sub, id_col, vec_col, codebook=codebook
+    )
     codes = pq_encode(dists, id_col)
     lut = dists.filter(F.col(id_col) == query_id).select(
         F.col("m").alias("_lm"), F.col("c").alias("_lc"), F.col("d2").alias("qd")
@@ -458,6 +518,7 @@ def ivf_pq_index(
     m_sub: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebook: str = "seed",
 ) -> dict:
     """Materialize the IVF-PQ index (the BUILD half of
     ``ivf_pq_adc_topk``, split out per r8 VERDICT ask #2 so the
@@ -511,19 +572,32 @@ def ivf_pq_index(
         .cache()
     )
     res_named = res.select(F.col(id_col), F.col("_res").alias(vec_col))
-    codes = pq_encode(
-        pq_distances(res_named, n_centroids, m_sub, id_col, vec_col), id_col
-    )
     dim = len(seeds[0][1])
     d_sub = dim // m_sub
-    cb = pq_subvectors(
-        res_named.orderBy(id_col).limit(n_centroids),
-        m_sub,
-        d_sub,
+    if codebook == "kmeans":
+        # trained residual codebook (pq_codebook_kmeans): the recall
+        # path — see the r9 recall table for why the deterministic
+        # codebook is a reproducibility device, not a retrieval one
+        cb = pq_codebook_kmeans(
+            res_named, n_centroids, m_sub, id_col, vec_col
+        )
+    elif codebook == "seed":
+        cb = pq_subvectors(
+            res_named.orderBy(id_col).limit(n_centroids),
+            m_sub,
+            d_sub,
+            id_col,
+            vec_col,
+            out_id="c",
+        ).select("c", "m", F.col("sv").alias("cv"))
+    else:
+        raise ValueError(f"codebook must be seed|kmeans: {codebook}")
+    codes = pq_encode(
+        pq_distances(
+            res_named, n_centroids, m_sub, id_col, vec_col, codebook=cb
+        ),
         id_col,
-        vec_col,
-        out_id="c",
-    ).select("c", "m", F.col("sv").alias("cv"))
+    )
     cells = res.select(id_col, "cell")
     return {
         "codes": codes,

@@ -265,6 +265,66 @@ def recall_table(
             recs.append(len({r["vec_id"] for r in got} & set(gt_l2[qi])) / k)
         add("ivf_pq", "l2", n_probe, recs)
 
+    # --- trained codebooks (pq_codebook_kmeans, r9) ------------------------
+    from commodity_price_forecasting_spark.operators.similarity import (
+        pq_codebook_kmeans,
+    )
+
+    def pq_adc_recall(lane: str, n_centroids: int) -> None:
+        cb_trained = pq_codebook_kmeans(emb, n_centroids=n_centroids, m_sub=8)
+        dists_t = pq_distances(
+            emb, n_centroids=n_centroids, m_sub=8, codebook=cb_trained
+        ).cache()
+        codes_t = pq_encode(dists_t).cache()
+        codes_t.count()
+        recs = []
+        for qi in qids:
+            lut = dists_t.filter(F.col("vec_id") == qi).select(
+                F.col("m").alias("_lm"),
+                F.col("c").alias("_lc"),
+                F.col("d2").alias("qd"),
+            )
+            got = (
+                codes_t.join(
+                    F.broadcast(lut),
+                    (F.col("m") == F.col("_lm"))
+                    & (F.col("code") == F.col("_lc")),
+                )
+                .filter(F.col("vec_id") != qi)
+                .groupBy("vec_id")
+                .agg(F.sum("qd").alias("s"))
+                .orderBy(F.asc("s"), F.asc("vec_id"))
+                .limit(k)
+                .collect()
+            )
+            recs.append(len({r["vec_id"] for r in got} & set(gt_l2[qi])) / k)
+        add(lane, "l2", None, recs)
+        dists_t.unpersist()
+        codes_t.unpersist()
+
+    pq_adc_recall("pq_adc_trained", 16)
+    # the codebook-SIZE dial: 256 trained centroids per subspace =
+    # 8-bit codes, the FAISS default — same index shape, 16x the
+    # codebook resolution (skipped when the corpus is too small for
+    # 256 distinct centroids per subspace)
+    if n > 512:
+        pq_adc_recall("pq_adc_trained256", 256)
+
+    idx_t = ivf_pq_index(emb, codebook="kmeans")
+    idx_t["codes"] = idx_t["codes"].cache()
+    idx_t["cells"] = idx_t["cells"].cache()
+    idx_t["codes"].count()
+    for n_probe in (1, 2, 4):
+        recs = []
+        for qi in qids:
+            q = [float(x) for x in mat[ids == qi][0]]
+            got = ivf_pq_probe(
+                idx_t, q, k=k, n_probe=n_probe, exclude_id=qi
+            ).collect()
+            recs.append(len({r["vec_id"] for r in got} & set(gt_l2[qi])) / k)
+        add("ivf_pq_trained", "l2", n_probe, recs)
+    idx_t["res"].unpersist()
+
     assigned.unpersist()
     dists.unpersist()
     codes_raw.unpersist()

@@ -126,25 +126,39 @@ def main() -> None:
             .outputMode(mode)
             .start()
         )
-        # drain: the file source reports 0 available files once every
-        # chunk is consumed; three consecutive DISTINCT empty
-        # micro-batches = done. Counting distinct batchIds (not polls
-        # of the same lastProgress object) means a single mid-stream
-        # zero-row batch that stays lastProgress for a few polls can't
-        # end the drain early and under-report throughput (r8 ADVICE).
-        empty_ids: list[int] = []
+        # drain: once every staged chunk is consumed the engine runs
+        # ONE no-data micro-batch (watermark advance) and then goes
+        # idle — lastProgress stops changing. Done = the newest batch
+        # is EMPTY and no new batchId has appeared for >= 3 s. This
+        # fixes both prior bugs: the r8 ADVICE early-exit (a single
+        # mid-stream zero-row batch lingering as lastProgress for a
+        # few 0.2 s polls — mid-stream, the next data batch arrives
+        # well inside 3 s because files are already staged) and the
+        # r9 first-fix hang (waiting for three DISTINCT empty batches
+        # that a drained file source never emits). A 120 s
+        # no-progress cap guards a wedged source either way.
         seen_batches: dict[int, dict] = {}
-        while len(empty_ids) < 3:
+        last_new = time.monotonic()
+        last_empty = False
+        while True:
             time.sleep(0.2)
             p = q.lastProgress
             if p is None:
                 continue
             if p["batchId"] not in seen_batches:
-                if p["numInputRows"] == 0:
-                    empty_ids.append(p["batchId"])
-                else:
-                    empty_ids.clear()
+                last_new = time.monotonic()
+                last_empty = p["numInputRows"] == 0
             seen_batches[p["batchId"]] = p
+            idle = time.monotonic() - last_new
+            if last_empty and idle >= 3.0:
+                break
+            if idle >= 120.0:
+                print(
+                    "# drain: no new micro-batch for 120s with data "
+                    "pending — treating the source as wedged",
+                    file=sys.stderr,
+                )
+                break
         wall = time.perf_counter() - t0
         q.stop()
         q.awaitTermination(30)
