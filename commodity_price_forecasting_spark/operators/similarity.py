@@ -16,6 +16,8 @@ JVM-side, no Python in the row path.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -610,6 +612,58 @@ def ivf_pq_index(
     }
 
 
+def ivf_pq_index_write(index: dict, path: str, id_col: str = "vec_id") -> None:
+    """Persist an ``ivf_pq_index`` in the CELL-PARTITIONED layout the
+    100 TB deployment wants (SCALE.md r9 asserted "probes become
+    partition-pruned reads when the index is written bucketed by
+    cell" — this is that layout, and the probe below makes the claim
+    plan-verifiable instead of asserted):
+
+    - ``<path>/coded``: codes ⋈ cells, ``partitionBy("cell")`` — one
+      parquet directory per coarse cell, so a probe of ``n_probe``
+      cells is a static partition-pruned scan reading n_probe/k_coarse
+      of the index (``PartitionFilters: [cell IN (...)]`` in the scan
+      node; asserted in tests/test_similarity_pq.py).
+    - ``<path>/cb``: the residual codebook (n_centroids × m_sub rows).
+    - ``<path>/seeds``: the k_coarse coarse centers — the KB routing
+      table the driver sorts per query.
+
+    ``m_sub``/``dim`` are re-derived on load from cb/seeds (no sidecar
+    format to version)."""
+    spark = index["codes"].sparkSession
+    coded = index["codes"].join(index["cells"], id_col)
+    coded.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "coded")
+    )
+    index["cb"].write.mode("overwrite").parquet(os.path.join(path, "cb"))
+    spark.createDataFrame(
+        [(int(s), [float(x) for x in v]) for s, v in index["seeds"]],
+        "cell long, svec array<double>",
+    ).write.mode("overwrite").parquet(os.path.join(path, "seeds"))
+
+
+def ivf_pq_index_load(spark, path: str) -> dict:
+    """Reload a persisted ``ivf_pq_index_write`` layout. Returns an
+    index dict whose ``coded`` frame (codes ⋈ cells, cell-partitioned
+    on disk) routes ``ivf_pq_probe`` down the partition-pruned path;
+    ``m_sub`` comes from the codebook's subspace count and ``dim``
+    from the seed vectors — both KB-sized reads."""
+    coded = spark.read.parquet(os.path.join(path, "coded"))
+    cb = spark.read.parquet(os.path.join(path, "cb"))
+    seed_rows = spark.read.parquet(os.path.join(path, "seeds")).collect()
+    seeds = sorted((int(r["cell"]), list(r["svec"])) for r in seed_rows)
+    m_sub = cb.agg(F.max("m").alias("_m")).first()["_m"] + 1
+    return {
+        "coded": coded,
+        "codes": coded,  # session handle + non-pruned callers
+        "cells": None,
+        "cb": cb,
+        "seeds": seeds,
+        "m_sub": int(m_sub),
+        "dim": len(seeds[0][1]),
+    }
+
+
 def ivf_pq_probe(
     index: dict,
     q: list[float],
@@ -627,7 +681,13 @@ def ivf_pq_probe(
     vectors in probed cells by the LUT sum. This is the recurring
     per-query cost at scale; the index (``ivf_pq_index``) is the
     amortized one-off. ``index`` may carry parquet-reloaded
-    codes/cells/cb frames — nothing here touches ``res``."""
+    codes/cells/cb frames — nothing here touches ``res``. When the
+    index carries a ``coded`` frame (the cell-partitioned layout of
+    ``ivf_pq_index_write``/``_load``), the probed cells become a
+    LITERAL ``isin`` filter on the partition column — a static
+    partition-pruned scan reading ~n_probe/k_coarse of the index
+    (``PartitionFilters`` in the scan node; asserted in
+    tests/test_similarity_pq.py, measured in SCALE.md r9)."""
     import math
 
     spark = index["codes"].sparkSession
@@ -656,7 +716,14 @@ def ivf_pq_probe(
         F.col("c").alias("_lc"),
         _sq_l2(F.col("sv"), F.col("cv")).alias("qd"),
     )
-    scored = index["codes"].join(index["cells"], id_col)
+    if index.get("coded") is not None:
+        # cell-partitioned persisted layout: literal isin on the
+        # partition column → static partition pruning at the source
+        scored = index["coded"].filter(
+            F.col("cell").isin([int(c) for c, _ in probe])
+        )
+    else:
+        scored = index["codes"].join(index["cells"], id_col)
     if exclude_id is not None:
         scored = scored.filter(F.col(id_col) != exclude_id)
     return (

@@ -226,6 +226,62 @@ def test_ivfpq_split_build_probe_equals_single_plan(spark, tmp_path):
     assert [tuple(r) for r in got] == [tuple(r) for r in base]
 
 
+def test_ivfpq_partitioned_layout_prunes_and_matches(spark, tmp_path):
+    """r9: the cell-partitioned persisted layout
+    (ivf_pq_index_write/_load). Three claims, each checked:
+    (1) the loaded-index probe returns EXACTLY the single-plan
+    ivf_pq_adc_topk rows; (2) the probe plan carries the probed cells
+    as PartitionFilters on the coded scan (static partition pruning —
+    the scan reads n_probe of k_coarse directories, the 100 TB claim
+    SCALE.md r8 asserted and r9 measures); (3) the on-disk layout has
+    one directory per coarse cell."""
+    import os as _os
+    import re
+
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ivf_pq_adc_topk,
+        ivf_pq_index,
+        ivf_pq_index_load,
+        ivf_pq_index_write,
+        ivf_pq_probe,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = ivf_pq_adc_topk(emb, query_id=0, k=10).collect()
+    q = [
+        float(x)
+        for x in emb.filter("vec_id = 0").select("embedding").first()[0]
+    ]
+    idx = ivf_pq_index(emb, exclude_id=0)
+    ivf_pq_index_write(idx, str(tmp_path))
+    idx["res"].unpersist()
+
+    # (3) one parquet directory per coarse cell that has members
+    cell_dirs = [
+        d
+        for d in _os.listdir(str(tmp_path / "coded"))
+        if d.startswith("cell=")
+    ]
+    n_cells = idx["cells"].select("cell").distinct().count()
+    assert len(cell_dirs) == n_cells
+
+    loaded = ivf_pq_index_load(spark, str(tmp_path))
+    probe_df = ivf_pq_probe(loaded, q, k=10)
+
+    # (2) static partition pruning: the scan node lists the probed
+    # cells as PartitionFilters (not a post-scan Filter)
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[.*cell.*\]", plan)
+    assert m, plan
+    assert "dynamicpruning" not in m.group(0)
+
+    # (1) exact equality with the single-plan form
+    got = probe_df.collect()
+    assert [
+        (r["vec_id"], int(r["cell"]), r["adc_dist"]) for r in got
+    ] == [(r["vec_id"], int(r["cell"]), r["adc_dist"]) for r in base]
+
+
 def test_ann_recall_floors_and_monotonicity(spark):
     """r8 VERDICT ask #3: the cross-lane recall@10 table exists as a
     measured artifact (tools/ann_recall.py, SCALE.md r9); this pins

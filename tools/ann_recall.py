@@ -75,11 +75,18 @@ def exact_topk(
 
 
 def recall_table(
-    spark, sf_dir: str, k: int = 10, n_queries: int = 20
+    spark,
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 20,
+    lanes: list[str] | None = None,
 ) -> list[dict]:
     """Compute the recall@k table; returns a list of result dicts
     (one per lane × n_probe setting). Importable so pytest can pin
-    the measured floors."""
+    the measured floors. ``lanes`` (prefix match, e.g.
+    ``["ivf_pq_trained"]``) restricts to a subset so one new cell
+    doesn't cost a full-table rerun; shared index builds are skipped
+    when no requested lane needs them."""
     from commodity_price_forecasting_spark.operators.similarity import (
         ivf_pq_index,
         ivf_pq_probe,
@@ -96,21 +103,25 @@ def recall_table(
     n = len(ids)
     qids = [int(ids[(i * n) // n_queries]) for i in range(min(n_queries, n))]
 
-    # --- shared index builds (once, full corpus) -------------------------
-    assigned, seeds = ivf_seed_assign(emb, k=16)
-    assigned = assigned.select("vec_id", "cell").cache()
-    assigned.count()
-    dists = pq_distances(emb, n_centroids=16, m_sub=8).cache()
-    codes_raw = pq_encode(dists).cache()
-    codes_raw.count()
-    idx = ivf_pq_index(emb)
-    idx["codes"] = idx["codes"].cache()
-    idx["cells"] = idx["cells"].cache()
-    idx["codes"].count()
+    def want(lane: str) -> bool:
+        return lanes is None or any(lane.startswith(p) for p in lanes)
 
-    cells_by_id = {
-        r["vec_id"]: r["cell"] for r in assigned.collect()
-    }
+    # --- shared index builds (once, full corpus; only if a requested
+    # lane consumes them) -------------------------------------------------
+    assigned = seeds = dists = codes_raw = idx = None
+    if want("ivf"):
+        assigned, seeds = ivf_seed_assign(emb, k=16)
+        assigned = assigned.select("vec_id", "cell").cache()
+        assigned.count()
+    if want("pq_adc"):
+        dists = pq_distances(emb, n_centroids=16, m_sub=8).cache()
+        codes_raw = pq_encode(dists).cache()
+        codes_raw.count()
+    if want("ivf_pq"):
+        idx = ivf_pq_index(emb)
+        idx["codes"] = idx["codes"].cache()
+        idx["cells"] = idx["cells"].cache()
+        idx["codes"].count()
     import math
 
     def cos(a, b):
@@ -140,10 +151,11 @@ def recall_table(
             }
         )
 
-    add("brute", "cosine", None, [1.0] * len(qids))  # by definition
+    if want("brute"):
+        add("brute", "cosine", None, [1.0] * len(qids))  # by definition
 
     # --- IVF: probe n cells, exact cosines inside ------------------------
-    for n_probe in (1, 2, 4):
+    for n_probe in (1, 2, 4) if want("ivf") else ():
         recs = []
         for qi in qids:
             q = mat[ids == qi][0]
@@ -187,10 +199,12 @@ def recall_table(
         ivf_assign,
     )
 
-    km_assigned, centers = ivf_assign(emb, k=16)
-    km_assigned = km_assigned.select("vec_id", "cell").cache()
-    km_assigned.count()
-    for n_probe in (1, 2, 4):
+    km_assigned = None
+    if want("ivf_kmeans"):
+        km_assigned, centers = ivf_assign(emb, k=16)
+        km_assigned = km_assigned.select("vec_id", "cell").cache()
+        km_assigned.count()
+    for n_probe in (1, 2, 4) if want("ivf_kmeans") else ():
         recs = []
         for qi in qids:
             q = mat[ids == qi][0]
@@ -229,11 +243,12 @@ def recall_table(
             )
             recs.append(len({r["vec_id"] for r in got} & set(gt_cos[qi])) / k)
         add("ivf_kmeans", "cosine", n_probe, recs)
-    km_assigned.unpersist()
+    if km_assigned is not None:
+        km_assigned.unpersist()
 
     # --- PQ-ADC on raw vectors -------------------------------------------
     recs = []
-    for qi in qids:
+    for qi in qids if want("pq_adc") else []:
         lut = dists.filter(F.col("vec_id") == qi).select(
             F.col("m").alias("_lm"),
             F.col("c").alias("_lc"),
@@ -252,10 +267,11 @@ def recall_table(
             .collect()
         )
         recs.append(len({r["vec_id"] for r in got} & set(gt_l2[qi])) / k)
-    add("pq_adc", "l2", None, recs)
+    if want("pq_adc"):
+        add("pq_adc", "l2", None, recs)
 
     # --- IVF-PQ (residual codes, per-cell LUT) ----------------------------
-    for n_probe in (1, 2, 4):
+    for n_probe in (1, 2, 4) if want("ivf_pq") else ():
         recs = []
         for qi in qids:
             q = [float(x) for x in mat[ids == qi][0]]
@@ -302,33 +318,50 @@ def recall_table(
         dists_t.unpersist()
         codes_t.unpersist()
 
-    pq_adc_recall("pq_adc_trained", 16)
+    if want("pq_adc_trained"):
+        pq_adc_recall("pq_adc_trained", 16)
     # the codebook-SIZE dial: 256 trained centroids per subspace =
     # 8-bit codes, the FAISS default — same index shape, 16x the
     # codebook resolution (skipped when the corpus is too small for
     # 256 distinct centroids per subspace)
-    if n > 512:
+    if n > 512 and want("pq_adc_trained256"):
         pq_adc_recall("pq_adc_trained256", 256)
 
-    idx_t = ivf_pq_index(emb, codebook="kmeans")
-    idx_t["codes"] = idx_t["codes"].cache()
-    idx_t["cells"] = idx_t["cells"].cache()
-    idx_t["codes"].count()
-    for n_probe in (1, 2, 4):
-        recs = []
-        for qi in qids:
-            q = [float(x) for x in mat[ids == qi][0]]
-            got = ivf_pq_probe(
-                idx_t, q, k=k, n_probe=n_probe, exclude_id=qi
-            ).collect()
-            recs.append(len({r["vec_id"] for r in got} & set(gt_l2[qi])) / k)
-        add("ivf_pq_trained", "l2", n_probe, recs)
-    idx_t["res"].unpersist()
+    def ivf_pq_trained_recall(lane: str, n_centroids: int) -> None:
+        idx_t = ivf_pq_index(
+            emb, codebook="kmeans", n_centroids=n_centroids
+        )
+        idx_t["codes"] = idx_t["codes"].cache()
+        idx_t["cells"] = idx_t["cells"].cache()
+        idx_t["codes"].count()
+        for n_probe in (1, 2, 4):
+            recs = []
+            for qi in qids:
+                q = [float(x) for x in mat[ids == qi][0]]
+                got = ivf_pq_probe(
+                    idx_t, q, k=k, n_probe=n_probe, exclude_id=qi
+                ).collect()
+                recs.append(
+                    len({r["vec_id"] for r in got} & set(gt_l2[qi])) / k
+                )
+            add(lane, "l2", n_probe, recs)
+        idx_t["codes"].unpersist()
+        idx_t["cells"].unpersist()
+        idx_t["res"].unpersist()
 
-    assigned.unpersist()
-    dists.unpersist()
-    codes_raw.unpersist()
-    idx["res"].unpersist()
+    if want("ivf_pq_trained"):
+        ivf_pq_trained_recall("ivf_pq_trained", 16)
+    # the deployment cell: 256-entry trained RESIDUAL codebooks (8-bit
+    # codes, the FAISS default) — the pq_adc_trained256 dial applied
+    # to the IVF-PQ index
+    if n > 512 and want("ivf_pq_trained256"):
+        ivf_pq_trained_recall("ivf_pq_trained256", 256)
+
+    for frame in (assigned, dists, codes_raw):
+        if frame is not None:
+            frame.unpersist()
+    if idx is not None:
+        idx["res"].unpersist()
     return results
 
 
@@ -339,6 +372,11 @@ def main() -> None:
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--n-queries", type=int, default=20)
     ap.add_argument("--driver-mem", default="24g")
+    ap.add_argument(
+        "--lanes",
+        default=None,
+        help="comma-separated lane-name prefixes to run (default all)",
+    )
     args = ap.parse_args()
 
     from commodity_price_forecasting_spark.session import get_spark
@@ -350,7 +388,11 @@ def main() -> None:
         extra_conf={"spark.driver.memory": args.driver_mem},
     )
     for row in recall_table(
-        spark, args.sf_dir, k=args.k, n_queries=args.n_queries
+        spark,
+        args.sf_dir,
+        k=args.k,
+        n_queries=args.n_queries,
+        lanes=args.lanes.split(",") if args.lanes else None,
     ):
         print(json.dumps({"sf_dir": args.sf_dir, **row}))
     spark.stop()

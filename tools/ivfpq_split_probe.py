@@ -36,6 +36,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from commodity_price_forecasting_spark.operators.similarity import (
     ivf_pq_index,
+    ivf_pq_index_load,
+    ivf_pq_index_write,
     ivf_pq_probe,
 )
 from commodity_price_forecasting_spark.session import get_spark
@@ -71,6 +73,7 @@ def main() -> None:
     out_dir = tempfile.mkdtemp(prefix="ivfpq-index-")
     try:
         # --- BUILD (timed once: a deployment builds once) ---------------
+        # flat layout (r8 shape: three plain parquet dirs)
         t0 = time.perf_counter()
         idx = ivf_pq_index(emb, exclude_id=args.query_id)
         for part in ("codes", "cells", "cb"):
@@ -78,37 +81,50 @@ def main() -> None:
                 os.path.join(out_dir, part)
             )
         build_sec = time.perf_counter() - t0
+        # cell-partitioned layout (r9: codes ⋈ cells partitionBy cell —
+        # probes become static partition-pruned scans). Timed apart so
+        # the layout's extra join+write cost is visible.
+        t0 = time.perf_counter()
+        ivf_pq_index_write(idx, os.path.join(out_dir, "part"))
+        build_part_sec = time.perf_counter() - t0
         idx["res"].unpersist()
 
         # --- PROBE (reloaded index; warm-up + best-of-N) ----------------
-        reloaded = dict(
+        flat = dict(
             idx,
             codes=spark.read.parquet(os.path.join(out_dir, "codes")),
             cells=spark.read.parquet(os.path.join(out_dir, "cells")),
             cb=spark.read.parquet(os.path.join(out_dir, "cb")),
         )
+        pruned = ivf_pq_index_load(spark, os.path.join(out_dir, "part"))
 
-        def one_probe() -> tuple[float, int]:
+        def one_probe(index: dict) -> tuple[float, int]:
             t = time.perf_counter()
             rows = ivf_pq_probe(
-                reloaded, q, k=args.k, n_probe=args.n_probe
+                index, q, k=args.k, n_probe=args.n_probe
             ).collect()
             return time.perf_counter() - t, len(rows)
 
-        one_probe()  # warm-up (codegen/JIT)
-        probes = []
+        results = {}
         n_rows = 0
-        for _ in range(args.runs):
-            sec, n_rows = one_probe()
-            probes.append(round(sec, 4))
+        for name, index in (("flat", flat), ("pruned", pruned)):
+            one_probe(index)  # warm-up (codegen/JIT)
+            runs = []
+            for _ in range(args.runs):
+                sec, n_rows = one_probe(index)
+                runs.append(round(sec, 4))
+            results[name] = runs
         print(
             json.dumps(
                 {
                     "sf_dir": args.sf_dir,
                     "n_vectors": n,
                     "build_sec": round(build_sec, 3),
-                    "probe_sec": min(probes),
-                    "probe_runs": probes,
+                    "build_partitioned_sec": round(build_part_sec, 3),
+                    "probe_sec": min(results["flat"]),
+                    "probe_pruned_sec": min(results["pruned"]),
+                    "probe_runs": results["flat"],
+                    "probe_pruned_runs": results["pruned"],
                     "rows": n_rows,
                 }
             )
