@@ -741,6 +741,124 @@ def ivf_pq_probe(
     )
 
 
+def ivf_pq_probe_batch(
+    index: dict,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Probe the IVF-PQ index for a WHOLE FRAME of queries in one
+    plan — the query-THROUGHPUT shape. ``ivf_pq_probe`` routes one
+    query on the driver (fine for interactive latency); a retrieval
+    or hard-negative-mining job has 10^6 queries, and looping a
+    driver-side probe would be the collect-and-iterate anti-pattern.
+    Here everything distributes:
+
+    - cell routing: the k_coarse seed matrix is a LITERAL array
+      (KB-sized, ships inside the plan); each query row computes all
+      seed cosines in one fused transform and keeps the top
+      ``n_probe`` via sort_array on (round6-cosine DESC, seed_id ASC)
+      structs — the same total order as the driver-side rule
+      (equality pinned in tests/test_similarity_pq.py).
+    - per-(query, cell) residual LUT: n_q·n_probe·m_sub·n_centroids
+      rows, built by a broadcast join against the codebook.
+    - scoring: one hash join of the LUT against the codes on
+      (cell, m, code), groupBy (query, candidate) LUT-sum, then
+      row_number ≤ k per query — no per-query jobs, no driver loop.
+
+    ``queries``: a frame with ``query_id_col`` + ``vec_col``. The
+    index is the SHARED full-corpus one (a deployment does not
+    rebuild the index per query); ``exclude_self=True`` drops the
+    candidate equal to the query id (self-match), matching the
+    recall protocol. Output: ``(query_id_col, id_col, cell,
+    adc_dist)``, ≤ k rows per query."""
+    from pyspark.sql import Window
+
+    m_sub, dim = index["m_sub"], index["dim"]
+    d_sub = dim // m_sub
+    seeds = index["seeds"]
+    spark = queries.sparkSession
+
+    seed_mat = F.array(*[F.lit([float(x) for x in v]) for _sid, v in seeds])
+    neg_ids = F.array(*[F.lit(-sid) for sid, _v in seeds])
+    scored_seeds = F.transform(
+        seed_mat,
+        lambda sv, i: F.struct(
+            F.round(
+                _dot(F.col(vec_col), sv)
+                / (_norm(F.col(vec_col)) * _norm(sv)),
+                6,
+            ).alias("c"),
+            F.element_at(neg_ids, i + 1).alias("negid"),
+        ),
+    )
+    top_cells = F.slice(F.sort_array(scored_seeds, asc=False), 1, n_probe)
+    probed = queries.select(
+        F.col(query_id_col).alias("_qid"),
+        F.col(vec_col).alias("_qv"),
+        F.explode(
+            F.transform(top_cells, lambda s: -s["negid"])
+        ).alias("qcell"),
+    )
+    seed_df = spark.createDataFrame(
+        [(int(s), [float(x) for x in v]) for s, v in seeds],
+        "_sid long, _svec array<double>",
+    )
+    qres = probed.join(
+        F.broadcast(seed_df), F.col("qcell") == F.col("_sid")
+    ).select(
+        "_qid",
+        "qcell",
+        F.zip_with(
+            F.col("_qv"), F.col("_svec"), lambda a, b: a.cast("double") - b
+        ).alias("_qr"),
+    )
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        lambda m: F.slice(F.col("_qr"), m * d_sub + 1, d_sub),
+    )
+    qsub = qres.select(
+        "_qid", "qcell", F.posexplode(subs).alias("m", "_qsv")
+    )
+    lut = qsub.join(F.broadcast(index["cb"]), "m").select(
+        "_qid",
+        "qcell",
+        F.col("m").alias("_lm"),
+        F.col("c").alias("_lc"),
+        _sq_l2(F.col("_qsv"), F.col("cv")).alias("qd"),
+    )
+    if index.get("coded") is not None:
+        scored = index["coded"]
+    else:
+        scored = index["codes"].join(index["cells"], id_col)
+    joined = scored.join(
+        lut,
+        (F.col("cell") == F.col("qcell"))
+        & (F.col("m") == F.col("_lm"))
+        & (F.col("code") == F.col("_lc")),
+    )
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col("_qid"))
+    agg = joined.groupBy("_qid", id_col, "cell").agg(
+        F.sum("qd").alias("_s")
+    )
+    w = Window.partitionBy("_qid").orderBy(F.asc("_s"), F.asc(id_col))
+    return (
+        agg.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(
+            F.col("_qid").alias(query_id_col),
+            id_col,
+            "cell",
+            F.round(F.col("_s"), 6).alias("adc_dist"),
+        )
+    )
+
+
 def ivf_pq_adc_topk(
     vectors: DataFrame,
     query_id: int = 0,
@@ -804,6 +922,84 @@ def ivf_pq_adc_topk(
     )
     return ivf_pq_probe(
         index, q, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col
+    )
+
+
+def ann_topk(
+    vectors: DataFrame,
+    query_id: int,
+    k: int = 10,
+    lane: str = "auto",
+    index: dict | str | None = None,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The single ANN front door — the third measured-dispatch entry
+    point, completing the pattern of ``semantic_dedup`` (r8) and
+    ``near_dup_candidates`` (r9): one call, the decision variable
+    measured rather than guessed, ``lane=`` to force.
+
+    Unlike those two, the decision variable here is NOT corpus size.
+    For a ONE-OFF query every lane must touch all n vectors anyway
+    (IVF assignment and PQ encoding are each a full corpus pass), so
+    brute-force — one map-side scan + TakeOrderedAndProject, exact by
+    construction — is measured fastest at every tested SF
+    (SCALE.md r9: brute 0.4–0.9 s vs 12–23 s build+probe at
+    sf0.1/sf1). What changes the answer is a PREBUILT INDEX: the
+    probe-only plan scans m_sub int codes for n_probe/k_coarse of the
+    corpus (a partition-pruned read under the
+    ``ivf_pq_index_write`` layout) instead of full-precision vectors
+    for all of it — measured 15× cheaper than its build at sf0.1/sf1,
+    and the byte ratio (8 code bytes vs 256+ vector bytes per row,
+    × n_probe/k_coarse of the rows) is what grows to the 100 TB win.
+
+    Decision table (``lane="auto"``):
+
+    ==================  ============  =================================
+    state               picks         returns
+    ==================  ============  =================================
+    ``index`` is None   ``brute``     exact ``(vec_id, cosine)``
+    ``index`` given     ``ivf_pq``    approx ``(vec_id, cell,
+                                      adc_dist)`` — recall-vs-cost
+                                      dial in SCALE.md r9's table
+    ==================  ============  =================================
+
+    ``index``: an ``ivf_pq_index`` dict or a path written by
+    ``ivf_pq_index_write`` (loaded lazily; path form gets the
+    partition-pruned scan). ``lane``: ``auto | brute | ivf_pq``
+    (forcing ``ivf_pq`` with no index builds one in-plan — the
+    registered ``sim_ivfpq_adc_topk`` shape). Schemas differ by lane
+    by design: the score IS lane-native (exact cosine vs ADC
+    distance); callers needing one metric pick a lane explicitly."""
+    if lane not in ("auto", "brute", "ivf_pq"):
+        raise ValueError(f"lane must be auto|brute|ivf_pq: {lane}")
+    if lane == "auto":
+        lane = "brute" if index is None else "ivf_pq"
+    if lane == "brute":
+        return cosine_topk(vectors, query_id, k=k, id_col=id_col, vec_col=vec_col)
+    if index is None:
+        return ivf_pq_adc_topk(
+            vectors,
+            query_id=query_id,
+            k=k,
+            n_probe=n_probe,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    if isinstance(index, str):
+        index = ivf_pq_index_load(vectors.sparkSession, index)
+    q_row = vectors.filter(F.col(id_col) == query_id).select(vec_col).first()
+    if q_row is None:
+        raise ValueError(f"ann_topk: query {id_col}={query_id} not found")
+    return ivf_pq_probe(
+        index,
+        [float(x) for x in q_row[0]],
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_id=query_id,
     )
 
 

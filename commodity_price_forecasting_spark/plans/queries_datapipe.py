@@ -1707,6 +1707,151 @@ LIMIT 10
 """
 
 
+# Batch IVF-PQ probe: SHARED full-corpus index (no leave-one-out — a
+# deployment doesn't rebuild the index per query), four query vectors
+# routed/probed/scored in ONE plan, self-matches excluded, top-10 per
+# query. The oracle re-derives the whole index once and threads qid
+# through probe -> residual -> LUT -> scoring.
+_IVFPQ_BATCH_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+), seeds AS (
+  SELECT vec_id AS sid, embedding AS semb
+  FROM corpus
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+), q AS (
+  SELECT vec_id AS qid, embedding AS qemb FROM embeddings
+  WHERE vec_id IN (0, 7, 111, 333)
+), assign_x AS (
+  SELECT c.vec_id, s.sid,
+         UNNEST(CAST(c.embedding AS DOUBLE[])) AS x,
+         UNNEST(CAST(s.semb AS DOUBLE[])) AS y
+  FROM corpus c CROSS JOIN seeds s
+), assign_cs AS (
+  SELECT vec_id, sid, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+  FROM assign_x GROUP BY vec_id, sid
+), assign_rk AS (
+  SELECT vec_id, sid AS cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY ROUND(dot / (SQRT(nx) * SQRT(ny)), 6) DESC, sid) AS rk
+  FROM assign_cs
+), cells AS (
+  SELECT vec_id, cell FROM assign_rk WHERE rk = 1
+), res AS (
+  SELECT c.vec_id, cl.cell,
+         list_transform(range(64), i ->
+           CAST(c.embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+           - CAST(s.semb[CAST(i + 1 AS INTEGER)] AS DOUBLE)) AS r
+  FROM corpus c
+  JOIN cells cl ON cl.vec_id = c.vec_id
+  JOIN seeds s ON s.sid = cl.cell
+), sub AS (
+  SELECT vec_id, CAST(mm.m AS INTEGER) AS m,
+         list_transform(range(8),
+           i -> r[CAST(mm.m * 8 + i + 1 AS INTEGER)]) AS sv
+  FROM res, generate_series(0, 7) mm(m)
+), cbv AS (
+  SELECT vec_id, r FROM res ORDER BY vec_id LIMIT 16
+), csub AS (
+  SELECT vec_id AS c, CAST(mm.m AS INTEGER) AS m,
+         list_transform(range(8),
+           i -> r[CAST(mm.m * 8 + i + 1 AS INTEGER)]) AS cv
+  FROM cbv, generate_series(0, 7) mm(m)
+), dists AS (
+  SELECT s.vec_id, s.m, cb.c,
+         list_sum(list_transform(range(8),
+           i -> (sv[CAST(i + 1 AS INTEGER)] - cv[CAST(i + 1 AS INTEGER)])
+              * (sv[CAST(i + 1 AS INTEGER)] - cv[CAST(i + 1 AS INTEGER)])))
+           AS d2
+  FROM sub s JOIN csub cb ON s.m = cb.m
+), codes AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT vec_id, m, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rk
+    FROM dists) WHERE rk = 1
+), probe_x AS (
+  SELECT q.qid, s.sid,
+         UNNEST(CAST(s.semb AS DOUBLE[])) AS x,
+         UNNEST(CAST(q.qemb AS DOUBLE[])) AS y
+  FROM seeds s CROSS JOIN q
+), probe_cs AS (
+  SELECT qid, sid, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+  FROM probe_x GROUP BY qid, sid
+), probe AS (
+  SELECT qid, sid FROM (
+    SELECT qid, sid,
+           ROW_NUMBER() OVER (PARTITION BY qid
+             ORDER BY ROUND(dot / (SQRT(nx) * SQRT(ny)), 6) DESC, sid) AS rk
+    FROM probe_cs) WHERE rk <= 2
+), qres AS (
+  SELECT p.qid, p.sid AS qcell,
+         list_transform(range(64), i ->
+           CAST(q.qemb[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+           - CAST(s.semb[CAST(i + 1 AS INTEGER)] AS DOUBLE)) AS qr
+  FROM probe p
+  JOIN seeds s ON s.sid = p.sid
+  JOIN q ON q.qid = p.qid
+), qsub AS (
+  SELECT qid, qcell, CAST(mm.m AS INTEGER) AS m,
+         list_transform(range(8),
+           i -> qr[CAST(mm.m * 8 + i + 1 AS INTEGER)]) AS sv
+  FROM qres, generate_series(0, 7) mm(m)
+), lut AS (
+  SELECT qs.qid, qs.qcell, qs.m, cb.c,
+         list_sum(list_transform(range(8),
+           i -> (qs.sv[CAST(i + 1 AS INTEGER)] - cb.cv[CAST(i + 1 AS INTEGER)])
+              * (qs.sv[CAST(i + 1 AS INTEGER)] - cb.cv[CAST(i + 1 AS INTEGER)])))
+           AS qd
+  FROM qsub qs JOIN csub cb ON qs.m = cb.m
+), scored AS (
+  SELECT l.qid AS query_id, co.vec_id, cl.cell, SUM(l.qd) AS s
+  FROM codes co
+  JOIN cells cl ON cl.vec_id = co.vec_id
+  JOIN lut l ON l.qcell = cl.cell AND l.m = co.m AND l.c = co.code
+  WHERE co.vec_id <> l.qid
+  GROUP BY l.qid, co.vec_id, cl.cell
+)
+SELECT query_id, vec_id, cell, ROUND(s, 6) AS adc_dist
+FROM (
+  SELECT query_id, vec_id, cell, s,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY s, vec_id) AS rk
+  FROM scored) WHERE rk <= 10
+"""
+
+
+@register(
+    "sim_ivfpq_batch_probe",
+    oracle=_IVFPQ_BATCH_ORACLE,
+    tags=("datapipe", "similarity", "production"),
+)
+def sim_ivfpq_batch_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF-PQ probe (r9): four query vectors routed, probed and
+    ADC-scored against the SHARED full-corpus index in ONE distributed
+    plan — the query-throughput shape (``ivf_pq_probe_batch``), vs the
+    driver-routed single-query latency shape (`sim_ivfpq_adc_topk`).
+    Cell routing happens per-row in a fused sort_array over the
+    literal seed matrix; the per-(query, cell) LUT joins broadcast
+    against the codebook; scoring is one hash join on (cell, m, code)
+    + row_number ≤ 10 per query. Batch == per-query equality is
+    pinned in tests/test_similarity_pq.py; the whole two-level index
+    plus all four probes re-derive in one DuckDB statement."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_probe_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivf_pq_index(emb)
+    queries = emb.filter(F.col("vec_id").isin([0, 7, 111, 333])).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_pq_probe_batch(
+        idx, queries, k=10, n_probe=2, exclude_self=True
+    )
+
+
 @register(
     "sim_ivfpq_adc_topk",
     oracle=_IVFPQ_ORACLE,

@@ -355,3 +355,83 @@ def test_trained_codebook_shape_and_determinism(spark):
 
     with _pytest.raises(ValueError, match="seed|kmeans"):
         ivf_pq_index(emb, codebook="bogus")
+
+
+def test_ann_topk_front_door_dispatch(spark, tmp_path):
+    """r9: the ANN front door. auto with no index == brute (exact
+    cosine rows); auto with a persisted index == the single-plan
+    ivf_pq_adc_topk rows (leave-one-out index); forced ivf_pq with no
+    index also == the single-plan form; bad lane and missing query
+    raise named errors."""
+    import pytest as _pytest
+
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ann_topk,
+        cosine_topk,
+        ivf_pq_adc_topk,
+        ivf_pq_index,
+        ivf_pq_index_write,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    brute = cosine_topk(emb, 0, k=10).collect()
+    got = ann_topk(emb, 0, k=10).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in brute]
+
+    single = ivf_pq_adc_topk(emb, query_id=0, k=10).collect()
+    forced = ann_topk(emb, 0, k=10, lane="ivf_pq").collect()
+    assert [tuple(r) for r in forced] == [tuple(r) for r in single]
+
+    idx = ivf_pq_index(emb, exclude_id=0)
+    ivf_pq_index_write(idx, str(tmp_path))
+    idx["res"].unpersist()
+    via_path = ann_topk(emb, 0, k=10, index=str(tmp_path)).collect()
+    assert [
+        (r["vec_id"], int(r["cell"]), r["adc_dist"]) for r in via_path
+    ] == [(r["vec_id"], int(r["cell"]), r["adc_dist"]) for r in single]
+
+    with _pytest.raises(ValueError, match="lane"):
+        ann_topk(emb, 0, lane="bogus")
+    with _pytest.raises(ValueError, match="not found"):
+        ann_topk(emb, 10**9, index=str(tmp_path))
+
+
+def test_ivfpq_batch_probe_equals_per_query(spark):
+    """r9: the batch probe (one plan, N queries) must return, for
+    every query id, EXACTLY the rows of the driver-routed single
+    probe over the SAME shared index — same cells probed (column
+    sort_array routing == driver HALF_UP sort), same LUT sums, same
+    top-k order."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_probe,
+        ivf_pq_probe_batch,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = ivf_pq_index(emb)  # shared full-corpus index, no exclusion
+    qids = [0, 7, 111, 333]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = ivf_pq_probe_batch(
+        idx, queries, k=5, n_probe=2, exclude_self=True
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], int(r["cell"]), r["adc_dist"])
+        )
+    for qi in qids:
+        q = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qi)
+            .select("embedding")
+            .first()[0]
+        ]
+        single = ivf_pq_probe(idx, q, k=5, n_probe=2, exclude_id=qi).collect()
+        assert by_q[qi] == [
+            (r["vec_id"], int(r["cell"]), r["adc_dist"]) for r in single
+        ], f"query {qi} diverged"
+    idx["res"].unpersist()
