@@ -945,14 +945,16 @@ def ann_topk(
     (IVF assignment and PQ encoding are each a full corpus pass), so
     brute-force — one map-side scan + TakeOrderedAndProject, exact by
     construction — is measured fastest at every tested SF
-    (SCALE.md r9: brute 0.4–0.9 s vs 12–23 s build+probe at
-    sf0.1/sf1). What changes the answer is a PREBUILT INDEX: the
+    (SCALE.md r9: brute 0.48/0.73 s vs 3.8/13.1 s for the warm
+    single-plan IVF-PQ at sf0.1/sf1 — an 8–18× gap that widens with
+    n). What changes the answer is a PREBUILT INDEX: the
     probe-only plan scans m_sub int codes for n_probe/k_coarse of the
     corpus (a partition-pruned read under the
     ``ivf_pq_index_write`` layout) instead of full-precision vectors
-    for all of it — measured 15× cheaper than its build at sf0.1/sf1,
-    and the byte ratio (8 code bytes vs 256+ vector bytes per row,
-    × n_probe/k_coarse of the rows) is what grows to the 100 TB win.
+    for all of it — measured ~0.82–0.86 s warm and FLAT across a
+    decade of corpus growth (12–24× cheaper than its build), and the
+    byte ratio (8 code bytes vs 256+ vector bytes per row, ×
+    n_probe/k_coarse of the rows) is what grows to the 100 TB win.
 
     Decision table (``lane="auto"``):
 
