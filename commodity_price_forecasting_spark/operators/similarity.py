@@ -304,12 +304,16 @@ def ivf_seed_topk(
     n_probe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    exclude_id: int | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbours of ``query`` probing only the
     ``n_probe`` cells whose seed is nearest the query (6dp-rounded
     cosine, ties to smallest seed id) — scans ~n_probe/k of the
-    corpus; with the corpus written bucketed by cell the probe is a
-    partition-pruned read."""
+    corpus; with the corpus written partitioned by cell
+    (``ivf_index_write``) the ``isin`` IS a static partition-pruned
+    read. ``exclude_id`` drops the self-match before the top-k (the
+    shared-index probe convention; the registered query instead
+    excludes the query from the corpus before assignment)."""
     import math
 
     def cos(a: list[float], b: list[float]) -> float:
@@ -326,12 +330,52 @@ def ivf_seed_topk(
     ]
     q = F.array(*[F.lit(float(x)) for x in query])
     sim = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    out = assigned.filter(F.col("cell").isin(probe))
+    if exclude_id is not None:
+        out = out.filter(F.col(id_col) != exclude_id)
     return (
-        assigned.filter(F.col("cell").isin(probe))
-        .select(id_col, "cell", F.round(sim, 6).alias("cosine"))
+        out.select(id_col, "cell", F.round(sim, 6).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_index_write(
+    vectors: DataFrame,
+    path: str,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "fold",
+) -> None:
+    """Persist the FULL-PRECISION IVF index: the assigned corpus
+    ``partitionBy("cell")`` plus the seed routing table — the
+    exact-scoring sibling of ``ivf_pq_index_write``. The r9 recall
+    table makes the trade explicit: IVF probes score candidates with
+    exact cosines, so recall is the best of any probe lane (0.46–0.575
+    at n_probe=4, flat across corpus growth) but each probe reads
+    full vector bytes (256+/row) where IVF-PQ reads 8 — pick THIS
+    layout when recall dominates and the vectors fit the scan budget,
+    the PQ one when memory/bandwidth dominates."""
+    assigned, seeds = ivf_seed_assign(
+        vectors, k=k, vec_col=vec_col, id_col=id_col, assign=assign
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "corpus")
+    )
+    vectors.sparkSession.createDataFrame(
+        [(int(s), [float(x) for x in v]) for s, v in seeds],
+        "cell long, svec array<double>",
+    ).write.mode("overwrite").parquet(os.path.join(path, "seeds"))
+
+
+def ivf_index_load(spark, path: str) -> dict:
+    """Reload an ``ivf_index_write`` layout: the cell-partitioned
+    corpus frame + the KB seed routing table (sorted by seed id)."""
+    assigned = spark.read.parquet(os.path.join(path, "corpus"))
+    seed_rows = spark.read.parquet(os.path.join(path, "seeds")).collect()
+    seeds = sorted((int(r["cell"]), list(r["svec"])) for r in seed_rows)
+    return {"assigned": assigned, "seeds": seeds}
 
 
 # --- product quantization (Jégou et al. 2011, public) --------------------
@@ -962,25 +1006,64 @@ def ann_topk(
     state               picks         returns
     ==================  ============  =================================
     ``index`` is None   ``brute``     exact ``(vec_id, cosine)``
-    ``index`` given     ``ivf_pq``    approx ``(vec_id, cell,
-                                      adc_dist)`` — recall-vs-cost
-                                      dial in SCALE.md r9's table
+    full-precision IVF  ``ivf``       ``(vec_id, cell, cosine)`` —
+    index given                       exact scoring inside probed
+                                      cells; best probe recall
+    PQ index given      ``ivf_pq``    approx ``(vec_id, cell,
+                                      adc_dist)`` — 8 bytes/row;
+                                      recall-vs-cost dial in
+                                      SCALE.md r9's tables
     ==================  ============  =================================
 
-    ``index``: an ``ivf_pq_index`` dict or a path written by
-    ``ivf_pq_index_write`` (loaded lazily; path form gets the
-    partition-pruned scan). ``lane``: ``auto | brute | ivf_pq``
-    (forcing ``ivf_pq`` with no index builds one in-plan — the
-    registered ``sim_ivfpq_adc_topk`` shape). Schemas differ by lane
+    ``index``: an ``ivf_pq_index``/``ivf_index_load`` dict or a path
+    written by ``ivf_pq_index_write``/``ivf_index_write`` (the layout
+    is sniffed — both get their partition-pruned scan). A
+    full-precision IVF index routes to the EXACT-scoring probe (best
+    recall, full vector bytes); a PQ index routes to the ADC probe
+    (8 bytes/row, approximate) — the recall-vs-bytes trade is the r9
+    recall table. ``lane``: ``auto | brute | ivf | ivf_pq`` (forcing
+    an index lane with no index builds one in-plan — the registered
+    ``sim_ivf_topk`` / ``sim_ivfpq_adc_topk`` shapes, which exclude
+    the query from the corpus before seeding). Schemas differ by lane
     by design: the score IS lane-native (exact cosine vs ADC
     distance); callers needing one metric pick a lane explicitly."""
-    if lane not in ("auto", "brute", "ivf_pq"):
-        raise ValueError(f"lane must be auto|brute|ivf_pq: {lane}")
+    if lane not in ("auto", "brute", "ivf", "ivf_pq"):
+        raise ValueError(f"lane must be auto|brute|ivf|ivf_pq: {lane}")
+    if isinstance(index, str):
+        if os.path.isdir(os.path.join(index, "corpus")):
+            index = ivf_index_load(vectors.sparkSession, index)
+        else:
+            index = ivf_pq_index_load(vectors.sparkSession, index)
     if lane == "auto":
-        lane = "brute" if index is None else "ivf_pq"
+        if index is None:
+            lane = "brute"
+        elif index.get("assigned") is not None:
+            lane = "ivf"
+        else:
+            lane = "ivf_pq"
     if lane == "brute":
         return cosine_topk(vectors, query_id, k=k, id_col=id_col, vec_col=vec_col)
-    if index is None:
+    if lane == "ivf" and index is None:
+        q_row = (
+            vectors.filter(F.col(id_col) == query_id).select(vec_col).first()
+        )
+        if q_row is None:
+            raise ValueError(f"ann_topk: query {id_col}={query_id} not found")
+        assigned, seeds = ivf_seed_assign(
+            vectors.filter(F.col(id_col) != query_id),
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+        return ivf_seed_topk(
+            assigned,
+            seeds,
+            [float(x) for x in q_row[0]],
+            k=k,
+            n_probe=n_probe,
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+    if lane == "ivf_pq" and index is None:
         return ivf_pq_adc_topk(
             vectors,
             query_id=query_id,
@@ -989,14 +1072,34 @@ def ann_topk(
             id_col=id_col,
             vec_col=vec_col,
         )
-    if isinstance(index, str):
-        index = ivf_pq_index_load(vectors.sparkSession, index)
     q_row = vectors.filter(F.col(id_col) == query_id).select(vec_col).first()
     if q_row is None:
         raise ValueError(f"ann_topk: query {id_col}={query_id} not found")
+    q = [float(x) for x in q_row[0]]
+    if lane == "ivf":
+        if index.get("assigned") is None:
+            raise ValueError(
+                "ann_topk: lane='ivf' needs an ivf_index_write/_load "
+                "index (got a PQ index — use lane='ivf_pq')"
+            )
+        return ivf_seed_topk(
+            index["assigned"],
+            index["seeds"],
+            q,
+            k=k,
+            n_probe=n_probe,
+            vec_col=vec_col,
+            id_col=id_col,
+            exclude_id=query_id,
+        )
+    if index.get("assigned") is not None:
+        raise ValueError(
+            "ann_topk: lane='ivf_pq' needs an ivf_pq_index index (got a "
+            "full-precision IVF index — use lane='ivf')"
+        )
     return ivf_pq_probe(
         index,
-        [float(x) for x in q_row[0]],
+        q,
         k=k,
         n_probe=n_probe,
         id_col=id_col,

@@ -435,3 +435,60 @@ def test_ivfpq_batch_probe_equals_per_query(spark):
             (r["vec_id"], int(r["cell"]), r["adc_dist"]) for r in single
         ], f"query {qi} diverged"
     idx["res"].unpersist()
+
+
+def test_ann_topk_ivf_lane_and_index(spark, tmp_path):
+    """r9: the full-precision IVF half of the front door. A persisted
+    ivf_index_write layout must (1) auto-route to the exact-scoring
+    probe, (2) prune partitions (PartitionFilters on the corpus
+    scan), (3) match a driver-composed ivf_seed_topk over the same
+    shared assignment with self-exclusion; lane='ivf' with no index
+    must equal the registered sim_ivf_topk composition
+    (leave-one-out); handing the wrong index kind raises."""
+    import re
+
+    import pytest as _pytest
+
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ann_topk,
+        ivf_index_load,
+        ivf_index_write,
+        ivf_pq_index,
+        ivf_seed_assign,
+        ivf_seed_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = [
+        float(x)
+        for x in emb.filter("vec_id = 0").select("embedding").first()[0]
+    ]
+
+    # in-plan lane == registered sim_ivf_topk composition
+    assigned, seeds = ivf_seed_assign(emb.filter(F.col("vec_id") != 0), k=16)
+    want = ivf_seed_topk(assigned, seeds, q, k=10, n_probe=2).collect()
+    got = ann_topk(emb, 0, k=10, lane="ivf").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # persisted shared index: auto-routes to ivf, prunes, matches
+    ivf_index_write(emb, str(tmp_path), k=16)
+    loaded = ivf_index_load(spark, str(tmp_path))
+    want2 = ivf_seed_topk(
+        loaded["assigned"], loaded["seeds"], q, k=10, n_probe=2, exclude_id=0
+    ).collect()
+    probe_df = ann_topk(emb, 0, k=10, index=str(tmp_path))
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[.*cell.*\]", plan), plan
+    got2 = probe_df.collect()
+    assert [
+        (r["vec_id"], int(r["cell"]), r["cosine"]) for r in got2
+    ] == [(r["vec_id"], int(r["cell"]), r["cosine"]) for r in want2]
+    assert got2[0].__fields__ == ["vec_id", "cell", "cosine"]
+
+    # wrong index kind is a named error both ways
+    with _pytest.raises(ValueError, match="lane='ivf_pq'"):
+        ann_topk(emb, 0, index=str(tmp_path), lane="ivf_pq").collect()
+    pq_idx = ivf_pq_index(emb)
+    with _pytest.raises(ValueError, match="lane='ivf'"):
+        ann_topk(emb, 0, index=pq_idx, lane="ivf").collect()
+    pq_idx["res"].unpersist()
