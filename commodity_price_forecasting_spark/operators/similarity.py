@@ -565,6 +565,7 @@ def ivf_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codebook: str = "seed",
+    coarse: str = "seed",
 ) -> dict:
     """Materialize the IVF-PQ index (the BUILD half of
     ``ivf_pq_adc_topk``, split out per r8 VERDICT ask #2 so the
@@ -586,16 +587,35 @@ def ivf_pq_index(
     ``codes``+``cells`` written bucketed by cell turn every probe
     into a partition-pruned scan. ``exclude_id`` removes one row
     before seed/codebook selection (the registered query's
-    leave-the-query-out convention)."""
+    leave-the-query-out convention).
+
+    ``coarse``: ``"seed"`` (md5-min corpus vectors — deterministic,
+    SQL-oracle-able, the registered shape) or ``"kmeans"`` (MLlib
+    KMeans — the TRAINED coarse quantizer). The clustered-fixture
+    recall measurement (SCALE.md r9 v3) is why the knob exists: on
+    clustered data, md5-seed cells inherit the corpus's GLOBAL
+    spread, so residuals stay large and even 256-entry trained
+    codebooks can't resolve within-cluster neighbor gaps
+    (recall ≤0.15); a trained coarse quantizer shrinks residuals to
+    noise scale and PQ recall recovers — training the COARSE level
+    matters more than training the codebooks."""
     spark = vectors.sparkSession
     corpus = (
         vectors.filter(F.col(id_col) != exclude_id)
         if exclude_id is not None
         else vectors
     )
-    assigned, seeds = ivf_seed_assign(
-        corpus, k=k_coarse, vec_col=vec_col, id_col=id_col
-    )
+    if coarse == "kmeans":
+        assigned, centers = ivf_assign(
+            corpus, k=k_coarse, vec_col=vec_col, id_col=id_col
+        )
+        seeds = [(i, c) for i, c in enumerate(centers)]
+    elif coarse == "seed":
+        assigned, seeds = ivf_seed_assign(
+            corpus, k=k_coarse, vec_col=vec_col, id_col=id_col
+        )
+    else:
+        raise ValueError(f"coarse must be seed|kmeans: {coarse}")
     seed_df = spark.createDataFrame(
         [(int(s), [float(x) for x in v]) for s, v in seeds],
         "_sid long, _svec array<double>",

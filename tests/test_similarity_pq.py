@@ -492,3 +492,58 @@ def test_ann_topk_ivf_lane_and_index(spark, tmp_path):
     with _pytest.raises(ValueError, match="lane='ivf'"):
         ann_topk(emb, 0, index=pq_idx, lane="ivf").collect()
     pq_idx["res"].unpersist()
+
+
+def test_clustered_geometry_recall_floors(spark, tmp_path):
+    """r9 recall v3: on CLUSTERED data (the geometry real embedding
+    corpora approximate, vs the driver fixture's isotropic worst
+    case) the trained coarse quantizer must route essentially
+    perfectly — recall is then bounded by scoring, not routing. Pins
+    the v3 table's claims at n=2000/16 clusters/SNR 4:1 (measured:
+    ivf_kmeans 1.0 at every n_probe; ivf_pq_trained256 0.50–0.525,
+    the in-cell ADC noise floor on structured data). Floors are
+    measured − slack so silent routing or scoring regressions
+    surface."""
+    import os as _os
+    import sys as _sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    _sys.path.insert(0, "/root/repo")
+    from tools.ann_recall import recall_table
+
+    rng = np.random.default_rng(7)
+    n, dim, k_cl = 2000, 64, 16
+    centers = rng.standard_normal((k_cl, dim))
+    labels = rng.integers(0, k_cl, size=n)
+    vecs = (
+        centers[labels] + rng.standard_normal((n, dim)) * 0.25
+    ).astype(np.float32)
+    fixture = str(tmp_path / "clustered")
+    _os.makedirs(fixture, exist_ok=True)
+    pq_.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(
+                    list(vecs), type=pa.list_(pa.float32())
+                ),
+            }
+        ),
+        _os.path.join(fixture, "embeddings.parquet"),
+    )
+    rows = recall_table(
+        spark,
+        fixture,
+        k=10,
+        n_queries=8,
+        lanes=["ivf_kmeans", "ivf_pq_trained256"],
+    )
+    by = {(r["lane"], r["n_probe"]): r["recall_at_k"] for r in rows}
+    # trained coarse quantizer routes perfectly on clustered data
+    assert by[("ivf_kmeans", 1)] >= 0.95
+    assert by[("ivf_kmeans", 4)] >= 0.95
+    # in-cell ADC with 256-entry trained codebooks keeps real signal
+    # on structured data (vs ~0.1 on the isotropic fixture)
+    assert by[("ivf_pq_trained256", 2)] >= 0.35

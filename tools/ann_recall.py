@@ -327,9 +327,11 @@ def recall_table(
     if n > 512 and want("pq_adc_trained256"):
         pq_adc_recall("pq_adc_trained256", 256)
 
-    def ivf_pq_trained_recall(lane: str, n_centroids: int) -> None:
+    def ivf_pq_trained_recall(
+        lane: str, n_centroids: int, coarse: str = "seed"
+    ) -> None:
         idx_t = ivf_pq_index(
-            emb, codebook="kmeans", n_centroids=n_centroids
+            emb, codebook="kmeans", n_centroids=n_centroids, coarse=coarse
         )
         idx_t["codes"] = idx_t["codes"].cache()
         idx_t["cells"] = idx_t["cells"].cache()
@@ -356,6 +358,12 @@ def recall_table(
     # to the IVF-PQ index
     if n > 512 and want("ivf_pq_trained256"):
         ivf_pq_trained_recall("ivf_pq_trained256", 256)
+    # the COMPLETE FAISS shape: trained coarse quantizer (residuals
+    # shrink to within-cluster noise) + trained 256-entry residual
+    # codebooks — the cell that shows WHERE the training matters
+    # (SCALE.md r9 v3: coarse, not codebook)
+    if n > 512 and want("ivf_pq_full256"):
+        ivf_pq_trained_recall("ivf_pq_full256", 256, coarse="kmeans")
 
     for frame in (assigned, dists, codes_raw):
         if frame is not None:
