@@ -989,15 +989,39 @@ def ivf_pq_adc_topk(
     )
 
 
+def cosine_topk_query(
+    emb: DataFrame,
+    q: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of an EXTERNAL query vector (one
+    not in the corpus — the real retrieval shape): the query ships as
+    a literal array inside the plan, the corpus is scanned once, the
+    top-k is a TakeOrderedAndProject. Same output contract as
+    ``cosine_topk`` minus the self-exclusion (nothing to exclude)."""
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    sim = _dot(F.col(vec_col), qcol) / (_norm(F.col(vec_col)) * _norm(qcol))
+    return (
+        emb.select(
+            F.col(id_col).alias("vec_id"), F.round(sim, 6).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(k)
+    )
+
+
 def ann_topk(
     vectors: DataFrame,
-    query_id: int,
+    query_id: int | None = None,
     k: int = 10,
     lane: str = "auto",
     index: dict | str | None = None,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    q: list[float] | None = None,
 ) -> DataFrame:
     """The single ANN front door — the third measured-dispatch entry
     point, completing the pattern of ``semantic_dedup`` (r8) and
@@ -1046,9 +1070,20 @@ def ann_topk(
     ``sim_ivf_topk`` / ``sim_ivfpq_adc_topk`` shapes, which exclude
     the query from the corpus before seeding). Schemas differ by lane
     by design: the score IS lane-native (exact cosine vs ADC
-    distance); callers needing one metric pick a lane explicitly."""
+    distance); callers needing one metric pick a lane explicitly.
+
+    The query is either ``query_id`` (a corpus member — self-excluded
+    from results, the recall-protocol shape) or ``q=`` (an EXTERNAL
+    vector — the real retrieval shape; nothing to exclude). Exactly
+    one must be given. For many external queries at once, use
+    ``ivf_pq_probe_batch`` — one plan, no driver loop."""
     if lane not in ("auto", "brute", "ivf", "ivf_pq"):
         raise ValueError(f"lane must be auto|brute|ivf|ivf_pq: {lane}")
+    if (query_id is None) == (q is None):
+        raise ValueError(
+            "ann_topk: pass exactly one of query_id (corpus member, "
+            "self-excluded) or q (external query vector)"
+        )
     if isinstance(index, str):
         if os.path.isdir(os.path.join(index, "corpus")):
             index = ivf_index_load(vectors.sparkSession, index)
@@ -1062,40 +1097,55 @@ def ann_topk(
         else:
             lane = "ivf_pq"
     if lane == "brute":
+        if q is not None:
+            return cosine_topk_query(
+                vectors, q, k=k, id_col=id_col, vec_col=vec_col
+            )
         return cosine_topk(vectors, query_id, k=k, id_col=id_col, vec_col=vec_col)
-    if lane == "ivf" and index is None:
+    if q is None:
         q_row = (
             vectors.filter(F.col(id_col) == query_id).select(vec_col).first()
         )
         if q_row is None:
             raise ValueError(f"ann_topk: query {id_col}={query_id} not found")
+        qvec = [float(x) for x in q_row[0]]
+    else:
+        qvec = [float(x) for x in q]
+    if lane == "ivf" and index is None:
+        # the registered sim_ivf_topk convention: a corpus-member query
+        # is excluded BEFORE seeding; an external query has nothing to
+        # exclude
+        corpus = (
+            vectors.filter(F.col(id_col) != query_id)
+            if query_id is not None
+            else vectors
+        )
         assigned, seeds = ivf_seed_assign(
-            vectors.filter(F.col(id_col) != query_id),
-            vec_col=vec_col,
-            id_col=id_col,
+            corpus, vec_col=vec_col, id_col=id_col
         )
         return ivf_seed_topk(
             assigned,
             seeds,
-            [float(x) for x in q_row[0]],
+            qvec,
             k=k,
             n_probe=n_probe,
             vec_col=vec_col,
             id_col=id_col,
         )
     if lane == "ivf_pq" and index is None:
-        return ivf_pq_adc_topk(
-            vectors,
-            query_id=query_id,
-            k=k,
-            n_probe=n_probe,
-            id_col=id_col,
-            vec_col=vec_col,
+        if query_id is not None:
+            return ivf_pq_adc_topk(
+                vectors,
+                query_id=query_id,
+                k=k,
+                n_probe=n_probe,
+                id_col=id_col,
+                vec_col=vec_col,
+            )
+        built = ivf_pq_index(vectors, id_col=id_col, vec_col=vec_col)
+        return ivf_pq_probe(
+            built, qvec, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col
         )
-    q_row = vectors.filter(F.col(id_col) == query_id).select(vec_col).first()
-    if q_row is None:
-        raise ValueError(f"ann_topk: query {id_col}={query_id} not found")
-    q = [float(x) for x in q_row[0]]
     if lane == "ivf":
         if index.get("assigned") is None:
             raise ValueError(
@@ -1105,7 +1155,7 @@ def ann_topk(
         return ivf_seed_topk(
             index["assigned"],
             index["seeds"],
-            q,
+            qvec,
             k=k,
             n_probe=n_probe,
             vec_col=vec_col,
@@ -1119,7 +1169,7 @@ def ann_topk(
         )
     return ivf_pq_probe(
         index,
-        q,
+        qvec,
         k=k,
         n_probe=n_probe,
         id_col=id_col,

@@ -547,3 +547,41 @@ def test_clustered_geometry_recall_floors(spark, tmp_path):
     # in-cell ADC with 256-entry trained codebooks keeps real signal
     # on structured data (vs ~0.1 on the isotropic fixture)
     assert by[("ivf_pq_trained256", 2)] >= 0.35
+
+
+def test_ann_topk_external_query_vector(spark, tmp_path):
+    """r9: the q= form (external query vector, the real retrieval
+    shape). Brute with q == the literal-scored exact ranking with no
+    self-exclusion (a corpus member passed as q must surface ITSELF
+    at cosine 1.0); index lanes accept q and skip exclusion; passing
+    both or neither of query_id/q raises."""
+    import pytest as _pytest
+
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ann_topk,
+        ivf_pq_index,
+        ivf_pq_index_write,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    v0 = [
+        float(x)
+        for x in emb.filter("vec_id = 0").select("embedding").first()[0]
+    ]
+
+    got = ann_topk(emb, q=v0, k=5).collect()
+    assert got[0]["vec_id"] == 0 and got[0]["cosine"] == 1.0
+    # the rest of the ranking == the self-excluding form's top-4
+    excl = ann_topk(emb, 0, k=4).collect()
+    assert [tuple(r) for r in got[1:]] == [tuple(r) for r in excl]
+
+    idx = ivf_pq_index(emb)
+    ivf_pq_index_write(idx, str(tmp_path))
+    idx["res"].unpersist()
+    via_idx = ann_topk(emb, q=v0, k=5, index=str(tmp_path)).collect()
+    assert via_idx[0]["vec_id"] == 0 and via_idx[0]["adc_dist"] == 0.0
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        ann_topk(emb, 0, q=v0)
+    with _pytest.raises(ValueError, match="exactly one"):
+        ann_topk(emb)
