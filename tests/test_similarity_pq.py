@@ -585,3 +585,49 @@ def test_ann_topk_external_query_vector(spark, tmp_path):
         ann_topk(emb, 0, q=v0)
     with _pytest.raises(ValueError, match="exactly one"):
         ann_topk(emb)
+
+
+def test_lowrank_geometry_pq_recall_floors(spark, tmp_path):
+    """r9 recall v4: on LOW-INTRINSIC-DIMENSION data (v = z·P + noise,
+    the geometry real embedding models produce) product quantization
+    must work — subvector coordinates correlate, so per-subspace
+    codebooks capture real variance. Pins the v4 table's claims at
+    n=2000/latent 8 (measured: pq_adc untrained 0.325, trained-16
+    0.45, trained-256 0.75): the training and codebook-size dials
+    must each pay, unlike on the isotropic fixture where all PQ lanes
+    sit near noise."""
+    import os as _os
+    import sys as _sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    _sys.path.insert(0, "/root/repo")
+    from tools.ann_recall import recall_table
+
+    rng = np.random.default_rng(7)
+    n, dim, r = 2000, 64, 8
+    proj = rng.standard_normal((r, dim))
+    z = rng.standard_normal((n, r))
+    vecs = (
+        z @ proj + rng.standard_normal((n, dim)) * 0.05
+    ).astype(np.float32)
+    fixture = str(tmp_path / "lowrank")
+    _os.makedirs(fixture, exist_ok=True)
+    pq_.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": pa.array(
+                    list(vecs), type=pa.list_(pa.float32())
+                ),
+            }
+        ),
+        _os.path.join(fixture, "embeddings.parquet"),
+    )
+    rows = recall_table(spark, fixture, k=10, n_queries=8, lanes=["pq_adc"])
+    by = {r_["lane"]: r_["recall_at_k"] for r_ in rows}
+    assert by["pq_adc"] >= 0.2
+    assert by["pq_adc_trained256"] >= 0.6
+    # the dials must actually pay on this geometry
+    assert by["pq_adc_trained256"] > by["pq_adc_trained"] > by["pq_adc"]
