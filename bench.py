@@ -119,8 +119,8 @@ def main() -> None:
             "# note: sim_ivfpq_adc_topk times index BUILD + probe in one "
             "plan (the reproducible registered shape); the one-off build "
             "vs per-query probe split is measured separately in SCALE.md "
-            "r9 via tools/ivfpq_split_probe.py (probe-only is ~10x "
-            "cheaper)",
+            "r9 via tools/ivfpq_split_probe.py (probe-only is ~0.8 s warm, "
+            "12-24x cheaper than the build, FLAT across 10x corpus growth)",
             file=sys.stderr,
         )
     for prior_tag, prior in priors:
