@@ -896,7 +896,17 @@ def ivf_pq_probe_batch(
         _sq_l2(F.col("_qsv"), F.col("cv")).alias("qd"),
     )
     if index.get("coded") is not None:
-        scored = index["coded"]
+        # cell-partitioned persisted layout (r9 ADVICE): without a
+        # filter the batch path scans the WHOLE index and loses the
+        # pruning the layout exists for. The union of probed cells is
+        # bounded by k_coarse (a KB-scale distinct over the QUERY
+        # frame, not the corpus), so collect it and push a literal
+        # isin on the partition column — the same static
+        # partition-pruned scan the single-query probe gets.
+        probed_cells = [
+            int(r["qcell"]) for r in probed.select("qcell").distinct().collect()
+        ]
+        scored = index["coded"].filter(F.col("cell").isin(probed_cells))
     else:
         scored = index["codes"].join(index["cells"], id_col)
     joined = scored.join(
@@ -1096,6 +1106,19 @@ def ann_topk(
             lane = "ivf"
         else:
             lane = "ivf_pq"
+    # validate lane/index-kind compatibility BEFORE any Spark job
+    # (r9 ADVICE: the corpus-scanning query-vector fetch used to run
+    # first, so a wrong-index-kind ValueError cost a full scan)
+    if lane == "ivf" and index is not None and index.get("assigned") is None:
+        raise ValueError(
+            "ann_topk: lane='ivf' needs an ivf_index_write/_load "
+            "index (got a PQ index — use lane='ivf_pq')"
+        )
+    if lane == "ivf_pq" and index is not None and index.get("assigned") is not None:
+        raise ValueError(
+            "ann_topk: lane='ivf_pq' needs an ivf_pq_index index (got a "
+            "full-precision IVF index — use lane='ivf')"
+        )
     if lane == "brute":
         if q is not None:
             return cosine_topk_query(
@@ -1147,11 +1170,6 @@ def ann_topk(
             built, qvec, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col
         )
     if lane == "ivf":
-        if index.get("assigned") is None:
-            raise ValueError(
-                "ann_topk: lane='ivf' needs an ivf_index_write/_load "
-                "index (got a PQ index — use lane='ivf_pq')"
-            )
         return ivf_seed_topk(
             index["assigned"],
             index["seeds"],
@@ -1161,11 +1179,6 @@ def ann_topk(
             vec_col=vec_col,
             id_col=id_col,
             exclude_id=query_id,
-        )
-    if index.get("assigned") is not None:
-        raise ValueError(
-            "ann_topk: lane='ivf_pq' needs an ivf_pq_index index (got a "
-            "full-precision IVF index — use lane='ivf')"
         )
     return ivf_pq_probe(
         index,

@@ -3502,6 +3502,19 @@ def _curation_full_stages(spark: SparkSession, sf_dir: str) -> dict:
     return {"docs": docs, "red": red, "s2": s2, "s3": s3_ids, "s4": s4}
 
 
+def _finish_stage_counts(spark: SparkSession, s: dict, out: DataFrame) -> DataFrame:
+    """Materialize the stage-count union while the multi-consumer
+    stage caches are live, then UNPERSIST them (r9 ADVICE: the four
+    cached stage frames used to outlive the query, pinning executor
+    storage for the life of the session). The returned frame is the
+    collected rows re-wrapped with the identical schema — same values,
+    same schema, zero storage left behind."""
+    rows = out.collect()
+    for key in ("red", "s2", "s3", "s4"):
+        s[key].unpersist()
+    return spark.createDataFrame(rows, out.schema)
+
+
 def _stage_row(no: int, name: str, df: DataFrame) -> DataFrame:
     return df.agg(
         F.lit(no).cast("int").alias("stage_no"),
@@ -3529,13 +3542,14 @@ def curation_pipeline_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte-exactness is pinned separately by ``quality_pii_checksum``).
     """
     s = _curation_full_stages(spark, sf_dir)
-    return (
+    out = (
         _stage_row(0, "raw", s["docs"])
         .unionAll(_stage_row(1, "pii_redact", s["red"]))
         .unionAll(_stage_row(2, "quality_gate", s["s2"]))
         .unionAll(_stage_row(3, "exact_dedup", s["s3"]))
         .unionAll(_stage_row(4, "star_canonical", s["s4"]))
     )
+    return _finish_stage_counts(spark, s, out)
 
 
 @register(
@@ -3600,7 +3614,7 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
         )
     )
-    return (
+    out = (
         _stage_row(0, "raw", s["docs"])
         .unionAll(_stage_row(1, "pii_redact", s["red"]))
         .unionAll(_stage_row(2, "quality_gate", s["s2"]))
@@ -3609,3 +3623,4 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(_stage_row(5, "semantic_dedup", s5))
         .unionAll(split_rows)
     )
+    return _finish_stage_counts(spark, s, out)

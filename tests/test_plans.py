@@ -44,10 +44,6 @@ PYTHON_OK = {
     # production SemDeDup lane; inner plan asserted in
     # test_semantic_dedup_blas_assignment_plan
     "semantic_dedup_blas",
-    # full curation pipeline: its semantic stage routes through the
-    # semantic_dedup front door, which picks the BLAS lane at this
-    # fixture's size (r9)
-    "curation_pipeline_full",
 }
 #: queries that fit models / write files at plan-build time — too heavy
 #: or side-effectful for a plan-only sweep.
@@ -83,6 +79,14 @@ SKIP_BUILD = {
     # runs the freqItems sketch action at plan-build time (candidate
     # list becomes a broadcast isin literal)
     "sketch_freq_items",
+    # r10 (r9 ADVICE): materialize their stage counts eagerly so the
+    # multi-consumer stage caches can be unpersisted before returning;
+    # the returned frame is a literal — stage internals are asserted
+    # in test_curation_pipeline_full_stage_consistency and the
+    # component/semantic plan tests
+    "curation_pipeline_prefix",
+    "curation_pipeline_full",
+    "curation_pipeline_clean",
 }
 
 

@@ -289,9 +289,12 @@ def test_ann_recall_floors_and_monotonicity(spark):
     scoring shows up as a recall drop, not a silent quality loss.
     Floors are the r9-measured values minus slack; brute is 1.0 by
     definition; IVF recall must be monotone in n_probe."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
     from tools.ann_recall import recall_table
 
     rows = recall_table(spark, SF_DIR, k=10, n_queries=8)
@@ -437,6 +440,42 @@ def test_ivfpq_batch_probe_equals_per_query(spark):
     idx["res"].unpersist()
 
 
+def test_ivfpq_batch_probe_loaded_index_prunes_and_matches(spark, tmp_path):
+    """r10 (r9 ADVICE): the batch probe over a PERSISTED index must
+    (1) return exactly the in-memory batch result per query, and
+    (2) filter the cell-partitioned scan to the union of probed cells
+    (PartitionFilters in the scan node) instead of reading the whole
+    index — the pruning the layout exists for."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_index_load,
+        ivf_pq_index_write,
+        ivf_pq_probe_batch,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = ivf_pq_index(emb)
+    ivf_pq_index_write(idx, str(tmp_path))
+    loaded = ivf_pq_index_load(spark, str(tmp_path))
+    qids = [0, 7, 111]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch_df = ivf_pq_probe_batch(loaded, queries, k=5, n_probe=2, exclude_self=True)
+    plan = batch_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf_window = plan.split("PartitionFilters", 1)[1][:200]
+    assert "cell" in pf_window and "IN" in pf_window
+    mem = ivf_pq_probe_batch(idx, queries, k=5, n_probe=2, exclude_self=True).collect()
+    got = batch_df.collect()
+    assert sorted(
+        ((r["query_id"], r["vec_id"], int(r["cell"]), r["adc_dist"]) for r in got)
+    ) == sorted(
+        ((r["query_id"], r["vec_id"], int(r["cell"]), r["adc_dist"]) for r in mem)
+    )
+    idx["res"].unpersist()
+
+
 def test_ann_topk_ivf_lane_and_index(spark, tmp_path):
     """r9: the full-precision IVF half of the front door. A persisted
     ivf_index_write layout must (1) auto-route to the exact-scoring
@@ -510,7 +549,9 @@ def test_clustered_geometry_recall_floors(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq_
 
-    _sys.path.insert(0, "/root/repo")
+    _sys.path.insert(
+        0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
     from tools.ann_recall import recall_table
 
     rng = np.random.default_rng(7)
@@ -602,7 +643,9 @@ def test_lowrank_geometry_pq_recall_floors(spark, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq_
 
-    _sys.path.insert(0, "/root/repo")
+    _sys.path.insert(
+        0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
     from tools.ann_recall import recall_table
 
     rng = np.random.default_rng(7)
