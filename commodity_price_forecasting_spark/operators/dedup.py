@@ -768,3 +768,119 @@ def pagerank_ranks(
             "n",
         )
     return ranks.select("v", "rank", "n")
+
+
+# --- exact-substring span removal (Lee et al. 2022 ExactSubstr) ----------
+
+
+def substring_remove(
+    docs: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring span REMOVAL — the transform of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better" §4.2,
+    ExactSubstr — public): any token span of length >= ``k`` that
+    occurs more than once in the corpus is removed everywhere EXCEPT
+    its first occurrence (corpus order = lexicographic (doc_id,
+    position)). ``dedup_ngram_coverage`` measures the duplicated
+    mass; this operator is what actually cleans it out of training
+    text.
+
+    Semantics: every duplicated k-gram occurrence other than the
+    corpus-first one marks its k token positions as covered; the
+    cleaned text is the uncovered tokens re-joined in order. A region
+    duplicated for L >= k consecutive tokens is covered by its L-k+1
+    overlapping duplicated k-grams, so whole duplicated regions
+    disappear in one pass — no suffix array needed for the removal
+    semantics itself (the suffix array in the paper is an
+    IMPLEMENTATION device for single-node scale; the k-gram
+    formulation shuffles on the gram hash instead, which is the
+    distributable shape).
+
+    Scale shape: grams assemble inside the scan partition (array
+    slicing over the token split — no window, no shuffle); the
+    corpus-wide first-occurrence/count table is ONE groupBy on the
+    16-byte gram hash (map-side combinable min(struct) + count); the
+    join back is co-partitioned on that key; coverage explodes k rows
+    per DUPLICATE occurrence only (duplicates << occurrences in a
+    healthy corpus); the rebuild is one groupBy on doc_id. No
+    all-pairs stage anywhere — cost is linear in corpus tokens plus
+    k x the duplicated mass.
+
+    Returns ``(doc_id, n_tokens, n_removed, clean_text)`` for EVERY
+    input doc (docs shorter than ``k`` tokens pass through
+    unchanged; a fully-duplicated doc comes back with
+    ``clean_text = ''``)."""
+    arr = F.split(F.trim(F.col(text_col)), " +")
+    base = (
+        docs.select(F.col(id_col).alias("doc_id"), arr.alias("l"))
+        .filter(F.size("l") >= 1)
+        .filter(F.element_at("l", 1) != "")
+    )
+    toks = base.select(
+        "doc_id", F.posexplode("l").alias("pos0", "token")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "token")
+    grams = base.filter(F.size("l") >= k).select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("l") - (k - 1))).alias("pos"),
+        "l",
+    )
+    gram = F.concat_ws(
+        " ", *[F.element_at(F.col("l"), F.col("pos") + i) for i in range(k)]
+    )
+    occ = grams.select(
+        "doc_id", "pos", F.md5(gram.cast("binary")).alias("gh")
+    )
+    stats = occ.groupBy("gh").agg(
+        F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("first"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    dup = (
+        occ.join(stats, "gh")
+        .filter(
+            (F.col("cnt") > 1)
+            & ~(
+                (F.col("doc_id") == F.col("first.doc_id"))
+                & (F.col("pos") == F.col("first.pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    covered = dup.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias(
+            "pos"
+        ),
+    ).distinct()
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("token")))
+                ),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    n_tok = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n_tok"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(n_tok, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
+            (
+                F.coalesce(F.col("_n_tok"), F.lit(0))
+                - F.coalesce(F.col("_n_kept"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )

@@ -3624,3 +3624,96 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(split_rows)
     )
     return _finish_stage_counts(spark, s, out)
+
+
+_MIN_CLEAN_TOKENS = 5
+
+
+@register(
+    "curation_pipeline_clean",
+    # rows-only by declared design, same grounds as
+    # curation_pipeline_full (the semantic stage's hier lane has no
+    # SQL twin); stages 0-4 are value-oracled via
+    # curation_pipeline_prefix, the substring stage is value-oracled
+    # standalone as dedup_substring_remove, and the stage counts are
+    # equality-pinned against direct operator calls in
+    # tests/test_plans.py
+    oracle=None,
+    tags=("datapipe", "pipeline"),
+)
+def curation_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``curation_pipeline_full`` with the ExactSubstr stage wired in
+    (r9 VERDICT ask #5's "optional curation stage"): after the
+    star-canonical pick, duplicated >=8-token spans are REMOVED from
+    the survivors' (already PII-redacted) text — keep-first corpus
+    order — and docs left with fewer than {_MIN_CLEAN_TOKENS} tokens
+    are dropped (the standard post-ExactSubstr length floor: a doc
+    that was mostly duplicated mass carries no training signal).
+    Semantic dedup and the 80/10/10 hash split then run on the
+    cleaned survivor set. One row per stage with the survivor count.
+
+    Scale note: the span removal runs on star-canonical SURVIVORS
+    only (duplicate clusters already collapsed), so its gram table is
+    built over the deduped corpus — the order Lee et al. 2022 run it
+    (ExactSubstr over the NearDup-deduplicated corpus), and the
+    cheaper one (fewer docs => fewer gram occurrences)."""
+    from commodity_price_forecasting_spark.operators.dedup import (
+        substring_remove,
+    )
+    from commodity_price_forecasting_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    s = _curation_full_stages(spark, sf_dir)
+    survivors = s["red"].join(s["s4"], "doc_id")
+    cleaned = substring_remove(survivors, k=8)
+    s5 = (
+        cleaned.filter(
+            (F.col("n_tokens") - F.col("n_removed")) >= _MIN_CLEAN_TOKENS
+        )
+        .select("doc_id")
+        .cache()
+    )
+    embs = (
+        load_table(spark, sf_dir, "embeddings")
+        .join(s5, F.col("vec_id") == F.col("doc_id"))
+        .select("vec_id", "embedding")
+    )
+    drops = semantic_dedup(embs).select(F.col("vec_id").alias("doc_id"))
+    s6 = s5.join(drops, "doc_id", "left_anti")
+    pct = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    split = s6.select(
+        "doc_id",
+        F.when(pct < 80, "split_train")
+        .when(pct < 90, "split_val")
+        .otherwise("split_test")
+        .alias("split"),
+    )
+    split_rows = (
+        split.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.when(F.col("split") == "split_train", 7)
+            .when(F.col("split") == "split_val", 8)
+            .otherwise(9)
+            .cast("int")
+            .alias("stage_no"),
+            F.col("split").alias("stage"),
+            "n_docs",
+        )
+    )
+    out = (
+        _stage_row(0, "raw", s["docs"])
+        .unionAll(_stage_row(1, "pii_redact", s["red"]))
+        .unionAll(_stage_row(2, "quality_gate", s["s2"]))
+        .unionAll(_stage_row(3, "exact_dedup", s["s3"]))
+        .unionAll(_stage_row(4, "star_canonical", s["s4"]))
+        .unionAll(_stage_row(5, "substring_clean", s5))
+        .unionAll(_stage_row(6, "semantic_dedup", s6))
+        .unionAll(split_rows)
+    )
+    res = _finish_stage_counts(spark, s, out)
+    s5.unpersist()
+    return res

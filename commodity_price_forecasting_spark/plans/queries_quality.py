@@ -1013,3 +1013,86 @@ def quality_pii_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_iban").cast("long").alias("n_iban"),
         F.col("n_iban_valid").cast("long").alias("n_iban_valid"),
     )
+
+
+# --- exact-substring span removal (Lee et al. 2022 ExactSubstr) ----------
+
+_REMOVE_K = 8
+
+_SUBSTRING_REMOVE_ORACLE = """
+WITH tok0 AS (
+  SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS token,
+         UNNEST(range(len(string_split(trim(text), ' ')))) AS pos0
+  FROM documents
+), tok AS (
+  SELECT doc_id, token,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos0) AS pos
+  FROM tok0 WHERE token <> ''
+), ng AS (
+  SELECT doc_id, pos,
+         token || ' ' || LEAD(token, 1) OVER w || ' ' || LEAD(token, 2) OVER w
+               || ' ' || LEAD(token, 3) OVER w || ' ' || LEAD(token, 4) OVER w
+               || ' ' || LEAD(token, 5) OVER w || ' ' || LEAD(token, 6) OVER w
+               || ' ' || LEAD(token, 7) OVER w AS gram
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), occ AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk,
+         COUNT(*) OVER (PARTITION BY gram) AS cnt
+  FROM ng WHERE gram IS NOT NULL
+), cov AS (
+  SELECT DISTINCT doc_id, cpos FROM (
+    SELECT doc_id, pos + UNNEST(range(8)) AS cpos
+    FROM occ WHERE cnt > 1 AND rk > 1
+  )
+), kept AS (
+  SELECT t.doc_id, t.pos, t.token
+  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.cpos
+  WHERE c.doc_id IS NULL
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_kept,
+         string_agg(token, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+), ntok AS (
+  SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(n.n_tokens, 0) - COALESCE(a.n_kept, 0) AS BIGINT)
+         AS n_removed,
+       COALESCE(a.clean_text, '') AS clean_text
+FROM documents d
+LEFT JOIN ntok n ON d.doc_id = n.doc_id
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+@register(
+    "dedup_substring_remove",
+    oracle=_SUBSTRING_REMOVE_ORACLE,
+    tags=("datapipe", "text"),
+)
+def dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span REMOVAL (r9 VERDICT ask #5 — Lee et al.
+    2022's actual ExactSubstr transform, not just its coverage
+    statistic): every duplicated {_REMOVE_K}-token span is removed
+    from everywhere except its corpus-first occurrence (lexicographic
+    (doc_id, position)); the cleaned text is the surviving tokens
+    re-joined in order. ``dedup_ngram_coverage`` recomputed over this
+    output collapses to ~0 duplicated mass (pinned in
+    tests/test_plans.py). Byte-exact oracle: positions, tie-breaks
+    and reassembly are all integer/string ops both engines agree on.
+
+    Spark shape (operators/dedup.substring_remove): grams assemble
+    inside the scan partition; ONE gram-hash groupBy builds the
+    corpus first-occurrence/count table (map-side combinable); the
+    coverage explode is k rows per DUPLICATE occurrence only; the
+    rebuild is one doc_id groupBy. Linear in corpus tokens + k x
+    duplicated mass — no all-pairs, no window over the corpus."""
+    from commodity_price_forecasting_spark.operators.dedup import (
+        substring_remove,
+    )
+
+    return substring_remove(
+        load_table(spark, sf_dir, "documents"), k=_REMOVE_K
+    )

@@ -592,3 +592,46 @@ def test_curation_pipeline_full_stage_consistency(spark):
     # (c) split partitions the survivors
     split_total = sum(full[no]["n_docs"] for no in (6, 7, 8) if no in full)
     assert split_total == full[5]["n_docs"]
+
+
+def test_curation_pipeline_clean_stage_consistency(spark):
+    """r10 (r9 VERDICT ask #5): the clean variant must share stages
+    0-4 with the base pipeline, its substring stage must equal a
+    DIRECT substring_remove + length-floor computation over the same
+    survivors, and its split rows must partition the final survivor
+    set exactly."""
+    from pyspark.sql import functions as F
+
+    from commodity_price_forecasting_spark.operators.dedup import (
+        substring_remove,
+    )
+    from commodity_price_forecasting_spark.plans.queries_datapipe import (
+        _MIN_CLEAN_TOKENS,
+        _curation_full_stages,
+        curation_pipeline_clean,
+        curation_pipeline_full,
+    )
+
+    clean = {
+        r["stage_no"]: r for r in curation_pipeline_clean(spark, SF_DIR).collect()
+    }
+    full = {r["stage_no"]: r for r in curation_pipeline_full(spark, SF_DIR).collect()}
+    for no in (0, 1, 2, 3, 4):
+        assert (clean[no]["stage"], clean[no]["n_docs"]) == (
+            full[no]["stage"],
+            full[no]["n_docs"],
+        )
+    assert clean[5]["stage"] == "substring_clean"
+    assert clean[6]["stage"] == "semantic_dedup"
+    # direct pin of the substring stage
+    s = _curation_full_stages(spark, SF_DIR)
+    survivors = s["red"].join(s["s4"], "doc_id")
+    direct = (
+        substring_remove(survivors, k=8)
+        .filter((F.col("n_tokens") - F.col("n_removed")) >= _MIN_CLEAN_TOKENS)
+        .count()
+    )
+    assert clean[5]["n_docs"] == direct
+    assert clean[4]["n_docs"] >= clean[5]["n_docs"] >= clean[6]["n_docs"] > 0
+    split_total = sum(clean[no]["n_docs"] for no in (7, 8, 9) if no in clean)
+    assert split_total == clean[6]["n_docs"]
