@@ -273,12 +273,27 @@ def ivf_seed_assign(
         # must not change the result shape (r7 ADVICE)
         return vectors.join(cells, id_col), seeds
 
-    # argmax via array_max over (cosine, -seed_id) structs: max cosine,
-    # ties resolved to the smallest seed id. Seed matrix as one
-    # array-of-arrays literal + higher-order transform — per-element
-    # F.lit trees cost k·dim py4j calls of driver-side plan build
-    # (see semantic_dedup_drops for the measurement); the fold
-    # arithmetic is identical.
+    return assign_to_seeds(vectors, seeds, vec_col=vec_col), seeds
+
+
+def assign_to_seeds(
+    vectors: DataFrame,
+    seeds: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest seed out of a GIVEN seed
+    list (highest 6dp-rounded cosine, ties to the smallest seed id) —
+    the fold lane of ``ivf_seed_assign`` factored out so incremental
+    index maintenance (``ivf_pq_index_append``) can route NEW vectors
+    through the EXISTING coarse quantizer instead of re-deriving
+    seeds from the grown corpus.
+
+    Argmax via array_max over (cosine, -seed_id) structs: max cosine,
+    ties resolved to the smallest seed id. Seed matrix as one
+    array-of-arrays literal + higher-order transform — per-element
+    F.lit trees cost k·dim py4j calls of driver-side plan build
+    (see semantic_dedup_drops for the measurement); the fold
+    arithmetic is identical. One map-side pass, no shuffle."""
     seed_mat = F.array(*[F.lit([float(x) for x in v]) for _sid, v in seeds])
     neg_ids = F.array(*[F.lit(-sid) for sid, _v in seeds])
     scored = F.transform(
@@ -292,8 +307,7 @@ def ivf_seed_assign(
             F.element_at(neg_ids, i + 1).alias("negid"),
         ),
     )
-    assigned = vectors.withColumn("cell", -F.array_max(scored)["negid"])
-    return assigned, seeds
+    return vectors.withColumn("cell", -F.array_max(scored)["negid"])
 
 
 def ivf_seed_topk(
@@ -726,6 +740,76 @@ def ivf_pq_index_load(spark, path: str) -> dict:
         "m_sub": int(m_sub),
         "dim": len(seeds[0][1]),
     }
+
+
+def ivf_pq_index_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental index maintenance (r9 VERDICT ask #2): encode ONLY
+    the new vectors with the index's EXISTING coarse seeds and
+    residual codebook, and append them to the cell-partitioned
+    ``<path>/coded`` layout. A 100 TB corpus grows daily; a full
+    rebuild re-reads every vector ever ingested, while this append
+    touches exactly the delta — assignment is one map-side pass over
+    the broadcast seed literals, encoding is one broadcast-codebook
+    join + (id, m) groupBy over the NEW rows only, and the write is
+    ``mode("append")`` into the existing hive partitions (new parquet
+    files land inside the matching ``cell=`` directories; probes keep
+    their static partition pruning unchanged).
+
+    Codes are IDENTICAL to what a from-scratch encode under the same
+    seeds/codebook would produce (equality pinned in
+    tests/test_similarity_pq.py), so probe results over an appended
+    index equal probe results over a monolithically-encoded union.
+    What an append does NOT do is retrain: the coarse seeds and
+    codebook stay frozen on the pre-growth distribution, so recall
+    drifts as the corpus distribution moves — measured per geometry
+    in SCALE.md r10 (tools/index_append_drift.py); rebuild when the
+    drift row says so, not on a guess.
+
+    Caller contract: ``new_vectors`` ids must be disjoint from the
+    ids already in the index (dedup upstream — this operator does not
+    scan the existing corpus, that being the point). Returns the
+    number of appended rows."""
+    index = ivf_pq_index_load(spark, path)
+    m_sub, dim = index["m_sub"], index["dim"]
+    d_sub = dim // m_sub
+    assigned = assign_to_seeds(
+        new_vectors.select(id_col, vec_col), index["seeds"], vec_col=vec_col
+    )
+    seed_df = spark.createDataFrame(
+        [(int(s), [float(x) for x in v]) for s, v in index["seeds"]],
+        "_sid long, _svec array<double>",
+    )
+    res = assigned.join(
+        F.broadcast(seed_df), F.col("cell") == F.col("_sid")
+    ).select(
+        id_col,
+        "cell",
+        F.zip_with(
+            F.col(vec_col), F.col("_svec"), lambda a, b: a.cast("double") - b
+        ).alias("_res"),
+    )
+    res_named = res.select(F.col(id_col), F.col("_res").alias(vec_col))
+    codes = pq_encode(
+        pq_distances(
+            res_named,
+            m_sub=m_sub,
+            id_col=id_col,
+            vec_col=vec_col,
+            codebook=index["cb"],
+        ),
+        id_col,
+    )
+    coded = codes.join(res.select(id_col, "cell"), id_col)
+    coded.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "coded")
+    )
+    return new_vectors.count()
 
 
 def ivf_pq_probe(

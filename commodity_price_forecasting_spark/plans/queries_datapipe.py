@@ -3717,3 +3717,184 @@ def curation_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = _finish_stage_counts(spark, s, out)
     s5.unpersist()
     return res
+
+
+# --- probe-only IVF-PQ over a persisted shared index (r10) ---------------
+
+# Same index derivation as _IVFPQ_BATCH_ORACLE (SHARED full corpus, no
+# leave-one-out), single query vec_id=0, self excluded at SCORING.
+_IVFPQ_PROBE_ONLY_ORACLE = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+), seeds AS (
+  SELECT vec_id AS sid, embedding AS semb
+  FROM corpus
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 16
+), q AS (
+  SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0
+), assign_x AS (
+  SELECT c.vec_id, s.sid,
+         UNNEST(CAST(c.embedding AS DOUBLE[])) AS x,
+         UNNEST(CAST(s.semb AS DOUBLE[])) AS y
+  FROM corpus c CROSS JOIN seeds s
+), assign_cs AS (
+  SELECT vec_id, sid, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+  FROM assign_x GROUP BY vec_id, sid
+), assign_rk AS (
+  SELECT vec_id, sid AS cell,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY ROUND(dot / (SQRT(nx) * SQRT(ny)), 6) DESC, sid) AS rk
+  FROM assign_cs
+), cells AS (
+  SELECT vec_id, cell FROM assign_rk WHERE rk = 1
+), res AS (
+  SELECT c.vec_id, cl.cell,
+         list_transform(range(64), i ->
+           CAST(c.embedding[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+           - CAST(s.semb[CAST(i + 1 AS INTEGER)] AS DOUBLE)) AS r
+  FROM corpus c
+  JOIN cells cl ON cl.vec_id = c.vec_id
+  JOIN seeds s ON s.sid = cl.cell
+), sub AS (
+  SELECT vec_id, CAST(mm.m AS INTEGER) AS m,
+         list_transform(range(8),
+           i -> r[CAST(mm.m * 8 + i + 1 AS INTEGER)]) AS sv
+  FROM res, generate_series(0, 7) mm(m)
+), cbv AS (
+  SELECT vec_id, r FROM res ORDER BY vec_id LIMIT 16
+), csub AS (
+  SELECT vec_id AS c, CAST(mm.m AS INTEGER) AS m,
+         list_transform(range(8),
+           i -> r[CAST(mm.m * 8 + i + 1 AS INTEGER)]) AS cv
+  FROM cbv, generate_series(0, 7) mm(m)
+), dists AS (
+  SELECT s.vec_id, s.m, cb.c,
+         list_sum(list_transform(range(8),
+           i -> (sv[CAST(i + 1 AS INTEGER)] - cv[CAST(i + 1 AS INTEGER)])
+              * (sv[CAST(i + 1 AS INTEGER)] - cv[CAST(i + 1 AS INTEGER)])))
+           AS d2
+  FROM sub s JOIN csub cb ON s.m = cb.m
+), codes AS (
+  SELECT vec_id, m, c AS code FROM (
+    SELECT vec_id, m, c,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rk
+    FROM dists) WHERE rk = 1
+), probe_x AS (
+  SELECT s.sid,
+         UNNEST(CAST(s.semb AS DOUBLE[])) AS x,
+         UNNEST(CAST(q.qemb AS DOUBLE[])) AS y
+  FROM seeds s CROSS JOIN q
+), probe_cs AS (
+  SELECT sid, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+  FROM probe_x GROUP BY sid
+), probe AS (
+  SELECT sid FROM probe_cs
+  ORDER BY ROUND(dot / (SQRT(nx) * SQRT(ny)), 6) DESC, sid
+  LIMIT 2
+), qres AS (
+  SELECT p.sid AS qcell,
+         list_transform(range(64), i ->
+           CAST(q.qemb[CAST(i + 1 AS INTEGER)] AS DOUBLE)
+           - CAST(s.semb[CAST(i + 1 AS INTEGER)] AS DOUBLE)) AS qr
+  FROM probe p JOIN seeds s ON s.sid = p.sid CROSS JOIN q
+), qsub AS (
+  SELECT qcell, CAST(mm.m AS INTEGER) AS m,
+         list_transform(range(8),
+           i -> qr[CAST(mm.m * 8 + i + 1 AS INTEGER)]) AS sv
+  FROM qres, generate_series(0, 7) mm(m)
+), lut AS (
+  SELECT qs.qcell, qs.m, cb.c,
+         list_sum(list_transform(range(8),
+           i -> (qs.sv[CAST(i + 1 AS INTEGER)] - cb.cv[CAST(i + 1 AS INTEGER)])
+              * (qs.sv[CAST(i + 1 AS INTEGER)] - cb.cv[CAST(i + 1 AS INTEGER)])))
+           AS qd
+  FROM qsub qs JOIN csub cb ON qs.m = cb.m
+)
+SELECT co.vec_id, cl.cell, ROUND(SUM(l.qd), 6) AS adc_dist
+FROM codes co
+JOIN cells cl ON cl.vec_id = co.vec_id
+JOIN lut l ON l.qcell = cl.cell AND l.m = co.m AND l.c = co.code
+WHERE co.vec_id <> 0
+GROUP BY co.vec_id, cl.cell
+ORDER BY SUM(l.qd), co.vec_id
+LIMIT 10
+"""
+
+#: per-process memo of shared persisted IVF-PQ fixture indexes, keyed
+#: by the absolute sf_dir — the index derivation is fully
+#: deterministic, so a directory left by an earlier process is
+#: byte-equivalent to a rebuild and safe to reuse.
+_IVFPQ_SHARED_IDX: dict = {}
+
+
+def _shared_ivfpq_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once path of the persisted shared-corpus IVF-PQ index for
+    ``sf_dir`` (cell-partitioned ``ivf_pq_index_write`` layout under
+    the system tempdir). The build is the one-off cost a deployment
+    amortizes; ``sim_ivfpq_probe_only`` measures the RECURRING
+    per-query cost over this index."""
+    import hashlib
+    import os
+    import tempfile
+
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_index_write,
+    )
+
+    key = os.path.abspath(sf_dir)
+    cached = _IVFPQ_SHARED_IDX.get(key)
+    if cached:
+        return cached
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cpf_ivfpq_shared",
+        hashlib.md5(key.encode()).hexdigest()[:12],
+    )
+    # seeds/ is written LAST by ivf_pq_index_write — its _SUCCESS marks
+    # a complete layout
+    if not os.path.exists(os.path.join(base, "seeds", "_SUCCESS")):
+        idx = ivf_pq_index(load_table(spark, sf_dir, "embeddings"))
+        ivf_pq_index_write(idx, base)
+        idx["res"].unpersist()
+    _IVFPQ_SHARED_IDX[key] = base
+    return base
+
+
+@register(
+    "sim_ivfpq_probe_only",
+    oracle=_IVFPQ_PROBE_ONLY_ORACLE,
+    # "bench": the RECURRING per-query ANN cost over a persisted index
+    # (r9 VERDICT ask #3) — round-over-round deltas should move with
+    # this, not with the one-off build that sim_ivfpq_adc_topk times
+    tags=("datapipe", "similarity", "bench", "production"),
+)
+def sim_ivfpq_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-only IVF-PQ ANN over a PERSISTED shared-corpus index —
+    the deployment's steady-state query path, registered so the bench
+    tracks the recurring cost separately from the amortized build
+    (``sim_ivfpq_adc_topk`` keeps timing build+probe as the
+    reproducible single-plan shape). The index is built once per
+    fixture dir (memoized on disk, deterministic md5-min seeds +
+    smallest-id residual codebook, so any rebuild is byte-identical)
+    and every probe is a static partition-pruned scan of ~n_probe/16
+    of the 8-byte-per-row code table (``PartitionFilters`` asserted
+    in tests/test_plans.py). The oracle re-derives the whole index +
+    probe in one DuckDB statement — identical result with or without
+    the persistence, because persistence doesn't change the math."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ivf_pq_index_load,
+        ivf_pq_probe,
+    )
+
+    path = _shared_ivfpq_index_path(spark, sf_dir)
+    idx = ivf_pq_index_load(spark, path)
+    q_row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()
+    )
+    q = [float(x) for x in q_row["embedding"]]
+    return ivf_pq_probe(idx, q, k=10, n_probe=2, exclude_id=0)

@@ -87,6 +87,10 @@ SKIP_BUILD = {
     "curation_pipeline_prefix",
     "curation_pipeline_full",
     "curation_pipeline_clean",
+    # builds + persists the shared fixture index on first call (one-off
+    # by design); its probe plan is asserted in
+    # test_probe_only_plan_is_partition_pruned
+    "sim_ivfpq_probe_only",
 }
 
 
@@ -635,3 +639,20 @@ def test_curation_pipeline_clean_stage_consistency(spark):
     assert clean[4]["n_docs"] >= clean[5]["n_docs"] >= clean[6]["n_docs"] > 0
     split_total = sum(clean[no]["n_docs"] for no in (7, 8, 9) if no in clean)
     assert split_total == clean[6]["n_docs"]
+
+
+def test_probe_only_plan_is_partition_pruned(spark):
+    """r10 (r9 VERDICT ask #3): the registered probe-only lane must
+    scan the persisted code table through a static partition-pruned
+    read (PartitionFilters on cell), never the full index."""
+    from commodity_price_forecasting_spark.plans.queries_datapipe import (
+        sim_ivfpq_probe_only,
+    )
+
+    df = sim_ivfpq_probe_only(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    window = plan.split("PartitionFilters", 1)[1][:200]
+    assert "cell" in window and "IN" in window
+    rows = df.collect()
+    assert len(rows) == 10
