@@ -74,19 +74,36 @@ def walk_forward_grid_search(
     n_folds: int = 3,
     min_train_frac: float = 0.5,
     metric: str = "rmse",
+    parallelism: int = 4,
 ) -> dict:
     """Hyper-parameter search under walk-forward evaluation (M9: the
     reference's GridSearchCV + TimeSeriesSplit, slide 24's
     "Ridge_Tuned"). MLlib's CrossValidator shuffles rows randomly —
     leakage for time series — so the grid (built with MLlib's own
     ``ParamGridBuilder``) is evaluated inside the deterministic
-    expanding-window loop instead: every candidate trains on each
+    expanding-window split instead: every candidate trains on each
     fold's past and scores on its future.
 
+    ``parallelism`` (r9 VERDICT ask #4 — the MLlib CrossValidator
+    ``parallelism`` pattern): the candidate x fold fits are
+    independent Spark jobs, so a bounded thread pool submits up to
+    ``parallelism`` of them concurrently and Spark's scheduler
+    interleaves their stages — a serial driver loop leaves the
+    cluster idle between a fit's stages, which at a real grid size
+    serializes into the wall-clock bottleneck. Threads are wrapped in
+    ``inheritable_thread_target`` (the same device CrossValidator
+    uses) so job groups/local properties propagate. Results are
+    ordered by (candidate, fold) index regardless of completion
+    order, and each task copies its own estimator — selections are
+    IDENTICAL to the serial loop (pinned in tests/test_ml.py).
+
     Returns ``{"best_params", "best_score", "results"}`` where
-    results has one row per (candidate, fold). Fold filters are
-    cheap predicates over one cached DataFrame; candidates × folds
-    fits run sequentially on the driver, each a distributed job."""
+    results has one row per candidate with per-fold scores. Fold
+    filters are cheap predicates over one cached DataFrame — the
+    data is scanned, not copied, per fold."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
     from pyspark.ml import Pipeline
     from pyspark.ml.evaluation import RegressionEvaluator
     from pyspark.ml.feature import VectorAssembler
@@ -109,23 +126,53 @@ def walk_forward_grid_search(
     )
     bigger_is_better = evaluator.isLargerBetter()
 
+    df = df.cache()
+    bounds = df.agg(
+        F.min(time_col).alias("lo"), F.max(time_col).alias("hi")
+    ).first()
+    folds = expanding_folds(bounds["lo"], bounds["hi"], n_folds, min_train_frac)
+
+    def fit_one(params, fold: Fold) -> float:
+        tr = df.filter(F.col(time_col) <= fold.train_end)
+        te = df.filter(
+            (F.col(time_col) > fold.train_end)
+            & (F.col(time_col) <= fold.test_end)
+        )
+        if te.isEmpty():
+            return float("nan")
+        pipe = Pipeline(stages=[assembler, estimator.copy(params)])
+        model = pipe.fit(tr)
+        return float(evaluator.evaluate(model.transform(te)))
+
+    tasks = [(params, fold) for params in param_grid for fold in folds]
+    if parallelism > 1 and len(tasks) > 1:
+        with ThreadPoolExecutor(max_workers=parallelism) as pool:
+            scores_flat = list(
+                pool.map(
+                    inheritable_thread_target(lambda t: fit_one(*t)), tasks
+                )
+            )
+    else:
+        scores_flat = [fit_one(*t) for t in tasks]
+
     results = []
     best = None
-    for params in param_grid:
-        est = estimator.copy(params)
-        pipe = Pipeline(stages=[assembler, est])
-
-        def fit_eval(tr: DataFrame, te: DataFrame) -> dict:
-            if te.isEmpty():
-                return {"score": float("nan")}
-            model = pipe.fit(tr)
-            return {"score": float(evaluator.evaluate(model.transform(te)))}
-
-        folds = walk_forward(df, time_col, fit_eval, n_folds, min_train_frac)
-        scores = [f["score"] for f in folds if f["score"] == f["score"]]
+    for ci, params in enumerate(param_grid):
+        fold_rows = []
+        for fi, fold in enumerate(folds):
+            fold_rows.append(
+                {
+                    "score": scores_flat[ci * len(folds) + fi],
+                    "train_end": fold.train_end,
+                    "test_end": fold.test_end,
+                }
+            )
+        scores = [f["score"] for f in fold_rows if f["score"] == f["score"]]
         mean_score = sum(scores) / len(scores) if scores else float("nan")
         readable = {p.name: v for p, v in params.items()}
-        results.append({"params": readable, "mean_score": mean_score, "folds": folds})
+        results.append(
+            {"params": readable, "mean_score": mean_score, "folds": fold_rows}
+        )
         if mean_score == mean_score and (
             best is None
             or (mean_score > best[1] if bigger_is_better else mean_score < best[1])

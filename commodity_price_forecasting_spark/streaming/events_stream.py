@@ -292,19 +292,55 @@ def view_purchase_attribution(
 
 # --- test/driver helper -------------------------------------------------
 
+def state_sized_partitions(
+    spark: SparkSession, state_keys: int, keys_per_partition: int = 16
+) -> int:
+    """Recommended ``spark.sql.shuffle.partitions`` for a STATEFUL
+    streaming pipeline, sized to the state cardinality instead of the
+    core count (the r9 trigger-floor sweep, SCALE.md: the per-trigger
+    floor is per-task fixed cost × partitions across the stateful
+    stages — at 126 window×bin state keys, 32→8 partitions cut the
+    trigger ~2.2× at identical results; this rule reproduces that
+    measured-better cell: ceil(126/16) = 8). Clamped to the session
+    default so a genuinely large state still fans out."""
+    import math
+
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(1, min(default, math.ceil(max(state_keys, 1) / keys_per_partition)))
+
+
 def run_stream_to_memory(
-    stream_df: DataFrame, name: str, output_mode: str = "complete"
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    shuffle_partitions: int | None = None,
 ) -> None:
     """Drain a (file-)stream with availableNow into an in-memory table
-    — deterministic end-to-end streaming execution for tests."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    — deterministic end-to-end streaming execution for tests.
+
+    ``shuffle_partitions``: set ``spark.sql.shuffle.partitions`` for
+    THIS query's execution (restored after), the lever that sizes the
+    state-store partition count — pass
+    ``state_sized_partitions(...)`` for stateful pipelines (r9
+    trigger-floor sweep; partition count is captured when the query
+    starts, so the around-start scope is exactly the right one)."""
+    spark = stream_df.sparkSession
+    prev = None
+    if shuffle_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 # --- custom stateful operator #2: incremental strict funnel -------------

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""One-command closing gate (r9 VERDICT ask #8): the round-close
+checklist that used to be three manual runs, machine-checkable and
+nonzero-on-failure:
+
+1. full-registry sf0.01 mirror (``tools/mirror_sf001.py --all``) —
+   every registered query vs its DuckDB oracle (rows-only entries
+   smoke-executed);
+2. negative-zero scan (``tools/negzero_scan.py``) — flags latent
+   '-0' vs '0' value-hash flakes in either engine's output;
+3. leak-pattern grep over the tracked source tree — credential
+   shapes, cloud-bucket URIs, and non-public URLs (allowlist:
+   public docs/paper hosts used in citations).
+
+Usage:
+  python tools/gate.py            # all three, summary JSON line
+  python tools/gate.py --skip-mirror   # grep+negzero only (fast)
+
+Exit status: 0 iff every section passed.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: credential / endpoint shapes that must never appear in a public repo
+LEAK_PATTERNS = [
+    (r"AKIA[0-9A-Z]{16}", "aws-access-key"),
+    (r"-----BEGIN [A-Z ]*PRIVATE KEY-----", "private-key"),
+    (r"ghp_[A-Za-z0-9]{36}", "github-token"),
+    (r"xox[baprs]-[A-Za-z0-9-]{10,}", "slack-token"),
+    (r"s3://[A-Za-z0-9._-]+", "s3-bucket"),
+    (r"gs://[A-Za-z0-9._-]+", "gcs-bucket"),
+    (r"wasbs?://[A-Za-z0-9._-]+", "azure-blob"),
+    (r"jdbc:[a-z]+://[^\s\"']+", "jdbc-endpoint"),
+]
+
+#: public hosts that legitimately appear in citations/docstrings
+URL_ALLOW = re.compile(
+    r"https?://("
+    r"(www\.)?(apache|arxiv|github|duckdb|python|pypi|postgresql|wikipedia"
+    r"|w3|ietf|rfc-editor|aclanthology|openreview|jmlr|acm|ieee|nist"
+    r"|spark\.apache|docs\.)"
+    r"[^\s\"')]*|localhost[^\s\"')]*|127\.0\.0\.1[^\s\"')]*)"
+)
+URL_ANY = re.compile(r"https?://[^\s\"')]+")
+
+
+def grep_leaks() -> list[dict]:
+    tracked = subprocess.run(
+        ["git", "ls-files", "*.py", "*.md", "*.json", "*.toml", "*.cfg"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout.split()
+    hits = []
+    for rel in tracked:
+        path = os.path.join(REPO, rel)
+        try:
+            text = open(path, encoding="utf-8", errors="replace").read()
+        except OSError:
+            continue
+        for pat, label in LEAK_PATTERNS:
+            for m in re.finditer(pat, text):
+                hits.append({"file": rel, "kind": label, "match": m.group(0)[:60]})
+        for m in URL_ANY.finditer(text):
+            if not URL_ALLOW.match(m.group(0)):
+                hits.append(
+                    {"file": rel, "kind": "non-public-url", "match": m.group(0)[:80]}
+                )
+    return hits
+
+
+def run_mirror() -> tuple[bool, str]:
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "mirror_sf001.py"), "--all"],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    tail = (proc.stdout or "").strip().splitlines()[-1:] or [""]
+    return proc.returncode == 0, tail[0]
+
+
+def run_negzero() -> tuple[bool, str]:
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "negzero_scan.py")],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    out = proc.stdout or ""
+    flagged_line = next(
+        (ln for ln in out.splitlines() if ln.startswith("flagged:")), "flagged: ?"
+    )
+    ok = proc.returncode == 0 and flagged_line.strip() == "flagged: []"
+    return ok, flagged_line.strip()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--skip-mirror", action="store_true")
+    ap.add_argument("--skip-negzero", action="store_true")
+    args = ap.parse_args()
+
+    summary: dict = {}
+    ok = True
+
+    leaks = grep_leaks()
+    summary["leak_hits"] = leaks
+    if leaks:
+        ok = False
+
+    if not args.skip_negzero:
+        nz_ok, nz = run_negzero()
+        summary["negzero"] = nz
+        ok = ok and nz_ok
+
+    if not args.skip_mirror:
+        m_ok, tally = run_mirror()
+        summary["mirror"] = tally
+        ok = ok and m_ok
+
+    summary["gate"] = "PASS" if ok else "FAIL"
+    print(json.dumps(summary))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

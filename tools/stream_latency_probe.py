@@ -81,9 +81,9 @@ def main() -> None:
         "--shuffle-partitions",
         type=int,
         default=None,
-        help="override spark.sql.shuffle.partitions (default: --cpus); "
-        "the r9 knob sweep varies this to locate the trigger floor's "
-        "owner (shuffle-stage fixed cost vs compute)",
+        help="override spark.sql.shuffle.partitions (default: "
+        "state-sized via state_sized_partitions — the r9 sweep's "
+        "measured-better cell; pass a value to sweep the knob)",
     )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
@@ -91,7 +91,33 @@ def main() -> None:
     spark = get_spark(
         app_name="cpf-stream-latency",
         master=f"local[{args.cpus}]",
-        shuffle_partitions=args.shuffle_partitions or int(args.cpus),
+        shuffle_partitions=int(args.cpus),
+    )
+    if args.shuffle_partitions is None:
+        # r10 default (r9 VERDICT ask #6): size the stateful query's
+        # partitions to its STATE cardinality, not the core count —
+        # the r9 sweep measured 32→8 cutting the trigger ~2.2x at 126
+        # window×bin state keys. The batch face of each pipeline
+        # yields the state-key count in one cheap pre-pass.
+        from commodity_price_forecasting_spark.streaming.events_stream import (
+            state_sized_partitions,
+            value_bin_baseline,
+            windowed_psi,
+        )
+
+        ev_batch = load_table(spark, args.sf_dir, "events")
+        if args.pipeline == "psi":
+            n_state = windowed_psi(ev_batch, value_bin_baseline(ev_batch)).count()
+        else:
+            n_state = ev_batch.select("user_id").distinct().count()
+        args.shuffle_partitions = state_sized_partitions(spark, n_state)
+        print(
+            f"# state-sized default: {n_state} state keys -> "
+            f"{args.shuffle_partitions} shuffle partitions",
+            file=sys.stderr,
+        )
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(args.shuffle_partitions)
     )
     stage_dir = tempfile.mkdtemp(prefix="cpf_stream_stage_")
     try:
