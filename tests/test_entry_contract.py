@@ -56,6 +56,11 @@ def test_oracle_keys_subset_of_queries():
         "semantic_dedup_blas",
         "semantic_dedup_hier",
         "curation_pipeline_full",
+        # curation_pipeline_clean (r10): same semantic-stage grounds as
+        # curation_pipeline_full; the substring stage is value-oracled
+        # standalone as dedup_substring_remove and the stage counts are
+        # pinned against direct operator calls in tests/test_plans.py
+        "curation_pipeline_clean",
     }
 
 
