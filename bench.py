@@ -114,13 +114,13 @@ def main() -> None:
         ]
         print(f"# deltas vs {tag}: " + ", ".join(parts), file=sys.stderr)
     if "sim_ivfpq_adc_topk" in timings:
-        # r8 VERDICT ask #2: say which cost the headline row is
+        # r8 ask #2 / r9 ask #3: say which cost each ANN row is
         print(
             "# note: sim_ivfpq_adc_topk times index BUILD + probe in one "
-            "plan (the reproducible registered shape); the one-off build "
-            "vs per-query probe split is measured separately in SCALE.md "
-            "r9 via tools/ivfpq_split_probe.py (probe-only is ~0.8 s warm, "
-            "12-24x cheaper than the build, FLAT across 10x corpus growth)",
+            "plan (the amortized one-off, kept as its own tracked row); "
+            "sim_ivfpq_probe_only (r10) times the RECURRING per-query "
+            "probe over the persisted shared index — round-over-round "
+            "deltas should move with the probe row",
             file=sys.stderr,
         )
     for prior_tag, prior in priors:

@@ -146,12 +146,13 @@ def walk_forward_grid_search(
 
     tasks = [(params, fold) for params in param_grid for fold in folds]
     if parallelism > 1 and len(tasks) > 1:
+        # session-bound form: inherits job tags/local properties into
+        # the pool threads (the bare-function form warns and skips tags)
+        target = inheritable_thread_target(df.sparkSession)(
+            lambda t: fit_one(*t)
+        )
         with ThreadPoolExecutor(max_workers=parallelism) as pool:
-            scores_flat = list(
-                pool.map(
-                    inheritable_thread_target(lambda t: fit_one(*t)), tasks
-                )
-            )
+            scores_flat = list(pool.map(target, tasks))
     else:
         scores_flat = [fit_one(*t) for t in tasks]
 
