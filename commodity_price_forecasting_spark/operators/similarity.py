@@ -383,6 +383,33 @@ def ivf_index_write(
     ).write.mode("overwrite").parquet(os.path.join(path, "seeds"))
 
 
+def ivf_index_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental maintenance for the FULL-PRECISION IVF layout —
+    the exact-scoring sibling of ``ivf_pq_index_append``: route the
+    new vectors through the EXISTING seed routing table (one map-side
+    pass over broadcast seed literals, same 6dp-cosine/smallest-id
+    rule) and ``mode("append")`` them into the cell partitions. No
+    codebook exists in this layout, so an append is EXACTLY a rebuild
+    restricted to the delta — probes over the appended index score
+    with exact cosines like always, and the only staleness channel is
+    the seed set itself (cells grow unbalanced as the corpus drifts;
+    rebalance by rebuilding when cell-occupancy skew warrants it).
+    Caller contract and return as ``ivf_pq_index_append``."""
+    seed_rows = spark.read.parquet(os.path.join(path, "seeds")).collect()
+    seeds = sorted((int(r["cell"]), list(r["svec"])) for r in seed_rows)
+    assigned = assign_to_seeds(new_vectors, seeds, vec_col=vec_col)
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "corpus")
+    )
+    return new_vectors.count()
+
+
 def ivf_index_load(spark, path: str) -> dict:
     """Reload an ``ivf_index_write`` layout: the cell-partitioned
     corpus frame + the KB seed routing table (sorted by seed id)."""

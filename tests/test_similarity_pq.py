@@ -794,3 +794,40 @@ def test_semantic_dedup_drop_quality_on_planted_duplicates(spark):
             if src not in drops and (n_base + j) not in drops
         )
         assert 1 - both_kept / n_dup >= recall_floor, (lane, both_kept)
+
+
+def test_ivf_index_append_equals_monolithic_assignment(spark, tmp_path):
+    """Full-precision sibling of the PQ append: appended rows must
+    carry EXACTLY the cells a monolithic assignment under the same
+    seeds would give, and the probe over the appended index must
+    return them when they are true neighbors."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ann_topk,
+        assign_to_seeds,
+        ivf_index_append,
+        ivf_index_load,
+        ivf_index_write,
+        ivf_seed_assign,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    ivf_index_write(old, str(tmp_path))
+    n = ivf_index_append(spark, str(tmp_path), new)
+    assert n == new.count()
+    loaded = ivf_index_load(spark, str(tmp_path))
+    _, seeds = ivf_seed_assign(old)
+    ref = assign_to_seeds(emb, seeds)
+    got = sorted(
+        (r["vec_id"], int(r["cell"]))
+        for r in loaded["assigned"].select("vec_id", "cell").collect()
+    )
+    want = sorted(
+        (r["vec_id"], int(r["cell"]))
+        for r in ref.select("vec_id", "cell").collect()
+    )
+    assert got == want
+    # the appended rows are probe-reachable through the front door
+    res = ann_topk(emb, query_id=450, k=10, index=str(tmp_path)).collect()
+    assert len(res) == 10 and all(r["vec_id"] != 450 for r in res)
