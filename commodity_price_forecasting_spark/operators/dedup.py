@@ -800,14 +800,15 @@ def substring_remove(
     distributable shape).
 
     Scale shape: grams assemble inside the scan partition (array
-    slicing over the token split — no window, no shuffle); the
-    corpus-wide first-occurrence/count table is ONE groupBy on the
-    16-byte gram hash (map-side combinable min(struct) + count); the
-    join back is co-partitioned on that key; coverage explodes k rows
-    per DUPLICATE occurrence only (duplicates << occurrences in a
-    healthy corpus); the rebuild is one groupBy on doc_id. No
-    all-pairs stage anywhere — cost is linear in corpus tokens plus
-    k x the duplicated mass.
+    slicing over the token split — no window, no shuffle); duplicate
+    occurrences fall out of ONE row_number window over the 16-byte
+    gram hash (one shuffle — the r10 stage profile measured the
+    first-cut groupBy+self-join form sort-merging two corpus-sized
+    frames, ~4x the whole query's warm wall at 30x, and the window
+    form replaced it); coverage explodes k rows per DUPLICATE
+    occurrence only (duplicates << occurrences in a healthy corpus);
+    the rebuild is one groupBy on doc_id. No all-pairs stage anywhere
+    — cost is linear in corpus tokens plus k x the duplicated mass.
 
     Returns ``(doc_id, n_tokens, n_removed, clean_text)`` for EVERY
     input doc (docs shorter than ``k`` tokens pass through
@@ -833,19 +834,19 @@ def substring_remove(
     occ = grams.select(
         "doc_id", "pos", F.md5(gram.cast("binary")).alias("gh")
     )
-    stats = occ.groupBy("gh").agg(
-        F.min(F.struct(F.col("doc_id"), F.col("pos"))).alias("first"),
-        F.count(F.lit(1)).alias("cnt"),
-    )
+    # duplicate occurrences = everything after the corpus-first one,
+    # i.e. row_number > 1 under (doc_id, pos) within each gram hash —
+    # ONE shuffle on gh, no aggregate, no join. The first cut built a
+    # first-occurrence/count table and joined the corpus-sized
+    # occurrence frame back onto it: same answer, but that self-join
+    # re-derives the gram table for BOTH sides and sort-merges two
+    # 7M-row frames at 30x — the r10 stage profile pinned it as the
+    # wall's owner. rn > 1 implies cnt > 1, so the count predicate is
+    # subsumed.
+    w_gh = Window.partitionBy("gh").orderBy("doc_id", "pos")
     dup = (
-        occ.join(stats, "gh")
-        .filter(
-            (F.col("cnt") > 1)
-            & ~(
-                (F.col("doc_id") == F.col("first.doc_id"))
-                & (F.col("pos") == F.col("first.pos"))
-            )
-        )
+        occ.withColumn("_rn", F.row_number().over(w_gh))
+        .filter(F.col("_rn") > 1)
         .select("doc_id", "pos")
     )
     covered = dup.select(

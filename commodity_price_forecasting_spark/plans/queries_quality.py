@@ -1084,11 +1084,12 @@ def dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     and reassembly are all integer/string ops both engines agree on.
 
     Spark shape (operators/dedup.substring_remove): grams assemble
-    inside the scan partition; ONE gram-hash groupBy builds the
-    corpus first-occurrence/count table (map-side combinable); the
-    coverage explode is k rows per DUPLICATE occurrence only; the
-    rebuild is one doc_id groupBy. Linear in corpus tokens + k x
-    duplicated mass — no all-pairs, no window over the corpus."""
+    inside the scan partition; duplicate occurrences are row_number>1
+    under ONE gram-hash window (a single shuffle — the same shape as
+    this oracle's occ CTE); the coverage explode is k rows per
+    DUPLICATE occurrence only; the rebuild is one doc_id groupBy.
+    Linear in corpus tokens + k x duplicated mass — no all-pairs, no
+    corpus-sized join."""
     from commodity_price_forecasting_spark.operators.dedup import (
         substring_remove,
     )

@@ -57,10 +57,21 @@ SINGLE_COPY = ["region", "nation"]
 
 
 def _caesar_table(shift: int) -> dict[int, int]:
+    """Per-replica letter bijection. Was a caesar shift, which wraps
+    mod 26 — at >=27 replicas, replica r and r-26 held IDENTICAL text,
+    inflating duplicated-span mass ~4x at 30 replicas (measured r10;
+    the same fairness bug class as the r8 embedding-roll fix). Now a
+    seeded random permutation of the alphabet (26! distinct tables):
+    still preserves lengths, token counts and within-replica duplicate
+    structure, but stays collision-free at any replica count."""
+    import random
+
+    perm = list(range(26))
+    random.Random(shift).shuffle(perm)
     t = {}
     for base in (ord("a"), ord("A")):
         for i in range(26):
-            t[base + i] = base + (i + shift) % 26
+            t[base + i] = base + perm[i]
     return t
 
 
