@@ -805,6 +805,15 @@ def ivf_pq_index_append(
     index = ivf_pq_index_load(spark, path)
     m_sub, dim = index["m_sub"], index["dim"]
     d_sub = dim // m_sub
+    new_dim = (
+        new_vectors.select(F.size(vec_col).alias("_sz")).first() or {"_sz": None}
+    )["_sz"]
+    if new_dim != dim:
+        raise ValueError(
+            f"ivf_pq_index_append: delta vectors have dim {new_dim} but the "
+            f"index was built at dim {dim} — appending would mis-encode "
+            "silently (subvector slices shift)"
+        )
     assigned = assign_to_seeds(
         new_vectors.select(id_col, vec_col), index["seeds"], vec_col=vec_col
     )

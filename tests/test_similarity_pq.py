@@ -831,3 +831,24 @@ def test_ivf_index_append_equals_monolithic_assignment(spark, tmp_path):
     # the appended rows are probe-reachable through the front door
     res = ann_topk(emb, query_id=450, k=10, index=str(tmp_path)).collect()
     assert len(res) == 10 and all(r["vec_id"] != 450 for r in res)
+
+
+def test_ivfpq_index_append_rejects_dim_mismatch(spark, tmp_path):
+    """A delta at the wrong dimensionality must raise a NAMED error
+    before any write — subvector slices would shift and mis-encode
+    silently otherwise."""
+    import pytest as _pytest
+
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_index_append,
+        ivf_pq_index_write,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    idx = ivf_pq_index(emb)
+    ivf_pq_index_write(idx, str(tmp_path))
+    idx["res"].unpersist()
+    bad = emb.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
+    with _pytest.raises(ValueError, match="dim 32 but the[\\s\\S]*dim 64"):
+        ivf_pq_index_append(spark, str(tmp_path), bad)
