@@ -403,11 +403,26 @@ def ivf_index_append(
     Caller contract and return as ``ivf_pq_index_append``."""
     seed_rows = spark.read.parquet(os.path.join(path, "seeds")).collect()
     seeds = sorted((int(r["cell"]), list(r["svec"])) for r in seed_rows)
-    assigned = assign_to_seeds(new_vectors, seeds, vec_col=vec_col)
+    dim = len(seeds[0][1])
+    delta = new_vectors.select(id_col, vec_col)
+    sz = delta.agg(
+        F.min(F.size(vec_col)).alias("_lo"),
+        F.max(F.size(vec_col)).alias("_hi"),
+        F.count(F.lit(1)).alias("_n"),
+    ).first()
+    if sz["_n"] == 0:
+        return 0
+    if sz["_lo"] != dim or sz["_hi"] != dim:
+        raise ValueError(
+            f"ivf_index_append: delta vectors have dims in "
+            f"[{sz['_lo']}, {sz['_hi']}] but the index was built at dim "
+            f"{dim} — zip_with would null-pad and mis-assign cells silently"
+        )
+    assigned = assign_to_seeds(delta, seeds, vec_col=vec_col)
     assigned.write.mode("append").partitionBy("cell").parquet(
         os.path.join(path, "corpus")
     )
-    return new_vectors.count()
+    return int(sz["_n"])
 
 
 def ivf_index_load(spark, path: str) -> dict:
@@ -805,18 +820,22 @@ def ivf_pq_index_append(
     index = ivf_pq_index_load(spark, path)
     m_sub, dim = index["m_sub"], index["dim"]
     d_sub = dim // m_sub
-    new_dim = (
-        new_vectors.select(F.size(vec_col).alias("_sz")).first() or {"_sz": None}
-    )["_sz"]
-    if new_dim != dim:
+    delta = new_vectors.select(id_col, vec_col)
+    sz = delta.agg(
+        F.min(F.size(vec_col)).alias("_lo"),
+        F.max(F.size(vec_col)).alias("_hi"),
+        F.count(F.lit(1)).alias("_n"),
+    ).first()
+    if sz["_n"] == 0:
+        return 0
+    if sz["_lo"] != dim or sz["_hi"] != dim:
         raise ValueError(
-            f"ivf_pq_index_append: delta vectors have dim {new_dim} but the "
-            f"index was built at dim {dim} — appending would mis-encode "
-            "silently (subvector slices shift)"
+            f"ivf_pq_index_append: delta vectors have dims in "
+            f"[{sz['_lo']}, {sz['_hi']}] but the index was built at dim "
+            f"{dim} — appending would mis-encode silently (subvector "
+            "slices shift)"
         )
-    assigned = assign_to_seeds(
-        new_vectors.select(id_col, vec_col), index["seeds"], vec_col=vec_col
-    )
+    assigned = assign_to_seeds(delta, index["seeds"], vec_col=vec_col)
     seed_df = spark.createDataFrame(
         [(int(s), [float(x) for x in v]) for s, v in index["seeds"]],
         "_sid long, _svec array<double>",
@@ -845,7 +864,7 @@ def ivf_pq_index_append(
     coded.write.mode("append").partitionBy("cell").parquet(
         os.path.join(path, "coded")
     )
-    return new_vectors.count()
+    return int(sz["_n"])
 
 
 def ivf_pq_probe(

@@ -3499,19 +3499,28 @@ def _curation_full_stages(spark: SparkSession, sf_dir: str) -> dict:
     )
     dropped = ranked.filter(F.col("rk") > 1).select("doc_id")
     s4 = s3_ids.join(dropped, "doc_id", "left_anti").cache()
-    return {"docs": docs, "red": red, "s2": s2, "s3": s3_ids, "s4": s4}
+    return {
+        "docs": docs,
+        "red": red,
+        "s2": s2,
+        "s3": s3_ids,
+        "s4": s4,
+        "wide": wide,
+    }
 
 
 def _finish_stage_counts(spark: SparkSession, s: dict, out: DataFrame) -> DataFrame:
     """Materialize the stage-count union while the multi-consumer
     stage caches are live, then UNPERSIST them (r9 ADVICE: the four
     cached stage frames used to outlive the query, pinning executor
-    storage for the life of the session). The returned frame is the
-    collected rows re-wrapped with the identical schema — same values,
-    same schema, zero storage left behind."""
+    storage for the life of the session; r10 ADVICE added the minhash
+    ``wide`` frame, which leaked the same way). The returned frame is
+    the collected rows re-wrapped with the identical schema — same
+    values, same schema, zero storage left behind."""
     rows = out.collect()
-    for key in ("red", "s2", "s3", "s4"):
-        s[key].unpersist()
+    for key in ("red", "s2", "s3", "s4", "wide"):
+        if key in s:
+            s[key].unpersist()
     return spark.createDataFrame(rows, out.schema)
 
 
@@ -3822,10 +3831,35 @@ LIMIT 10
 """
 
 #: per-process memo of shared persisted IVF-PQ fixture indexes, keyed
-#: by the absolute sf_dir — the index derivation is fully
-#: deterministic, so a directory left by an earlier process is
-#: byte-equivalent to a rebuild and safe to reuse.
+#: by (sf_dir, fixture content fingerprint) — the index derivation is
+#: fully deterministic, so a directory left by an earlier process is
+#: byte-equivalent to a rebuild and safe to reuse, but ONLY if the
+#: fixture parquet it was derived from is unchanged (r10 ADVICE: a
+#: regenerated fixture at the same path must invalidate the cache,
+#: else the registered query probes the wrong corpus).
 _IVFPQ_SHARED_IDX: dict = {}
+
+
+def _fixture_fingerprint(sf_dir: str, table: str) -> str:
+    """Content fingerprint of one fixture table: md5 over the sorted
+    (name, size, mtime_ns) triples of its parquet files. Cheap (stat
+    only, no reads) and changes whenever the fixture is regenerated —
+    the cache-invalidation key for anything derived from the table."""
+    import hashlib
+    import os
+
+    root = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+    entries = []
+    if os.path.isdir(root):
+        for dirpath, _dirs, files in os.walk(root):
+            for f in sorted(files):
+                st = os.stat(os.path.join(dirpath, f))
+                rel = os.path.relpath(os.path.join(dirpath, f), root)
+                entries.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.isfile(root):
+        st = os.stat(root)
+        entries.append(f".:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("\n".join(entries).encode()).hexdigest()[:16]
 
 
 def _shared_ivfpq_index_path(spark: SparkSession, sf_dir: str) -> str:
@@ -3833,7 +3867,10 @@ def _shared_ivfpq_index_path(spark: SparkSession, sf_dir: str) -> str:
     ``sf_dir`` (cell-partitioned ``ivf_pq_index_write`` layout under
     the system tempdir). The build is the one-off cost a deployment
     amortizes; ``sim_ivfpq_probe_only`` measures the RECURRING
-    per-query cost over this index."""
+    per-query cost over this index. The on-disk cache directory is
+    keyed by the fixture's CONTENT fingerprint, not just its path, so
+    a regenerated fixture gets a fresh index instead of silently
+    probing a stale corpus."""
     import hashlib
     import os
     import tempfile
@@ -3843,14 +3880,15 @@ def _shared_ivfpq_index_path(spark: SparkSession, sf_dir: str) -> str:
         ivf_pq_index_write,
     )
 
-    key = os.path.abspath(sf_dir)
+    fp = _fixture_fingerprint(sf_dir, "embeddings")
+    key = (os.path.abspath(sf_dir), fp)
     cached = _IVFPQ_SHARED_IDX.get(key)
     if cached:
         return cached
     base = os.path.join(
         tempfile.gettempdir(),
         "cpf_ivfpq_shared",
-        hashlib.md5(key.encode()).hexdigest()[:12],
+        hashlib.md5(f"{key[0]}|{fp}".encode()).hexdigest()[:12],
     )
     # seeds/ is written LAST by ivf_pq_index_write — its _SUCCESS marks
     # a complete layout

@@ -832,6 +832,19 @@ def test_ivf_index_append_equals_monolithic_assignment(spark, tmp_path):
     res = ann_topk(emb, query_id=450, k=10, index=str(tmp_path)).collect()
     assert len(res) == 10 and all(r["vec_id"] != 450 for r in res)
 
+    # r10 ADVICE guards: extra delta columns must not widen the
+    # persisted schema (append selects only id+vec)
+    corpus_cols = loaded["assigned"].columns
+    assert sorted(corpus_cols) == sorted(["vec_id", "embedding", "cell"])
+    # wrong-dim delta raises a NAMED error before any write
+    import pytest as _pytest
+
+    bad = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    with _pytest.raises(ValueError, match=r"dims in \[16, 16\]"):
+        ivf_index_append(spark, str(tmp_path), bad)
+    # empty delta is a no-op returning 0
+    assert ivf_index_append(spark, str(tmp_path), emb.limit(0)) == 0
+
 
 def test_ivfpq_index_append_rejects_dim_mismatch(spark, tmp_path):
     """A delta at the wrong dimensionality must raise a NAMED error
@@ -850,5 +863,8 @@ def test_ivfpq_index_append_rejects_dim_mismatch(spark, tmp_path):
     ivf_pq_index_write(idx, str(tmp_path))
     idx["res"].unpersist()
     bad = emb.select("vec_id", F.slice("embedding", 1, 32).alias("embedding"))
-    with _pytest.raises(ValueError, match="dim 32 but the[\\s\\S]*dim 64"):
+    with _pytest.raises(ValueError, match=r"dims in \[32, 32\][\s\S]*dim 64"):
         ivf_pq_index_append(spark, str(tmp_path), bad)
+
+    # empty delta: no-op returning 0, never a misleading dim error
+    assert ivf_pq_index_append(spark, str(tmp_path), emb.limit(0)) == 0

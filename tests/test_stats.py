@@ -549,3 +549,83 @@ def test_kaplan_meier_full_death_row_pins_survival_to_zero(spark, tmp_path):
     oracle = {r[0]: r for r in con.execute(spec.oracle).fetchall()}
     con.close()
     assert oracle[5][3] == 0.0 and oracle[2][3] == 0.75
+
+
+def test_ljung_box_statistic_matches_numpy_and_separates_regimes(
+    spark, tmp_path
+):
+    """Value-level exercise of m11_ljung_box's Q arithmetic (r10
+    VERDICT #1: the query compared empty sets for 8 rounds — this
+    test feeds it planted series and mirrors the published formula,
+    statsmodels ``acorr_ljungbox`` Q = n(n+2)·Σ r_k²/(n−k), in pure
+    numpy). Instrument 1's RETURNS are a strong AR(1) (φ=0.8) → must
+    reject white noise; instrument 2's returns are iid N(0,1) →
+    must not. One event per hour so hourly px == the planted value."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta
+
+    rng = np.random.default_rng(7)
+    n_bars = 120
+    # returns: AR(1) for inst 1, white noise for inst 2
+    ar = np.empty(n_bars - 1)
+    ar[0] = rng.standard_normal()
+    for i in range(1, n_bars - 1):
+        ar[i] = 0.8 * ar[i - 1] + rng.standard_normal() * 0.3
+    wn = rng.standard_normal(n_bars - 1)
+    px = {1: np.concatenate([[100.0], 100.0 + np.cumsum(ar)]),
+          2: np.concatenate([[100.0], 100.0 + np.cumsum(wn)])}
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for inst, series in px.items():
+        for i, v in enumerate(series):
+            rows.append((eid, t0 + timedelta(hours=i), inst, "tick",
+                         float(v), "{}"))
+            eid += 1
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    spec = REGISTRY["m11_ljung_box"]
+    got = {r["instrument"]: r for r in spec.fn(spark, str(tmp_path)).collect()}
+    assert set(got) == {1, 2}
+
+    def lb_q(returns, h=5):
+        e = returns - returns.mean()
+        ss = float(np.dot(e, e))
+        n = len(e)
+        q = 0.0
+        for k in range(1, h + 1):
+            rk = float(np.dot(e[k:], e[:-k])) / ss
+            q += rk * rk / (n - k)
+        return n * (n + 2) * q
+
+    for inst, series in ((1, ar), (2, wn)):
+        expect = lb_q(series)
+        assert got[inst]["n"] == n_bars - 1
+        assert abs(got[inst]["lb_q"] - round(expect, 6)) < 1e-6, (
+            inst, got[inst]["lb_q"], expect,
+        )
+    assert got[1]["reject_white_noise"] is True  # AR(1) must reject
+    assert got[2]["reject_white_noise"] is False  # white noise must not
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    oracle = {r[0]: r for r in con.execute(spec.oracle).fetchall()}
+    con.close()
+    assert oracle[1][3] is True and oracle[2][3] is False
+    assert abs(oracle[1][2] - got[1]["lb_q"]) < 1e-9

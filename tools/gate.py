@@ -42,15 +42,46 @@ LEAK_PATTERNS = [
     (r"jdbc:[a-z]+://[^\s\"']+", "jdbc-endpoint"),
 ]
 
-#: public hosts that legitimately appear in citations/docstrings
-URL_ALLOW = re.compile(
-    r"https?://("
-    r"(www\.)?(apache|arxiv|github|duckdb|python|pypi|postgresql|wikipedia"
-    r"|w3|ietf|rfc-editor|aclanthology|openreview|jmlr|acm|ieee|nist"
-    r"|spark\.apache|docs\.)"
-    r"[^\s\"')]*|localhost[^\s\"')]*|127\.0\.0\.1[^\s\"')]*)"
-)
+#: public hosts that legitimately appear in citations/docstrings.
+#: Exact-host / registered-suffix matching on the PARSED host (r10
+#: ADVICE: the old regex prefix-match let 'apacheevil.example' or
+#: 'github.evil.io' through); an allowed suffix must align on a dot
+#: boundary ('spark.apache.org' yes, 'notapache.org' no).
+URL_ALLOW_HOSTS = {
+    "localhost",
+    "127.0.0.1",
+    "apache.org",
+    "arxiv.org",
+    "github.com",
+    "githubusercontent.com",
+    "duckdb.org",
+    "python.org",
+    "pypi.org",
+    "postgresql.org",
+    "wikipedia.org",
+    "w3.org",
+    "ietf.org",
+    "rfc-editor.org",
+    "aclanthology.org",
+    "openreview.net",
+    "jmlr.org",
+    "acm.org",
+    "ieee.org",
+    "nist.gov",
+}
 URL_ANY = re.compile(r"https?://[^\s\"')]+")
+
+
+def url_allowed(url: str) -> bool:
+    from urllib.parse import urlparse
+
+    try:
+        host = (urlparse(url).hostname or "").lower()
+    except ValueError:
+        return False
+    return any(
+        host == allow or host.endswith("." + allow) for allow in URL_ALLOW_HOSTS
+    )
 
 
 def grep_leaks() -> list[dict]:
@@ -72,7 +103,7 @@ def grep_leaks() -> list[dict]:
             for m in re.finditer(pat, text):
                 hits.append({"file": rel, "kind": label, "match": m.group(0)[:60]})
         for m in URL_ANY.finditer(text):
-            if not URL_ALLOW.match(m.group(0)):
+            if not url_allowed(m.group(0)):
                 hits.append(
                     {"file": rel, "kind": "non-public-url", "match": m.group(0)[:80]}
                 )

@@ -62,6 +62,13 @@ def check(name, qfn, osql):
     ok_schema = sorted(scols) == sorted(ocols)
     ok_rows = len(srows) == len(orows)
     ok_vals = ok_schema and canon(srows, scols) == canon(orows, ocols)
+    # vacuity gate (r10 VERDICT #1): a query whose Spark AND oracle
+    # sides both return 0 rows has compared empty sets — the hash
+    # match proves nothing about its arithmetic. Treat as FAIL so
+    # silent-vacuity (m11_ljung_box, 8 rounds) is caught mechanically.
+    if ok_schema and ok_rows and ok_vals and len(srows) == 0:
+        print(f"VACUOUS {name}: 0 rows on both sides — oracle match is empty")
+        return False
     status = "OK" if (ok_schema and ok_rows and ok_vals) else "FAIL"
     print(
         f"{status} {name}: rows {len(srows)}/{len(orows)} "
@@ -103,6 +110,9 @@ for name in names:
     if name not in O:
         n = len(Q[name](spark, SF).collect())
         print(f"ROWS-ONLY {name}: {n} rows")
+        if n == 0:
+            print(f"VACUOUS {name}: rows-only query returned 0 rows")
+            fails += 1
         continue
     try:
         if not check(name, Q[name], O[name]):
