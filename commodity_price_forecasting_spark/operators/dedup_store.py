@@ -1,0 +1,389 @@
+"""Incremental deduplication against a persisted signature store —
+the dedup half of the growing-corpus lifecycle (r10 VERDICT #2: the
+ANN index got ``ivf_pq_index_append`` in r10; every dedup lane still
+rescanned the whole corpus per run).
+
+A 100 TB corpus grows daily. Rerunning full dedup re-shingles and
+re-shuffles every document ever ingested; this store makes the
+recurring cost linear in the DELTA:
+
+- ``dedup_store_build(docs, path)`` — one full batch dedup (exact
+  md5 fingerprints → MinHash/LSH near-dup components → min-id
+  canonical), persisting three small artifacts:
+
+  * ``fingerprints/`` ``(fp, doc_id, canon_id)`` — one row per unique
+    content ever seen, its min-id holder, and the holder's final
+    canonical;
+  * ``signatures/`` ``(doc_id, mh0..mh{k-1}, canon_id)`` — the wide
+    MinHash signature of EVERY exact-unique doc (survivors AND
+    near-dup-dropped docs: dropped docs are the transitive "glue" of
+    their clusters — a future delta doc similar only to a dropped doc
+    must still land in the right cluster);
+  * ``bands/`` ``(band, sig, doc_id)`` — the LSH band table of the
+    same docs, hive-partitioned by ``band``;
+  * ``meta/`` — the shingle/minhash/band/threshold parameters and the
+    max doc_id, so a delta run can enforce the id-monotonicity
+    contract and reuse identical hashing.
+
+  Artifact size is O(unique docs) × ~hundreds of bytes — the TEXT is
+  never stored, only hashes.
+
+- ``dedup_delta(spark, path, new_docs)`` — fingerprint/shingle/band
+  ONLY the delta, join it against the store, and return a verdict per
+  delta doc: ``kept`` / ``exact_dup`` / ``near_dup`` with ``dup_of``
+  = the final canonical. Kept AND near-dup-dropped delta uniques are
+  appended to the store (same transitivity argument), so the next
+  delta sees them.
+
+Scale shape (the point): every store-side frame is SCANNED exactly
+once and never shuffled — the delta side is broadcast into each join
+(caller contract: delta ≪ store; pass ``broadcast_delta=False`` to
+let AQE pick sort-merge for mega-deltas). Components run on the
+delta-incident edge graph only, with store nodes CONTRACTED to their
+canonical — candidate count is bounded by the delta's band
+collisions, not the corpus.
+
+Equality contract (pinned in tests/test_dedup_store.py): the delta
+VERDICTS equal what a full rebuild over old ∪ delta would decide,
+ALWAYS — including when a delta doc bridges two store clusters,
+because ``dup_of`` is chased through the contracted components. The
+one divergence a bridge creates is in the STORE itself: a full
+rebuild would merge the two clusters and keep only the smaller
+canonical, while the store's past survivors are immutable. Bridges
+are therefore DETECTED and returned (``bridges`` frame: the
+store-canonical pairs a delta doc glued together); the operating rule
+mirrors the ANN append's drift table — rebuild when the bridge count
+says the merged mass matters, not on a guess.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from commodity_price_forecasting_spark.operators.dedup import (
+    band_signatures,
+    char_shingles,
+    connected_components,
+    content_fingerprint,
+    estimated_jaccard,
+    lsh_candidate_pairs,
+    minhash_wide,
+)
+
+
+def _mh_cols(num_hashes: int) -> list[str]:
+    return [f"mh{i}" for i in range(num_hashes)]
+
+
+def _write_meta(spark, path, k, num_hashes, rows_per_band, threshold, max_id):
+    spark.createDataFrame(
+        [(int(k), int(num_hashes), int(rows_per_band), float(threshold), int(max_id))],
+        "k int, num_hashes int, rows_per_band int, threshold double, "
+        "max_doc_id long",
+    ).write.mode("overwrite").parquet(os.path.join(path, "meta"))
+
+
+def dedup_store_build(
+    docs: DataFrame,
+    path: str,
+    *,
+    k: int = 5,
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Full batch dedup + store persistence. Returns
+    ``{"n_docs", "n_unique", "n_survivors", "max_doc_id"}``."""
+    spark = docs.sparkSession
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    # exact tier: min-id holder per content fingerprint
+    fp = d.select("doc_id", content_fingerprint(F.col("text")).alias("fp"))
+    holders = fp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    uniq = d.join(holders.select("doc_id"), "doc_id")
+
+    # near tier over unique holders only (exact dups share signatures)
+    sh = char_shingles(uniq, k=k, distinct=False)
+    wide = minhash_wide(sh, num_hashes=num_hashes).cache()
+    bands = band_signatures(wide, num_hashes=num_hashes, rows_per_band=rows_per_band)
+    cand = lsh_candidate_pairs(bands)
+    edges = estimated_jaccard(wide, cand, num_hashes=num_hashes).filter(
+        F.col("est_jaccard") >= threshold
+    )
+    comp = connected_components(edges, "doc_a", "doc_b")
+
+    canon = (
+        holders.select("doc_id")
+        .join(
+            comp.select(F.col("node").alias("doc_id"), "component"),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce("component", "doc_id").alias("canon_id"))
+    )
+
+    sigs = wide.join(canon, "doc_id").select(
+        "doc_id", *_mh_cols(num_hashes), "canon_id"
+    )
+    fps = holders.join(canon, "doc_id").select("fp", "doc_id", "canon_id")
+
+    fps.write.mode("overwrite").parquet(os.path.join(path, "fingerprints"))
+    sigs.write.mode("overwrite").parquet(os.path.join(path, "signatures"))
+    bands.write.mode("overwrite").partitionBy("band").parquet(
+        os.path.join(path, "bands")
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.max("doc_id").alias("max_doc_id")
+    ).first()
+    n_unique = holders.count()
+    n_survivors = canon.filter(F.col("doc_id") == F.col("canon_id")).count()
+    wide.unpersist()
+    _write_meta(
+        spark, path, k, num_hashes, rows_per_band, threshold, stats["max_doc_id"]
+    )
+    return {
+        "n_docs": int(stats["n_docs"]),
+        "n_unique": int(n_unique),
+        "n_survivors": int(n_survivors),
+        "max_doc_id": int(stats["max_doc_id"]),
+    }
+
+
+def dedup_store_load(spark, path: str) -> dict:
+    meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
+    return {
+        "fingerprints": spark.read.parquet(os.path.join(path, "fingerprints")),
+        "signatures": spark.read.parquet(os.path.join(path, "signatures")),
+        "bands": spark.read.parquet(os.path.join(path, "bands")),
+        "meta": meta,
+    }
+
+
+def dedup_delta(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    append: bool = True,
+    broadcast_delta: bool = True,
+) -> dict:
+    """Dedup ONLY the delta against the persisted store. Returns
+    ``{"verdicts": DataFrame(doc_id, status, dup_of),
+       "bridges": DataFrame(canon_a, canon_b),
+       "n_appended": int}``.
+
+    ``status``: ``kept`` | ``exact_dup`` | ``near_dup``; ``dup_of`` is
+    the FINAL canonical (chased through this delta's contracted
+    components, so it equals the full-rebuild answer even for bridged
+    clusters), NULL for kept docs. Caller contract: every delta
+    doc_id must exceed the store's ``max_doc_id`` (id monotonicity is
+    what makes min-id canonicals incremental-consistent) — enforced
+    with a named error.
+
+    All store-derived frames are eagerly checkpointed BEFORE any
+    append touches the store paths — appending new files under a path
+    a lazy frame still reads is a silent self-corruption channel."""
+    store = dedup_store_load(spark, path)
+    m = store["meta"]
+    k, num_hashes, rows_per_band, threshold = (
+        int(m["k"]),
+        int(m["num_hashes"]),
+        int(m["rows_per_band"]),
+        float(m["threshold"]),
+    )
+    max_store_id = int(m["max_doc_id"])
+    mh = _mh_cols(num_hashes)
+
+    d = new_docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    lim = d.agg(F.min("doc_id").alias("_lo"), F.count(F.lit(1)).alias("_n")).first()
+    if lim["_n"] == 0:
+        return {
+            "verdicts": spark.createDataFrame(
+                [], "doc_id long, status string, dup_of long"
+            ),
+            "bridges": spark.createDataFrame([], "canon_a long, canon_b long"),
+            "n_appended": 0,
+        }
+    if lim["_lo"] <= max_store_id:
+        raise ValueError(
+            f"dedup_delta: delta doc_ids start at {lim['_lo']} but the "
+            f"store already holds ids up to {max_store_id} — min-id "
+            "canonicals need monotone ids (re-id the delta or rebuild)"
+        )
+
+    bcast = F.broadcast if broadcast_delta else (lambda x: x)
+
+    # ---- exact tier ----
+    dfp = d.select("doc_id", content_fingerprint(F.col("text")).alias("fp")).cache()
+    d_holders = dfp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    # store scan #1: fingerprint hits (store streams past the bcast delta)
+    store_hit = store["fingerprints"].join(bcast(d_holders.select("fp")), "fp").select(
+        "fp", F.col("canon_id").alias("_store_canon")
+    )
+
+    # ---- near tier: delta holders whose content the store has not seen ----
+    new_fp_holders = d_holders.join(bcast(store_hit.select("fp")), "fp", "left_anti")
+    duniq = d.join(new_fp_holders.select("doc_id"), "doc_id")
+    sh = char_shingles(duniq, k=k, distinct=False)
+    dwide = minhash_wide(sh, num_hashes=num_hashes).cache()
+    dbands = band_signatures(dwide, num_hashes=num_hashes, rows_per_band=rows_per_band)
+
+    # delta-vs-delta candidates (tiny self-join)
+    cand_dd = lsh_candidate_pairs(dbands)
+    edges_dd = estimated_jaccard(dwide, cand_dd, num_hashes=num_hashes).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+    # delta-vs-store candidates: store scan #2 (bands), delta broadcast
+    cand_ds = (
+        store["bands"]
+        .join(
+            bcast(dbands.select("band", "sig", F.col("doc_id").alias("doc_b"))),
+            ["band", "sig"],
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    # store scan #3: signatures of candidate store docs only
+    s_sigs = store["signatures"].join(
+        bcast(cand_ds.select(F.col("doc_a").alias("doc_id")).distinct()), "doc_id"
+    )
+    pair_sigs = s_sigs.select("doc_id", *mh).unionByName(dwide.select("doc_id", *mh))
+    edges_ds = estimated_jaccard(pair_sigs, cand_ds, num_hashes=num_hashes).filter(
+        F.col("est_jaccard") >= threshold
+    )
+    # contract store endpoints to their canonical (dropped store docs
+    # vote for their cluster's canonical — transitivity through
+    # dropped docs is exactly why the store keeps their signatures)
+    canon_map = store["signatures"].select(
+        F.col("doc_id").alias("doc_a"), F.col("canon_id").alias("_ca")
+    )
+    edges_ds_c = (
+        edges_ds.join(canon_map, "doc_a")
+        .select(F.col("_ca").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+
+    all_edges = edges_dd.select("doc_a", "doc_b").unionByName(
+        edges_ds_c.select("doc_a", "doc_b")
+    )
+    # eager cut: components must not re-read store paths after appends
+    comp = connected_components(all_edges, "doc_a", "doc_b").localCheckpoint(
+        eager=True
+    )
+
+    # final canonical per touched node (incl. bridged store canonicals)
+    node_canon = comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("_canon")
+    )
+
+    # ---- verdicts (holders) ----
+    holder_v = (
+        d_holders.join(bcast(store_hit), "fp", "left")
+        .join(node_canon, "doc_id", "left")
+        .select(
+            "doc_id",
+            "fp",
+            F.when(F.col("_store_canon").isNotNull(), F.lit("exact_dup"))
+            .when(
+                F.col("_canon").isNotNull() & (F.col("_canon") < F.col("doc_id")),
+                F.lit("near_dup"),
+            )
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce(
+                F.col("_store_canon"),
+                F.when(F.col("_canon") < F.col("doc_id"), F.col("_canon")),
+            ).alias("_dup0"),
+        )
+    )
+    # chase store canonicals caught in a bridged component to the
+    # merged component's min — full-rebuild equality for dup_of
+    bridge_chase = node_canon.filter(F.col("doc_id") <= max_store_id).select(
+        F.col("doc_id").alias("_dup0"), F.col("_canon").alias("_chased")
+    )
+    holder_v = (
+        holder_v.join(bcast(bridge_chase), "_dup0", "left")
+        .select(
+            "doc_id",
+            "fp",
+            "status",
+            F.when(
+                F.col("status") != "kept", F.coalesce("_chased", "_dup0")
+            ).alias("dup_of"),
+        )
+        .localCheckpoint(eager=True)  # last store read — cut before append
+    )
+
+    # non-holder delta docs: exact dups of a delta holder; dup_of
+    # chases the holder's own fate (kept → holder id, dropped → its
+    # dup_of)
+    holder_final = holder_v.select(
+        "fp",
+        F.col("doc_id").alias("_h"),
+        F.coalesce("dup_of", "doc_id").alias("_final"),
+    )
+    nonholder_v = (
+        dfp.join(bcast(holder_final), "fp")
+        .filter(F.col("doc_id") != F.col("_h"))
+        .select(
+            "doc_id",
+            F.lit("exact_dup").alias("status"),
+            F.col("_final").alias("dup_of"),
+        )
+    )
+    verdicts = holder_v.select("doc_id", "status", "dup_of").unionByName(nonholder_v)
+
+    # bridges: two distinct store canonicals in one merged component
+    store_members = comp.filter(F.col("node") <= max_store_id)
+    bridges = (
+        store_members.alias("x")
+        .join(store_members.alias("y"), "component")
+        .filter(F.col("x.node") < F.col("y.node"))
+        .select(F.col("x.node").alias("canon_a"), F.col("y.node").alias("canon_b"))
+        .distinct()
+    )
+
+    n_appended = 0
+    if append:
+        # force the delta signature cache before writing (dbands and
+        # the signature append re-derive from it, never from store files)
+        dwide.count()
+        # append ONLY new-content holders: store-exact-dup holders'
+        # fp/signature/bands already exist in the store
+        new_canon = holder_v.filter(F.col("status") != "exact_dup").select(
+            "doc_id", "fp", F.coalesce("dup_of", "doc_id").alias("canon_id")
+        )
+        new_canon.select("fp", "doc_id", "canon_id").write.mode("append").parquet(
+            os.path.join(path, "fingerprints")
+        )
+        dwide.join(new_canon.select("doc_id", "canon_id"), "doc_id").select(
+            "doc_id", *mh, "canon_id"
+        ).write.mode("append").parquet(os.path.join(path, "signatures"))
+        dbands.join(new_canon.select("doc_id"), "doc_id").select(
+            "doc_id", "band", "sig"
+        ).write.mode("append").partitionBy("band").parquet(
+            os.path.join(path, "bands")
+        )
+        n_appended = new_canon.count()
+        new_max = d.agg(F.max("doc_id")).first()[0]
+        _write_meta(
+            spark,
+            path,
+            k,
+            num_hashes,
+            rows_per_band,
+            threshold,
+            max(int(new_max), max_store_id),
+        )
+
+    dfp.unpersist()
+    dwide.unpersist()
+    return {"verdicts": verdicts, "bridges": bridges, "n_appended": n_appended}

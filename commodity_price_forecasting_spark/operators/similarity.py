@@ -1138,6 +1138,101 @@ def ivf_pq_adc_topk(
     )
 
 
+def ivf_pq_refine_topk(
+    index: dict,
+    full_vectors: DataFrame,
+    q: list[float],
+    k: int = 10,
+    refine: int = 100,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+    full_index_path: str | None = None,
+) -> DataFrame:
+    """ADC probe → exact re-rank (the FAISS ``refine`` stage, Jégou
+    et al. 2011 §V): take the top-``refine`` ADC candidates from
+    ``ivf_pq_probe``, fetch their FULL-PRECISION vectors, re-score
+    with exact cosine, and return the top-``k``. The r9/r10 recall
+    tables motivate this: IVF-PQ recall@10 sits at 0.14–0.70
+    depending on geometry because 8-byte codes blur the ranking NEAR
+    the decision boundary — but the true top-k are almost always
+    somewhere in the ADC top-C for C ≈ 10k, so one exact pass over C
+    rows lifts recall toward the IVF-exact ceiling at ~C/n of brute
+    cost.
+
+    Scale shape: the probe half stays the partition-pruned 8-byte
+    scan; the refine half touches exactly C full-precision rows —
+    joined with the C-row candidate set BROADCAST, so the corpus
+    frame is scanned once with the join filter pushed to it. Pass
+    ``full_index_path`` (an ``ivf_index_write`` layout whose seeds
+    match the PQ index's — verified, not assumed) to make that fetch
+    a cell-pruned scan of ~n_probe/k_coarse of the corpus instead of
+    a full pass: the probed cell ids become a literal ``isin`` on the
+    hive partition column (``PartitionFilters``), the 100 TB shape.
+
+    Returns ``(vec_id, cosine)`` — the exact metric, unlike the ADC
+    distance the unrefined probe returns."""
+    import math
+
+    frame = index.get("coded")
+    if frame is None:
+        frame = index["codes"]
+    spark = frame.sparkSession
+    adc = ivf_pq_probe(
+        index,
+        q,
+        k=refine,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_id=exclude_id,
+    )
+    src = full_vectors
+    if full_index_path is not None:
+        seed_rows = spark.read.parquet(
+            os.path.join(full_index_path, "seeds")
+        ).collect()
+        full_seeds = sorted(
+            (int(r["cell"]), [float(x) for x in r["svec"]]) for r in seed_rows
+        )
+        pq_seeds = sorted(
+            (int(s), [float(x) for x in v]) for s, v in index["seeds"]
+        )
+        if full_seeds != pq_seeds:
+            raise ValueError(
+                "ivf_pq_refine_topk: full_index_path seeds differ from the "
+                "PQ index's — cell pruning would silently drop true "
+                "candidates (rebuild one of the two layouts)"
+            )
+
+        def cos(a, b):
+            dot = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return dot / (na * nb) if na and nb else 0.0
+
+        probed = [
+            s
+            for s, _ in sorted(
+                index["seeds"], key=lambda s: (-_half_up6(cos(s[1], q)), s[0])
+            )[:n_probe]
+        ]
+        src = (
+            spark.read.parquet(os.path.join(full_index_path, "corpus"))
+            .filter(F.col("cell").isin([int(c) for c in probed]))
+            .select(id_col, vec_col)
+        )
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    sim = _dot(F.col(vec_col), qcol) / (_norm(F.col(vec_col)) * _norm(qcol))
+    return (
+        src.join(F.broadcast(adc.select(id_col)), id_col)
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def cosine_topk_query(
     emb: DataFrame,
     q: list[float],
@@ -1171,6 +1266,8 @@ def ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     q: list[float] | None = None,
+    refine: int | None = None,
+    refine_index_path: str | None = None,
 ) -> DataFrame:
     """The single ANN front door — the third measured-dispatch entry
     point, completing the pattern of ``semantic_dedup`` (r8) and
@@ -1225,7 +1322,14 @@ def ann_topk(
     from results, the recall-protocol shape) or ``q=`` (an EXTERNAL
     vector — the real retrieval shape; nothing to exclude). Exactly
     one must be given. For many external queries at once, use
-    ``ivf_pq_probe_batch`` — one plan, no driver loop."""
+    ``ivf_pq_probe_batch`` — one plan, no driver loop.
+
+    ``refine=C`` (PQ lane only): exact re-rank of the top-C ADC
+    candidates against full-precision vectors — returns
+    ``(vec_id, cosine)`` instead of ``(vec_id, cell, adc_dist)``;
+    see ``ivf_pq_refine_topk``. ``refine_index_path`` points the
+    refine fetch at a persisted ``ivf_index_write`` layout for the
+    cell-pruned read."""
     if lane not in ("auto", "brute", "ivf", "ivf_pq"):
         raise ValueError(f"lane must be auto|brute|ivf|ivf_pq: {lane}")
     if (query_id is None) == (q is None):
@@ -1240,7 +1344,9 @@ def ann_topk(
             index = ivf_pq_index_load(vectors.sparkSession, index)
     if lane == "auto":
         if index is None:
-            lane = "brute"
+            # refine= implies the PQ pipeline even without a prebuilt
+            # index (build-in-plan + refined probe)
+            lane = "brute" if refine is None else "ivf_pq"
         elif index.get("assigned") is not None:
             lane = "ivf"
         else:
@@ -1257,6 +1363,12 @@ def ann_topk(
         raise ValueError(
             "ann_topk: lane='ivf_pq' needs an ivf_pq_index index (got a "
             "full-precision IVF index — use lane='ivf')"
+        )
+    if refine is not None and lane != "ivf_pq":
+        raise ValueError(
+            "ann_topk: refine= re-ranks ADC candidates and only applies to "
+            f"the ivf_pq lane (got lane={lane!r} — brute and ivf already "
+            "score exactly)"
         )
     if lane == "brute":
         if q is not None:
@@ -1295,6 +1407,27 @@ def ann_topk(
             id_col=id_col,
         )
     if lane == "ivf_pq" and index is None:
+        if refine is not None:
+            # in-plan build + refined probe: a corpus-member query is
+            # excluded from the corpus before seeding (sim_ivf_topk
+            # convention), matching ivf_pq_adc_topk's shape
+            corpus = (
+                vectors.filter(F.col(id_col) != query_id)
+                if query_id is not None
+                else vectors
+            )
+            built = ivf_pq_index(corpus, id_col=id_col, vec_col=vec_col)
+            return ivf_pq_refine_topk(
+                built,
+                corpus,
+                qvec,
+                k=k,
+                refine=refine,
+                n_probe=n_probe,
+                id_col=id_col,
+                vec_col=vec_col,
+                full_index_path=refine_index_path,
+            )
         if query_id is not None:
             return ivf_pq_adc_topk(
                 vectors,
@@ -1318,6 +1451,19 @@ def ann_topk(
             vec_col=vec_col,
             id_col=id_col,
             exclude_id=query_id,
+        )
+    if refine is not None:
+        return ivf_pq_refine_topk(
+            index,
+            vectors,
+            qvec,
+            k=k,
+            refine=refine,
+            n_probe=n_probe,
+            id_col=id_col,
+            vec_col=vec_col,
+            exclude_id=query_id,
+            full_index_path=refine_index_path,
         )
     return ivf_pq_probe(
         index,

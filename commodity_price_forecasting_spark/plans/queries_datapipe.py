@@ -3638,34 +3638,14 @@ def curation_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIN_CLEAN_TOKENS = 5
 
 
-@register(
-    "curation_pipeline_clean",
-    # rows-only by declared design, same grounds as
-    # curation_pipeline_full (the semantic stage's hier lane has no
-    # SQL twin); stages 0-4 are value-oracled via
-    # curation_pipeline_prefix, the substring stage is value-oracled
-    # standalone as dedup_substring_remove, and the stage counts are
-    # equality-pinned against direct operator calls in
-    # tests/test_plans.py
-    oracle=None,
-    tags=("datapipe", "pipeline"),
-)
-def curation_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``curation_pipeline_full`` with the ExactSubstr stage wired in
-    (r9 VERDICT ask #5's "optional curation stage"): after the
-    star-canonical pick, duplicated >=8-token spans are REMOVED from
-    the survivors' (already PII-redacted) text — keep-first corpus
-    order — and docs left with fewer than {_MIN_CLEAN_TOKENS} tokens
-    are dropped (the standard post-ExactSubstr length floor: a doc
-    that was mostly duplicated mass carries no training signal).
-    Semantic dedup and the 80/10/10 hash split then run on the
-    cleaned survivor set. One row per stage with the survivor count.
-
-    Scale note: the span removal runs on star-canonical SURVIVORS
-    only (duplicate clusters already collapsed), so its gram table is
-    built over the deduped corpus — the order Lee et al. 2022 run it
-    (ExactSubstr over the NearDup-deduplicated corpus), and the
-    cheaper one (fewer docs => fewer gram occurrences)."""
+def _curation_clean_flow(spark: SparkSession, sf_dir: str):
+    """Shared derivation of the ExactSubstr curation lane: stages 0-4
+    (``_curation_full_stages``) → span removal + length floor (s5) →
+    semantic dedup (s6) → 80/10/10 hash split. Returns
+    ``(stages_dict, cleaned, s5, s6, split)`` — consumed by the
+    stage-count query (``curation_pipeline_clean``) and the corpus
+    materialization lane (``curation_corpus_write``), which must agree
+    by construction, not by parallel reimplementation."""
     from commodity_price_forecasting_spark.operators.dedup import (
         substring_remove,
     )
@@ -3700,6 +3680,38 @@ def curation_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("split_test")
         .alias("split"),
     )
+    return s, cleaned, s5, s6, split
+
+
+@register(
+    "curation_pipeline_clean",
+    # rows-only by declared design, same grounds as
+    # curation_pipeline_full (the semantic stage's hier lane has no
+    # SQL twin); stages 0-4 are value-oracled via
+    # curation_pipeline_prefix, the substring stage is value-oracled
+    # standalone as dedup_substring_remove, and the stage counts are
+    # equality-pinned against direct operator calls in
+    # tests/test_plans.py
+    oracle=None,
+    tags=("datapipe", "pipeline"),
+)
+def curation_pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``curation_pipeline_full`` with the ExactSubstr stage wired in
+    (r9 VERDICT ask #5's "optional curation stage"): after the
+    star-canonical pick, duplicated >=8-token spans are REMOVED from
+    the survivors' (already PII-redacted) text — keep-first corpus
+    order — and docs left with fewer than {_MIN_CLEAN_TOKENS} tokens
+    are dropped (the standard post-ExactSubstr length floor: a doc
+    that was mostly duplicated mass carries no training signal).
+    Semantic dedup and the 80/10/10 hash split then run on the
+    cleaned survivor set. One row per stage with the survivor count.
+
+    Scale note: the span removal runs on star-canonical SURVIVORS
+    only (duplicate clusters already collapsed), so its gram table is
+    built over the deduped corpus — the order Lee et al. 2022 run it
+    (ExactSubstr over the NearDup-deduplicated corpus), and the
+    cheaper one (fewer docs => fewer gram occurrences)."""
+    s, cleaned, s5, s6, split = _curation_clean_flow(spark, sf_dir)
     split_rows = (
         split.groupBy("split")
         .agg(F.count(F.lit(1)).alias("n_docs"))
@@ -3936,3 +3948,317 @@ def sim_ivfpq_probe_only(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = [float(x) for x in q_row["embedding"]]
     return ivf_pq_probe(idx, q, k=10, n_probe=2, exclude_id=0)
+
+
+# --- incremental delta-dedup against a persisted store (r11) --------------
+
+#: per-process memo of shared persisted dedup stores, keyed by
+#: (sf_dir, documents fixture fingerprint) — same invalidation rule as
+#: the shared IVF-PQ index above.
+_DEDUP_STORE_SHARED: dict = {}
+
+
+def _shared_dedup_store_path(spark: SparkSession, sf_dir: str, cut: int) -> str:
+    """Build-once path of the persisted dedup store over the fixture's
+    first ``cut`` doc_ids (deterministic md5 hashing throughout, so a
+    rebuild is byte-equivalent). The build is the amortized one-off;
+    ``dedup_delta_verdicts`` measures the recurring per-delta cost."""
+    import hashlib
+    import os
+    import tempfile
+
+    from commodity_price_forecasting_spark.operators.dedup_store import (
+        dedup_store_build,
+    )
+
+    fp = _fixture_fingerprint(sf_dir, "documents")
+    key = (os.path.abspath(sf_dir), fp, cut)
+    cached = _DEDUP_STORE_SHARED.get(key)
+    if cached:
+        return cached
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cpf_dedup_store",
+        hashlib.md5(f"{key[0]}|{fp}|{cut}".encode()).hexdigest()[:12],
+    )
+    # meta/ is written LAST by dedup_store_build — its _SUCCESS marks
+    # a complete layout
+    if not os.path.exists(os.path.join(base, "meta", "_SUCCESS")):
+        old = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < cut
+        )
+        dedup_store_build(old, base)
+    _DEDUP_STORE_SHARED[key] = base
+    return base
+
+
+# Full-graph oracle: exact fp holders + MinHash/LSH components over the
+# WHOLE corpus (old ∪ delta), verdicts emitted for the delta slice only.
+# The incremental operator must agree with this from-scratch decision —
+# including chased dup_of through bridged clusters (the store keeps
+# every unique doc's signature precisely so transitivity through
+# dropped docs survives).
+_DEDUP_DELTA_ORACLE = """
+WITH RECURSIVE pos AS (
+  SELECT doc_id, text,
+         UNNEST(range(1, GREATEST(length(text) - 4, 1) + 1)) AS i
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 5) AS shingle FROM pos
+), mh AS (
+  SELECT doc_id, h.i,
+         MIN(md5(CAST(h.i AS VARCHAR) || ':' || shingle)) AS mh
+  FROM sh, generate_series(0, 11) h(i)
+  GROUP BY doc_id, h.i
+), bands AS (
+  SELECT doc_id, CAST(FLOOR(i / 3) AS INTEGER) AS band,
+         md5(string_agg(mh, '|' ORDER BY i)) AS sig
+  FROM mh GROUP BY doc_id, CAST(FLOOR(i / 3) AS INTEGER)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c
+  JOIN mh a ON a.doc_id = c.doc_a
+  JOIN mh b ON b.doc_id = c.doc_b AND a.i = b.i
+  GROUP BY c.doc_a, c.doc_b
+  HAVING SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 12.0 >= 0.5
+), sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM edges
+  UNION SELECT doc_b, doc_a FROM edges
+), walk(node, label) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.v, w.label FROM walk w JOIN sym s ON s.u = w.node
+), labels AS (
+  SELECT node AS doc_id, MIN(label) AS component FROM walk GROUP BY node
+), fps AS (
+  SELECT doc_id, md5(text) AS f FROM documents
+), holders AS (
+  SELECT f, MIN(doc_id) AS holder FROM fps GROUP BY f
+)
+SELECT d.doc_id,
+       CASE WHEN h.holder < d.doc_id THEN 'exact_dup'
+            WHEN l.component IS NOT NULL AND l.component < d.doc_id
+              THEN 'near_dup'
+            ELSE 'kept' END AS status,
+       CASE WHEN h.holder < d.doc_id
+              OR (l.component IS NOT NULL AND l.component < d.doc_id)
+            THEN l.component END AS dup_of
+FROM documents d
+JOIN fps ON fps.doc_id = d.doc_id
+JOIN holders h ON h.f = fps.f
+LEFT JOIN labels l ON l.doc_id = d.doc_id
+WHERE d.doc_id >= (SELECT (MAX(doc_id) * 4) // 5 FROM documents)
+"""
+
+
+@register(
+    "dedup_delta_verdicts",
+    oracle=_DEDUP_DELTA_ORACLE,
+    # "bench": the RECURRING per-delta dedup cost over a persisted
+    # signature store (r10 VERDICT #2) — the dedup sibling of
+    # sim_ivfpq_probe_only; the store build is the memoized one-off
+    tags=("datapipe", "dedup", "bench", "production"),
+)
+def dedup_delta_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of the corpus' last 20% against a persisted
+    signature store built from the first 80% — the daily-ingest path
+    at 100 TB (``operators/dedup_store.py``): fingerprints, shingles
+    and band signatures are computed for the DELTA ONLY; the store's
+    fingerprint/band/signature frames are each scanned once (broadcast
+    delta, zero store shuffles); components run on the delta-incident
+    edge graph with store nodes contracted to their canonical. One
+    verdict row per delta doc: kept / exact_dup / near_dup with the
+    chased final canonical. The oracle recomputes the decision from
+    scratch over the FULL corpus — the equality this operator
+    guarantees (bridged clusters included, via dup_of chasing)."""
+    from commodity_price_forecasting_spark.operators.dedup_store import (
+        dedup_delta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    cut = (max_id * 4) // 5
+    path = _shared_dedup_store_path(spark, sf_dir, cut)
+    delta = docs.filter(F.col("doc_id") >= cut)
+    res = dedup_delta(spark, path, delta, append=False)
+    return res["verdicts"]
+
+
+# --- PQ refine re-rank over the persisted shared index (r11) --------------
+
+# The probe-only oracle with its final SELECT demoted to an `adc` CTE
+# (top-C candidates instead of top-k) + one exact-cosine re-rank over
+# the candidates' full-precision vectors.
+_IVFPQ_REFINE_ORACLE = (
+    _IVFPQ_PROBE_ONLY_ORACLE.replace(
+        "SELECT co.vec_id, cl.cell, ROUND(SUM(l.qd), 6) AS adc_dist\nFROM codes co",
+        ", adc AS (\nSELECT co.vec_id, SUM(l.qd) AS qd\nFROM codes co",
+        1,
+    )
+    .replace(
+        "ORDER BY SUM(l.qd), co.vec_id\nLIMIT 10",
+        """ORDER BY SUM(l.qd), co.vec_id
+LIMIT 100
+), rer AS (
+  SELECT a.vec_id,
+         UNNEST(CAST(c.embedding AS DOUBLE[])) AS x,
+         UNNEST(CAST(q.qemb AS DOUBLE[])) AS y
+  FROM adc a JOIN corpus c ON c.vec_id = a.vec_id CROSS JOIN q
+)
+SELECT vec_id,
+       ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cosine
+FROM rer
+GROUP BY vec_id
+ORDER BY SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))) DESC, vec_id
+LIMIT 10""",
+        1,
+    )
+)
+
+
+@register(
+    "sim_ivfpq_refine_topk",
+    oracle=_IVFPQ_REFINE_ORACLE,
+    # "bench": the refined recurring cost — probe (8-byte pruned scan)
+    # + exact re-rank of C=100 candidates (r10 VERDICT #3)
+    tags=("datapipe", "similarity", "bench", "production"),
+)
+def sim_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probe + exact re-rank (``ivf_pq_refine_topk``,
+    operators/similarity.py): the ADC top-100 from the PERSISTED
+    shared index are re-scored with exact cosines against their
+    full-precision vectors — the FAISS refine stage that lifts PQ
+    recall toward the IVF-exact ceiling at ~C/n of brute cost. Same
+    memoized index as ``sim_ivfpq_probe_only``; the only added cost
+    is the 100-row broadcast join + exact cosine, so the lane prices
+    exactly what refinement costs on top of the probe. Oracle:
+    the probe-only derivation with its top-k demoted to a top-C CTE
+    and one exact-cosine re-rank appended."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ivf_pq_index_load,
+        ivf_pq_refine_topk,
+    )
+
+    path = _shared_ivfpq_index_path(spark, sf_dir)
+    idx = ivf_pq_index_load(spark, path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    q = [float(x) for x in q_row["embedding"]]
+    return ivf_pq_refine_topk(
+        idx, emb, q, k=10, refine=100, n_probe=2, exclude_id=0
+    )
+
+
+# --- curated-corpus materialization (r11) ----------------------------------
+
+
+def curation_corpus_write(
+    spark: SparkSession, sf_dir: str, out_path: str
+) -> dict:
+    """Materialize the cleaned corpus — the actual DELIVERABLE of a
+    curation run (r10 VERDICT #4: every pipeline query returned stage
+    counts; nothing wrote the corpus). Writes:
+
+    - ``<out>/corpus/`` — one row per surviving doc
+      ``(doc_id, clean_text, n_tokens)``, hive-partitioned by
+      ``split`` (train/val/test), written under
+      ``partitionOverwriteMode=dynamic`` so a RERUN surgically
+      replaces exactly the partitions it produces — the
+      idempotent-backfill contract (second run replaces, never
+      duplicates; pinned in tests/test_plans.py).
+    - ``<out>/manifest/`` — the per-stage survivor counts, equal BY
+      CONSTRUCTION to ``curation_pipeline_clean``'s oracled rows
+      (both consume ``_curation_clean_flow``), so the written corpus
+      is auditable against the registered query.
+
+    Returns ``{"n_written", "manifest": [...]}``."""
+    import os
+
+    s, cleaned, s5, s6, split = _curation_clean_flow(spark, sf_dir)
+    corpus = (
+        split.join(cleaned.select("doc_id", "clean_text", "n_tokens"), "doc_id")
+        .join(s6, "doc_id")  # semantic survivors only
+        .select("doc_id", "clean_text", "n_tokens", "split")
+    )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    saved = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "dynamic")
+        corpus.write.partitionBy("split").mode("overwrite").parquet(
+            os.path.join(out_path, "corpus")
+        )
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+
+    split_rows = (
+        split.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.when(F.col("split") == "split_train", 7)
+            .when(F.col("split") == "split_val", 8)
+            .otherwise(9)
+            .cast("int")
+            .alias("stage_no"),
+            F.col("split").alias("stage"),
+            "n_docs",
+        )
+    )
+    manifest = (
+        _stage_row(0, "raw", s["docs"])
+        .unionAll(_stage_row(1, "pii_redact", s["red"]))
+        .unionAll(_stage_row(2, "quality_gate", s["s2"]))
+        .unionAll(_stage_row(3, "exact_dedup", s["s3"]))
+        .unionAll(_stage_row(4, "star_canonical", s["s4"]))
+        .unionAll(_stage_row(5, "substring_clean", s5))
+        .unionAll(_stage_row(6, "semantic_dedup", s6))
+        .unionAll(split_rows)
+    )
+    manifest_df = _finish_stage_counts(spark, s, manifest)
+    s5.unpersist()
+    manifest_df.write.mode("overwrite").parquet(
+        os.path.join(out_path, "manifest")
+    )
+    n_written = spark.read.parquet(os.path.join(out_path, "corpus")).count()
+    return {
+        "n_written": int(n_written),
+        "manifest": [tuple(r) for r in manifest_df.collect()],
+    }
+
+
+@register(
+    "curation_corpus_write",
+    # rows-only by declared design: the written corpus' stage counts
+    # are the same rows curation_pipeline_clean oracles; this query's
+    # value is the SIDE EFFECT (the partitioned corpus + manifest) and
+    # its output re-reads the manifest it wrote
+    oracle=None,
+    tags=("datapipe", "pipeline"),
+)
+def curation_corpus_write_query(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Registered wrapper of ``curation_corpus_write``: materializes
+    the cleaned corpus + manifest under a fixture-fingerprinted temp
+    dir (rerun-idempotent: dynamic partition overwrite replaces, never
+    duplicates) and returns the manifest read back FROM DISK — so a
+    green row certifies the write path end-to-end, not a plan that
+    never hit storage."""
+    import hashlib
+    import os
+    import tempfile
+
+    fp = _fixture_fingerprint(sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "cpf_curated_corpus",
+        hashlib.md5(f"{os.path.abspath(sf_dir)}|{fp}".encode()).hexdigest()[:12],
+    )
+    curation_corpus_write(spark, sf_dir, out)
+    return spark.read.parquet(os.path.join(out, "manifest"))

@@ -656,3 +656,47 @@ def test_probe_only_plan_is_partition_pruned(spark):
     assert "cell" in window and "IN" in window
     rows = df.collect()
     assert len(rows) == 10
+
+
+def test_curation_corpus_write_idempotent_and_manifest_matches(spark, tmp_path):
+    """The materialization lane (r10 VERDICT #4): a SECOND run into
+    the same path must replace, not duplicate (dynamic partition
+    overwrite), and the written manifest must equal
+    curation_pipeline_clean's stage counts row-for-row (both consume
+    _curation_clean_flow — agreement by construction, verified by
+    measurement)."""
+    from commodity_price_forecasting_spark.plans.queries_datapipe import (
+        curation_corpus_write,
+    )
+    from commodity_price_forecasting_spark.plans.registry import load_all
+
+    reg = load_all()
+    out = str(tmp_path / "curated")
+    r1 = curation_corpus_write(spark, SF_DIR, out)
+    corpus1 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out + "/corpus")
+        .select("doc_id", "clean_text", "n_tokens", "split")
+        .collect()
+    )
+    r2 = curation_corpus_write(spark, SF_DIR, out)
+    corpus2 = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out + "/corpus")
+        .select("doc_id", "clean_text", "n_tokens", "split")
+        .collect()
+    )
+    assert corpus1 == corpus2  # replaced, not duplicated
+    assert r1["n_written"] == r2["n_written"] == len(corpus1)
+
+    clean_rows = sorted(
+        tuple(r) for r in reg["curation_pipeline_clean"].fn(spark, SF_DIR).collect()
+    )
+    assert sorted(r1["manifest"]) == clean_rows
+
+    # the corpus row count equals the sum of the three split stages
+    split_total = sum(n for sn, _, n in r1["manifest"] if sn in (7, 8, 9))
+    assert r1["n_written"] == split_total
+    # every written doc survived the semantic stage (stage 6 count)
+    stage6 = next(n for sn, _, n in r1["manifest"] if sn == 6)
+    assert r1["n_written"] == stage6

@@ -281,6 +281,40 @@ def recall_table(
             recs.append(len({r["vec_id"] for r in got} & set(gt_l2[qi])) / k)
         add("ivf_pq", "l2", n_probe, recs)
 
+    # --- IVF-PQ + exact refine (ivf_pq_refine_topk, r11) -------------------
+    # re-rank the ADC top-C with exact cosines: recall is measured
+    # against the COSINE ground truth (the refine output's own metric)
+    # and its ceiling is the IVF lane at the same n_probe — the table
+    # shows how much of the PQ quantization loss C=50/100 buys back.
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ivf_pq_refine_topk,
+    )
+
+    if want("ivf_pq_refine"):
+        if idx is None:
+            idx = ivf_pq_index(emb)
+            idx["codes"] = idx["codes"].cache()
+            idx["cells"] = idx["cells"].cache()
+            idx["codes"].count()
+        for n_probe in (1, 2, 4):
+            for refine_c in (50, 100):
+                recs = []
+                for qi in qids:
+                    q = [float(x) for x in mat[ids == qi][0]]
+                    got = ivf_pq_refine_topk(
+                        idx,
+                        emb,
+                        q,
+                        k=k,
+                        refine=refine_c,
+                        n_probe=n_probe,
+                        exclude_id=qi,
+                    ).collect()
+                    recs.append(
+                        len({r["vec_id"] for r in got} & set(gt_cos[qi])) / k
+                    )
+                add(f"ivf_pq_refine_c{refine_c}", "cosine", n_probe, recs)
+
     # --- trained codebooks (pq_codebook_kmeans, r9) ------------------------
     from commodity_price_forecasting_spark.operators.similarity import (
         pq_codebook_kmeans,
