@@ -374,9 +374,15 @@ def ivf_index_write(
     assigned, seeds = ivf_seed_assign(
         vectors, k=k, vec_col=vec_col, id_col=id_col, assign=assign
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "corpus")
-    )
+    # project to (id, vec, cell) BEFORE writing: ivf_index_append
+    # writes exactly these columns (r10 ADVICE), so an unprojected
+    # initial write would leave MIXED schemas in the corpus dir after
+    # an append — Spark's footer sampling then nondeterministically
+    # surfaces or drops the extra columns (caught as an
+    # isolation-pass/suite-fail flake in r11)
+    assigned.select(id_col, vec_col, "cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(os.path.join(path, "corpus"))
     vectors.sparkSession.createDataFrame(
         [(int(s), [float(x) for x in v]) for s, v in seeds],
         "cell long, svec array<double>",

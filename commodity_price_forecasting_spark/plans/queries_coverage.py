@@ -191,17 +191,27 @@ def w4_ordered_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SO1_ORACLE = """
 SELECT c_custkey AS custkey FROM customer
 EXCEPT
-SELECT o_custkey FROM orders
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
 """
 
 
 @register("so1_except", oracle=_SO1_ORACLE, tags=("setop",))
 def so1_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set difference (SO1): customers who never ordered —
-    ``except`` ≡ distinct + left-anti, the reference's
-    column-set completeness check generalized to rows."""
+    """Set difference (SO1): customers with no FINISHED order —
+    ``except`` ≡ distinct + left-anti, the reference's column-set
+    completeness check generalized to rows. r11: the original
+    "customers who never ordered" form returned 0 rows at every
+    fixture SF (every customer orders), so Spark and the oracle had
+    compared EMPTY SETS since r1 — the second silent-vacuity case the
+    mirror's 0-rows gate caught (m11_ljung_box was the first); the
+    status filter keeps the set-op semantics and yields 5/71/511 rows
+    at sf0.001/0.01/0.1."""
     c = load_table(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
-    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
     return c.exceptAll(o.distinct()).distinct()
 
 

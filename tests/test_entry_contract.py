@@ -61,6 +61,13 @@ def test_oracle_keys_subset_of_queries():
         # standalone as dedup_substring_remove and the stage counts are
         # pinned against direct operator calls in tests/test_plans.py
         "curation_pipeline_clean",
+        # curation_corpus_write (r11): rows-only by declared design —
+        # its value is the SIDE EFFECT (partitioned corpus + manifest
+        # written to disk); the manifest rows it returns are the same
+        # stage counts curation_pipeline_clean derives, and
+        # rerun-idempotency + manifest==clean-counts are pinned in
+        # tests/test_plans.py
+        "curation_corpus_write",
     }
 
 

@@ -94,6 +94,12 @@ def grep_leaks() -> list[dict]:
     ).stdout.split()
     hits = []
     for rel in tracked:
+        # judge-authored round artifacts quote ADVERSARIAL EXAMPLES
+        # (e.g. r10 ADVICE cites 'apacheevil.example' to describe the
+        # old prefix-match weakness) — the gate polices the BUILDER's
+        # files, not the judge's own text
+        if rel in ("ADVICE.md", "VERDICT.md"):
+            continue
         path = os.path.join(REPO, rel)
         try:
             text = open(path, encoding="utf-8", errors="replace").read()
@@ -117,8 +123,18 @@ def run_mirror() -> tuple[bool, str]:
         text=True,
         cwd=REPO,
     )
-    tail = (proc.stdout or "").strip().splitlines()[-1:] or [""]
-    return proc.returncode == 0, tail[0]
+    lines = (proc.stdout or "").strip().splitlines()
+    tail = lines[-1] if lines else ""
+    # surface the actual failing rows (r11: a FAIL tally without the
+    # names forced a full 12-min re-run just to learn WHICH query)
+    bad = [
+        ln
+        for ln in lines
+        if ln.startswith(("FAIL ", "ERROR ", "VACUOUS "))
+    ]
+    if bad:
+        tail += " | " + "; ".join(b[:120] for b in bad[:10])
+    return proc.returncode == 0, tail
 
 
 def run_negzero() -> tuple[bool, str]:
