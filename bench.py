@@ -7,8 +7,14 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
      "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
 
 Each query is timed end-to-end (plan + execute + collect-count) and
-run $SPARK_GRAFT_BENCH_RUNS times (default 3); the BEST run is
-reported. Warm-up discipline (r7 VERDICT ask #3, SCALE.md
+run $SPARK_GRAFT_BENCH_RUNS times (default 3; sub-second lanes get
+$SPARK_GRAFT_BENCH_RUNS_FAST, default 5, because their round-over-
+round swings were indistinguishable from drift at n=1 — r10 VERDICT
+ask #5). The BEST run is reported in "queries" (continuity with
+prior rounds); the full dispersion {median,min,max,n} per query goes
+in "spread", and the delta tail flags a regression ONLY when the new
+best lies outside the prior best by more than this round's measured
+relative spread for that lane. Warm-up discipline (r7 VERDICT ask #3, SCALE.md
 "first-in-session penalty"): each query gets ONE unmeasured
 execution AT THE TARGET SF immediately before its timed runs — the
 first execution of a heavy query in a fresh session costs 3-4x its
@@ -78,24 +84,44 @@ def main() -> None:
                 continue
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    n_runs_fast = max(
+        n_runs, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_FAST", "5"))
+    )
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name, spec in sorted(bench.items()):
         # one unmeasured execution at the TARGET SF: compiles/JITs the
-        # exact plans (incl. AQE re-plans) the timed runs will use
+        # exact plans (incl. AQE re-plans) the timed runs will use.
+        # Its wall time decides the repeat count: sub-second lanes
+        # need more samples for a trustworthy spread, heavy lanes
+        # would dominate total bench wall at n=5.
+        t0 = time.perf_counter()
         spec.fn(spark, sf_dir).count()
-        best, n = float("inf"), 0
-        for _ in range(n_runs):
+        warm_sec = time.perf_counter() - t0
+        reps = n_runs_fast if warm_sec < 1.0 else n_runs
+        samples: list[float] = []
+        n = 0
+        for _ in range(reps):
             t0 = time.perf_counter()
             n = spec.fn(spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        timings[name] = round(samples[0], 3)
+        spread[name] = {
+            "median": round(samples[len(samples) // 2], 3),
+            "min": round(samples[0], 3),
+            "max": round(samples[-1], 3),
+            "n": reps,
+        }
         delta = "".join(
             f" [{100.0 * (timings[name] - p[name]) / p[name]:+.0f}% vs {tag}]"
             for tag, p in priors
             if name in p and p[name]
         )
         print(
-            f"# {name}: {timings[name]:.3f}s best-of-{n_runs} ({n} rows){delta}",
+            f"# {name}: {timings[name]:.3f}s best-of-{reps} "
+            f"(med {spread[name]['median']:.3f}, max {spread[name]['max']:.3f}; "
+            f"{n} rows){delta}",
             file=sys.stderr,
         )
 
@@ -113,6 +139,30 @@ def main() -> None:
             for q in sorted(timings)
         ]
         print(f"# deltas vs {tag}: " + ", ".join(parts), file=sys.stderr)
+        # Regression classification (r10 ask #5): a delta counts as a
+        # REGRESSION only when the new best exceeds the prior best by
+        # more than this round's own measured relative spread for the
+        # lane (floored at 10%, the documented cross-session drift
+        # band). Everything inside the spread is drift, not a
+        # regression — n=1 timing could not make this distinction.
+        flagged = []
+        for q in sorted(timings):
+            if q not in prior or not prior[q]:
+                continue
+            sp = spread[q]
+            rel_spread = max(0.10, (sp["max"] - sp["min"]) / sp["min"]) if sp["min"] else 0.10
+            excess = (timings[q] - prior[q]) / prior[q]
+            if excess > rel_spread:
+                flagged.append(
+                    f"{q} +{100.0 * excess:.0f}% (spread ±{100.0 * rel_spread:.0f}%)"
+                )
+        print(
+            "# regressions outside measured spread vs "
+            + tag
+            + ": "
+            + (", ".join(flagged) if flagged else "none"),
+            file=sys.stderr,
+        )
     if "sim_ivfpq_adc_topk" in timings:
         # r8 ask #2 / r9 ask #3: say which cost each ANN row is
         print(
@@ -141,6 +191,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": sf,
             }
         )
