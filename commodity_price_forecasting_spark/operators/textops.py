@@ -69,6 +69,53 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_score_rowwise(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """``quality_score`` as a ZERO-SHUFFLE projection: the same
+    length/diversity/stopword blend computed per row with array
+    functions (split → filter → array_distinct/size) instead of
+    explode + groupBy. Bit-identical output to ``quality_score``
+    (same expression tree over the same counts — equality pinned in
+    tests/test_streaming_curation.py), with two structural wins:
+
+    - at 100 TB the quality gate becomes a map-only pass — no token
+      explode (which multiplies the shuffle by avg tokens/doc) and no
+      aggregation;
+    - it is STREAMING-SAFE: stateless, so it can precede stateful
+      stages (dropDuplicatesWithinWatermark) in a structured-streaming
+      pipeline, where a groupBy-based score would be an illegal
+      chained aggregation.
+
+    One divergence, shared deliberately: a doc with ZERO tokens gets
+    a NULL quality here (division by zero) vs NO ROW from the groupBy
+    form — both fail a ``quality >= t`` gate, so the gated pipelines
+    agree."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), " +"), lambda x: x != ""
+    )
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    length_score = F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+    # try_divide: a zero-token doc yields NULL quality under ANSI mode
+    # (the groupBy form simply emits no row for it — see docstring)
+    diversity = F.try_divide(n_distinct, n_tokens)
+    stop_ratio = F.try_divide(n_stop, n_tokens)
+    stop_score = 1 - F.abs(stop_ratio - F.lit(0.10)) / F.lit(0.9)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.cast("long").alias("n_tokens"),  # schema parity with the groupBy form
+        F.round(
+            0.4 * length_score + 0.3 * diversity + 0.3 * stop_score, 6
+        ).alias("quality"),
+        *[F.col(c) for c in keep],
+    )
+
+
 def langid_predict(docs: DataFrame, lang_col: str = "lang") -> DataFrame:
     """N-gram-free vocabulary-vote language ID (deterministic integer
     arithmetic end to end, so the argmaxes are engine-portable):
@@ -274,7 +321,10 @@ def iban_valid(x: Column) -> Column:
 
 
 def pii_redact(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
     """PII scrubbing — the compliance stage every training-data
     pipeline runs before anything else sees the text: emails,
@@ -305,7 +355,9 @@ def pii_redact(
     n_phone exposure).
 
     Returns ``(id, redacted, n_email, n_id, n_ip, n_phone, n_cc,
-    n_cc_valid, n_iban, n_iban_valid)``."""
+    n_cc_valid, n_iban, n_iban_valid)``; ``keep`` names extra input
+    columns to pass through unchanged (still one projection — the
+    streaming curation lane threads its event-time column this way)."""
     raw = F.col(text_col)
     counts = [
         F.regexp_count(raw, F.lit(pat)).alias(f"n_{name}")
@@ -337,5 +389,5 @@ def pii_redact(
     for _name, pat, repl in PII_PATTERNS[1:]:
         red = F.regexp_replace(red, pat, repl)
     return docs.select(
-        F.col(id_col), red.alias("redacted"), *counts
+        F.col(id_col), red.alias("redacted"), *counts, *[F.col(c) for c in keep]
     )

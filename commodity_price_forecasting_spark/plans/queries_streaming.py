@@ -110,6 +110,67 @@ def st_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Row-wise quality (same arithmetic as _QUALITY_ORACLE in
+# queries_datapipe — proven engine-portable there), gate >= 0.7,
+# exact dedup to the min-id holder, content-addressed split on
+# md5(fp). The fixture text carries no digits/'@' (verified r11), so
+# pii_redact is byte-identity here and the oracle reads raw text;
+# redaction itself is byte-level-oracled by quality_pii_redact.
+_CURATION_GATE_ORACLE = """
+WITH t AS (
+  SELECT d.doc_id, UNNEST(string_split(trim(d.text), ' ')) AS token
+  FROM documents d
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT token) AS n_distinct,
+         SUM(CASE WHEN token IN ('the','a','of','and','in') THEN 1 ELSE 0 END)
+           AS n_stop
+  FROM t WHERE token <> '' GROUP BY doc_id
+), scored AS (
+  SELECT d.doc_id, md5(d.text) AS fp, p.n_tokens,
+         ROUND(0.4 * LEAST(p.n_tokens / 50.0, 1.0)
+             + 0.3 * (p.n_distinct * 1.0 / p.n_tokens)
+             + 0.3 * (1 - ABS(p.n_stop * 1.0 / p.n_tokens - 0.10) / 0.9), 6)
+           AS quality
+  FROM documents d JOIN per_doc p ON d.doc_id = p.doc_id
+), gated AS (
+  SELECT * FROM scored WHERE quality >= 0.7
+), holders AS (
+  SELECT fp, MIN(doc_id) AS doc_id FROM gated GROUP BY fp
+)
+SELECT g.doc_id, g.fp, g.n_tokens, g.quality,
+       CASE WHEN CAST(('0x' || substr(md5(g.fp), 1, 8)) AS BIGINT) % 100 < 80
+              THEN 'split_train'
+            WHEN CAST(('0x' || substr(md5(g.fp), 1, 8)) AS BIGINT) % 100 < 90
+              THEN 'split_val'
+            ELSE 'split_test' END AS split
+FROM gated g JOIN holders h ON g.doc_id = h.doc_id AND g.fp = h.fp
+"""
+
+
+@register(
+    "st_curation_gate",
+    oracle=_CURATION_GATE_ORACLE,
+    tags=("streaming", "datapipe", "quality"),
+)
+def st_curation_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch face of the streaming curation ingest
+    (streaming/curation_stream.curate_docs): PII redaction →
+    ZERO-SHUFFLE row-wise quality gate (quality_score_rowwise, the
+    streaming-legal twin of quality_score) → content fingerprint →
+    exact dedup → content-addressed 80/10/10 split. On a stream the
+    dedup is bounded-state dropDuplicatesWithinWatermark on the
+    fingerprint and the survivors append into the persisted curated
+    store via foreachBatch; stream == batch is pinned in
+    tests/test_streaming_curation.py."""
+    from commodity_price_forecasting_spark.streaming.curation_stream import (
+        curate_docs,
+        with_arrival_ts,
+    )
+
+    docs = with_arrival_ts(load_table(spark, sf_dir, "documents"))
+    return curate_docs(docs).select("doc_id", "fp", "n_tokens", "quality", "split")
+
+
 _RUNNING_ORACLE = """
 SELECT user_id,
        count(*) AS n_events,

@@ -1,0 +1,212 @@
+"""Streaming corpus curation (r10 VERDICT ask #7): the batch
+curation pipeline's compliance + quality + exact-dedup prefix as a
+structured-streaming ingest that appends into the persisted curated
+store — a growing corpus curates its DELTA as it arrives instead of
+re-running batch curation over everything ever ingested.
+
+Composition of proven pieces, per the ask:
+
+- ``pii_redact`` (operators/textops — zero-shuffle codegen
+  projection, stream-safe as-is);
+- ``quality_score_rowwise`` (the r11 zero-shuffle twin of
+  ``quality_score``, built BECAUSE a groupBy score cannot precede a
+  stateful dedup in one streaming pipeline);
+- ``dropDuplicatesWithinWatermark`` on the content fingerprint —
+  bounded-state exact dedup, the same device ``st_dedup_events``
+  uses on events;
+- ``foreachBatch`` append into a persisted fingerprint store +
+  curated corpus — the micro-batch face of
+  ``operators/dedup_store.dedup_delta``'s store-scan/delta-broadcast
+  shape (each batch IS a delta).
+
+Determinism contract (mirrors dedup_store's id monotonicity): the
+synthetic arrival time is monotone in ``doc_id`` and each micro-batch
+is deduped to its min-id holder per fingerprint before the store
+anti-join, so with in-order replay the surviving representative per
+content equals the batch pipeline's min-id pick. Content-level
+equality (the fingerprint SET and per-fingerprint text/quality) holds
+REGARDLESS of arrival order — which is why the curated split is
+CONTENT-ADDRESSED (hash of the fingerprint, not the doc_id): the same
+document lands in the same split across reruns, re-ingests under new
+ids, and any dedup tie-break. Stream == batch is pinned in
+tests/test_streaming_curation.py.
+
+Delivery semantics: ``foreachBatch`` is at-least-once; the store
+append runs FIRST, so a crash between the two appends can lose (not
+duplicate) the window's corpus rows on redelivery — the conservative
+side for training data (a dropped doc costs recall; a duplicated doc
+corrupts the dedup invariant). Exactly-once needs a transactional
+sink (Delta/Iceberg), out of scope for the parquet-only sandbox and
+documented here as the boundary.
+
+Scale shape: the stateless stages are map-only; watermark-dedup state
+is bounded by (watermark × ingest rate); the per-batch store
+anti-join scans the store once and broadcasts the batch (delta ≪
+store, the dedup_store caller contract).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from commodity_price_forecasting_spark.operators.textops import (
+    pii_redact,
+    quality_score_rowwise,
+)
+
+#: 2024-01-01T00:00:00 UTC — base of the synthetic per-doc arrival time.
+DOC_TS_BASE = 1704067200
+
+#: the batch pipeline's quality gate (plans/queries_datapipe
+#: _curation_full_stages), shared so stream == batch by construction.
+QUALITY_FLOOR = 0.7
+
+
+def with_arrival_ts(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic event time, monotone in doc_id (one
+    doc per second from DOC_TS_BASE) — the documents fixture has no
+    timestamp; a real ingest would carry its own. Monotonicity is
+    what makes first-arrival == min-id (module contract above)."""
+    return docs.withColumn(
+        "ts", F.timestamp_seconds(F.lit(DOC_TS_BASE) + F.col("doc_id"))
+    )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents parquet (the local
+    stand-in for a document ingest queue), schema from a batch footer
+    read, arrival ts synthesized as in the batch twin."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    return with_arrival_ts(raw)
+
+
+def curate_docs(df: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Batch/stream-agnostic curation prefix: PII redaction → row-wise
+    quality gate (>= QUALITY_FLOOR) → content fingerprint → exact
+    dedup → content-addressed 80/10/10 split.
+
+    On a stream the dedup is ``dropDuplicatesWithinWatermark`` on the
+    fingerprint (bounded state; keeps the first arrival = min-id under
+    in-order replay); on batch input it is the min-id holder per
+    fingerprint (the batch pipeline's s3 shape). Everything before
+    the dedup is a stateless projection.
+
+    Output: ``(doc_id, fp, text, quality, n_tokens, split, ts)`` —
+    text is the REDACTED text; split is derived from md5(fp) so it is
+    stable under the dedup representative choice."""
+    red = pii_redact(df, keep=("ts",)).select(
+        "doc_id", F.col("redacted").alias("text"), "ts"
+    )
+    # quality_score_rowwise is a projection of a projection — the
+    # whole prefix is one stateless codegen stage (a groupBy score
+    # could not precede the stateful dedup on a stream)
+    gated = (
+        quality_score_rowwise(red, keep=("text", "ts"))
+        .filter(F.col("quality") >= QUALITY_FLOOR)
+        .withColumn("fp", F.md5(F.col("text").cast("binary")))
+    )
+    if df.isStreaming:
+        deduped = gated.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["fp"]
+        )
+    else:
+        holders = gated.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        deduped = gated.join(holders, ["fp", "doc_id"])
+    pct = F.conv(F.substring(F.md5(F.col("fp")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return deduped.select(
+        "doc_id",
+        "fp",
+        "text",
+        "quality",
+        "n_tokens",
+        F.when(pct < 80, "split_train")
+        .when(pct < 90, "split_val")
+        .otherwise("split_test")
+        .alias("split"),
+        "ts",
+    )
+
+
+def _append_batch(
+    batch_df: DataFrame, store_dir: str, corpus_dir: str
+) -> None:
+    """One micro-batch → curated store. Within-batch min-id dedup per
+    fingerprint (deterministic provenance), store-scan anti-join
+    against every fingerprint ever kept, then append: store FIRST
+    (see module delivery-semantics note), corpus second, partitioned
+    by split."""
+    spark = batch_df.sparkSession
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("fp").orderBy("doc_id")
+    batch = (
+        batch_df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .localCheckpoint(eager=True)  # cut lineage before store reads/appends
+    )
+    fp_path = os.path.join(store_dir, "fingerprints")
+    if os.path.isdir(fp_path):
+        store_fps = spark.read.parquet(fp_path).select("fp")
+        # dedup_store's store-scan/delta-broadcast shape: the store is
+        # scanned once against the broadcast batch (never shuffled,
+        # never broadcast — it is the big side), and only the tiny hit
+        # set is broadcast into the anti-join
+        hits = store_fps.join(F.broadcast(batch.select("fp")), "fp")
+        fresh = batch.join(F.broadcast(hits), "fp", "left_anti")
+    else:
+        fresh = batch
+    fresh = fresh.localCheckpoint(eager=True)
+    fresh.select("fp", "doc_id").write.mode("append").parquet(fp_path)
+    fresh.select(
+        "doc_id", "fp", "text", "quality", "n_tokens", "split"
+    ).write.mode("append").partitionBy("split").parquet(
+        os.path.join(corpus_dir, "corpus")
+    )
+
+
+def run_curation_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    store_dir: str,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 day",
+    shuffle_partitions: int | None = None,
+) -> None:
+    """Drain the documents stream through the curation pipeline into
+    the persisted store with availableNow (deterministic for tests; a
+    live deployment drops the trigger). ``shuffle_partitions`` sizes
+    the dedup state store — pass ``state_sized_partitions(...)``; the
+    sustained probe (tools/stream_latency_probe.py --pipeline
+    curation) measures the default."""
+    stream = curate_docs(read_documents_stream(spark, sf_dir), watermark=watermark)
+    prev = None
+    if shuffle_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, _bid: _append_batch(bdf, store_dir, corpus_dir)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -293,7 +293,11 @@ def view_purchase_attribution(
 # --- test/driver helper -------------------------------------------------
 
 def state_sized_partitions(
-    spark: SparkSession, state_keys: int, keys_per_partition: int = 16
+    spark: SparkSession,
+    state_keys: int,
+    keys_per_partition: int = 16,
+    rows_per_trigger: int | None = None,
+    rows_per_task: int = 32,
 ) -> int:
     """Recommended ``spark.sql.shuffle.partitions`` for a STATEFUL
     streaming pipeline, sized to the state cardinality instead of the
@@ -302,11 +306,24 @@ def state_sized_partitions(
     stages — at 126 window×bin state keys, 32→8 partitions cut the
     trigger ~2.2× at identical results; this rule reproduces that
     measured-better cell: ceil(126/16) = 8). Clamped to the session
-    default so a genuinely large state still fans out."""
+    default so a genuinely large state still fans out.
+
+    r11 second bound: when the expected per-trigger INPUT is known,
+    partitions are also capped at ceil(rows_per_trigger /
+    rows_per_task) — the curation-ingest sweep (SCALE.md r11) showed a
+    4,071-key dedup state whose state bound says "stay wide" but whose
+    100-row micro-batches measured 2× faster at 4–8 partitions than at
+    32: with tiny triggers the per-task fixed cost dominates no matter
+    how big the store is (state-store instances are per-partition and
+    persist across triggers either way). The binding constraint is
+    min(state bound, input bound)."""
     import math
 
     default = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return max(1, min(default, math.ceil(max(state_keys, 1) / keys_per_partition)))
+    p = math.ceil(max(state_keys, 1) / keys_per_partition)
+    if rows_per_trigger is not None:
+        p = min(p, math.ceil(max(rows_per_trigger, 1) / rows_per_task))
+    return max(1, min(default, p))
 
 
 def run_stream_to_memory(

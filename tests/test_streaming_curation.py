@@ -1,0 +1,211 @@
+"""Streaming curation lane (r10 VERDICT ask #7): stream == batch for
+the PII → quality → fingerprint-dedup prefix, foreachBatch append
+into the persisted curated store, rerun/delta behavior, and the
+row-wise quality score's exact equality with the groupBy form.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from commodity_price_forecasting_spark.operators.textops import (
+    quality_score,
+    quality_score_rowwise,
+)
+from commodity_price_forecasting_spark.sources.readers import load_table
+from commodity_price_forecasting_spark.streaming.curation_stream import (
+    curate_docs,
+    read_documents_stream,
+    run_curation_stream,
+    with_arrival_ts,
+)
+from commodity_price_forecasting_spark.streaming.events_stream import (
+    run_stream_to_memory,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_rowwise_quality_equals_groupby_quality(spark):
+    """The zero-shuffle projection must be value-identical to the
+    explode+groupBy score on every doc (same expression tree over the
+    same counts — the 6-dp round included)."""
+    docs = load_table(spark, SF_DIR, "documents")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["quality"])
+        for r in quality_score_rowwise(docs).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["quality"])
+        for r in quality_score(docs).collect()
+    }
+    # groupBy form emits no row for zero-token docs; rowwise emits a
+    # NULL-quality row (documented divergence — both fail any gate)
+    assert {k: v for k, v in got.items() if v[1] is not None} == want
+    assert len(want) > 0
+
+
+def test_rowwise_quality_zero_token_doc_is_null(spark):
+    df = spark.createDataFrame([(1, "   "), (2, "")], "doc_id long, text string")
+    rows = {r["doc_id"]: r["quality"] for r in quality_score_rowwise(df).collect()}
+    assert rows == {1: None, 2: None}
+
+
+def test_curate_stream_equals_batch_content(spark):
+    """availableNow replay of curate_docs == the batch plan at CONTENT
+    level: fingerprint set and per-fp (text, quality, n_tokens,
+    split). The representative doc_id is NOT compared here: within one
+    micro-batch dropDuplicatesWithinWatermark keeps an arbitrary
+    partition's row — which is exactly why the split is
+    content-addressed and why the CORPUS path (next test) re-dedups to
+    the min-id holder before writing."""
+    run_stream_to_memory(
+        curate_docs(read_documents_stream(spark, SF_DIR)),
+        "mem_curate",
+        output_mode="append",
+    )
+    got = {
+        r["fp"]: (r["text"], r["quality"], r["n_tokens"], r["split"])
+        for r in spark.table("mem_curate").collect()
+    }
+    batch = curate_docs(with_arrival_ts(load_table(spark, SF_DIR, "documents")))
+    want = {
+        r["fp"]: (r["text"], r["quality"], r["n_tokens"], r["split"])
+        for r in batch.collect()
+    }
+    assert len(want) > 0
+    assert got == want
+    assert spark.table("mem_curate").count() == len(want)  # one row per fp
+
+
+def test_curation_stream_appends_store_and_corpus(spark, tmp_path_factory):
+    store = str(tmp_path_factory.mktemp("cur_store"))
+    corpus = str(tmp_path_factory.mktemp("cur_corpus"))
+    ckpt = str(tmp_path_factory.mktemp("cur_ckpt"))
+    run_curation_stream(spark, SF_DIR, store, corpus, ckpt)
+
+    written = spark.read.parquet(os.path.join(corpus, "corpus"))
+    batch = curate_docs(with_arrival_ts(load_table(spark, SF_DIR, "documents")))
+    want = sorted(
+        (r["doc_id"], r["fp"], r["text"], r["quality"], r["n_tokens"], r["split"])
+        for r in batch.collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["fp"], r["text"], r["quality"], r["n_tokens"], r["split"])
+        for r in written.collect()
+    )
+    assert got == want and len(got) > 0
+    # the store holds exactly the kept fingerprints
+    fps = spark.read.parquet(os.path.join(store, "fingerprints"))
+    assert sorted(r["fp"] for r in fps.collect()) == sorted(w[1] for w in want)
+    # split directories are hive partitions
+    assert {r["split"] for r in written.collect()} <= {
+        "split_train",
+        "split_val",
+        "split_test",
+    }
+
+
+def test_curation_stream_rerun_appends_nothing(spark, tmp_path_factory):
+    """Re-ingesting the SAME corpus (fresh checkpoint, same store)
+    must append zero rows: every fingerprint anti-joins away — the
+    store is what makes the stream idempotent under replay."""
+    store = str(tmp_path_factory.mktemp("rr_store"))
+    corpus = str(tmp_path_factory.mktemp("rr_corpus"))
+    run_curation_stream(
+        spark, SF_DIR, store, corpus, str(tmp_path_factory.mktemp("rr_ck1"))
+    )
+    n1 = spark.read.parquet(os.path.join(corpus, "corpus")).count()
+    run_curation_stream(
+        spark, SF_DIR, store, corpus, str(tmp_path_factory.mktemp("rr_ck2"))
+    )
+    n2 = spark.read.parquet(os.path.join(corpus, "corpus")).count()
+    assert n1 == n2 > 0
+
+
+def test_curation_stream_delta_appends_only_new_uniques(spark, tmp_path_factory):
+    """A second ingest directory holding NEW docs (higher ids): docs
+    duplicating stored content are dropped; fresh content appends."""
+    store = str(tmp_path_factory.mktemp("d_store"))
+    corpus = str(tmp_path_factory.mktemp("d_corpus"))
+    run_curation_stream(
+        spark, SF_DIR, store, corpus, str(tmp_path_factory.mktemp("d_ck1"))
+    )
+    base = spark.read.parquet(os.path.join(corpus, "corpus"))
+    n_base = base.count()
+    one_kept = base.select("text").first()["text"]
+
+    delta_dir = str(tmp_path_factory.mktemp("d_fixture"))
+    fresh_text = (
+        "the quick brown fox jumps over a lazy dog and the crow watches in "
+        "awe of every single moving shadow near the old mill by the river "
+        "bank while morning light settles softly over distant quiet hills"
+    )
+    # single parquet FILE named documents.parquet (a Spark write makes
+    # a directory of part files, which the stream's pathGlobFilter
+    # would skip — the fixture layout is one file per table)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([10_000_001, 10_000_002], pa.int64()),
+                "text": [one_kept, fresh_text],  # dup of stored / new
+                "lang": ["en", "en"],
+                "source": ["delta", "delta"],
+                "n_chars": pa.array(
+                    [len(one_kept), len(fresh_text)], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(delta_dir, "documents.parquet"),
+    )
+
+    run_curation_stream(
+        spark, delta_dir, store, corpus, str(tmp_path_factory.mktemp("d_ck2"))
+    )
+    after = spark.read.parquet(os.path.join(corpus, "corpus"))
+    new_rows = [r for r in after.collect() if r["doc_id"] > 10_000_000]
+    assert after.count() == n_base + 1
+    assert [r["doc_id"] for r in new_rows] == [10_000_002]
+    assert new_rows[0]["text"] == fresh_text
+
+
+def test_state_sized_partitions_input_bound(spark):
+    """r11 second bound: tiny per-trigger input caps partitions below
+    the state bound (the curation sweep: 4,071-key state, 100-row
+    triggers — 4 partitions measured 2x faster than the state rule's
+    clamped 32)."""
+    from commodity_price_forecasting_spark.streaming.events_stream import (
+        state_sized_partitions,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        # big state, tiny triggers -> input bound wins: ceil(100/32)=4
+        assert state_sized_partitions(spark, 4071, rows_per_trigger=100) == 4
+        # big state, no input hint -> state bound, clamped at default
+        assert state_sized_partitions(spark, 4071) == 32
+        # big state, big triggers -> input bound does not widen past state/default
+        assert state_sized_partitions(spark, 4071, rows_per_trigger=10**6) == 32
+        # tiny state stays narrow regardless of input (the r10 PSI cell)
+        assert state_sized_partitions(spark, 48, rows_per_trigger=10**6) == 3
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def test_quality_prefix_is_map_only(spark):
+    """The redact→score prefix must be a shuffle-free projection chain
+    (the map-only 100 TB shape, and the reason the row-wise score can
+    legally precede the stream's stateful dedup)."""
+    from commodity_price_forecasting_spark.operators.textops import pii_redact
+
+    docs = load_table(spark, SF_DIR, "documents")
+    red = pii_redact(docs, keep=("lang",))
+    q = quality_score_rowwise(red, text_col="redacted", keep=("lang",))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

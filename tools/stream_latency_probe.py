@@ -45,16 +45,25 @@ from commodity_price_forecasting_spark.sources.readers import (
 )
 
 
-def stage_chunks(spark, sf_dir: str, n_chunks: int, stage_dir: str) -> int:
-    """Write the events table as n_chunks time-ordered parquet files:
-    chunk i holds the i-th slice of the ts order, one file each, so
-    maxFilesPerTrigger=1 replays history in event-time order."""
-    ev = load_table(spark, sf_dir, "events")
+def stage_chunks(
+    spark,
+    sf_dir: str,
+    n_chunks: int,
+    stage_dir: str,
+    table: str = "events",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> int:
+    """Write a table as n_chunks time-ordered parquet files: chunk i
+    holds the i-th slice of the order, one file each, so
+    maxFilesPerTrigger=1 replays history in event-time order (for
+    documents the order is doc_id — the synthetic arrival ts is
+    monotone in it)."""
+    ev = load_table(spark, sf_dir, table)
     total = ev.count()
     per = (total + n_chunks - 1) // n_chunks
     ranked = ev.select(
         F.floor(
-            (F.row_number().over(Window.orderBy("ts", "event_id")) - 1) / per
+            (F.row_number().over(Window.orderBy(*order_cols)) - 1) / per
         ).alias("_chunk"),
         "*",
     )
@@ -75,7 +84,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/repo/.scratch/sf1")
     ap.add_argument("--chunks", type=int, default=50)
-    ap.add_argument("--pipeline", choices=("psi", "funnel"), default="psi")
+    ap.add_argument(
+        "--pipeline", choices=("psi", "funnel", "curation"), default="psi"
+    )
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ap.add_argument(
         "--shuffle-partitions",
@@ -104,7 +115,32 @@ def main() -> None:
         )
 
         ev_batch = load_table(spark, args.sf_dir, "events")
-        if args.pipeline == "psi":
+        rows_per_trigger = None
+        if args.pipeline == "curation":
+            # dedup state = fingerprints alive within the watermark.
+            # The synthetic arrival clock ticks 1 doc/second, so the
+            # alive horizon is the trailing <watermark> seconds of
+            # doc_ids; at fixture SFs the whole corpus fits inside it
+            # and the honest count is every gated unique fingerprint.
+            from commodity_price_forecasting_spark.streaming.curation_stream import (
+                curate_docs,
+                with_arrival_ts,
+            )
+
+            n_state = (
+                curate_docs(
+                    with_arrival_ts(load_table(spark, args.sf_dir, "documents"))
+                )
+                .select("fp")
+                .distinct()
+                .count()
+            )
+            # maxFilesPerTrigger=1 over --chunks files: per-trigger
+            # input is corpus/chunks — the r11 second bound (tiny
+            # triggers want narrow partitions however big the store)
+            n_docs = load_table(spark, args.sf_dir, "documents").count()
+            rows_per_trigger = -(-n_docs // args.chunks)
+        elif args.pipeline == "psi":
             # steady-state state cardinality = WATERMARK-ALIVE keys,
             # not all-history windows (watermark evicts the rest):
             # (window, bin) pairs + windows inside the last
@@ -128,25 +164,63 @@ def main() -> None:
             n_state = wb + wn
         else:
             n_state = ev_batch.select("user_id").distinct().count()
-        args.shuffle_partitions = state_sized_partitions(spark, n_state)
+        args.shuffle_partitions = state_sized_partitions(
+            spark, n_state, rows_per_trigger=rows_per_trigger
+        )
         print(
-            f"# state-sized default: {n_state} state keys -> "
-            f"{args.shuffle_partitions} shuffle partitions",
+            f"# state-sized default: {n_state} state keys"
+            + (f", {rows_per_trigger} rows/trigger" if rows_per_trigger else "")
+            + f" -> {args.shuffle_partitions} shuffle partitions",
             file=sys.stderr,
         )
     spark.conf.set(
         "spark.sql.shuffle.partitions", str(args.shuffle_partitions)
     )
     stage_dir = tempfile.mkdtemp(prefix="cpf_stream_stage_")
+    sink_dir = tempfile.mkdtemp(prefix="cpf_stream_sink_")
     try:
-        total_rows = stage_chunks(spark, args.sf_dir, args.chunks, stage_dir)
+        if args.pipeline == "curation":
+            total_rows = stage_chunks(
+                spark,
+                args.sf_dir,
+                args.chunks,
+                stage_dir,
+                table="documents",
+                order_cols=("doc_id",),
+            )
+        else:
+            total_rows = stage_chunks(spark, args.sf_dir, args.chunks, stage_dir)
         schema = spark.read.parquet(stage_dir).schema
-        src = normalize_event_ts(
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(stage_dir)
-        )
-        if args.pipeline == "psi":
+        if args.pipeline == "curation":
+            src = None  # curation builds its own source below
+        else:
+            src = normalize_event_ts(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage_dir)
+            )
+        if args.pipeline == "curation":
+            from commodity_price_forecasting_spark.streaming.curation_stream import (
+                _append_batch,
+                curate_docs,
+                with_arrival_ts,
+            )
+
+            doc_src = with_arrival_ts(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage_dir)
+            )
+            out_df = curate_docs(doc_src)
+            mode = "append"
+            sink = lambda w: w.foreachBatch(  # noqa: E731
+                lambda bdf, _bid: _append_batch(
+                    bdf,
+                    os.path.join(sink_dir, "store"),
+                    os.path.join(sink_dir, "corpus"),
+                )
+            )
+        elif args.pipeline == "psi":
             from commodity_price_forecasting_spark.streaming.events_stream import (
                 value_bin_baseline,
                 windowed_psi,
@@ -155,6 +229,7 @@ def main() -> None:
             baseline = value_bin_baseline(load_table(spark, args.sf_dir, "events"))
             out_df = windowed_psi(src, baseline)
             mode = "append"
+            sink = None
         else:
             from commodity_price_forecasting_spark.streaming.events_stream import (
                 funnel_stage,
@@ -162,14 +237,15 @@ def main() -> None:
 
             out_df = funnel_stage(src)
             mode = "update"
+            sink = None
 
         t0 = time.perf_counter()
-        q = (
-            out_df.writeStream.format("memory")
-            .queryName("latency_probe")
-            .outputMode(mode)
-            .start()
-        )
+        writer = out_df.writeStream.outputMode(mode)
+        if sink is not None:
+            writer = sink(writer)
+        else:
+            writer = writer.format("memory").queryName("latency_probe")
+        q = writer.start()
         # drain: once every staged chunk is consumed the engine runs
         # ONE no-data micro-batch (watermark advance) and then goes
         # idle — lastProgress stops changing. Done = the newest batch
@@ -248,6 +324,7 @@ def main() -> None:
         print(json.dumps(summary))
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
+        shutil.rmtree(sink_dir, ignore_errors=True)
         spark.stop()
 
 
