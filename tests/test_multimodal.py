@@ -93,11 +93,13 @@ def test_metadata_query_prunes_payload(media, spark):
 
 
 def test_real_decode_is_explicit_stub_for_compressed_only():
-    """r7: only genuinely COMPRESSED formats still raise, and each
+    """r7: only genuinely library-bound formats still raise, and each
     media type gets its own message (r6 ADVICE: an MP3 payload must
-    not get an error about image decoding)."""
-    with pytest.raises(NotImplementedError, match="JPEG|PIL"):
-        real_decode(b"\xff\xd8\xff\xe0jpeg", "image")
+    not get an error about image decoding). r11: JPEG left this club
+    (pure-numpy baseline decoder, tests/test_jpeg.py) — TIFF/WebP
+    stand in as the remaining image gap."""
+    with pytest.raises(NotImplementedError, match="WebP|PIL"):
+        real_decode(b"II*\x00tiff bytes", "image")
     with pytest.raises(NotImplementedError, match="non-WAV audio"):
         real_decode(b"ID3\x04mp3 bytes", "audio")
     with pytest.raises(NotImplementedError, match="ffmpeg"):
@@ -792,7 +794,8 @@ def test_png_rejects_bad_inputs():
 
 def test_real_decode_dispatches_png_and_resize_keeps_format():
     """The magic dispatch routes PNG to the real parser; resize
-    re-encodes PNG as PNG (reencode_image), and JPEG still raises."""
+    re-encodes PNG as PNG (reencode_image); library-bound formats
+    (TIFF/WebP) still raise."""
     import numpy as np
 
     from commodity_price_forecasting_spark.operators.multimodal import (
@@ -811,8 +814,8 @@ def test_real_decode_dispatches_png_and_resize_keeps_format():
     assert (d["width"], d["height"]) == (3, 1)
     # NN rule: target col j reads source col floor(j*6/3), row 0
     assert np.array_equal(d["pixels"], px[[0]][:, [0, 2, 4]])
-    with pytest.raises(NotImplementedError, match="JPEG|PIL"):
-        real_decode(b"\xff\xd8\xff\xe0jpeg", "image")
+    with pytest.raises(NotImplementedError, match="WebP|PIL"):
+        real_decode(b"II*\x00tiff bytes", "image")
 
 
 def test_png_channel_stats_rgba_ignores_alpha(spark):
