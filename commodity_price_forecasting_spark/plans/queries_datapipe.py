@@ -4153,6 +4153,176 @@ def sim_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental SEMANTIC dedup against the persisted cell store (r11) -----
+
+_SEM_STORE_SHARED: dict = {}
+
+
+def _shared_semantic_store_path(spark: SparkSession, sf_dir: str, cut: int) -> str:
+    """Build-once path of the persisted semantic store over the
+    fixture's first ``cut`` vec_ids (frozen md5-ordered seeds,
+    deterministic throughout). The build is the amortized one-off;
+    ``semantic_dedup_delta`` prices the recurring per-delta cost."""
+    import hashlib
+    import os
+    import tempfile
+
+    from commodity_price_forecasting_spark.operators.semantic_store import (
+        semantic_store_build,
+    )
+
+    fp = _fixture_fingerprint(sf_dir, "embeddings")
+    key = (os.path.abspath(sf_dir), fp, cut)
+    cached = _SEM_STORE_SHARED.get(key)
+    if cached:
+        return cached
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cpf_semantic_store",
+        hashlib.md5(f"{key[0]}|{fp}|{cut}".encode()).hexdigest()[:12],
+    )
+    # meta/ is written LAST by semantic_store_build — its _SUCCESS
+    # marks a complete layout
+    if not os.path.exists(os.path.join(base, "meta", "_SUCCESS")):
+        old = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") < cut
+        )
+        semantic_store_build(old, base, k=16, threshold=0.3)
+    _SEM_STORE_SHARED[key] = base
+    return base
+
+
+# Whole lifecycle re-derived in ONE statement: frozen seeds from the
+# first 80% (md5 order), assignment of all vectors under those seeds,
+# store drops over the old slice (domination under (cent_cos, id)),
+# kept survivors, then the delta verdicts — dominated by ANY kept
+# store cell-mate (the store precedes every delta vector) or by a
+# PRECEDING delta cell-mate; dup_of = min dominator id.
+_SEM_DELTA_ORACLE = """
+WITH cut AS (
+  SELECT (MAX(vec_id) * 4) // 5 AS c FROM embeddings
+), old AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < (SELECT c FROM cut)
+), seeds AS (
+  SELECT vec_id AS sid, embedding AS semb
+  FROM old ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+), ax AS (
+  SELECT e.vec_id, s.sid,
+         UNNEST(CAST(e.embedding AS DOUBLE[])) AS x,
+         UNNEST(CAST(s.semb AS DOUBLE[])) AS y
+  FROM embeddings e CROSS JOIN seeds s
+), acs AS (
+  SELECT vec_id, sid, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+  FROM ax GROUP BY vec_id, sid
+), ark AS (
+  SELECT vec_id, sid AS cell,
+         ROUND(dot / (SQRT(nx) * SQRT(ny)), 6) AS cent_cos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY ROUND(dot / (SQRT(nx) * SQRT(ny)), 6) DESC, sid) AS rk
+  FROM acs
+), cells AS (
+  SELECT vec_id, cell, cent_cos FROM ark WHERE rk = 1
+), ocells AS (
+  SELECT * FROM cells WHERE vec_id < (SELECT c FROM cut)
+), dcells AS (
+  SELECT * FROM cells WHERE vec_id >= (SELECT c FROM cut)
+), opx AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         UNNEST(CAST(ea.embedding AS DOUBLE[])) AS x,
+         UNNEST(CAST(eb.embedding AS DOUBLE[])) AS y
+  FROM ocells a
+  JOIN ocells b ON a.cell = b.cell
+   AND (a.cent_cos < b.cent_cos
+        OR (a.cent_cos = b.cent_cos AND a.vec_id < b.vec_id))
+  JOIN old ea ON ea.vec_id = a.vec_id
+  JOIN old eb ON eb.vec_id = b.vec_id
+), opcs AS (
+  SELECT ia, ib,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+  FROM opx GROUP BY ia, ib
+), odrop AS (
+  SELECT DISTINCT ib AS vec_id FROM opcs WHERE cos >= 0.3
+), kept AS (
+  SELECT o.* FROM ocells o WHERE o.vec_id NOT IN (SELECT vec_id FROM odrop)
+), sdx AS (
+  SELECT k.vec_id AS svid, d.vec_id AS dvid,
+         UNNEST(CAST(ek.embedding AS DOUBLE[])) AS x,
+         UNNEST(CAST(ed.embedding AS DOUBLE[])) AS y
+  FROM kept k
+  JOIN dcells d ON k.cell = d.cell
+  JOIN old ek ON ek.vec_id = k.vec_id
+  JOIN embeddings ed ON ed.vec_id = d.vec_id
+), sdc AS (
+  SELECT svid, dvid,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+  FROM sdx GROUP BY svid, dvid
+), sdom AS (
+  SELECT dvid, MIN(svid) AS skeeper FROM sdc WHERE cos >= 0.3 GROUP BY dvid
+), ddx AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         UNNEST(CAST(ea.embedding AS DOUBLE[])) AS x,
+         UNNEST(CAST(eb.embedding AS DOUBLE[])) AS y
+  FROM dcells a
+  JOIN dcells b ON a.cell = b.cell
+   AND (a.cent_cos < b.cent_cos
+        OR (a.cent_cos = b.cent_cos AND a.vec_id < b.vec_id))
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+), ddc AS (
+  SELECT ia, ib,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+  FROM ddx GROUP BY ia, ib
+), ddom AS (
+  SELECT ib AS dvid, MIN(ia) AS dkeeper FROM ddc WHERE cos >= 0.3 GROUP BY ib
+)
+SELECT d.vec_id,
+       CASE WHEN s.skeeper IS NOT NULL OR dd.dkeeper IS NOT NULL
+            THEN 'semantic_dup' ELSE 'kept' END AS status,
+       CASE WHEN s.skeeper IS NULL THEN dd.dkeeper
+            WHEN dd.dkeeper IS NULL THEN s.skeeper
+            ELSE LEAST(s.skeeper, dd.dkeeper) END AS dup_of,
+       d.cell, d.cent_cos
+FROM dcells d
+LEFT JOIN sdom s ON s.dvid = d.vec_id
+LEFT JOIN ddom dd ON dd.dvid = d.vec_id
+"""
+
+
+@register(
+    "semantic_dedup_delta",
+    oracle=_SEM_DELTA_ORACLE,
+    # "bench": the recurring per-delta semantic-dedup cost over the
+    # memoized persisted store — the third tier of the incremental
+    # dedup lifecycle (exact/MinHash r11, ANN append r10)
+    tags=("datapipe", "similarity", "dedup", "bench", "production"),
+)
+def semantic_dedup_delta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SEMANTIC dedup of the embedding corpus' last 20%
+    against a persisted cell store built from the first 80%
+    (``operators/semantic_store.py``): the delta is assigned through
+    the FROZEN md5-ordered seeds, compared by exact cosine against
+    stored survivors in its cell (store scanned once, delta
+    broadcast — candidates bounded by touched-cell size, never
+    corpus×delta) and against preceding delta cell-mates. One verdict
+    row per delta vector: kept / semantic_dup with dup_of = the min
+    dominator. Inversions (a delta vector that would dominate a
+    stored survivor on a full re-run) are detected by the operator
+    and returned separately as the rebuild trigger; this query pins
+    the verdict values against a one-statement DuckDB re-derivation
+    of the whole lifecycle."""
+    from commodity_price_forecasting_spark.operators.semantic_store import (
+        semantic_dedup_delta,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    cut = (max_id * 4) // 5
+    path = _shared_semantic_store_path(spark, sf_dir, cut)
+    delta = emb.filter(F.col("vec_id") >= cut)
+    res = semantic_dedup_delta(spark, path, delta, append=False)
+    return res["verdicts"]
+
+
 # --- curated-corpus materialization (r11) ----------------------------------
 
 
