@@ -33,12 +33,26 @@ silently absorbed — the same design as ``dedup_store``'s bridges and
 the ANN append's recall-drift table: rebuild when the inverted mass
 matters, on a measurement rather than a guess.
 
-Scale shape: seed assignment is a map-side fold over the frozen seed
-literal (no shuffle); the store-vs-delta stage scans each touched
-cell partition once against the broadcast delta (candidates bounded
-by Σ|touched cell| — never all-pairs, never corpus×delta); the
-delta-vs-delta stage is the base operator's one-shuffle pair join on
-a delta-sized frame. The append touches only the delta's cells.
+Scale shape: seed assignment is a map-side pass (fold lane for small
+k — the bit-reproducible oracle lane; ``assign="blas"`` above — at
+k=232 the fold lane spends ~24 s compiling its seed-literal plan);
+the store-vs-delta stage scans each touched cell partition once
+against the broadcast delta (candidates bounded by Σ|touched cell| —
+never all-pairs, never corpus×delta); the delta-vs-delta stage is
+the base operator's one-shuffle pair join on a delta-sized frame.
+The append touches only the delta's cells.
+
+Operating rule (measured, SCALE.md r11): the STORE is the win — vs a
+storeless full SemDeDup (fresh seeds over the grown corpus) the
+store-backed paths are ~28-39x cheaper at the 10%-ingest shape,
+because seeds and survivors persist. Between the two store-backed
+paths, the FROZEN-SEED RERUN over survivors ∪ delta (assign + base
+drop stage — also enabled by this store) measured cheaper than this
+delta lane at every fixture scale (≤60k vectors: both are
+assignment/fixed-cost bound; the delta lane's advantage lives in the
+intra-cell pair term, n·Δ/k vs n²/k, which dominates only around
+10^5-10^6 survivors). Use the rerun until the pair stage owns the
+wall or per-delta provenance (dup_of / inversions) is the product.
 """
 
 from __future__ import annotations
@@ -53,8 +67,22 @@ from commodity_price_forecasting_spark.operators.similarity import (
     _drops_from_assigned,
     _norm,
     _semdedup_seeds,
+    assign_cells_blas,
     assign_cells_fold,
 )
+
+
+def _assigner(assign: str):
+    """fold = bit-reproducible plan-literal lane (the oracle lane,
+    right for small k); blas = closure-shipped seeds, one sgemm per
+    Arrow batch (the production lane — at k=232 the fold lane spent
+    24 s of a 30 s delta run building/compiling the 15k-literal plan,
+    measured r11)."""
+    if assign == "fold":
+        return assign_cells_fold
+    if assign == "blas":
+        return assign_cells_blas
+    raise ValueError(f"assign must be fold|blas: {assign}")
 
 
 def _write_meta(spark, path, k, threshold, dim):
@@ -71,12 +99,13 @@ def semantic_store_build(
     threshold: float = 0.3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "fold",
 ) -> dict:
     """Full SemDeDup + store persistence. Returns
     ``{"n_vectors", "n_kept"}``."""
     spark = embs.sparkSession
     seeds = _semdedup_seeds(embs, k, vec_col, id_col)
-    assigned = assign_cells_fold(embs, seeds, vec_col, id_col)
+    assigned = _assigner(assign)(embs, seeds, vec_col, id_col)
     drops = _drops_from_assigned(assigned, threshold, id_col)
     kept = assigned.join(
         drops.select(F.col(id_col).alias("_vid")), "_vid", "left_anti"
@@ -119,6 +148,7 @@ def semantic_dedup_delta(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     append: bool = True,
+    assign: str = "fold",
 ) -> dict:
     """Semantic-dedup ONLY the delta against the persisted store.
     Returns ``{"verdicts": DataFrame(vec_id, status, dup_of, cell,
@@ -154,7 +184,7 @@ def semantic_dedup_delta(
 
     # eager cut: everything below must not re-read store paths after
     # the append writes into them (the dedup_store lesson)
-    d_assigned = assign_cells_fold(
+    d_assigned = _assigner(assign)(
         new_embs, store["seeds"], vec_col, id_col
     ).localCheckpoint(eager=True)
 

@@ -140,6 +140,32 @@ def test_append_makes_second_ingest_all_dups(spark, tmp_path):
     assert res2["n_appended"] == 0
 
 
+def test_blas_lane_matches_fold_verdicts(spark, tmp_path):
+    """The production (blas) assignment lane yields the same delta
+    verdicts as the fold lane away from 6-dp rounding ties (random
+    normals — ties vanishingly rare at this size)."""
+    rng = np.random.default_rng(17)
+    old = _emb_df(spark, [(i, rng.normal(size=16)) for i in range(40)])
+    delta = _emb_df(spark, [(100 + i, rng.normal(size=16)) for i in range(15)])
+    p_fold = str(tmp_path / "fold")
+    p_blas = str(tmp_path / "blas")
+    semantic_store_build(old, p_fold, k=4, threshold=THR, assign="fold")
+    semantic_store_build(old, p_blas, k=4, threshold=THR, assign="blas")
+    v_fold = {
+        r["vec_id"]: (r["status"], r["dup_of"], r["cell"])
+        for r in semantic_dedup_delta(
+            spark, p_fold, delta, append=False, assign="fold"
+        )["verdicts"].collect()
+    }
+    v_blas = {
+        r["vec_id"]: (r["status"], r["dup_of"], r["cell"])
+        for r in semantic_dedup_delta(
+            spark, p_blas, delta, append=False, assign="blas"
+        )["verdicts"].collect()
+    }
+    assert v_fold == v_blas and len(v_fold) == 15
+
+
 def test_empty_delta_and_dim_guard(spark, tmp_path):
     rng = np.random.default_rng(3)
     old = _emb_df(spark, [(i, rng.normal(size=16)) for i in range(20)])
