@@ -223,9 +223,16 @@ def dedup_delta(
     # ---- exact tier ----
     dfp = d.select("doc_id", content_fingerprint(F.col("text")).alias("fp")).cache()
     d_holders = dfp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
-    # store scan #1: fingerprint hits (store streams past the bcast delta)
-    store_hit = store["fingerprints"].join(bcast(d_holders.select("fp")), "fp").select(
-        "fp", F.col("canon_id").alias("_store_canon")
+    # store scan #1: fingerprint hits (store streams past the bcast
+    # delta). Eagerly cut: THREE downstream consumers (the new-content
+    # anti-join, holder_v's join, and its broadcast) would otherwise
+    # each re-run this store scan — r11 profile: each lazy re-scan
+    # cost ~0.5-1 s of the ~7 s recurring delta wall at sf0.1.
+    store_hit = (
+        store["fingerprints"]
+        .join(bcast(d_holders.select("fp")), "fp")
+        .select("fp", F.col("canon_id").alias("_store_canon"))
+        .localCheckpoint(eager=True)
     )
 
     # ---- near tier: delta holders whose content the store has not seen ----
@@ -241,7 +248,9 @@ def dedup_delta(
         F.col("est_jaccard") >= threshold
     )
 
-    # delta-vs-store candidates: store scan #2 (bands), delta broadcast
+    # delta-vs-store candidates: store scan #2 (bands), delta
+    # broadcast. Eagerly cut for the same reason as store_hit — the
+    # signature fetch and the edge stage both consume it.
     cand_ds = (
         store["bands"]
         .join(
@@ -250,6 +259,7 @@ def dedup_delta(
         )
         .select(F.col("doc_id").alias("doc_a"), "doc_b")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # store scan #3: signatures of candidate store docs only
     s_sigs = store["signatures"].join(
