@@ -268,3 +268,102 @@ def semantic_dedup_delta(
         "inversions": inversions,
         "n_appended": n_appended,
     }
+
+
+def semantic_rerun_ingest(
+    spark,
+    path: str,
+    new_embs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    append: bool = True,
+    assign: str = "fold",
+) -> dict:
+    """The OPERATING-RULE ingest lane (SCALE.md r11): a frozen-seed
+    full re-run over store survivors ∪ delta, returning per-delta
+    verdicts under the base operator's GLOBAL (cent_cos ASC, id ASC)
+    domination order. Cheaper than ``semantic_dedup_delta`` below the
+    pair-bound regime (~1e5-1e6 survivors) — and the store is still
+    load-bearing: the survivors' cells/centroids are READ from it
+    (never re-assigned) and the frozen seeds only assign the delta.
+
+    Verdict semantics vs the delta lane: identical except on
+    inversion pairs — here a stored survivor that FOLLOWS a delta
+    vector in the global order does NOT dominate it (full-re-run
+    semantics); store immutability still applies either way (a
+    dominated stored survivor stays — the caveat both lanes share).
+
+    Returns ``{"verdicts": DataFrame(vec_id, status, dup_of, cell,
+    cent_cos), "n_appended": int}``."""
+    store = semantic_store_load(spark, path)
+    threshold = float(store["meta"]["threshold"])
+    dim = int(store["meta"]["dim"])
+
+    n_delta = new_embs.count()
+    if n_delta == 0:
+        return {
+            "verdicts": spark.createDataFrame(
+                [],
+                "vec_id long, status string, dup_of long, cell long, "
+                "cent_cos double",
+            ),
+            "n_appended": 0,
+        }
+    sizes = new_embs.agg(
+        F.min(F.size(vec_col)).alias("lo"), F.max(F.size(vec_col)).alias("hi")
+    ).first()
+    if sizes["lo"] != dim or sizes["hi"] != dim:
+        raise ValueError(
+            f"semantic_rerun_ingest: delta dims [{sizes['lo']}, "
+            f"{sizes['hi']}] != store dim {dim}"
+        )
+
+    d_assigned = _assigner(assign)(
+        new_embs, store["seeds"], vec_col, id_col
+    ).localCheckpoint(eager=True)
+    survivors = store["cells"].select(
+        F.col("vec_id").alias("_vid"),
+        F.col("embedding").alias("_emb"),
+        "cell",
+        F.col("cent_cos").alias("_cent"),
+    )
+    # eager cut: the pair stage reads this union twice AND the append
+    # below writes under the very path `survivors` scans
+    ref = survivors.unionByName(d_assigned).localCheckpoint(eager=True)
+    delta_ids = d_assigned.select(F.col("_vid").alias(id_col))
+    drops = (
+        _drops_from_assigned(ref, threshold, id_col)
+        .join(delta_ids, id_col)
+        .select(F.col(id_col).alias("_vid"), "first_keeper")
+    )
+    verdicts = (
+        d_assigned.join(drops, "_vid", "left")
+        .select(
+            F.col("_vid").alias("vec_id"),
+            F.when(F.col("first_keeper").isNotNull(), F.lit("semantic_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.col("first_keeper").alias("dup_of"),
+            "cell",
+            F.col("_cent").alias("cent_cos"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_appended = 0
+    if append:
+        kept = d_assigned.join(
+            verdicts.filter(F.col("status") == "kept").select(
+                F.col("vec_id").alias("_vid")
+            ),
+            "_vid",
+        ).select(
+            F.col("_vid").alias("vec_id"),
+            F.col("_emb").alias("embedding"),
+            F.col("_cent").alias("cent_cos"),
+            "cell",
+        )
+        kept.write.mode("append").partitionBy("cell").parquet(
+            os.path.join(path, "cells")
+        )
+        n_appended = kept.count()
+    return {"verdicts": verdicts, "n_appended": n_appended}

@@ -4323,6 +4323,114 @@ def semantic_dedup_delta_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res["verdicts"]
 
 
+# Same CTE spine as _SEM_DELTA_ORACLE up to `kept`, then GLOBAL-order
+# domination of delta rows by (kept survivors ∪ delta) under
+# (cent_cos ASC, id ASC) — the frozen-seed full-re-run semantics of
+# the operating-rule ingest lane.
+_SEM_RERUN_ORACLE = """
+WITH cut AS (
+  SELECT (MAX(vec_id) * 4) // 5 AS c FROM embeddings
+), old AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < (SELECT c FROM cut)
+), seeds AS (
+  SELECT vec_id AS sid, embedding AS semb
+  FROM old ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+), ax AS (
+  SELECT e.vec_id, s.sid,
+         UNNEST(CAST(e.embedding AS DOUBLE[])) AS x,
+         UNNEST(CAST(s.semb AS DOUBLE[])) AS y
+  FROM embeddings e CROSS JOIN seeds s
+), acs AS (
+  SELECT vec_id, sid, SUM(x*y) AS dot, SUM(x*x) AS nx, SUM(y*y) AS ny
+  FROM ax GROUP BY vec_id, sid
+), ark AS (
+  SELECT vec_id, sid AS cell,
+         ROUND(dot / (SQRT(nx) * SQRT(ny)), 6) AS cent_cos,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+           ORDER BY ROUND(dot / (SQRT(nx) * SQRT(ny)), 6) DESC, sid) AS rk
+  FROM acs
+), cells AS (
+  SELECT vec_id, cell, cent_cos FROM ark WHERE rk = 1
+), ocells AS (
+  SELECT * FROM cells WHERE vec_id < (SELECT c FROM cut)
+), dcells AS (
+  SELECT * FROM cells WHERE vec_id >= (SELECT c FROM cut)
+), opx AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         UNNEST(CAST(ea.embedding AS DOUBLE[])) AS x,
+         UNNEST(CAST(eb.embedding AS DOUBLE[])) AS y
+  FROM ocells a
+  JOIN ocells b ON a.cell = b.cell
+   AND (a.cent_cos < b.cent_cos
+        OR (a.cent_cos = b.cent_cos AND a.vec_id < b.vec_id))
+  JOIN old ea ON ea.vec_id = a.vec_id
+  JOIN old eb ON eb.vec_id = b.vec_id
+), opcs AS (
+  SELECT ia, ib,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+  FROM opx GROUP BY ia, ib
+), odrop AS (
+  SELECT DISTINCT ib AS vec_id FROM opcs WHERE cos >= 0.3
+), kept AS (
+  SELECT o.* FROM ocells o WHERE o.vec_id NOT IN (SELECT vec_id FROM odrop)
+), refc AS (
+  SELECT * FROM kept UNION ALL SELECT * FROM dcells
+), rpx AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         UNNEST(CAST(ea.embedding AS DOUBLE[])) AS x,
+         UNNEST(CAST(eb.embedding AS DOUBLE[])) AS y
+  FROM refc a
+  JOIN dcells b ON a.cell = b.cell
+   AND (a.cent_cos < b.cent_cos
+        OR (a.cent_cos = b.cent_cos AND a.vec_id < b.vec_id))
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+), rpcs AS (
+  SELECT ia, ib,
+         ROUND(SUM(x*y) / (SQRT(SUM(x*x)) * SQRT(SUM(y*y))), 6) AS cos
+  FROM rpx GROUP BY ia, ib
+), rdom AS (
+  SELECT ib AS dvid, MIN(ia) AS keeper FROM rpcs WHERE cos >= 0.3 GROUP BY ib
+)
+SELECT d.vec_id,
+       CASE WHEN r.keeper IS NOT NULL THEN 'semantic_dup' ELSE 'kept' END
+         AS status,
+       r.keeper AS dup_of,
+       d.cell, d.cent_cos
+FROM dcells d
+LEFT JOIN rdom r ON r.dvid = d.vec_id
+"""
+
+
+@register(
+    "semantic_rerun_ingest",
+    oracle=_SEM_RERUN_ORACLE,
+    tags=("datapipe", "similarity", "dedup", "production"),
+)
+def semantic_rerun_ingest_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operating-rule semantic-ingest lane (SCALE.md r11): a
+    FROZEN-SEED re-run over store survivors ∪ delta — survivors'
+    cells/centroids are read from the persisted store (never
+    re-assigned), the frozen seeds assign only the delta, and delta
+    verdicts follow the base operator's global (cent_cos, id)
+    domination order. This is the measured-cheaper store-backed lane
+    below the pair-bound regime; `semantic_dedup_delta` is its
+    sibling for pair-bound corpora and per-delta provenance. Oracle:
+    the delta oracle's spine with global-order domination over
+    kept ∪ delta."""
+    from commodity_price_forecasting_spark.operators.semantic_store import (
+        semantic_rerun_ingest,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    cut = (max_id * 4) // 5
+    path = _shared_semantic_store_path(spark, sf_dir, cut)
+    delta = emb.filter(F.col("vec_id") >= cut)
+    res = semantic_rerun_ingest(spark, path, delta, append=False)
+    return res["verdicts"]
+
+
 # --- curated-corpus materialization (r11) ----------------------------------
 
 

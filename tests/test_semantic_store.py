@@ -140,6 +140,40 @@ def test_append_makes_second_ingest_all_dups(spark, tmp_path):
     assert res2["n_appended"] == 0
 
 
+def test_rerun_ingest_agrees_with_delta_lane_off_inversions(spark, tmp_path):
+    """The two store-backed ingest lanes must decide identically on
+    every delta vector not involved in an inversion (where they
+    differ BY DESIGN: the rerun uses global order, the delta lane
+    treats all store survivors as preceding). Also: the rerun lane's
+    appended survivors re-ingest as all-dups (idempotency)."""
+    from commodity_price_forecasting_spark.operators.semantic_store import (
+        semantic_rerun_ingest,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    path = str(tmp_path / "store")
+    semantic_store_build(old, path, k=16, threshold=THR)
+
+    delta_res = semantic_dedup_delta(spark, path, new, append=False)
+    rerun_res = semantic_rerun_ingest(spark, path, new, append=False)
+    inv = {r["delta_vec_id"] for r in delta_res["inversions"].collect()}
+    v_delta = {
+        r["vec_id"]: (r["status"], r["dup_of"])
+        for r in delta_res["verdicts"].collect()
+    }
+    v_rerun = {
+        r["vec_id"]: (r["status"], r["dup_of"])
+        for r in rerun_res["verdicts"].collect()
+    }
+    assert set(v_delta) == set(v_rerun)
+    agree = {v for v in v_delta if v not in inv}
+    assert len(agree) > 0
+    for v in agree:
+        assert v_delta[v] == v_rerun[v]
+
+
 def test_blas_lane_matches_fold_verdicts(spark, tmp_path):
     """The production (blas) assignment lane yields the same delta
     verdicts as the fold lane away from 6-dp rounding ties (random
