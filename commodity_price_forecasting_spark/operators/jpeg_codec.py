@@ -529,6 +529,14 @@ def decode_jpeg(payload: bytes) -> dict:
     while pos < len(d):
         if d[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}, got {d[pos]:#x}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before the
+        # marker code. Without this skip, a legally FF-padded file reads
+        # 0xFF as the code and the next bytes as a bogus segment length,
+        # failing with a misleading "truncated" error (r11 ADVICE #2).
+        while pos + 1 < len(d) and d[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(d):
+            raise ValueError("truncated JPEG: fill bytes run to end of data")
         marker = d[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -584,6 +592,17 @@ def decode_jpeg(payload: bytes) -> dict:
             height = int.from_bytes(body[1:3], "big")
             width = int.from_bytes(body[3:5], "big")
             ncomp = body[5]
+            if ncomp not in (1, 3):
+                # SOF0 is legal for 4-component Adobe CMYK/YCCK: without
+                # this guard a CMYK baseline file would decode "cleanly",
+                # treating the first 3 planes as YCbCr and silently
+                # dropping the 4th — garbage RGB, violating the module's
+                # named-rejection contract (r11 ADVICE #1). A 2-component
+                # scan would instead crash with a bare IndexError.
+                raise NotImplementedError(
+                    f"{ncomp}-component JPEG not supported — 1 (grayscale) "
+                    "or 3 (YCbCr) only; CMYK/YCCK must be re-exported"
+                )
             comps = []
             for i in range(ncomp):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]

@@ -31,13 +31,21 @@ document lands in the same split across reruns, re-ingests under new
 ids, and any dedup tie-break. Stream == batch is pinned in
 tests/test_streaming_curation.py.
 
-Delivery semantics: ``foreachBatch`` is at-least-once; the store
-append runs FIRST, so a crash between the two appends can lose (not
-duplicate) the window's corpus rows on redelivery — the conservative
-side for training data (a dropped doc costs recall; a duplicated doc
-corrupts the dedup invariant). Exactly-once needs a transactional
-sink (Delta/Iceberg), out of scope for the parquet-only sandbox and
-documented here as the boundary.
+Delivery semantics: ``foreachBatch`` is at-least-once, and the batch
+append is made IDEMPOTENT rather than merely ordered (r11 ADVICE #3
+— the old store-first ordering could permanently lose a batch's
+corpus rows: on redelivery the fps were already stored, so the
+anti-join dropped the docs forever). Each batch writes to
+batch-addressed hive partitions (``ingest_batch=<run>-<id>``) in
+OVERWRITE mode, the store anti-join excludes this batch's own
+(possibly crashed, partial) partition, and a commit marker keyed by
+(checkpoint identity, batch id) — Spark's own replay-determinism
+unit — lands only after BOTH writes. A crash anywhere before the
+marker ⇒ redelivery overwrites both partitions with identical
+content; after ⇒ the batch is skipped. True exactly-once across
+CONCURRENT writers still needs a transactional table format
+(Delta/Iceberg); this covers the single-writer crash/replay channel,
+which is the one foreachBatch actually has.
 
 Scale shape: the stateless stages are map-only; watermark-dedup state
 is bounded by (watermark × ingest rate); the per-batch store
@@ -139,15 +147,33 @@ def curate_docs(df: DataFrame, watermark: str = "1 day") -> DataFrame:
 
 
 def _append_batch(
-    batch_df: DataFrame, store_dir: str, corpus_dir: str
+    batch_df: DataFrame,
+    store_dir: str,
+    corpus_dir: str,
+    commit_token: str | None = None,
 ) -> None:
-    """One micro-batch → curated store. Within-batch min-id dedup per
+    """One micro-batch → curated store, IDEMPOTENT under at-least-once
+    redelivery (r11 ADVICE #3). Within-batch min-id dedup per
     fingerprint (deterministic provenance), store-scan anti-join
-    against every fingerprint ever kept, then append: store FIRST
-    (see module delivery-semantics note), corpus second, partitioned
-    by split."""
+    against every fingerprint ever kept EXCEPT this batch's own
+    partition (a crashed earlier attempt must not shadow its own
+    replay), then both writes land in batch-addressed hive partitions
+    (``ingest_batch=<commit_token>``) in overwrite mode, and a commit
+    marker seals the batch. ``commit_token`` must be unique per
+    (stream run, batch id) and STABLE across redelivery of the same
+    batch — ``run_curation_stream`` derives it from the checkpoint
+    path + foreachBatch batch id, Spark's replay-determinism unit.
+    ``commit_token=None`` keeps the legacy plain-append shape (used by
+    the latency probe, where the sink is throwaway)."""
     spark = batch_df.sparkSession
     from pyspark.sql import Window as W
+
+    fp_path = os.path.join(store_dir, "fingerprints")
+    corpus_path = os.path.join(corpus_dir, "corpus")
+    if commit_token is not None:
+        marker = os.path.join(store_dir, "commits", commit_token)
+        if os.path.exists(marker):
+            return  # already fully committed — exact redelivery skip
 
     w = W.partitionBy("fp").orderBy("doc_id")
     batch = (
@@ -156,9 +182,13 @@ def _append_batch(
         .drop("_rn")
         .localCheckpoint(eager=True)  # cut lineage before store reads/appends
     )
-    fp_path = os.path.join(store_dir, "fingerprints")
     if os.path.isdir(fp_path):
-        store_fps = spark.read.parquet(fp_path).select("fp")
+        store_fps = spark.read.parquet(fp_path)
+        if commit_token is not None and "ingest_batch" in store_fps.columns:
+            # partition-pruned: drop leftovers from a crashed attempt
+            # of THIS batch so its replay sees the pre-batch store
+            store_fps = store_fps.filter(F.col("ingest_batch") != commit_token)
+        store_fps = store_fps.select("fp")
         # dedup_store's store-scan/delta-broadcast shape: the store is
         # scanned once against the broadcast batch (never shuffled,
         # never broadcast — it is the big side), and only the tiny hit
@@ -168,12 +198,46 @@ def _append_batch(
     else:
         fresh = batch
     fresh = fresh.localCheckpoint(eager=True)
-    fresh.select("fp", "doc_id").write.mode("append").parquet(fp_path)
-    fresh.select(
-        "doc_id", "fp", "text", "quality", "n_tokens", "split"
-    ).write.mode("append").partitionBy("split").parquet(
-        os.path.join(corpus_dir, "corpus")
+    if commit_token is None:  # legacy append (probe sinks)
+        fresh.select("fp", "doc_id").write.mode("append").parquet(fp_path)
+        fresh.select(
+            "doc_id", "fp", "text", "quality", "n_tokens", "split"
+        ).write.mode("append").partitionBy("split").parquet(corpus_path)
+        return
+    if not fresh.isEmpty():  # empty batch: nothing to write, still commit
+        fresh.select("fp", "doc_id").write.mode("overwrite").parquet(
+            os.path.join(fp_path, f"ingest_batch={commit_token}")
+        )
+        fresh.select(
+            "doc_id", "fp", "text", "quality", "n_tokens", "split"
+        ).write.mode("overwrite").partitionBy("split").parquet(
+            os.path.join(corpus_path, f"ingest_batch={commit_token}")
+        )
+    os.makedirs(os.path.dirname(marker), exist_ok=True)
+    with open(marker, "w") as fh:
+        fh.write("committed\n")
+
+
+def watermark_covering(spark: SparkSession, sf_dir: str) -> str:
+    """Watermark wide enough that NO fingerprint's dedup state expires
+    over this corpus (r11 ADVICE #4): the synthetic clock ticks one
+    doc per second from doc_id, so the span in seconds is
+    max(doc_id) − min(doc_id); an hour of margin absorbs ties. With a
+    narrower watermark ``dropDuplicatesWithinWatermark`` legally
+    re-emits a later duplicate after state expiry and stream == batch
+    equality stops holding — the bound is CORPUS SPAN < WATERMARK, now
+    derived instead of assumed (the old fixed '1 day' default silently
+    broke beyond ~86,400 docs)."""
+    mm = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .agg(
+            F.min("doc_id").alias("lo"),
+            F.max("doc_id").alias("hi"),
+        )
+        .first()
     )
+    span = int((mm["hi"] or 0) - (mm["lo"] or 0))
+    return f"{span + 3600} seconds"
 
 
 def run_curation_stream(
@@ -182,15 +246,28 @@ def run_curation_stream(
     store_dir: str,
     corpus_dir: str,
     checkpoint_dir: str,
-    watermark: str = "1 day",
+    watermark: str | None = None,
     shuffle_partitions: int | None = None,
 ) -> None:
     """Drain the documents stream through the curation pipeline into
     the persisted store with availableNow (deterministic for tests; a
-    live deployment drops the trigger). ``shuffle_partitions`` sizes
-    the dedup state store — pass ``state_sized_partitions(...)``; the
-    sustained probe (tools/stream_latency_probe.py --pipeline
-    curation) measures the default."""
+    live deployment drops the trigger). ``watermark=None`` derives a
+    span-covering watermark from the corpus (``watermark_covering`` —
+    the stream==batch equality bound); pass an explicit duration for a
+    live deployment where bounded state matters more than replay
+    equality. ``shuffle_partitions`` sizes the dedup state store —
+    pass ``state_sized_partitions(...)``; the sustained probe
+    (tools/stream_latency_probe.py --pipeline curation) measures the
+    default. Each micro-batch appends through the idempotent
+    commit-token path: token = md5(checkpoint path) + batch id, unique
+    per run and stable across redelivery."""
+    import hashlib
+
+    if watermark is None:
+        watermark = watermark_covering(spark, sf_dir)
+    run_key = hashlib.md5(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
     stream = curate_docs(read_documents_stream(spark, sf_dir), watermark=watermark)
     prev = None
     if shuffle_partitions is not None:
@@ -199,7 +276,9 @@ def run_curation_stream(
     try:
         q = (
             stream.writeStream.foreachBatch(
-                lambda bdf, _bid: _append_batch(bdf, store_dir, corpus_dir)
+                lambda bdf, bid: _append_batch(
+                    bdf, store_dir, corpus_dir, commit_token=f"{run_key}-{bid}"
+                )
             )
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("append")

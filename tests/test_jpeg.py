@@ -176,6 +176,35 @@ def test_arithmetic_and_16bit_rejected():
         decode_jpeg(bytes(enc2))
 
 
+def test_cmyk_and_two_component_rejected_by_name():
+    """SOF0 is legal for 4-component Adobe CMYK/YCCK — without the
+    ncomp guard it decoded 'cleanly' as YCbCr + a dropped plane
+    (garbage RGB), and a 2-component scan crashed with a bare
+    IndexError (r11 ADVICE #1). Both must raise the NAMED error."""
+    for ncomp in (4, 2):
+        sof = bytes([8]) + (32).to_bytes(2, "big") + (32).to_bytes(2, "big")
+        sof += bytes([ncomp])
+        for cid in range(ncomp):
+            sof += bytes([cid + 1, 0x11, 0])
+        seg = b"\xff\xc0" + (2 + len(sof)).to_bytes(2, "big") + sof
+        with pytest.raises(NotImplementedError, match="component"):
+            decode_jpeg(b"\xff\xd8" + seg + b"\xff\xd9")
+
+
+def test_ff_fill_bytes_before_marker_are_skipped():
+    """T.81 B.1.1.2 allows any number of 0xFF pad bytes before a
+    marker code; previously such a (valid) file read 0xFF as the code
+    and a bogus segment length, then failed with a misleading
+    'truncated' error (r11 ADVICE #2)."""
+    img = _smooth(16, 16)
+    enc = jpeg_encode(img, quality=85)
+    padded = enc[:2] + b"\xff\xff\xff" + enc[2:]
+    assert np.array_equal(decode_jpeg(padded)["pixels"], decode_jpeg(enc)["pixels"])
+    # fill bytes running off the end stay a LOUD failure
+    with pytest.raises(ValueError, match="fill bytes"):
+        decode_jpeg(enc[:2] + b"\xff\xff\xff")
+
+
 def test_truncated_and_garbage_rejected():
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")

@@ -174,6 +174,79 @@ def test_curation_stream_delta_appends_only_new_uniques(spark, tmp_path_factory)
     assert new_rows[0]["text"] == fresh_text
 
 
+def _mini_batch(spark):
+    rows = [
+        (1, "aa", "text one", 0.9, 10, "split_train"),
+        (2, "bb", "text two", 0.8, 12, "split_val"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, fp string, text string, quality double, "
+        "n_tokens long, split string"
+    )
+
+
+def test_append_batch_exact_replay_is_idempotent(spark, tmp_path_factory):
+    """r11 ADVICE #3: redelivering a fully-committed batch appends
+    nothing; redelivering after a simulated crash BETWEEN the store
+    append and the corpus append recovers the corpus rows instead of
+    losing them forever (the old store-first ordering's failure)."""
+    import shutil
+
+    from commodity_price_forecasting_spark.streaming.curation_stream import (
+        _append_batch,
+    )
+
+    store = str(tmp_path_factory.mktemp("idem_store"))
+    corpus = str(tmp_path_factory.mktemp("idem_corpus"))
+    batch = _mini_batch(spark)
+
+    # committed batch + redelivery: both stores unchanged
+    _append_batch(batch, store, corpus, commit_token="run-0")
+    corpus_path = os.path.join(corpus, "corpus")
+    fp_path = os.path.join(store, "fingerprints")
+    n_corpus = spark.read.parquet(corpus_path).count()
+    n_fps = spark.read.parquet(fp_path).count()
+    _append_batch(batch, store, corpus, commit_token="run-0")
+    assert spark.read.parquet(corpus_path).count() == n_corpus == 2
+    assert spark.read.parquet(fp_path).count() == n_fps == 2
+
+    # crash between the two writes: fps of batch run-1 landed, corpus +
+    # commit marker did not (simulated by replaying with the corpus
+    # partition and marker removed)
+    _append_batch(batch.withColumn("doc_id", F.col("doc_id") + 10)
+                  .withColumn("fp", F.concat(F.col("fp"), F.lit("x"))),
+                  store, corpus, commit_token="run-1")
+    shutil.rmtree(os.path.join(corpus_path, "ingest_batch=run-1"))
+    os.remove(os.path.join(store, "commits", "run-1"))
+    replay = _mini_batch(spark).withColumn(
+        "doc_id", F.col("doc_id") + 10
+    ).withColumn("fp", F.concat(F.col("fp"), F.lit("x")))
+    _append_batch(replay, store, corpus, commit_token="run-1")
+    # the replay must NOT be shadowed by its own crashed fps: corpus
+    # holds all 4 docs exactly once, store all 4 fps exactly once
+    got = spark.read.parquet(corpus_path)
+    assert got.count() == 4
+    assert got.select("fp").distinct().count() == 4
+    fps = spark.read.parquet(fp_path)
+    assert fps.count() == 4 and fps.select("fp").distinct().count() == 4
+    assert os.path.exists(os.path.join(store, "commits", "run-1"))
+
+
+def test_watermark_covering_spans_corpus(spark):
+    """r11 ADVICE #4: the derived watermark must exceed the synthetic
+    clock's corpus span (1 doc/sec), the stream==batch equality bound."""
+    from commodity_price_forecasting_spark.streaming.curation_stream import (
+        watermark_covering,
+    )
+
+    wm = watermark_covering(spark, SF_DIR)
+    assert wm.endswith(" seconds")
+    secs = int(wm.split()[0])
+    docs = load_table(spark, SF_DIR, "documents")
+    span = docs.agg((F.max("doc_id") - F.min("doc_id")).alias("s")).first()["s"]
+    assert secs > span
+
+
 def test_state_sized_partitions_input_bound(spark):
     """r11 second bound: tiny per-trigger input caps partitions below
     the state bound (the curation sweep: 4,071-key state, 100-row
