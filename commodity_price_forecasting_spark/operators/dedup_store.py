@@ -383,6 +383,14 @@ def dedup_delta(
             os.path.join(path, "bands")
         )
         n_appended = new_canon.count()
+        # persist the divergence tally so store_maintenance's health
+        # report can evaluate the documented rebuild rule without the
+        # caller keeping its own ledger (r11 VERDICT ask #2); bridges
+        # derive from the checkpointed component frame, so this adds
+        # one tiny job only when a bridge actually occurred
+        bridges = bridges.localCheckpoint(eager=True)
+        if bridges.count() > 0:
+            bridges.write.mode("append").parquet(os.path.join(path, "bridges"))
         new_max = d.agg(F.max("doc_id")).first()[0]
         _write_meta(
             spark,

@@ -262,6 +262,15 @@ def semantic_dedup_delta(
             os.path.join(path, "cells")
         )
         n_appended = kept.count()
+        # persist the inversion tally for store_maintenance's health
+        # report (r11 VERDICT ask #2) — the rebuild trigger as a
+        # readable ledger, not a per-run return value the caller must
+        # keep; derives from the checkpointed hits frame (cheap)
+        inversions = inversions.localCheckpoint(eager=True)
+        if inversions.count() > 0:
+            inversions.write.mode("append").parquet(
+                os.path.join(path, "inversions")
+            )
 
     return {
         "verdicts": verdicts,

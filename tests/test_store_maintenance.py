@@ -1,0 +1,266 @@
+"""Store compaction + health (operators/store_maintenance, r11
+VERDICT ask #2): compaction must be a NO-OP for content and for every
+future delta verdict while collapsing the per-append small files; the
+health report must mechanize the documented rebuild triggers
+(bridges, inversions, cell skew) from the persisted ledgers."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from commodity_price_forecasting_spark.operators.dedup_store import (
+    dedup_delta,
+    dedup_store_build,
+    dedup_store_load,
+)
+from commodity_price_forecasting_spark.operators.semantic_store import (
+    semantic_dedup_delta,
+    semantic_store_build,
+    semantic_store_load,
+)
+from commodity_price_forecasting_spark.operators.store_maintenance import (
+    curation_store_compact,
+    dedup_store_compact,
+    dedup_store_health,
+    semantic_store_compact,
+    semantic_store_health,
+)
+from commodity_price_forecasting_spark.sources.readers import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def _verdict_set(res):
+    return {
+        (r["doc_id"], r["status"], r["dup_of"])
+        for r in res["verdicts"].collect()
+    }
+
+
+def _rows_multiset(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_dedup_compaction_noop_for_content_and_verdicts(spark, tmp_path):
+    """Build + two delta appends (small-file accumulation), then
+    compact: every artifact's content is unchanged as a multiset, a
+    fresh delta's verdicts are identical before/after, and the file
+    count strictly drops."""
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "store")
+    dedup_store_build(docs.filter(F.col("doc_id") < 300), path)
+    dedup_delta(
+        spark, path, docs.filter(F.col("doc_id").between(300, 349))
+    )
+    dedup_delta(
+        spark, path, docs.filter(F.col("doc_id").between(350, 399))
+    )
+
+    probe = docs.filter(F.col("doc_id") >= 400)
+    before_v = _verdict_set(dedup_delta(spark, path, probe, append=False))
+    before_store = {
+        name: _rows_multiset(
+            spark.read.parquet(os.path.join(path, name))
+        )
+        for name in ("fingerprints", "signatures", "bands")
+    }
+    h0 = dedup_store_health(spark, path)
+    assert h0["artifacts"]["fingerprints"]["n_files"] >= 3  # build + 2 appends
+    # per-append small files: health must tell the operator to compact
+    assert "fingerprints" in h0["compact_recommended"]
+
+    rep = dedup_store_compact(spark, path)
+    assert not rep["fingerprints"]["skipped"]
+    assert rep["fingerprints"]["files_after"] < rep["fingerprints"]["files_before"]
+
+    for name, want in before_store.items():
+        got = _rows_multiset(spark.read.parquet(os.path.join(path, name)))
+        assert got == want, f"{name} content changed under compaction"
+    after_v = _verdict_set(dedup_delta(spark, path, probe, append=False))
+    assert after_v == before_v and len(after_v) > 0
+
+    # idempotent: a second compaction is a recognized no-op
+    rep2 = dedup_store_compact(spark, path)
+    assert all(v["skipped"] for v in rep2.values())
+
+
+def _write_docs(spark, rows, path):
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_bridge_tally_persisted_and_health_rule_fires(spark, tmp_path):
+    """A bridging delta (the test_dedup_store construct) appended with
+    append=True must land its bridge pair in the store's ledger, and
+    the health report must flip rebuild_recommended once the bridged
+    canonical fraction crosses the documented rule."""
+    a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 4
+    b = "kilo lima mike november oscar papa quebec romeo sierra tango " * 4
+    filler = "unrelated filler content zebra yankee xray whiskey victor " * 4
+    old = _write_docs(
+        spark, [(0, a), (1, b), (2, filler)], str(tmp_path / "old.parquet")
+    )
+    path = str(tmp_path / "store")
+    dedup_store_build(old, path, rows_per_band=1, threshold=0.3)
+    delta = _write_docs(spark, [(10, a + " " + b)], str(tmp_path / "d.parquet"))
+    dedup_delta(spark, path, delta)  # append=True persists the bridge
+
+    h = dedup_store_health(spark, path)
+    assert h["n_bridges"] == 1
+    assert h["n_bridged_canonicals"] == 2
+    # 2 of 3 canonicals bridged ≫ the 1% rule → rebuild recommended
+    assert h["rebuild_recommended"] is True
+
+
+def test_semantic_compaction_noop_for_content_and_verdicts(spark, tmp_path):
+    rng = np.random.default_rng(7)
+    old = _emb_df(spark, [(i, rng.normal(size=16)) for i in range(40)])
+    path = str(tmp_path / "store")
+    semantic_store_build(old, path, k=4, threshold=0.3)
+    semantic_dedup_delta(
+        spark, path, _emb_df(spark, [(100 + i, rng.normal(size=16)) for i in range(10)])
+    )
+    semantic_dedup_delta(
+        spark, path, _emb_df(spark, [(200 + i, rng.normal(size=16)) for i in range(10)])
+    )
+
+    probe = _emb_df(spark, [(300 + i, rng.normal(size=16)) for i in range(8)])
+    res0 = semantic_dedup_delta(spark, path, probe, append=False)
+    before_v = {
+        (r["vec_id"], r["status"], r["dup_of"], r["cell"])
+        for r in res0["verdicts"].collect()
+    }
+    before_cells = _rows_multiset(
+        spark.read.parquet(os.path.join(path, "cells")).select(
+            "vec_id", "cent_cos", "cell"
+        )
+    )
+    h0 = semantic_store_health(spark, path)
+    assert h0["n_kept"] == len(before_cells)
+
+    rep = semantic_store_compact(spark, path)
+    assert not rep["cells"]["skipped"]
+    assert rep["cells"]["files_after"] < rep["cells"]["files_before"]
+    # one file per cell partition after compaction
+    stats = semantic_store_health(spark, path)["artifacts"]["cells"]
+    assert all(c == 1 for c in stats["files_per_partition"].values())
+
+    got_cells = _rows_multiset(
+        spark.read.parquet(os.path.join(path, "cells")).select(
+            "vec_id", "cent_cos", "cell"
+        )
+    )
+    assert got_cells == before_cells
+    res1 = semantic_dedup_delta(spark, path, probe, append=False)
+    after_v = {
+        (r["vec_id"], r["status"], r["dup_of"], r["cell"])
+        for r in res1["verdicts"].collect()
+    }
+    assert after_v == before_v and len(after_v) == 8
+
+
+def test_inversion_tally_persisted_and_health_rule_fires(spark, tmp_path):
+    """Seed-choice-independent inversion construct: store = two
+    orthogonal unit vectors (both kept under any seed), delta = their
+    normalized mean — it hits both at cos≈0.707, precedes the seed
+    itself (cent 0.707 < 1.0), so exactly one inversion exists no
+    matter which vector became the seed. append=True must persist it
+    and health must recommend rebuild (1 inverted of 2 kept > 1%)."""
+    e = np.eye(16)
+    old = _emb_df(spark, [(0, e[0]), (1, e[1])])
+    path = str(tmp_path / "store")
+    stats = semantic_store_build(old, path, k=1, threshold=0.3)
+    assert stats["n_kept"] == 2
+
+    d = (e[0] + e[1]) / np.sqrt(2.0)
+    res = semantic_dedup_delta(spark, path, _emb_df(spark, [(10, d)]))
+    assert res["inversions"].count() == 1
+
+    h = semantic_store_health(spark, path)
+    assert h["n_inversions"] == 1
+    assert h["n_inverted_survivors"] == 1
+    assert h["rebuild_recommended"] is True
+
+
+def test_curation_store_compact_consolidates_committed_batches(
+    spark, tmp_path_factory
+):
+    """Two stream ingests (base + delta fixture) leave ≥2
+    ingest_batch partitions; compaction consolidates them into one
+    committed partition with corpus content unchanged, markers
+    retained, and a further re-ingest still appends nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commodity_price_forecasting_spark.streaming.curation_stream import (
+        run_curation_stream,
+    )
+
+    store = str(tmp_path_factory.mktemp("cc_store"))
+    corpus = str(tmp_path_factory.mktemp("cc_corpus"))
+    run_curation_stream(
+        spark, SF_DIR, store, corpus, str(tmp_path_factory.mktemp("cc_ck1"))
+    )
+    fresh_text = (
+        "the quick brown fox jumps over a lazy dog and the crow watches in "
+        "awe of every single moving shadow near the old mill by the river "
+        "bank while morning light settles softly over distant quiet hills"
+    )
+    delta_dir = str(tmp_path_factory.mktemp("cc_fixture"))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([10_000_001], pa.int64()),
+                "text": [fresh_text],
+                "lang": ["en"],
+                "source": ["delta"],
+                "n_chars": pa.array([len(fresh_text)], pa.int64()),
+            }
+        ),
+        os.path.join(delta_dir, "documents.parquet"),
+    )
+    run_curation_stream(
+        spark, delta_dir, store, corpus, str(tmp_path_factory.mktemp("cc_ck2"))
+    )
+
+    corpus_path = os.path.join(corpus, "corpus")
+    fp_path = os.path.join(store, "fingerprints")
+    before = _rows_multiset(
+        spark.read.parquet(corpus_path).select(
+            "doc_id", "fp", "text", "quality", "n_tokens", "split"
+        )
+    )
+    assert len(os.listdir(fp_path)) >= 2  # one partition per batch
+
+    rep = curation_store_compact(spark, store, corpus)
+    assert not rep["fingerprints"]["skipped"]
+    assert rep["fingerprints"]["files_after"] < rep["fingerprints"]["files_before"]
+    fp_parts = [p for p in os.listdir(fp_path) if p.startswith("ingest_batch=")]
+    assert fp_parts == ["ingest_batch=compacted-0"]
+
+    after = _rows_multiset(
+        spark.read.parquet(corpus_path).select(
+            "doc_id", "fp", "text", "quality", "n_tokens", "split"
+        )
+    )
+    assert after == before and len(after) > 0
+
+    # the store still dedups: re-ingesting the base corpus appends 0
+    run_curation_stream(
+        spark, SF_DIR, store, corpus,
+        str(tmp_path_factory.mktemp("cc_ck3")),
+    )
+    assert spark.read.parquet(corpus_path).count() == len(before)

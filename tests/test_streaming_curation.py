@@ -174,6 +174,114 @@ def test_curation_stream_delta_appends_only_new_uniques(spark, tmp_path_factory)
     assert new_rows[0]["text"] == fresh_text
 
 
+def _write_delta_fixture(spark, tmp_dir, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["delta"] * len(rows),
+                "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+            }
+        ),
+        os.path.join(tmp_dir, "documents.parquet"),
+    )
+
+
+def test_stream_near_dup_tier_matches_batch_and_gates_corpus(
+    spark, tmp_path_factory
+):
+    """r11 VERDICT ask #3: with ``near_dup_store`` set, each
+    micro-batch's exact-tier survivors get REAL dedup_delta MinHash
+    verdicts — a near-dup of a stored doc is dropped from the corpus,
+    a fresh doc is kept, the per-batch ledger equals what the batch
+    dedup_delta decides on the same input against a snapshot of the
+    store, and a replay ingest appends nothing."""
+    import shutil
+
+    from commodity_price_forecasting_spark.operators.dedup_store import (
+        dedup_delta,
+        dedup_store_build,
+    )
+
+    store = str(tmp_path_factory.mktemp("nd_store"))
+    corpus = str(tmp_path_factory.mktemp("nd_corpus"))
+    run_curation_stream(
+        spark, SF_DIR, store, corpus, str(tmp_path_factory.mktemp("nd_ck1"))
+    )
+    curated = spark.read.parquet(os.path.join(corpus, "corpus"))
+    n_base = curated.count()
+    base_text = curated.orderBy("doc_id").first()["text"]
+
+    # band store over the curated base (redacted texts — what the
+    # stream's near tier will compare against); wide bands + low
+    # threshold so the planted near-dup pair collides deterministically
+    near_store = str(tmp_path_factory.mktemp("nd_bands"))
+    dedup_store_build(
+        curated.select("doc_id", "text"), near_store,
+        rows_per_band=1, threshold=0.3,
+    )
+    near_ref = str(tmp_path_factory.mktemp("nd_bands_ref"))
+    shutil.rmtree(near_ref)
+    shutil.copytree(near_store, near_ref)  # batch-comparison snapshot
+
+    fresh_text = (
+        "entirely new content about mills rivers crows and the slow march "
+        "of morning light across quiet distant hills where nothing repeats "
+        "any earlier document in this corpus at all in any shingle window"
+    )
+    delta_dir = str(tmp_path_factory.mktemp("nd_fixture"))
+    _write_delta_fixture(
+        spark,
+        delta_dir,
+        [
+            (10_000_001, base_text + " tiny trailing addition"),  # near-dup
+            (10_000_002, fresh_text),  # genuinely new
+        ],
+    )
+    run_curation_stream(
+        spark, delta_dir, store, corpus,
+        str(tmp_path_factory.mktemp("nd_ck2")),
+        near_dup_store=near_store,
+    )
+
+    # corpus gained ONLY the fresh doc
+    after = spark.read.parquet(os.path.join(corpus, "corpus"))
+    assert after.count() == n_base + 1
+    assert [r["doc_id"] for r in after.collect() if r["doc_id"] > 10_000_000] == [
+        10_000_002
+    ]
+
+    # ledger == batch dedup_delta on the same survivors vs the snapshot
+    ledger = spark.read.parquet(os.path.join(corpus, "near_dup_verdicts"))
+    got = {
+        (r["doc_id"], r["status"], r["dup_of"]) for r in ledger.collect()
+    }
+    batch_in = curate_docs(
+        with_arrival_ts(spark.read.parquet(os.path.join(delta_dir, "documents.parquet")))
+    ).select("doc_id", "text")
+    want = {
+        (r["doc_id"], r["status"], r["dup_of"])
+        for r in dedup_delta(spark, near_ref, batch_in)["verdicts"].collect()
+    }
+    assert got == want and len(got) == 2
+    assert {s for _, s, _ in got} == {"near_dup", "kept"}
+
+    # replay (fresh checkpoint, same fixture): exact tier drops both
+    # docs before the near tier — corpus unchanged, loud-error path
+    # never reached
+    run_curation_stream(
+        spark, delta_dir, store, corpus,
+        str(tmp_path_factory.mktemp("nd_ck3")),
+        near_dup_store=near_store,
+    )
+    assert spark.read.parquet(os.path.join(corpus, "corpus")).count() == n_base + 1
+
+
 def _mini_batch(spark):
     rows = [
         (1, "aa", "text one", 0.9, 10, "split_train"),
