@@ -68,6 +68,19 @@ def hourly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.avg("value").alias("px"))
 
 
+def hourly_as_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``hourly_bars`` bound to ``daily_bars``' (instrument, day, px)
+    column shape, so an underpowered daily-grain statistical lane can
+    move to the hourly grain by swapping this ONE call — the
+    m11_ljung_box precedent generalized (r11 VERDICT ask #8: the r12
+    audit found eight more test lanes running at n ≈ 20-24
+    observations per instrument at sf0.001, under the n ≥ 30 floor
+    the mirror's VACUOUS gate cannot see). ``day`` then holds the
+    HOUR timestamp; every lane using this aggregates it away, so the
+    name is a join-shape convenience, not an output claim."""
+    return hourly_bars(spark, sf_dir).withColumnRenamed("hr", "day")
+
+
 def with_gaps(daily: DataFrame) -> DataFrame:
     """Deterministically null out every 7th day-of-month — a synthetic
     stand-in for the reference's missing market values (so the

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from commodity_price_forecasting_spark.functions.stats import regression_metrics
 from commodity_price_forecasting_spark.plans.e1_pipeline import (
     daily_bars,
+    hourly_as_daily,
     pair_mapping,
     spreads,
 )
@@ -27,6 +28,20 @@ from commodity_price_forecasting_spark.sources.readers import load_table
 _DAILY_CTE = """
 WITH daily AS (
   SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY 1, 2
+)
+"""
+
+# hourly bars bound to the same (daily, day, px) aliases the shared
+# oracle bodies use: an underpowered statistical lane moves to the
+# hourly grain by swapping this ONE prefix (r11 VERDICT ask #8 — the
+# daily grain tops out at 23-24 obs/instrument at sf0.001, under the
+# n >= 30 floor; hourly yields 46-82). Spark twin: e1_pipeline
+# .hourly_as_daily.
+_HOURLY_AS_DAILY_CTE = """
+WITH daily AS (
+  SELECT user_id AS instrument, date_trunc('hour', ts) AS day,
+         AVG(value) AS px
   FROM events GROUP BY 1, 2
 )
 """
@@ -434,7 +449,9 @@ def m11_stationarity_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         kpss_by_group,
     )
 
-    daily = daily_bars(spark, sf_dir).select(
+    # hourly grain (r11 ask #8): daily topped out at 23-24 obs per
+    # instrument at sf0.001 — under the tests' n >= 30 floor
+    daily = hourly_as_daily(spark, sf_dir).select(
         F.col("instrument"), F.col("day"), F.col("px")
     )
     adf = adf_by_group(daily, "instrument", "day", "px").select(
@@ -451,7 +468,7 @@ def m11_stationarity_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _KPSS_ORACLE = (
-    _DAILY_CTE
+    _HOURLY_AS_DAILY_CTE
     + """
 , d AS (
   SELECT instrument, px,
@@ -505,8 +522,10 @@ def m11_kpss_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     + an equi-join on (instrument, rn−lag): O(n·L) rows, hash-
     partitioned on the series key — at 100 TB that is a co-partitioned
     self-join per series, never a per-group collect. Oracle: the same
-    algebra in ANSI SQL (a bounded range self-join), hash-checked."""
-    daily = daily_bars(spark, sf_dir)
+    algebra in ANSI SQL (a bounded range self-join), hash-checked.
+    Hourly grain since r12 (r11 ask #8): daily gave n = 23-24 at
+    sf0.001, under the n >= 30 floor; hourly gives 46-82 everywhere."""
+    daily = hourly_as_daily(spark, sf_dir)
     w = Window.partitionBy("instrument").orderBy("day")
     d = daily.withColumn("rn", F.row_number().over(w))
     m = daily.groupBy("instrument").agg(
@@ -565,7 +584,7 @@ def m11_kpss_level(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DF_ORACLE = (
-    _DAILY_CTE
+    _HOURLY_AS_DAILY_CTE
     + """
 , pairs AS (
   SELECT instrument,
@@ -604,8 +623,9 @@ def m11_df_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_lag=0 is asserted in tests/test_ml.py; the AUGMENTED variant
     (lagged Δy regressors) remains the applyInPandas
     ``m11_stationarity_tests``. Oracle: the identical sufficient-
-    statistics algebra in ANSI SQL."""
-    daily = daily_bars(spark, sf_dir)
+    statistics algebra in ANSI SQL. Hourly grain since r12 (r11
+    ask #8): same floor argument as m11_kpss_level."""
+    daily = hourly_as_daily(spark, sf_dir)
     w = Window.partitionBy("instrument").orderBy("day")
     pairs = daily.select(
         "instrument",

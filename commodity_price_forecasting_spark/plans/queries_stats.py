@@ -270,21 +270,28 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CONFORMAL_ORACLE = """
 WITH daily AS (
-  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
-  FROM events GROUP BY user_id, CAST(ts AS DATE)
+  -- hourly bars under the daily alias (r11 ask #8): the old daily
+  -- grain + fixed calendar cutoff gave n_cal = 7 at sf0.001
+  SELECT user_id AS instrument, date_trunc('hour', ts) AS day,
+         AVG(value) AS px
+  FROM events GROUP BY user_id, date_trunc('hour', ts)
 ), r AS (
   SELECT instrument, day,
          ABS(px - LAG(px) OVER (PARTITION BY instrument ORDER BY day))
            AS resid
   FROM daily
+), idx AS (
+  SELECT instrument, resid,
+         ROW_NUMBER() OVER (PARTITION BY instrument ORDER BY day) AS rn,
+         COUNT(*) OVER (PARTITION BY instrument) AS n
+  FROM r WHERE resid IS NOT NULL
 ), cal AS (
   SELECT instrument, COUNT(*) AS n_cal,
          quantile_cont(resid, 0.9) AS q90
-  FROM r WHERE resid IS NOT NULL AND day < DATE '2024-01-22'
+  FROM idx WHERE rn * 3 <= n * 2
   GROUP BY instrument
 ), ev AS (
-  SELECT instrument, resid FROM r
-  WHERE resid IS NOT NULL AND day >= DATE '2024-01-22'
+  SELECT instrument, resid FROM idx WHERE rn * 3 > n * 2
 )
 SELECT c.instrument, CAST(c.n_cal AS BIGINT) AS n_cal,
        ROUND(c.q90, 6) AS q90,
@@ -300,32 +307,50 @@ GROUP BY c.instrument, c.n_cal, c.q90
 def m7_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Split-conformal prediction interval for the naive (lag-1)
     per-instrument forecast: the 0.9-quantile of calibration-window
-    absolute residuals (days before Jan 22) is the interval
-    half-width; empirical coverage is then measured on the held-out
-    tail — the distribution-free uncertainty wrapper (Vovk et al.;
-    Lei et al. 2018) any point forecaster gets for free.
+    absolute residuals (the time-ordered FIRST 2/3 of each series) is
+    the interval half-width; empirical coverage is then measured on
+    the held-out last third — the distribution-free uncertainty
+    wrapper (Vovk et al.; Lei et al. 2018) any point forecaster gets
+    for free. Hourly grain + fractional split since r12 (r11 ask #8):
+    the old daily grain with a FIXED calendar cutoff calibrated the
+    quantile on n_cal = 7 residuals at sf0.001; the 2/3 row split at
+    hourly gives n_cal = 30-54 at every SF, and scales with the
+    series instead of an arbitrary date. n_eval (15-27 at sf0.001) is
+    the coverage DIAGNOSTIC's denominator, not the statistic's
+    sample size — the quantile is the estimated quantity.
 
-    Plan shape: daily bars → one lag window per instrument → one
+    Plan shape: hourly bars → one lag window per instrument → one
     exact ``percentile`` aggregate on the calibration slice (exact
     quantile per GROUP is a heap over that group's residuals — the
     per-key-exact lane; corpus-wide quantiles at 100 TB take
     ``approx_percentile`` instead) → broadcast the per-instrument
     q90 back onto the eval slice for the coverage aggregate."""
-    daily = daily_bars(spark, sf_dir)
+    from commodity_price_forecasting_spark.plans.e1_pipeline import (
+        hourly_as_daily,
+    )
+
+    daily = hourly_as_daily(spark, sf_dir)
     w = Window.partitionBy("instrument").orderBy("day")
     r = daily.withColumn(
         "resid", F.abs(F.col("px") - F.lag("px").over(w))
     ).filter(F.col("resid").isNotNull())
-    cutoff = F.lit("2024-01-22").cast("date")
+    idx = r.select(
+        "instrument",
+        "resid",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("instrument")).alias("_n"),
+    )
     cal = (
-        r.filter(F.col("day") < cutoff)
+        idx.filter(F.col("_rn") * 3 <= F.col("_n") * 2)
         .groupBy("instrument")
         .agg(
             F.count(F.lit(1)).alias("n_cal"),
             F.percentile("resid", 0.9).alias("_q90"),
         )
     )
-    ev = r.filter(F.col("day") >= cutoff).select("instrument", "resid")
+    ev = idx.filter(F.col("_rn") * 3 > F.col("_n") * 2).select(
+        "instrument", "resid"
+    )
     return (
         ev.join(F.broadcast(cal), "instrument")
         .groupBy("instrument", "n_cal", "_q90")

@@ -23,6 +23,7 @@ from commodity_price_forecasting_spark.operators.timeseries import (
 from commodity_price_forecasting_spark.plans.e1_pipeline import (
     E1_ORACLE,
     daily_bars,
+    hourly_as_daily,
     e1_flagship,
     imputed,
     with_gaps,
@@ -1022,7 +1023,10 @@ def ts_leadlag_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ACF_ORACLE = """
 WITH daily AS (
-  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  -- hourly bars under the daily alias (r11 ask #8): the daily grain
+  -- gave n = 23-24 obs/instrument at sf0.001, under the n >= 30 floor
+  SELECT user_id AS instrument, date_trunc('hour', ts) AS day,
+         AVG(value) AS px
   FROM events GROUP BY 1, 2
 ), lagged AS (
   SELECT instrument, px,
@@ -1053,7 +1057,7 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle pins the same convention.)"""
     from pyspark.sql import Window as W
 
-    daily = daily_bars(spark, sf_dir)
+    daily = hourly_as_daily(spark, sf_dir)
     w = W.partitionBy("instrument").orderBy("day")
     lagged = daily.select(
         "instrument",
@@ -1077,7 +1081,10 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RS_ORACLE = """
 WITH daily AS (
-  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  -- hourly bars under the daily alias (r11 ask #8): the daily grain
+  -- gave n = 23-24 obs/instrument at sf0.001, under the n >= 30 floor
+  SELECT user_id AS instrument, date_trunc('hour', ts) AS day,
+         AVG(value) AS px
   FROM events GROUP BY 1, 2
 ), e AS (
   SELECT instrument, day, px - AVG(px) OVER (PARTITION BY instrument) AS e
@@ -1104,7 +1111,7 @@ def ts_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     window, one aggregate; everything partition-local per series."""
     from pyspark.sql import Window as W
 
-    daily = daily_bars(spark, sf_dir)
+    daily = hourly_as_daily(spark, sf_dir)
     wp = W.partitionBy("instrument")
     e = daily.select(
         "instrument",
@@ -1131,7 +1138,10 @@ def ts_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PACF_ORACLE = """
 WITH daily AS (
-  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  -- hourly bars under the daily alias (r11 ask #8): the daily grain
+  -- gave n = 23-24 obs/instrument at sf0.001, under the n >= 30 floor
+  SELECT user_id AS instrument, date_trunc('hour', ts) AS day,
+         AVG(value) AS px
   FROM events GROUP BY 1, 2
 ), e AS (
   SELECT instrument, day, px - AVG(px) OVER (PARTITION BY instrument) AS e
@@ -1171,10 +1181,12 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form arithmetic: φ11 = r1, φ22 = (r2−r1²)/(1−r1²),
     φ33 = (r3 − φ21 r2 − φ22 r1)/(1 − φ21 r1 − φ22 r2) with
     φ21 = r1(1−φ22). One demeaning window, one multi-lag window, one
-    aggregate — everything partition-local per series."""
+    aggregate — everything partition-local per series. Hourly grain
+    since r12 (r11 ask #8: daily gave n = 24 at sf0.001, under the
+    n >= 30 floor)."""
     from pyspark.sql import Window as W
 
-    daily = daily_bars(spark, sf_dir)
+    daily = hourly_as_daily(spark, sf_dir)
     wp = W.partitionBy("instrument")
     e = daily.select(
         "instrument",
@@ -1347,7 +1359,10 @@ def ml_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIECEWISE_ORACLE = """
 WITH daily AS (
-  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  -- hourly bars under the daily alias (r11 ask #8): the daily grain
+  -- gave n = 23-24 obs/instrument at sf0.001, under the n >= 30 floor
+  SELECT user_id AS instrument, date_trunc('hour', ts) AS day,
+         AVG(value) AS px
   FROM events GROUP BY 1, 2
 ), idx AS (
   SELECT instrument, day, px,
@@ -1411,7 +1426,7 @@ def ts_piecewise_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     day on ties), with the single-line RSS and the fractional
     improvement beside it (CUSUM locates a LEVEL shift;
     this locates a SLOPE change)."""
-    daily = daily_bars(spark, sf_dir)
+    daily = hourly_as_daily(spark, sf_dir)
     wd = Window.partitionBy("instrument").orderBy("day")
     idx = daily.withColumn(
         "t", (F.row_number().over(wd) - 1).cast("double")

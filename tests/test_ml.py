@@ -420,7 +420,9 @@ def test_kpss_dataframe_form_equals_numpy_form(spark):
     rounding — same demeaning, same partial sums, same Bartlett
     window at the same Schwert lag."""
     from commodity_price_forecasting_spark.ml.stattests import kpss_by_group
-    from commodity_price_forecasting_spark.plans.e1_pipeline import daily_bars
+    from commodity_price_forecasting_spark.plans.e1_pipeline import (
+        hourly_as_daily,
+    )
     from commodity_price_forecasting_spark.plans.queries_coverage import (
         m11_kpss_level,
     )
@@ -430,7 +432,9 @@ def test_kpss_dataframe_form_equals_numpy_form(spark):
         r["instrument"]: r["kpss_stat"]
         for r in m11_kpss_level(spark, sf_dir).collect()
     }
-    daily = daily_bars(spark, sf_dir)
+    # hourly grain since r12 (r11 ask #8) — the numpy twin reads the
+    # same bars the JVM lane now consumes
+    daily = hourly_as_daily(spark, sf_dir)
     np_rows = kpss_by_group(daily, "instrument", "day", "px").collect()
     assert len(jvm) == len(np_rows) > 0
     for r in np_rows:
@@ -444,7 +448,9 @@ def test_df_statistic_equals_adf_lag0(spark):
     import numpy as np
 
     from commodity_price_forecasting_spark.ml.stattests import _adf_stat
-    from commodity_price_forecasting_spark.plans.e1_pipeline import daily_bars
+    from commodity_price_forecasting_spark.plans.e1_pipeline import (
+        hourly_as_daily,
+    )
     from commodity_price_forecasting_spark.plans.queries_coverage import (
         m11_df_test,
     )
@@ -453,7 +459,8 @@ def test_df_statistic_equals_adf_lag0(spark):
     jvm = {
         r["instrument"]: r["df_stat"] for r in m11_df_test(spark, sf_dir).collect()
     }
-    pdf = daily_bars(spark, sf_dir).toPandas()
+    # hourly grain since r12 (r11 ask #8)
+    pdf = hourly_as_daily(spark, sf_dir).toPandas()
     n_checked = 0
     for inst, grp in pdf.groupby("instrument"):
         y = grp.sort_values("day")["px"].to_numpy(dtype=float)

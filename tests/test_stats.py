@@ -102,27 +102,26 @@ def test_ks_matches_direct_cdf_supremum(spark, duck):
 
 
 def test_conformal_matches_numpy_quantile_and_coverage(spark, duck):
+    # hourly grain + time-ordered 2/3 split since r12 (r11 ask #8):
+    # the old daily grain + fixed calendar cutoff calibrated on n=7
     rows = duck.execute(
-        "SELECT user_id, CAST(ts AS DATE) AS day, AVG(value) AS px "
+        "SELECT user_id, date_trunc('hour', ts) AS day, AVG(value) AS px "
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
     ).fetchall()
     series = defaultdict(list)
     for uid, day, px in rows:
         series[uid].append((day, px))
-    import datetime
-
-    cut = datetime.date(2024, 1, 22)
     got = {r["instrument"]: r for r in REGISTRY["m7_conformal_interval"].fn(spark, SF_SMOKE).collect()}
     for uid, pts in series.items():
         resid = [
-            (d2, abs(p2 - p1))
-            for (d1, p1), (d2, p2) in zip(pts, pts[1:])
+            abs(p2 - p1) for (_d1, p1), (_d2, p2) in zip(pts, pts[1:])
         ]
-        cal = [x for d, x in resid if d < cut]
-        ev = [x for d, x in resid if d >= cut]
+        k = (2 * len(resid)) // 3  # rn*3 <= n*2 == first floor(2n/3) rows
+        cal, ev = resid[:k], resid[k:]
         if not cal or not ev:
             assert uid not in got
             continue
+        assert len(cal) >= 30  # the grain change is the point
         q90 = float(np.quantile(cal, 0.9, method="linear"))
         cov = sum(1.0 for x in ev if x <= q90) / len(ev)
         r = got[uid]
@@ -133,8 +132,9 @@ def test_conformal_matches_numpy_quantile_and_coverage(spark, duck):
 
 
 def test_cusum_changepoint_matches_numpy_argmax(spark, duck):
+    # hourly grain since r12 (r11 ask #8)
     rows = duck.execute(
-        "SELECT user_id, CAST(ts AS DATE) AS day, AVG(value) "
+        "SELECT user_id, date_trunc('hour', ts) AS day, AVG(value) "
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
     ).fetchall()
     series = defaultdict(list)
@@ -357,23 +357,34 @@ def test_benford_terms_are_consistent(spark, duck):
 
 
 def test_granger_matches_numpy_lstsq(spark, duck):
+    # 6-hour LOCF grid over each pair's common span since r12
+    # (r11 ask #8): the reference rebuilds the SAME alignment in
+    # plain python before the lstsq comparison
     rows = duck.execute(
-        "SELECT user_id, CAST(ts AS DATE) AS day, AVG(value) "
-        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        "SELECT user_id, CAST(FLOOR(epoch(ts) / 21600) AS BIGINT), "
+        "AVG(value) FROM events GROUP BY 1, 2 ORDER BY 1, 2"
     ).fetchall()
-    series = defaultdict(list)
-    for uid, day, px in rows:
-        series[uid].append((day, px))
+    series = defaultdict(dict)
+    for uid, slot, px in rows:
+        series[uid][slot] = px
     got = {r["leg_a"]: r for r in REGISTRY["ts_granger_causality"].fn(spark, SF_SMOKE).collect()}
+    assert len(got) >= 10
     for leg, r in got.items():
-        a = dict(series[leg])
-        b = dict(series[leg + 1])
-        days = sorted(set(a) & set(b))
+        a, b = series[leg], series[leg + 1]
+        lo = max(min(a), min(b))
+        hi = min(max(a), max(b))
+        pa = pb = None
+        aligned = []
+        for slot in range(lo, hi + 1):
+            pa = a.get(slot, pa)
+            pb = b.get(slot, pb)
+            if pa is not None and pb is not None:
+                aligned.append((pa, pb))
         y, a1, b1 = [], [], []
-        for prev, cur in zip(days, days[1:]):
-            y.append(a[cur])
-            a1.append(a[prev])
-            b1.append(b[prev])
+        for (pa0, pb0), (pa1_, _pb1) in zip(aligned, aligned[1:]):
+            y.append(pa1_)
+            a1.append(pa0)
+            b1.append(pb0)
         y = np.array(y)
         a1 = np.array(a1)
         b1 = np.array(b1)
@@ -389,7 +400,8 @@ def test_granger_matches_numpy_lstsq(spark, duck):
         assert abs(r["f_stat"] - round(f, 6)) <= 1e-4
         assert abs(r["beta_own"] - round(float(cu[1]), 6)) <= 1e-5
         assert abs(r["gamma_cross"] - round(float(cu[2]), 6)) <= 1e-5
-        assert r["causal_05"] == (f > 4.2)
+        assert r["causal_05"] == (f > 4.0)
+        assert n >= 30  # the grain change is the point
 
 
 def test_target_encoding_is_leakage_free(spark, duck):
@@ -430,8 +442,9 @@ def test_calibration_bins_partition_all_predictions(spark, duck):
 def test_piecewise_trend_matches_bruteforce_refits(spark, duck):
     """The O(n) prefix-sum search must agree with the naive
     per-candidate numpy polyfit refit on every instrument."""
+    # hourly grain since r12 (r11 ask #8)
     rows = duck.execute(
-        "SELECT user_id, CAST(ts AS DATE) AS day, AVG(value) "
+        "SELECT user_id, date_trunc('hour', ts) AS day, AVG(value) "
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
     ).fetchall()
     series = defaultdict(list)
