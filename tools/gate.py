@@ -116,7 +116,43 @@ def grep_leaks() -> list[dict]:
     return hits
 
 
-def run_mirror() -> tuple[bool, str]:
+#: one mirror result line, e.g.
+#: "OK q1_pricing_summary: rows 6/6 schema=True values=True"
+#: "ROWS-ONLY m11_stationarity_tests: 150 rows"
+_MIRROR_LINE = re.compile(
+    r"^(OK|FAIL|ERROR|VACUOUS|ROWS-ONLY)\s+(\S+?):?\s+(.*)$"
+)
+_ROWS_PAIR = re.compile(r"rows (\d+)/(\d+)")
+_ROWS_ONLY = re.compile(r"^(\d+) rows")
+
+
+def parse_mirror(lines: list[str]) -> dict[str, dict]:
+    """Per-query records from the mirror's stdout — the
+    machine-readable verification-coverage table GATE_rN.json carries
+    (r11 VERDICT ask #6: the '276 checked, 0 failing' tally lived
+    only in prose, so judges could not diff coverage across rounds)."""
+    out: dict[str, dict] = {}
+    for ln in lines:
+        m = _MIRROR_LINE.match(ln)
+        if not m:
+            continue
+        status, name, rest = m.groups()
+        rec: dict = {"status": status}
+        pair = _ROWS_PAIR.search(rest)
+        if pair:
+            rec["spark_rows"] = int(pair.group(1))
+            rec["oracle_rows"] = int(pair.group(2))
+        else:
+            solo = _ROWS_ONLY.match(rest)
+            if solo:
+                rec["spark_rows"] = int(solo.group(1))
+        if status not in ("OK", "ROWS-ONLY"):
+            rec["detail"] = rest[:160]
+        out[name] = rec
+    return out
+
+
+def run_mirror() -> tuple[bool, str, dict[str, dict]]:
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "mirror_sf001.py"), "--all"],
         capture_output=True,
@@ -134,7 +170,7 @@ def run_mirror() -> tuple[bool, str]:
     ]
     if bad:
         tail += " | " + "; ".join(b[:120] for b in bad[:10])
-    return proc.returncode == 0, tail
+    return proc.returncode == 0, tail, parse_mirror(lines)
 
 
 def run_negzero() -> tuple[bool, str]:
@@ -156,6 +192,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-mirror", action="store_true")
     ap.add_argument("--skip-negzero", action="store_true")
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="write the full summary (incl. per-query mirror rows) to "
+        "this JSON file — commit GATE_r<N>.json at round close (r11 "
+        "VERDICT ask #6)",
+    )
     args = ap.parse_args()
 
     summary: dict = {}
@@ -171,12 +214,20 @@ def main() -> None:
         summary["negzero"] = nz
         ok = ok and nz_ok
 
+    queries: dict[str, dict] = {}
     if not args.skip_mirror:
-        m_ok, tally = run_mirror()
+        m_ok, tally, queries = run_mirror()
         summary["mirror"] = tally
         ok = ok and m_ok
 
     summary["gate"] = "PASS" if ok else "FAIL"
+    if args.out:
+        full = dict(summary)
+        full["queries"] = queries
+        full["n_queries"] = len(queries)
+        with open(os.path.join(REPO, args.out), "w") as fh:
+            json.dump(full, fh, indent=1, sort_keys=True)
+    # stdout stays the compact line (per-query table goes to --out)
     print(json.dumps(summary))
     sys.exit(0 if ok else 1)
 
