@@ -618,6 +618,111 @@ def pq_adc_topk(
     )
 
 
+def opq_rotation(
+    residuals: DataFrame,
+    m_sub: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Closed-form OPQ rotation (Ge et al. 2013 §4, the parametric
+    variant — public): rotate the residual space into its PCA basis
+    and allocate eigen-directions to the ``m_sub`` PQ subspaces
+    balancing the PRODUCT of eigenvalues per subspace (Ge's
+    "eigenvalue allocation"). PQ assumes subspaces are independent
+    and equally informative; raw residual coordinates are neither, so
+    quantizing them wastes codebook entries on correlated directions.
+    The rotation is orthogonal — L2 distances are EXACTLY preserved
+    (‖R(a−b)‖ = ‖a−b‖), so ADC remains an estimator of the same
+    metric; only the quantization error shrinks. Motivated by the r11
+    refine measurement: refine beats every trained lane but reaches
+    the exact ceiling nowhere — the headroom is quantization loss,
+    which is exactly what OPQ attacks (r11 VERDICT ask #5).
+
+    Scale shape: the distributed piece is the d×d residual covariance
+    (``covariance_mapred`` — partial outer products per Arrow batch,
+    shuffle carries partitions·d²/2 sufficient-statistic rows,
+    independent of n); the eigendecomposition is a driver-side numpy
+    ``eigh`` on d²·8 bytes — NOT a distributed problem. Eigenvector
+    signs are normalized (largest-|x| component positive) so the
+    rotation is reproducible run-to-run. Returns R as d row-lists
+    (``rotated = R @ v``); persist it with the index
+    (``ivf_pq_index_write`` stores it under ``<path>/rotation``)."""
+    import numpy as np
+
+    rows = covariance_mapred(residuals, vec_col=vec_col, id_col=id_col).collect()
+    d = max(int(r["j"]) for r in rows) + 1
+    if d % m_sub:
+        raise ValueError(f"opq_rotation: dim {d} not divisible by m_sub {m_sub}")
+    C = np.zeros((d, d))
+    for r in rows:
+        C[int(r["i"]), int(r["j"])] = float(r["cov"])
+        C[int(r["j"]), int(r["i"])] = float(r["cov"])
+    w, V = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1]
+    w, V = w[order], V[:, order]
+    # sign convention: flip each eigenvector so its largest-|x|
+    # component is positive (eigh's signs are arbitrary)
+    flips = np.sign(V[np.abs(V).argmax(axis=0), np.arange(d)])
+    flips[flips == 0] = 1.0
+    V = V * flips
+    # eigenvalue allocation: descending λ, each direction goes to the
+    # subspace with the smallest current log-variance-product that
+    # still has room — balances information across subspaces
+    d_sub = d // m_sub
+    buckets: list[list[int]] = [[] for _ in range(m_sub)]
+    logs = [0.0] * m_sub
+    for idx in range(d):
+        open_b = [b for b in range(m_sub) if len(buckets[b]) < d_sub]
+        b = min(open_b, key=lambda bb: (logs[bb], bb))
+        buckets[b].append(idx)
+        logs[b] += float(np.log(max(float(w[idx]), 1e-12)))
+    perm = [i for bucket in buckets for i in bucket]
+    R = V[:, perm].T
+    return [[float(x) for x in row] for row in R]
+
+
+def rotate_vectors(
+    df: DataFrame,
+    rotation: list[list[float]],
+    vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """Apply an orthogonal rotation to a vector column: one BLAS
+    ``M @ Rᵀ`` per Arrow batch (``mapInPandas`` — the
+    ``assign_cells_blas`` pattern: a d×d matmul per batch beats a
+    d²-literal codegen expression, which at d=64 is a 4k-literal plan
+    compile per call). Returns ``keep`` columns + ``vec_col`` rotated
+    (``array<double>``). Row-order within partitions is preserved."""
+    import numpy as np
+    import pandas as pd  # noqa: F401 — mapInPandas contract
+
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    Rm = np.asarray(rotation, dtype=np.float64)
+    src = df.select(*keep, vec_col)
+    fields = [
+        StructField(f.name, ArrayType(DoubleType()))
+        if f.name == vec_col
+        else f
+        for f in src.schema.fields
+    ]
+    names = [f.name for f in fields]
+    schema = StructType(fields)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            out = pdf.copy()
+            out[vec_col] = list(M @ Rm.T)
+            yield out[names]
+
+    return src.mapInPandas(run, schema=schema)
+
+
 def ivf_pq_index(
     vectors: DataFrame,
     exclude_id: int | None = None,
@@ -628,6 +733,7 @@ def ivf_pq_index(
     vec_col: str = "embedding",
     codebook: str = "seed",
     coarse: str = "seed",
+    rotation: str = "none",
 ) -> dict:
     """Materialize the IVF-PQ index (the BUILD half of
     ``ivf_pq_adc_topk``, split out per r8 VERDICT ask #2 so the
@@ -702,6 +808,22 @@ def ivf_pq_index(
     res_named = res.select(F.col(id_col), F.col("_res").alias(vec_col))
     dim = len(seeds[0][1])
     d_sub = dim // m_sub
+    rot = None
+    if rotation == "opq":
+        # train the OPQ rotation on the residuals, then rotate them —
+        # the codebook (either branch below) and the codes are built in
+        # the ROTATED space; probes rotate the query residual with the
+        # same R (driver-side numpy — n_probe tiny vectors)
+        rot = opq_rotation(res_named, m_sub, vec_col=vec_col, id_col=id_col)
+        # cached: the codebook branch and pq_distances each pass over
+        # the rotated frame — uncached, every pass re-runs the rotate
+        # matmul AND the assignment upstream of it
+        res_named = rotate_vectors(
+            res_named, rot, vec_col=vec_col, keep=(id_col,)
+        ).cache()
+        res_rot = res_named
+    elif rotation != "none":
+        raise ValueError(f"rotation must be none|opq: {rotation}")
     if codebook == "kmeans":
         # trained residual codebook (pq_codebook_kmeans): the recall
         # path — see the r9 recall table for why the deterministic
@@ -733,8 +855,10 @@ def ivf_pq_index(
         "cb": cb,
         "seeds": seeds,
         "res": res,
+        "res_rot": res_rot if rot is not None else None,
         "m_sub": m_sub,
         "dim": dim,
+        "rotation": rot,
     }
 
 
@@ -766,6 +890,14 @@ def ivf_pq_index_write(index: dict, path: str, id_col: str = "vec_id") -> None:
         [(int(s), [float(x) for x in v]) for s, v in index["seeds"]],
         "cell long, svec array<double>",
     ).write.mode("overwrite").parquet(os.path.join(path, "seeds"))
+    if index.get("rotation") is not None:
+        # the OPQ rotation is part of the index IDENTITY: codes are
+        # meaningless without the R that produced them, so it persists
+        # in the layout (d rows, KB-sized) and loads with it
+        spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(index["rotation"])],
+            "i int, rrow array<double>",
+        ).write.mode("overwrite").parquet(os.path.join(path, "rotation"))
 
 
 def ivf_pq_index_load(spark, path: str) -> dict:
@@ -779,6 +911,13 @@ def ivf_pq_index_load(spark, path: str) -> dict:
     seed_rows = spark.read.parquet(os.path.join(path, "seeds")).collect()
     seeds = sorted((int(r["cell"]), list(r["svec"])) for r in seed_rows)
     m_sub = cb.agg(F.max("m").alias("_m")).first()["_m"] + 1
+    rot = None
+    if os.path.isdir(os.path.join(path, "rotation")):
+        rot_rows = spark.read.parquet(os.path.join(path, "rotation")).collect()
+        rot = [
+            [float(x) for x in r["rrow"]]
+            for r in sorted(rot_rows, key=lambda r: int(r["i"]))
+        ]
     return {
         "coded": coded,
         "codes": coded,  # session handle + non-pruned callers
@@ -787,6 +926,7 @@ def ivf_pq_index_load(spark, path: str) -> dict:
         "seeds": seeds,
         "m_sub": int(m_sub),
         "dim": len(seeds[0][1]),
+        "rotation": rot,
     }
 
 
@@ -856,6 +996,14 @@ def ivf_pq_index_append(
         ).alias("_res"),
     )
     res_named = res.select(F.col(id_col), F.col("_res").alias(vec_col))
+    if index.get("rotation") is not None:
+        # OPQ index: delta residuals rotate with the PERSISTED R (the
+        # frozen-quantizer contract — appended codes must be identical
+        # to a from-scratch encode under the same R; pinned in
+        # tests/test_similarity_pq.py)
+        res_named = rotate_vectors(
+            res_named, index["rotation"], vec_col=vec_col, keep=(id_col,)
+        )
     codes = pq_encode(
         pq_distances(
             res_named,
@@ -912,9 +1060,22 @@ def ivf_pq_probe(
     probe = sorted(
         index["seeds"], key=lambda s: (-_half_up6(cos(s[1], q)), s[0])
     )[:n_probe]
+    qres_rows = [
+        (int(c), [qi - vi for qi, vi in zip(q, v)]) for c, v in probe
+    ]
+    if index.get("rotation") is not None:
+        # OPQ: the codes live in the rotated residual space, so the
+        # query residual rotates with the same R — n_probe tiny
+        # vectors, a driver-side matmul (routing stays on RAW q vs
+        # seeds: rotation applies within residual space only)
+        import numpy as np
+
+        Rm = np.asarray(index["rotation"], dtype=np.float64)
+        qres_rows = [
+            (c, [float(x) for x in Rm @ np.asarray(r)]) for c, r in qres_rows
+        ]
     qres_df = spark.createDataFrame(
-        [(int(c), [qi - vi for qi, vi in zip(q, v)]) for c, v in probe],
-        f"qcell long, {vec_col} array<double>",
+        qres_rows, f"qcell long, {vec_col} array<double>"
     )
     qsub = pq_subvectors(
         qres_df, m_sub, d_sub, id_col="qcell", vec_col=vec_col, out_id="qcell"
@@ -1026,6 +1187,13 @@ def ivf_pq_probe_batch(
             F.col("_qv"), F.col("_svec"), lambda a, b: a.cast("double") - b
         ).alias("_qr"),
     )
+    if index.get("rotation") is not None:
+        # OPQ: rotate the QUERY-side residual frame (n_q·n_probe rows
+        # — query-sized, never corpus-sized) with one Arrow-batched
+        # matmul; the corpus codes were encoded in the same space
+        qres = rotate_vectors(
+            qres, index["rotation"], vec_col="_qr", keep=("_qid", "qcell")
+        )
     subs = F.transform(
         F.sequence(F.lit(0), F.lit(m_sub - 1)),
         lambda m: F.slice(F.col("_qr"), m * d_sub + 1, d_sub),

@@ -983,3 +983,163 @@ def test_refine_cell_pruned_fetch_matches_frame_fetch(spark, tmp_path):
             full_index_path=str(tmp_path / "other"),
         ).collect()
     idx["res"].unpersist()
+
+
+def test_opq_rotation_orthogonal_and_rotate_vectors_matmul(spark):
+    """OPQ rotation (r11 VERDICT ask #5): R must be orthogonal (L2
+    preserved exactly — the property that makes rotated ADC estimate
+    the SAME metric), rotate_vectors must equal the numpy matmul, and
+    training must be deterministic run-to-run (6-dp covariance +
+    sign-normalized eigenvectors)."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        opq_rotation,
+        rotate_vectors,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    R = opq_rotation(emb, m_sub=8)
+    Rm = np.asarray(R)
+    d = Rm.shape[0]
+    assert Rm.shape == (d, d) and d % 8 == 0
+    assert np.allclose(Rm @ Rm.T, np.eye(d), atol=1e-8)
+
+    sample = emb.filter(F.col("vec_id") < 5)
+    got = {
+        r["vec_id"]: np.asarray(r["embedding"])
+        for r in rotate_vectors(sample, R, keep=("vec_id",)).collect()
+    }
+    for r in sample.collect():
+        want = Rm @ np.asarray(r["embedding"], dtype=np.float64)
+        assert np.allclose(got[r["vec_id"]], want, atol=1e-9)
+    # L2 between two rotated vectors == L2 between the originals
+    a, b = (np.asarray(r["embedding"], dtype=np.float64)
+            for r in sample.limit(2).collect())
+    assert abs(
+        np.linalg.norm(Rm @ a - Rm @ b) - np.linalg.norm(a - b)
+    ) < 1e-9
+
+    assert R == opq_rotation(emb, m_sub=8)
+
+
+def test_opq_index_roundtrip_append_and_probe_equality(spark, tmp_path):
+    """The OPQ index's rotation is part of its identity: it must
+    survive write→load bit-exactly, probes over the loaded index must
+    equal probes over the in-memory one, and the APPEND path must
+    encode the delta under the persisted R so appended codes equal a
+    from-scratch encode of the union (the frozen-quantizer contract,
+    now including R)."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        assign_to_seeds,
+        ivf_pq_index,
+        ivf_pq_index_append,
+        ivf_pq_index_load,
+        ivf_pq_index_write,
+        ivf_pq_probe,
+        rotate_vectors,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    n_new = new.count()
+    idx = ivf_pq_index(old, rotation="opq")
+    assert idx["rotation"] is not None
+    ivf_pq_index_write(idx, str(tmp_path))
+    loaded = ivf_pq_index_load(spark, str(tmp_path))
+    assert loaded["rotation"] == idx["rotation"]  # doubles roundtrip exactly
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    got_p = ivf_pq_probe(loaded, q, k=10, n_probe=2, exclude_id=7).collect()
+    want_p = ivf_pq_probe(idx, q, k=10, n_probe=2, exclude_id=7).collect()
+    assert [(r["vec_id"], r["adc_dist"]) for r in got_p] == [
+        (r["vec_id"], r["adc_dist"]) for r in want_p
+    ]
+
+    assert ivf_pq_index_append(spark, str(tmp_path), new) == n_new
+    # monolithic reference: union encoded under old's seeds/cb AND R
+    seed_df = spark.createDataFrame(
+        [(int(s), [float(x) for x in v]) for s, v in idx["seeds"]],
+        "_sid long, _svec array<double>",
+    )
+    assigned = assign_to_seeds(emb, idx["seeds"])
+    res = assigned.join(
+        F.broadcast(seed_df), F.col("cell") == F.col("_sid")
+    ).select(
+        "vec_id",
+        "cell",
+        F.zip_with(
+            F.col("embedding"), F.col("_svec"), lambda a, b: a.cast("double") - b
+        ).alias("embedding"),
+    )
+    res_rot = rotate_vectors(
+        res, idx["rotation"], vec_col="embedding", keep=("vec_id", "cell")
+    )
+    ref_codes = pq_encode(
+        pq_distances(
+            res_rot.select("vec_id", "embedding"), m_sub=8, codebook=idx["cb"]
+        )
+    )
+    ref = ref_codes.join(res_rot.select("vec_id", "cell"), "vec_id")
+    reloaded = ivf_pq_index_load(spark, str(tmp_path))
+    got = sorted(
+        (r["vec_id"], r["m"], r["code"], int(r["cell"]))
+        for r in reloaded["coded"].collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["m"], r["code"], int(r["cell"])) for r in ref.collect()
+    )
+    assert got == want
+    # appended vectors reachable through a probe on the grown index
+    q2 = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 450).first()["embedding"]
+    ]
+    got2 = ivf_pq_probe(reloaded, q2, k=10, n_probe=2, exclude_id=450).collect()
+    assert any(r["vec_id"] >= 400 for r in got2)
+    idx["res"].unpersist()
+    idx["res_rot"].unpersist()
+
+
+def test_opq_batch_probe_equals_per_query_on_rotated_index(spark, tmp_path):
+    """The batch probe's in-plan LUT must rotate the query residuals
+    with the same R the single-query probe uses — per-query equality
+    over a rotated persisted index."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_index_load,
+        ivf_pq_index_write,
+        ivf_pq_probe,
+        ivf_pq_probe_batch,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    idx = ivf_pq_index(emb, rotation="opq")
+    ivf_pq_index_write(idx, str(tmp_path))
+    loaded = ivf_pq_index_load(spark, str(tmp_path))
+
+    qids = [3, 111, 222]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = ivf_pq_probe_batch(
+        loaded, queries, k=5, n_probe=2, exclude_self=True
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], int(r["cell"]), r["adc_dist"])
+        )
+    for qi in qids:
+        q = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qi).first()["embedding"]
+        ]
+        want = [
+            (r["vec_id"], int(r["cell"]), r["adc_dist"])
+            for r in ivf_pq_probe(
+                loaded, q, k=5, n_probe=2, exclude_id=qi
+            ).collect()
+        ]
+        assert by_q[qi] == want, f"query {qi}"
+    idx["res"].unpersist()
+    idx["res_rot"].unpersist()

@@ -362,10 +362,18 @@ def recall_table(
         pq_adc_recall("pq_adc_trained256", 256)
 
     def ivf_pq_trained_recall(
-        lane: str, n_centroids: int, coarse: str = "seed"
+        lane: str,
+        n_centroids: int,
+        coarse: str = "seed",
+        codebook: str = "kmeans",
+        rotation: str = "none",
     ) -> None:
         idx_t = ivf_pq_index(
-            emb, codebook="kmeans", n_centroids=n_centroids, coarse=coarse
+            emb,
+            codebook=codebook,
+            n_centroids=n_centroids,
+            coarse=coarse,
+            rotation=rotation,
         )
         idx_t["codes"] = idx_t["codes"].cache()
         idx_t["cells"] = idx_t["cells"].cache()
@@ -384,9 +392,23 @@ def recall_table(
         idx_t["codes"].unpersist()
         idx_t["cells"].unpersist()
         idx_t["res"].unpersist()
+        if idx_t.get("res_rot") is not None:
+            idx_t["res_rot"].unpersist()
 
     if want("ivf_pq_trained"):
         ivf_pq_trained_recall("ivf_pq_trained", 16)
+    # --- OPQ rotation lanes (r11 VERDICT ask #5) ---------------------------
+    # same index shapes as their unrotated twins, with the closed-form
+    # eigenvalue-allocation rotation applied to residuals before PQ —
+    # the lift column is (opq lane) − (twin lane) per geometry
+    if want("ivf_pq_opq"):
+        ivf_pq_trained_recall("ivf_pq_opq", 16, codebook="seed", rotation="opq")
+    if n > 512 and want("ivf_pq_opq_trained256"):
+        ivf_pq_trained_recall("ivf_pq_opq_trained256", 256, rotation="opq")
+    if n > 512 and want("ivf_pq_full256_opq"):
+        ivf_pq_trained_recall(
+            "ivf_pq_full256_opq", 256, coarse="kmeans", rotation="opq"
+        )
     # the deployment cell: 256-entry trained RESIDUAL codebooks (8-bit
     # codes, the FAISS default) — the pq_adc_trained256 dial applied
     # to the IVF-PQ index
