@@ -852,11 +852,8 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _THEILSEN_ORACLE = """
 WITH daily AS (
-  -- hourly bars under the daily alias (r11 ask #8): daily gave
-  -- n = 20-24 obs/instrument at sf0.001, under the n >= 30 floor
-  SELECT user_id AS instrument, date_trunc('hour', ts) AS day,
-         AVG(value) AS px
-  FROM events GROUP BY user_id, date_trunc('hour', ts)
+  SELECT user_id AS instrument, CAST(ts AS DATE) AS day, AVG(value) AS px
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
 ), pairs AS (
   SELECT a.instrument,
          (b.px - a.px) / (b.day - a.day) AS slope
@@ -913,9 +910,9 @@ def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GRANGER_ORACLE = """
 WITH bars AS (
-  -- 6-hour buckets (r11 ask #8 / r12): raw-hour equi-join between
-  -- neighbour instruments is near-empty; the legs align on a shared
-  -- LOCF grid over the pair's common span instead
+  -- 6-hour buckets (r11 ask #8 / r12): the raw-hour equi-join between
+  -- neighbour instruments is near-empty, so the legs align on a
+  -- shared LOCF grid over the pair's common span instead
   SELECT user_id AS instrument,
          CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) AS slot,
          AVG(value) AS px
