@@ -103,6 +103,44 @@ def main() -> None:
             sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
         )
 
+    def _machine_calibration() -> dict[str, float]:
+        """Host-speed fingerprint recorded with every bench (r11 ask
+        #4's resolution): this box's EFFECTIVE throughput is wildly
+        nondeterministic at the host level — measured r12: back-to-back
+        2000² sgemm trials on an IDLE guest swung 83→420 GFLOP/s (5×),
+        first-touch read bandwidth 4.8→37 GB/s, loadavg 3.5-4 with
+        ZERO runnable guest processes, 5.4% steal under full load.
+        best-of-n cannot suppress a regime that persists for minutes,
+        so each bench carries its own calibration: compare benches
+        through their cal numbers before reading any per-lane delta
+        as a regression. Reported: median of 5 sgemm trials (the
+        BLAS-lane proxy) and of 3 big-array reads (the scan proxy)."""
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((2000, 2000), dtype=np.float32)
+        b = rng.standard_normal((2000, 2000), dtype=np.float32)
+        a @ b  # warm
+        gf = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            a @ b
+            gf.append(2 * 2000**3 / (time.perf_counter() - t0) / 1e9)
+        x = np.zeros(100_000_000, dtype=np.float64)
+        x.sum()  # first-touch
+        bw = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            x.sum()
+            bw.append(x.nbytes / (time.perf_counter() - t0) / 1e9)
+        return {
+            "sgemm_gflops": round(sorted(gf)[2], 1),
+            "read_gbps": round(sorted(bw)[1], 1),
+        }
+
+    cal = _machine_calibration()
+    print(f"# machine calibration: {json.dumps(cal)}", file=sys.stderr)
+
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     n_runs_fast = max(
         n_runs, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_FAST", "5"))
@@ -241,6 +279,7 @@ def main() -> None:
         "queries": timings,
         "spread": spread,
         "shared_subtotal": shared_block,
+        "calibration": cal,
         "sf": sf,
     }
     try:
@@ -254,6 +293,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "shared_subtotal": shared_block,
+        "calibration": cal,
         "sf": sf,
     }
     line = json.dumps(compact)

@@ -52,13 +52,18 @@ def stage_chunks(
     stage_dir: str,
     table: str = "events",
     order_cols: tuple[str, ...] = ("ts", "event_id"),
+    filter_expr: str | None = None,
 ) -> int:
     """Write a table as n_chunks time-ordered parquet files: chunk i
     holds the i-th slice of the order, one file each, so
     maxFilesPerTrigger=1 replays history in event-time order (for
     documents the order is doc_id — the synthetic arrival ts is
-    monotone in it)."""
+    monotone in it). ``filter_expr`` restricts the staged slice (the
+    near-dup probe streams only ids ABOVE the persisted store's max —
+    the dedup_delta monotonicity contract)."""
     ev = load_table(spark, sf_dir, table)
+    if filter_expr:
+        ev = ev.filter(filter_expr)
     total = ev.count()
     per = (total + n_chunks - 1) // n_chunks
     ranked = ev.select(
@@ -86,6 +91,14 @@ def main() -> None:
     ap.add_argument("--chunks", type=int, default=50)
     ap.add_argument(
         "--pipeline", choices=("psi", "funnel", "curation"), default="psi"
+    )
+    ap.add_argument(
+        "--near-dup",
+        action="store_true",
+        help="curation only (r11 ask #3): persist a MinHash band store "
+        "from the FIRST HALF of the corpus, then stream the second "
+        "half through the exact + near-dup tiers — the sustained "
+        "latency of the full streaming gate",
     )
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ap.add_argument(
@@ -179,6 +192,30 @@ def main() -> None:
     stage_dir = tempfile.mkdtemp(prefix="cpf_stream_stage_")
     sink_dir = tempfile.mkdtemp(prefix="cpf_stream_sink_")
     try:
+        near_path = None
+        doc_filter = None
+        if args.pipeline == "curation" and args.near_dup:
+            from commodity_price_forecasting_spark.operators.dedup_store import (
+                dedup_store_build,
+            )
+            from commodity_price_forecasting_spark.streaming.curation_stream import (
+                curate_docs as _cd,
+                with_arrival_ts as _wts,
+            )
+
+            docs_all = load_table(spark, args.sf_dir, "documents")
+            cut = docs_all.agg(F.max("doc_id")).first()[0] // 2
+            base = _cd(_wts(docs_all.filter(F.col("doc_id") < cut)))
+            near_path = os.path.join(sink_dir, "near_store")
+            built = dedup_store_build(
+                base.select("doc_id", "text"), near_path
+            )
+            doc_filter = f"doc_id >= {cut}"
+            print(
+                f"# near-dup store: {built['n_unique']} uniques from "
+                f"doc_id < {cut}; streaming doc_id >= {cut}",
+                file=sys.stderr,
+            )
         if args.pipeline == "curation":
             total_rows = stage_chunks(
                 spark,
@@ -187,6 +224,7 @@ def main() -> None:
                 stage_dir,
                 table="documents",
                 order_cols=("doc_id",),
+                filter_expr=doc_filter,
             )
         else:
             total_rows = stage_chunks(spark, args.sf_dir, args.chunks, stage_dir)
@@ -218,6 +256,7 @@ def main() -> None:
                     bdf,
                     os.path.join(sink_dir, "store"),
                     os.path.join(sink_dir, "corpus"),
+                    near_dup_store=near_path,
                 )
             )
         elif args.pipeline == "psi":
