@@ -786,8 +786,16 @@ WITH daily AS (
          AVG(value) AS px
   FROM events GROUP BY user_id, date_trunc('hour', ts)
 ), m AS (
+  -- ordered full-frame sum for the mean (not a bare partition AVG):
+  -- both engines sum the same doubles in day order -> bit-identical
+  -- mu, so 6dp midpoints on s_range cannot flip (r12 gate flake)
   SELECT instrument, day, px,
-         AVG(px) OVER (PARTITION BY instrument) AS mu,
+         SUM(px) OVER (PARTITION BY instrument ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING)
+           / COUNT(*) OVER (PARTITION BY instrument ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS mu,
          COUNT(*) OVER (PARTITION BY instrument) AS n
   FROM daily
 ), s AS (
@@ -826,8 +834,17 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = hourly_as_daily(spark, sf_dir)
     wall = Window.partitionBy("instrument")
     wcum = Window.partitionBy("instrument").orderBy("day")
+    # ORDERED full-frame sum for the mean, not avg().over(partition):
+    # an unordered partition aggregate sums in partial-merge order,
+    # whose last-ulp jitter flipped a 6dp ROUND midpoint on s_range at
+    # the hourly grain (sf0.01 gate flake, r12) — both engines summing
+    # the SAME doubles in the SAME (day) order agree bit-for-bit, so
+    # the rounding agrees no matter where midpoints fall
+    wfull = wcum.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     s = (
-        daily.withColumn("mu", F.avg("px").over(wall))
+        daily.withColumn("mu", F.sum("px").over(wfull) / F.count(F.lit(1)).over(wfull))
         .withColumn("n", F.count(F.lit(1)).over(wall))
         .withColumn("cusum", F.sum(F.col("px") - F.col("mu")).over(wcum))
     )

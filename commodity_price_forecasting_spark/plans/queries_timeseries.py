@@ -1087,18 +1087,29 @@ WITH daily AS (
          AVG(value) AS px
   FROM events GROUP BY 1, 2
 ), e AS (
-  SELECT instrument, day, px - AVG(px) OVER (PARTITION BY instrument) AS e
+  -- ordered full-frame mean (not a bare partition AVG): both engines
+  -- demean with a DETERMINISTIC sum order, so 6dp midpoints on
+  -- rs_stat cannot flip run-to-run (the r12 cusum gate flake's class)
+  SELECT instrument, day,
+         px - SUM(px) OVER (PARTITION BY instrument ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)
+              / COUNT(*) OVER (PARTITION BY instrument) AS e
   FROM daily
 ), s AS (
-  SELECT instrument, e,
+  SELECT instrument, day, e,
          SUM(e) OVER (PARTITION BY instrument ORDER BY day
-                      ROWS UNBOUNDED PRECEDING) AS sp
+                      ROWS UNBOUNDED PRECEDING) AS sp,
+         SUM(e * e) OVER (PARTITION BY instrument ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING) AS ssq,
+         COUNT(*) OVER (PARTITION BY instrument) AS n
   FROM e
 )
 SELECT instrument, COUNT(*) AS n,
-       ROUND((MAX(sp) - MIN(sp)) / STDDEV_POP(e), 6) AS rs_stat
+       ROUND((MAX(sp) - MIN(sp)) / SQRT(MAX(ssq) / MAX(n)), 6) AS rs_stat
 FROM s GROUP BY instrument
-HAVING COUNT(*) >= 20 AND STDDEV_POP(e) > 0
+HAVING COUNT(*) >= 20 AND MAX(ssq) > 0
 """
 
 
@@ -1112,27 +1123,48 @@ def ts_rescaled_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     daily = hourly_as_daily(spark, sf_dir)
-    wp = W.partitionBy("instrument")
+    # ordered full-frame mean + ordered Σe² instead of avg/stddev_pop
+    # over the bare partition: unordered partition aggregates sum in
+    # partial-merge order, whose last-ulp jitter can flip a 6dp ROUND
+    # midpoint (the r12 cusum gate flake's class) — the ordered frame
+    # makes both engines' arithmetic deterministic
+    wfull = (
+        W.partitionBy("instrument")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     e = daily.select(
         "instrument",
         "day",
-        (F.col("px") - F.avg("px").over(wp)).alias("e"),
+        (
+            F.col("px")
+            - F.sum("px").over(wfull) / F.count(F.lit(1)).over(wfull)
+        ).alias("e"),
     )
     ws = W.partitionBy("instrument").orderBy("day").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    s = e.withColumn("sp", F.sum("e").over(ws))
+    s = e.withColumn("sp", F.sum("e").over(ws)).withColumn(
+        "ssq", F.sum(F.col("e") * F.col("e")).over(wfull)
+    )
     return (
         s.groupBy("instrument")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                (F.max("sp") - F.min("sp")) / F.stddev_pop("e"), 6
-            ).alias("rs_stat"),
-            F.stddev_pop("e").alias("_sd"),
+            F.max("sp").alias("_mx"),
+            F.min("sp").alias("_mn"),
+            F.max("ssq").alias("_ssq"),
         )
-        .filter((F.col("n") >= 20) & (F.col("_sd") > 0))
-        .drop("_sd")
+        .filter((F.col("n") >= 20) & (F.col("_ssq") > 0))
+        .select(
+            "instrument",
+            "n",
+            F.round(
+                (F.col("_mx") - F.col("_mn"))
+                / F.sqrt(F.col("_ssq") / F.col("n")),
+                6,
+            ).alias("rs_stat"),
+        )
     )
 
 
