@@ -409,6 +409,43 @@ def recall_table(
         ivf_pq_trained_recall(
             "ivf_pq_full256_opq", 256, coarse="kmeans", rotation="opq"
         )
+    # refine stacked on the best OPQ index (r12): does one exact
+    # re-rank pass close the remaining gap to the exact ceiling?
+    if n > 512 and want("ivf_pq_full256_opq_refine"):
+        from commodity_price_forecasting_spark.operators.similarity import (
+            ivf_pq_refine_topk,
+        )
+
+        idx_r = ivf_pq_index(
+            emb, codebook="kmeans", n_centroids=256, coarse="kmeans",
+            rotation="opq",
+        )
+        idx_r["codes"] = idx_r["codes"].cache()
+        idx_r["cells"] = idx_r["cells"].cache()
+        idx_r["codes"].count()
+        for n_probe in (2, 4):
+            for refine_c in (100,):
+                recs = []
+                for qi in qids:
+                    q = [float(x) for x in mat[ids == qi][0]]
+                    got = ivf_pq_refine_topk(
+                        idx_r, emb, q, k=k, refine=refine_c,
+                        n_probe=n_probe, exclude_id=qi,
+                    ).collect()
+                    recs.append(
+                        len({r["vec_id"] for r in got} & set(gt_cos[qi])) / k
+                    )
+                add(
+                    f"ivf_pq_full256_opq_refine_c{refine_c}",
+                    "cosine",
+                    n_probe,
+                    recs,
+                )
+        idx_r["codes"].unpersist()
+        idx_r["cells"].unpersist()
+        idx_r["res"].unpersist()
+        if idx_r.get("res_rot") is not None:
+            idx_r["res_rot"].unpersist()
     # the deployment cell: 256-entry trained RESIDUAL codebooks (8-bit
     # codes, the FAISS default) — the pq_adc_trained256 dial applied
     # to the IVF-PQ index
