@@ -311,6 +311,60 @@ def semantic_store_compact(
     return out
 
 
+def dedup_store_rebuild(spark, path: str, docs: DataFrame, **overrides) -> dict:
+    """EXECUTE the rebuild the health report recommends (the missing
+    third verb: the r11 stores DETECT divergence and r12's health
+    RECOMMENDS; this performs it): a full ``dedup_store_build`` over
+    the CURRENT corpus — the caller supplies ``docs`` because the
+    store holds only hashes, never text — into a sibling directory,
+    swapped in atomically-ish (the compaction swap), parameters
+    inherited from the old store's meta unless overridden. The bridge
+    ledger is cleared by construction: the rebuild merges bridged
+    clusters into real canonicals, so the divergence it recorded no
+    longer exists. Returns the build stats."""
+    from commodity_price_forecasting_spark.operators.dedup_store import (
+        dedup_store_build,
+    )
+
+    old_meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
+    params = {
+        "k": int(old_meta["k"]),
+        "num_hashes": int(old_meta["num_hashes"]),
+        "rows_per_band": int(old_meta["rows_per_band"]),
+        "threshold": float(old_meta["threshold"]),
+    }
+    params.update(overrides)
+    tmp = path + "__rebuilding"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    stats = dedup_store_build(docs, tmp, **params)
+    _swap_in(tmp, path)
+    return stats
+
+
+def semantic_store_rebuild(
+    spark, path: str, embs: DataFrame, assign: str = "fold", **overrides
+) -> dict:
+    """Execute the semantic store's recommended rebuild: fresh seeds
+    over the CURRENT corpus (which is what resolves the recorded
+    inversions — frozen seeds are the reason they accumulate),
+    parameters inherited from meta, swap-in, inversion ledger cleared
+    by construction. Returns the build stats."""
+    from commodity_price_forecasting_spark.operators.semantic_store import (
+        semantic_store_build,
+    )
+
+    old_meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
+    params = {"k": int(old_meta["k"]), "threshold": float(old_meta["threshold"])}
+    params.update(overrides)
+    tmp = path + "__rebuilding"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    stats = semantic_store_build(embs, tmp, assign=assign, **params)
+    _swap_in(tmp, path)
+    return stats
+
+
 def curation_store_compact(
     spark,
     store_dir: str,

@@ -264,3 +264,94 @@ def test_curation_store_compact_consolidates_committed_batches(
         str(tmp_path_factory.mktemp("cc_ck3")),
     )
     assert spark.read.parquet(corpus_path).count() == len(before)
+
+
+def test_dedup_store_rebuild_clears_bridges_and_equals_fresh_build(
+    spark, tmp_path
+):
+    """detect → recommend → EXECUTE: after the bridging delta flips
+    rebuild_recommended, dedup_store_rebuild over the grown corpus
+    must produce a store identical to a from-scratch build (params
+    inherited from meta), clear the bridge ledger, and un-flip the
+    recommendation."""
+    from commodity_price_forecasting_spark.operators.store_maintenance import (
+        dedup_store_rebuild,
+    )
+
+    a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 4
+    b = "kilo lima mike november oscar papa quebec romeo sierra tango " * 4
+    filler = "unrelated filler content zebra yankee xray whiskey victor " * 4
+    old = _write_docs(
+        spark, [(0, a), (1, b), (2, filler)], str(tmp_path / "old.parquet")
+    )
+    path = str(tmp_path / "store")
+    dedup_store_build(old, path, rows_per_band=1, threshold=0.3)
+    delta = _write_docs(spark, [(10, a + " " + b)], str(tmp_path / "d.parquet"))
+    dedup_delta(spark, path, delta)
+    assert dedup_store_health(spark, path)["rebuild_recommended"] is True
+
+    grown = old.unionByName(delta)
+    stats = dedup_store_rebuild(spark, path, grown)
+    ref_path = str(tmp_path / "ref")
+    ref_stats = dedup_store_build(grown, ref_path, rows_per_band=1, threshold=0.3)
+    assert stats == ref_stats  # params inherited from the old meta
+
+    got = _rows_multiset(
+        spark.read.parquet(os.path.join(path, "fingerprints"))
+    )
+    want = _rows_multiset(
+        spark.read.parquet(os.path.join(ref_path, "fingerprints"))
+    )
+    assert got == want
+    h = dedup_store_health(spark, path)
+    assert h["n_bridges"] == 0
+    assert h["rebuild_recommended"] is False
+    # the merged cluster now has ONE canonical: re-ingesting doc b's
+    # content dedups against it
+    probe = _write_docs(spark, [(20, b)], str(tmp_path / "p.parquet"))
+    [v] = dedup_delta(spark, path, probe, append=False)["verdicts"].collect()
+    assert v["status"] == "exact_dup" and v["dup_of"] == 0
+
+
+def test_semantic_store_rebuild_clears_inversions(spark, tmp_path):
+    """After the seed-independent inversion construct, the rebuild
+    (fresh seeds over the grown corpus) clears the ledger and
+    un-flips the recommendation; stats equal a from-scratch build."""
+    from commodity_price_forecasting_spark.operators.semantic_store import (
+        semantic_store_load,
+    )
+    from commodity_price_forecasting_spark.operators.store_maintenance import (
+        semantic_store_rebuild,
+    )
+
+    e = np.eye(16)
+    old = _emb_df(spark, [(0, e[0]), (1, e[1])])
+    path = str(tmp_path / "store")
+    semantic_store_build(old, path, k=1, threshold=0.3)
+    d = (e[0] + e[1]) / np.sqrt(2.0)
+    semantic_dedup_delta(spark, path, _emb_df(spark, [(10, d)]))
+    assert semantic_store_health(spark, path)["rebuild_recommended"] is True
+
+    grown = _emb_df(spark, [(0, e[0]), (1, e[1]), (10, d)])
+    stats = semantic_store_rebuild(spark, path, grown)
+    ref_path = str(tmp_path / "ref")
+    ref_stats = semantic_store_build(grown, ref_path, k=1, threshold=0.3)
+    assert stats == ref_stats
+    h = semantic_store_health(spark, path)
+    assert h["n_inversions"] == 0
+    assert h["rebuild_recommended"] is False
+    # rebuilt store decides like the fresh one on a new delta
+    probe = _emb_df(spark, [(30, (e[0] + e[1]) / np.sqrt(2.0))])
+    got = {
+        (r["vec_id"], r["status"])
+        for r in semantic_dedup_delta(spark, path, probe, append=False)[
+            "verdicts"
+        ].collect()
+    }
+    want = {
+        (r["vec_id"], r["status"])
+        for r in semantic_dedup_delta(spark, ref_path, probe, append=False)[
+            "verdicts"
+        ].collect()
+    }
+    assert got == want
