@@ -32,6 +32,23 @@ def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
     )
 
 
+#: GPT-2-style pretokenizer, restricted to the Java∩RE2 regex subset
+#: (the pii_redact precedent — RE2 lacks the lookahead the original
+#: pattern uses): a token is an optionally-space-prefixed letter run,
+#: digit run, or punctuation run. This is the PRE-tokenization every
+#: BPE vocabulary merges within — its count upper-bounds the real BPE
+#: token count and tracks it far better than whitespace splitting
+#: (which fuses punctuation into words and misses digit boundaries).
+BPE_PRETOKEN_RE = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n]+"
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish token count as one JVM regexp pass (no explode, no
+    Python) — the training-data budgeting counter: corpus token
+    budgets are quoted in BPE tokens, not whitespace words."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), 0))
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Per-doc token statistics: count, distinct count, type-token
     ratio, mean token length — one groupBy over the exploded tokens."""

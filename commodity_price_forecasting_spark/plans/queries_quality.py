@@ -1097,3 +1097,60 @@ def dedup_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_remove(
         load_table(spark, sf_dir, "documents"), k=_REMOVE_K
     )
+
+
+# --- BPE-ish token budgeting (r12) ----------------------------------------
+
+_BPE_BUDGET_ORACLE = """
+WITH per_doc AS (
+  SELECT lang,
+         len(regexp_extract_all(text, '[^ \\t\\n]+')) AS ws,
+         len(regexp_extract_all(
+           text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n]+')) AS bpe
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       ROUND(SUM(bpe) * 1.0 / SUM(ws), 6) AS bpe_per_ws
+FROM per_doc
+GROUP BY lang
+"""
+
+
+@register(
+    "text_bpe_token_budget",
+    oracle=_BPE_BUDGET_ORACLE,
+    tags=("datapipe", "text"),
+)
+def text_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token budget per language under BOTH counters a
+    training-data pipeline quotes: whitespace words and BPE-ish
+    pretokens (``operators/textops.BPE_PRETOKEN_RE`` — the
+    GPT-2-style pretokenizer in the Java∩RE2 regex subset: space-
+    prefixed letter runs, digit runs, punctuation runs; token budgets
+    are quoted in BPE tokens, and the bpe/ws ratio is the standard
+    ~1.3x fudge factor made MEASURED per language slice instead of
+    assumed). Both counts are single regexp passes inside the scan
+    partition — no explode, no shuffle until the per-language
+    aggregate; at 100 TB this is one map-side pass plus a
+    |languages|-row reduce."""
+    from commodity_price_forecasting_spark.operators.textops import (
+        bpe_ish_token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit("[^ \\t\\n]+"), 0)
+        ).alias("ws"),
+        bpe_ish_token_count(F.col("text")).alias("bpe"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("ws").cast("long").alias("ws_tokens"),
+        F.sum("bpe").cast("long").alias("bpe_tokens"),
+        F.round(F.sum("bpe") / F.sum("ws"), 6).alias("bpe_per_ws"),
+    )

@@ -903,3 +903,37 @@ def test_substring_remove_keeps_first_occurrence_exactly(spark):
     assert out[3]["clean_text"] == rows[2][1]
     assert out[4]["clean_text"] == "short doc"
     assert out[4]["n_tokens"] == 2
+
+
+def test_bpe_pretokenizer_matches_python_re_and_bounds(spark):
+    """The BPE-ish pretoken count (one JVM regexp pass) must equal a
+    plain-python re reference on the fixture texts and always be >=
+    the whitespace word count (pretokenization only splits finer)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from commodity_price_forecasting_spark.operators.textops import (
+        BPE_PRETOKEN_RE,
+        bpe_ish_token_count,
+    )
+    from commodity_price_forecasting_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    got = {
+        r["doc_id"]: (r["bpe"], r["ws"])
+        for r in docs.select(
+            "doc_id",
+            bpe_ish_token_count(F.col("text")).alias("bpe"),
+            F.size(
+                F.regexp_extract_all(F.col("text"), F.lit("[^ \\t\\n]+"), 0)
+            ).alias("ws"),
+        ).collect()
+    }
+    pat = re.compile(BPE_PRETOKEN_RE)
+    for r in docs.select("doc_id", "text").collect():
+        want = len(pat.findall(r["text"]))
+        bpe, ws = got[r["doc_id"]]
+        assert bpe == want, r["doc_id"]
+        assert bpe >= ws
+    assert len(got) == 50
