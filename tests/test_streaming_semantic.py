@@ -1,0 +1,129 @@
+"""Streaming semantic ingest (streaming/semantic_stream, r12): the
+third dedup tier on the stream — stream verdicts must equal batch
+``semantic_dedup_delta`` against a snapshot store, kept vectors
+append, and redelivery is self-healing (a replayed vector is its own
+stored cell-mate at cosine 1.0, so it re-verdicts as a dup and
+appends nothing)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from commodity_price_forecasting_spark.operators.semantic_store import (
+    semantic_dedup_delta,
+    semantic_store_build,
+    semantic_store_load,
+)
+from commodity_price_forecasting_spark.sources.readers import load_table
+from commodity_price_forecasting_spark.streaming.semantic_stream import (
+    run_semantic_ingest_stream,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _stage_delta_fixture(spark, tmp_dir, emb_df):
+    """One embeddings.parquet FILE (the fixture layout the stream's
+    pathGlobFilter expects)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = emb_df.collect()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in r["embedding"]] for r in rows],
+                    pa.list_(pa.float32()),
+                ),
+                "label": pa.array([0] * len(rows), pa.int32()),
+            }
+        ),
+        os.path.join(tmp_dir, "embeddings.parquet"),
+    )
+
+
+def test_semantic_stream_matches_batch_and_appends_kept(
+    spark, tmp_path_factory
+):
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    store = str(tmp_path_factory.mktemp("sem_stream") / "store")
+    semantic_store_build(emb.filter(F.col("vec_id") < 400), store, k=16)
+    ref_store = store + "_ref"
+    shutil.copytree(store, ref_store)
+
+    delta = emb.filter(F.col("vec_id") >= 400)
+    delta_dir = str(tmp_path_factory.mktemp("sem_fixture"))
+    _stage_delta_fixture(spark, delta_dir, delta)
+
+    run_semantic_ingest_stream(
+        spark, delta_dir, store, str(tmp_path_factory.mktemp("sem_ck1"))
+    )
+
+    ledger_root = os.path.join(store, "ingest_verdicts")
+    got = {
+        (r["vec_id"], r["status"], r["dup_of"], r["cell"])
+        for r in spark.read.parquet(ledger_root).collect()
+    }
+    want_res = semantic_dedup_delta(spark, ref_store, delta, assign="blas")
+    want = {
+        (r["vec_id"], r["status"], r["dup_of"], r["cell"])
+        for r in want_res["verdicts"].collect()
+    }
+    assert got == want and len(got) == delta.count()
+
+    # kept vectors landed in the cells; store now equals the batch ref
+    got_cells = sorted(
+        (r["vec_id"], r["cell"])
+        for r in semantic_store_load(spark, store)["cells"].collect()
+    )
+    want_cells = sorted(
+        (r["vec_id"], r["cell"])
+        for r in semantic_store_load(spark, ref_store)["cells"].collect()
+    )
+    assert got_cells == want_cells
+
+    # replay with a FRESH checkpoint (new tokens, so the commit-marker
+    # skip does not apply): self-domination must append nothing
+    n_before = semantic_store_load(spark, store)["cells"].count()
+    run_semantic_ingest_stream(
+        spark, delta_dir, store, str(tmp_path_factory.mktemp("sem_ck2"))
+    )
+    assert semantic_store_load(spark, store)["cells"].count() == n_before
+
+
+def test_semantic_stream_committed_batch_skips(spark, tmp_path_factory):
+    """Same checkpoint identity ⇒ same commit token ⇒ the marker short-
+    circuits before any Spark work (the curation gate's device)."""
+    rng = np.random.default_rng(3)
+    base = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.normal(size=16)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    store = str(tmp_path_factory.mktemp("sem_skip") / "store")
+    semantic_store_build(base, store, k=4)
+    delta = spark.createDataFrame(
+        [(100 + int(i), [float(x) for x in rng.normal(size=16)]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    delta_dir = str(tmp_path_factory.mktemp("sem_skip_fix"))
+    _stage_delta_fixture(spark, delta_dir, delta)
+    ck = str(tmp_path_factory.mktemp("sem_skip_ck"))
+    run_semantic_ingest_stream(spark, delta_dir, store, ck)
+    commits = os.listdir(os.path.join(store, "commits"))
+    assert len(commits) >= 1
+    n1 = semantic_store_load(spark, store)["cells"].count()
+    # second run, SAME checkpoint: availableNow finds no new files, so
+    # no batch fires; and even a manually replayed committed token is
+    # skipped by the marker — assert via direct _ingest_batch call
+    from commodity_price_forecasting_spark.streaming.semantic_stream import (
+        _ingest_batch,
+    )
+
+    _ingest_batch(delta, store, commits[0], "blas")
+    assert semantic_store_load(spark, store)["cells"].count() == n1
