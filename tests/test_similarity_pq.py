@@ -1049,7 +1049,14 @@ def test_opq_index_roundtrip_append_and_probe_equality(spark, tmp_path):
     assert loaded["rotation"] == idx["rotation"]  # doubles roundtrip exactly
 
     q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
-    got_p = ivf_pq_probe(loaded, q, k=10, n_probe=2, exclude_id=7).collect()
+    probe_df = ivf_pq_probe(loaded, q, k=10, n_probe=2, exclude_id=7)
+    # rotation must not cost the pruned scan: the rotate happens on
+    # the QUERY-side LUT, the coded scan keeps its PartitionFilters
+    import re as _re
+
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"PartitionFilters: \[.*cell.*\]", plan), plan
+    got_p = probe_df.collect()
     want_p = ivf_pq_probe(idx, q, k=10, n_probe=2, exclude_id=7).collect()
     assert [(r["vec_id"], r["adc_dist"]) for r in got_p] == [
         (r["vec_id"], r["adc_dist"]) for r in want_p
