@@ -300,6 +300,14 @@ def main() -> None:
     if len(line) > 1900:  # driver tail is 2000 chars; never overflow it
         compact.pop("shared_subtotal", None)
         line = json.dumps(compact)
+    if len(line) > 1900:
+        # the queries dict dominates the line (~30 chars/lane): at
+        # ~55+ lanes even without the subtotal it would overflow and
+        # silently recreate the r11 parsed:null failure — fall back to
+        # a pointer (the full dict lives in BENCH_spread.json)
+        compact["queries"] = {}
+        compact["queries_in"] = "BENCH_spread.json"
+        line = json.dumps(compact)
     print(line)
     spark.stop()
 

@@ -265,9 +265,10 @@ def semantic_dedup_delta(
         # persist the inversion tally for store_maintenance's health
         # report (r11 VERDICT ask #2) — the rebuild trigger as a
         # readable ledger, not a per-run return value the caller must
-        # keep; derives from the checkpointed hits frame (cheap)
-        inversions = inversions.localCheckpoint(eager=True)
+        # keep. Clean-path cost: ONE small count job over the
+        # checkpointed hits frame; checkpoint+write only on a hit
         if inversions.count() > 0:
+            inversions = inversions.localCheckpoint(eager=True)
             inversions.write.mode("append").parquet(
                 os.path.join(path, "inversions")
             )

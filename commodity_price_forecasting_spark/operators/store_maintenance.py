@@ -376,10 +376,15 @@ def curation_store_compact(
     idempotent-append layout) of COMMITTED batches into one
     ``ingest_batch=compacted-<n>`` partition each for the fingerprint
     store and the corpus. Uncommitted partials (no commit marker —
-    i.e. a crashed batch awaiting redelivery) are DROPPED, which is
-    safe by construction: their replay rewrites the full partition.
-    Commit markers are retained so a late redelivery of a compacted
-    batch still skips. Returns before/after file counts per artifact."""
+    i.e. a crashed batch awaiting redelivery) are DELETED: safe by
+    construction because only a replay under the SAME checkpoint can
+    legitimately own that token, and it rewrites the full partition
+    from scratch; left in place they would feed phantom rows to every
+    corpus reader forever (r12 self-review finding). Commit markers
+    are retained so a late redelivery of a compacted batch still
+    skips. Caller contract: run with the stream QUIESCED — a live
+    foreachBatch mid-write holds an uncommitted partition this would
+    delete. Returns before/after file counts per artifact."""
     commits_dir = os.path.join(store_dir, "commits")
     committed = (
         set(os.listdir(commits_dir)) if os.path.isdir(commits_dir) else set()
@@ -394,16 +399,19 @@ def curation_store_compact(
         if not os.path.isdir(root):
             continue
         before = _file_stats(root)
-        parts = [
-            p
-            for p in os.listdir(root)
-            if p.startswith("ingest_batch=")
-            and p.split("=", 1)[1] in committed
-        ]
+        all_parts = [p for p in os.listdir(root) if p.startswith("ingest_batch=")]
+        parts = [p for p in all_parts if p.split("=", 1)[1] in committed]
+        # delete crashed-attempt partials (uncommitted tokens): their
+        # only legitimate owner is a same-checkpoint replay, which
+        # rewrites the whole partition; kept around they are phantom
+        # rows to every reader (r12 self-review finding)
+        for p in all_parts:
+            if p not in parts:
+                shutil.rmtree(os.path.join(root, p))
         if len(parts) <= 1:
             out[os.path.basename(root)] = {
                 "files_before": before["n_files"],
-                "files_after": before["n_files"],
+                "files_after": _file_stats(root)["n_files"],
                 "skipped": True,
             }
             continue
@@ -412,7 +420,11 @@ def curation_store_compact(
             .parquet(*[os.path.join(root, p) for p in parts])
             .drop("ingest_batch")
         )
-        tmp = os.path.join(root, f"ingest_batch={token}") + "__compacting"
+        # tmp lives OUTSIDE the partition root: a first-level dir named
+        # ingest_batch=...__compacting would be DISCOVERED as a real
+        # partition and expose half-written duplicate rows to every
+        # reader mid-compaction or after a crash (r12 self-review)
+        tmp = root + f"__compacting_{token}"
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
         n_target = max(1, math.ceil(before["n_bytes"] / target_file_bytes))

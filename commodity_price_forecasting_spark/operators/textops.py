@@ -36,8 +36,10 @@ def tokens(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> D
 #: (the pii_redact precedent — RE2 lacks the lookahead the original
 #: pattern uses): a token is an optionally-space-prefixed letter run,
 #: digit run, or punctuation run. This is the PRE-tokenization every
-#: BPE vocabulary merges within — its count upper-bounds the real BPE
-#: token count and tracks it far better than whitespace splitting
+#: BPE vocabulary merges within — BPE only splits FURTHER inside a
+#: pretoken, so this count LOWER-bounds the real BPE token count
+#: (a long rare word is 1 pretoken but several BPE tokens) and tracks
+#: it far better than whitespace splitting
 #: (which fuses punctuation into words and misses digit boundaries).
 BPE_PRETOKEN_RE = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 \\t\\n]+"
 

@@ -1130,9 +1130,10 @@ def text_bpe_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretokens (``operators/textops.BPE_PRETOKEN_RE`` — the
     GPT-2-style pretokenizer in the Java∩RE2 regex subset: space-
     prefixed letter runs, digit runs, punctuation runs; token budgets
-    are quoted in BPE tokens, and the bpe/ws ratio is the standard
-    ~1.3x fudge factor made MEASURED per language slice instead of
-    assumed). Both counts are single regexp passes inside the scan
+    are quoted in BPE tokens; pretokens LOWER-bound them — BPE only
+    splits further within a pretoken — and the measured bpe/ws ratio
+    replaces the assumed ~1.3x words-to-tokens fudge factor per
+    language slice). Both counts are single regexp passes inside the scan
     partition — no explode, no shuffle until the per-language
     aggregate; at 100 TB this is one map-side pass plus a
     |languages|-row reduce."""

@@ -15,15 +15,15 @@ window:
   ledger (where ``semantic_store_health`` reads them).
 
 Delivery semantics: commit-token skip for fully-processed batches
-(the curation gate's device), and the semantic tier is additionally
-SELF-HEALING under partial redelivery — a replayed vector whose
-earlier attempt already appended is its own stored cell-mate at
-cosine 1.0 ≥ any threshold, so the replay verdicts it
-``semantic_dup`` and appends nothing (pinned in
-tests/test_streaming_semantic.py). That is stronger than the near
-tier's boundary (dedup_store enforces id monotonicity with a named
-error instead, because MinHash signatures of a re-seen id WOULD
-double-append).
+(the curation gate's device) plus LEDGER-FIRST per-batch ordering —
+verdicts are computed append=False and persisted before any store
+write, replays reuse the existing ledger as the source of truth, and
+the kept-vector append anti-joins the cells' current ids so every
+crash window converges to the same store AND the same audit record
+(pinned in tests/test_streaming_semantic.py). A re-ingest under a
+FRESH checkpoint (new tokens, no ledger) is additionally
+self-healing: each replayed vector is its own stored cell-mate at
+cosine 1.0, so it re-verdicts as a dup and appends nothing.
 
 Scale shape: per batch, one map-side assignment pass (BLAS lane),
 one scan of the touched cell partitions against the broadcast batch,
@@ -65,20 +65,70 @@ def _ingest_batch(
     commit_token: str,
     assign: str,
 ) -> None:
+    """Ledger-first ordering (r12 self-review finding): verdicts are
+    computed with append=False and written to the per-batch ledger
+    BEFORE anything touches the store — a crash-replay after the
+    append would otherwise recompute every appended vector as a
+    cosine-1.0 self-dup and OVERWRITE the ledger with wrong statuses.
+    On replay the existing ledger is the source of truth: kept rows
+    are re-derived from it and appended through an anti-join against
+    the cells' current vec_ids, so every crash window (before ledger /
+    between ledger and append / between append and marker) converges
+    to the same store and the same ledger. Inversions append only on
+    the fresh-compute path (at-most-once per batch; a crash in window
+    two can lose a batch's inversion rows — an advisory health tally,
+    boundary stated here)."""
+    spark = batch_df.sparkSession
     marker = os.path.join(store_path, "commits", commit_token)
     if os.path.exists(marker):
         return  # fully committed — redelivery skip
-    res = semantic_dedup_delta(
-        batch_df.sparkSession,
-        store_path,
-        batch_df.select("vec_id", "embedding"),
-        assign=assign,
+    ledger_dir = os.path.join(
+        store_path, "ingest_verdicts", f"ingest_batch={commit_token}"
     )
-    res["verdicts"].write.mode("overwrite").parquet(
-        os.path.join(
-            store_path, "ingest_verdicts", f"ingest_batch={commit_token}"
+    delta = batch_df.select("vec_id", "embedding").localCheckpoint(eager=True)
+    if os.path.isdir(ledger_dir):
+        verdicts = spark.read.parquet(ledger_dir)  # crashed attempt's truth
+    else:
+        res = semantic_dedup_delta(
+            spark, store_path, delta, assign=assign, append=False
         )
+        res["verdicts"].write.mode("overwrite").parquet(ledger_dir)
+        verdicts = res["verdicts"]
+        inv = res["inversions"].localCheckpoint(eager=True)
+        if inv.count() > 0:
+            inv.write.mode("append").parquet(
+                os.path.join(store_path, "inversions")
+            )
+    kept_ids = verdicts.filter(F.col("status") == "kept").select("vec_id")
+    existing = spark.read.parquet(os.path.join(store_path, "cells")).select(
+        "vec_id"
     )
+    to_append = (
+        delta.join(F.broadcast(kept_ids), "vec_id")
+        # anti-join makes the append idempotent across crash replays
+        .join(F.broadcast(kept_ids.join(existing, "vec_id")), "vec_id", "left_anti")
+        .localCheckpoint(eager=True)
+    )
+    if not to_append.isEmpty():
+        from commodity_price_forecasting_spark.operators.semantic_store import (
+            semantic_store_load,
+        )
+        from commodity_price_forecasting_spark.operators.similarity import (
+            assign_cells_blas,
+            assign_cells_fold,
+        )
+
+        store = semantic_store_load(spark, store_path)
+        assigner = assign_cells_blas if assign == "blas" else assign_cells_fold
+        assigned = assigner(to_append, store["seeds"])
+        assigned.select(
+            F.col("_vid").alias("vec_id"),
+            F.col("_emb").alias("embedding"),
+            F.col("_cent").alias("cent_cos"),
+            "cell",
+        ).write.mode("append").partitionBy("cell").parquet(
+            os.path.join(store_path, "cells")
+        )
     os.makedirs(os.path.dirname(marker), exist_ok=True)
     with open(marker, "w") as fh:
         fh.write("committed\n")

@@ -127,3 +127,53 @@ def test_semantic_stream_committed_batch_skips(spark, tmp_path_factory):
 
     _ingest_batch(delta, store, commits[0], "blas")
     assert semantic_store_load(spark, store)["cells"].count() == n1
+
+
+def test_ingest_batch_crash_replay_preserves_ledger_and_store(
+    spark, tmp_path_factory
+):
+    """The r12 self-review finding: a crash AFTER the kept-append but
+    BEFORE the commit marker must not let the replay overwrite the
+    ledger with cosine-1.0 self-dup verdicts or double-append cells —
+    ledger-first ordering + the anti-join append make the replay
+    converge to the identical ledger and store."""
+    from commodity_price_forecasting_spark.streaming.semantic_stream import (
+        _ingest_batch,
+    )
+
+    rng = np.random.default_rng(9)
+    base = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.normal(size=16)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    store = str(tmp_path_factory.mktemp("sem_crash") / "store")
+    semantic_store_build(base, store, k=4)
+    delta = spark.createDataFrame(
+        [(100 + int(i), [float(x) for x in rng.normal(size=16)]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+
+    _ingest_batch(delta, store, "t0", "blas")
+    ledger_dir = os.path.join(store, "ingest_verdicts", "ingest_batch=t0")
+    l0 = sorted(
+        (r["vec_id"], r["status"], r["dup_of"])
+        for r in spark.read.parquet(ledger_dir).collect()
+    )
+    c0 = sorted(
+        r["vec_id"] for r in semantic_store_load(spark, store)["cells"].collect()
+    )
+    assert any(s == "kept" for _, s, _ in l0)  # the append actually ran
+
+    # simulate the crash window: marker lost, everything else landed
+    os.remove(os.path.join(store, "commits", "t0"))
+    _ingest_batch(delta, store, "t0", "blas")
+    l1 = sorted(
+        (r["vec_id"], r["status"], r["dup_of"])
+        for r in spark.read.parquet(ledger_dir).collect()
+    )
+    c1 = sorted(
+        r["vec_id"] for r in semantic_store_load(spark, store)["cells"].collect()
+    )
+    assert l1 == l0  # NOT rewritten as self-dups
+    assert c1 == c0  # no double-append
+    assert os.path.exists(os.path.join(store, "commits", "t0"))

@@ -44,10 +44,12 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--semantic", action="store_true")
     ap.add_argument("--workdir", default="/tmp/compaction_probe")
+    ap.add_argument("--driver-mem", default="24g")
     args = ap.parse_args()
 
     spark = get_spark(app_name="compaction-probe", master="local[32]",
-                      shuffle_partitions=32)
+                      shuffle_partitions=32,
+                      extra_conf={"spark.driver.memory": args.driver_mem})
     shutil.rmtree(args.workdir, ignore_errors=True)
     os.makedirs(args.workdir)
     out = {"sf_dir": args.sf_dir, "appends": args.appends}

@@ -78,7 +78,7 @@ EXTRA = (
     "ts_acf",
     "ts_pacf",
     "ts_rescaled_range",
-    "m11_adf_test",
+    "m11_df_test",
     "m11_kpss_level",
     "m11_ljung_box",
     "m5_ar_forecast",
@@ -91,6 +91,9 @@ def main() -> None:
         app_name="stats-grain-audit", master="local[8]", shuffle_partitions=8
     )
     registry = load_all()
+    missing = [n for n in EXTRA if n not in registry]
+    if missing:  # a typo'd EXTRA entry would be silently unaudited
+        raise SystemExit(f"stats_grain_audit: unknown EXTRA lanes {missing}")
     names = sorted(
         name
         for name, spec in registry.items()
