@@ -913,6 +913,18 @@ def ivf_pq_index_load(spark, path: str) -> dict:
     m_sub = cb.agg(F.max("m").alias("_m")).first()["_m"] + 1
     rot = None
     if os.path.isdir(os.path.join(path, "rotation")):
+        # the rotation is the index's IDENTITY: codes are meaningless
+        # under a partial R. A directory without Spark's job-commit
+        # sentinel is a crashed index write — refuse to load rather
+        # than probe in a half-written rotation space (the r13 sweep
+        # of isdir-gated parquet reads used as source of truth).
+        if not os.path.exists(os.path.join(path, "rotation", "_SUCCESS")):
+            raise ValueError(
+                f"ivf_pq_index_load: {path}/rotation exists without "
+                "_SUCCESS — the index write crashed mid-rotation; "
+                "rebuild the index (codes may be encoded under a "
+                "rotation this directory does not fully hold)"
+            )
         rot_rows = spark.read.parquet(os.path.join(path, "rotation")).collect()
         rot = [
             [float(x) for x in r["rrow"]]

@@ -86,8 +86,16 @@ def _ingest_batch(
         store_path, "ingest_verdicts", f"ingest_batch={commit_token}"
     )
     delta = batch_df.select("vec_id", "embedding").localCheckpoint(eager=True)
-    if os.path.isdir(ledger_dir):
-        verdicts = spark.read.parquet(ledger_dir)  # crashed attempt's truth
+    if os.path.exists(os.path.join(ledger_dir, "_SUCCESS")):
+        # crashed attempt's truth — but only a COMMITTED ledger job
+        # counts (r12 VERDICT "what's wrong" #2): a crash during the
+        # ledger write can leave a directory with a readable SUBSET of
+        # part-files and no _SUCCESS; adopting that fragment would
+        # silently drop verdicts (and appends) for every vector missing
+        # from it. Bare isdir was that bug; the _SUCCESS marker is the
+        # job-commit sentinel Spark writes last. A partial directory
+        # falls through to fresh compute, whose overwrite replaces it.
+        verdicts = spark.read.parquet(ledger_dir)
     else:
         res = semantic_dedup_delta(
             spark, store_path, delta, assign=assign, append=False

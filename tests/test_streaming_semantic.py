@@ -177,3 +177,64 @@ def test_ingest_batch_crash_replay_preserves_ledger_and_store(
     assert l1 == l0  # NOT rewritten as self-dups
     assert c1 == c0  # no double-append
     assert os.path.exists(os.path.join(store, "commits", "t0"))
+
+
+def test_ingest_batch_partial_ledger_recomputes(spark, tmp_path_factory):
+    """r13 (r12 VERDICT "what's wrong" #2 / ADVICE low): a crash DURING
+    the ledger write can leave the directory with a readable SUBSET of
+    part-files and no _SUCCESS. The replay must NOT adopt that fragment
+    as the source of truth (vectors missing from it would get no verdict
+    and no append, silently, forever) — it must fall through to fresh
+    compute, whose overwrite replaces the fragment, converging to the
+    same ledger and store a clean run produces."""
+    from commodity_price_forecasting_spark.streaming.semantic_stream import (
+        _ingest_batch,
+    )
+
+    rng = np.random.default_rng(21)
+    base = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.normal(size=16)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    store = str(tmp_path_factory.mktemp("sem_partial") / "store")
+    semantic_store_build(base, store, k=4)
+    ref_store = store + "_ref"
+    shutil.copytree(store, ref_store)
+    delta = spark.createDataFrame(
+        [(100 + int(i), [float(x) for x in rng.normal(size=16)]) for i in range(6)],
+        "vec_id long, embedding array<float>",
+    )
+
+    # forge the crashed-ledger-write state: a directory holding a
+    # PARTIAL verdict set (one row of what would be six) and no
+    # _SUCCESS — exactly what a kill mid-job-commit leaves behind
+    ledger_dir = os.path.join(store, "ingest_verdicts", "ingest_batch=t0")
+    partial = delta.limit(1).select(
+        "vec_id",
+        F.lit("kept").alias("status"),
+        F.lit(None).cast("long").alias("dup_of"),
+        F.lit(0).cast("long").alias("cell"),
+        F.lit(1.0).alias("cos"),
+    )
+    partial.write.parquet(ledger_dir)
+    os.remove(os.path.join(ledger_dir, "_SUCCESS"))
+    assert not os.path.exists(os.path.join(ledger_dir, "_SUCCESS"))
+
+    _ingest_batch(delta, store, "t0", "blas")
+
+    # the fragment was replaced by the full fresh-compute verdict set,
+    # equal to the batch operator's against an untouched ref store
+    got = sorted(
+        (r["vec_id"], r["status"], r["dup_of"])
+        for r in spark.read.parquet(ledger_dir).collect()
+    )
+    want_res = semantic_dedup_delta(
+        spark, ref_store, delta, assign="blas", append=False
+    )
+    want = sorted(
+        (r["vec_id"], r["status"], r["dup_of"])
+        for r in want_res["verdicts"].collect()
+    )
+    assert got == want and len(got) == 6
+    assert os.path.exists(os.path.join(ledger_dir, "_SUCCESS"))
+    assert os.path.exists(os.path.join(store, "commits", "t0"))
