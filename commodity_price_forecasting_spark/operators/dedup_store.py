@@ -408,3 +408,134 @@ def dedup_delta(
     dfp.unpersist()
     dwide.unpersist()
     return {"verdicts": verdicts, "bridges": bridges, "n_appended": n_appended}
+
+
+def dedup_store_append(
+    spark,
+    path: str,
+    new_docs: DataFrame,
+    verdicts: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """IDEMPOTENT store append driven by an already-persisted verdict
+    ledger — the crash/replay half of the streaming near-dup tier
+    (r12 ADVICE #1: ``dedup_delta(append=True)`` inside foreachBatch
+    appended unconditionally, so a crash after the append but before
+    the batch's commit marker made every redelivery raise the
+    id-monotonicity ValueError and permanently wedge the stream).
+
+    Given the SAME ``new_docs`` and the verdicts a prior
+    ``dedup_delta(..., append=False)`` computed for them, this appends
+    exactly what ``dedup_delta(append=True)`` would have (equality
+    pinned in tests/test_dedup_store.py): the batch's new-content
+    holders' fingerprints, wide MinHash signatures, and LSH band rows,
+    plus the meta ``max_doc_id`` bump. Signatures and bands are
+    recomputed from the text with the store's persisted hashing
+    parameters — deterministic, so a replay regenerates byte-identical
+    values.
+
+    Idempotence is per-ROW, not per-call: each artifact's new rows are
+    anti-joined (on its unique key — ``doc_id`` for fingerprints and
+    signatures, ``(doc_id, band)`` for bands) against the store rows
+    already in the delta's id range, so a crash ANYWHERE inside a
+    previous append — even mid-job-commit, with some of one artifact's
+    files visible — converges on replay with no duplicates and no
+    missing rows. The meta overwrite is ``max(old, new)`` and the
+    anti-joined frames are eagerly checkpointed before any write (the
+    module's read-then-append self-corruption rule). There is
+    deliberately NO id-monotonicity check here: on a crash replay the
+    previous attempt may already have advanced ``max_doc_id`` past the
+    batch — the exact condition that wedged the old path. Monotonicity
+    is enforced where verdicts are COMPUTED (``dedup_delta``); this
+    function only lands what those verdicts imply.
+
+    Bridges are NOT appended here: they are derivable only at verdict-
+    compute time (the contracted component graph), so the caller
+    appends them on the fresh-compute path — at-most-once per batch,
+    the same advisory-ledger boundary the semantic tier documents for
+    inversions. Returns the number of fingerprint rows actually
+    appended by THIS call (0 on a fully-replayed batch)."""
+    store_meta = spark.read.parquet(os.path.join(path, "meta")).first().asDict()
+    k, num_hashes, rows_per_band = (
+        int(store_meta["k"]),
+        int(store_meta["num_hashes"]),
+        int(store_meta["rows_per_band"]),
+    )
+    mh = _mh_cols(num_hashes)
+    d = new_docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    lim = d.agg(
+        F.min("doc_id").alias("_lo"),
+        F.max("doc_id").alias("_hi"),
+        F.count(F.lit(1)).alias("_n"),
+    ).first()
+    if lim["_n"] == 0:
+        return 0
+    lo = int(lim["_lo"])
+
+    dfp = d.select("doc_id", content_fingerprint(F.col("text")).alias("fp"))
+    holders = dfp.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+    new_canon = (
+        holders.join(verdicts.select("doc_id", "status", "dup_of"), "doc_id")
+        .filter(F.col("status") != "exact_dup")
+        .select("doc_id", "fp", F.coalesce("dup_of", "doc_id").alias("canon_id"))
+        .localCheckpoint(eager=True)
+    )
+    duniq = d.join(new_canon.select("doc_id"), "doc_id")
+    dwide = minhash_wide(
+        char_shingles(duniq, k=k, distinct=False), num_hashes=num_hashes
+    ).localCheckpoint(eager=True)
+    dbands = band_signatures(
+        dwide, num_hashes=num_hashes, rows_per_band=rows_per_band
+    )
+
+    # rows a crashed attempt already landed, per artifact: bounded by
+    # the batch size (only ids >= the delta's min can be this batch's;
+    # parquet row-group min/max stats skip the store's older files)
+    def _existing(name: str, *keys: str) -> DataFrame:
+        return (
+            spark.read.parquet(os.path.join(path, name))
+            .filter(F.col("doc_id") >= lo)
+            .select(*keys)
+        )
+
+    fp_rows = (
+        new_canon.join(F.broadcast(_existing("fingerprints", "doc_id")),
+                       "doc_id", "left_anti")
+        .select("fp", "doc_id", "canon_id")
+        .localCheckpoint(eager=True)
+    )
+    sig_rows = (
+        dwide.join(new_canon.select("doc_id", "canon_id"), "doc_id")
+        .join(F.broadcast(_existing("signatures", "doc_id")),
+              "doc_id", "left_anti")
+        .select("doc_id", *mh, "canon_id")
+        .localCheckpoint(eager=True)
+    )
+    band_rows = (
+        dbands.join(new_canon.select("doc_id"), "doc_id")
+        .join(F.broadcast(_existing("bands", "doc_id", "band")),
+              ["doc_id", "band"], "left_anti")
+        .select("doc_id", "band", "sig")
+        .localCheckpoint(eager=True)
+    )
+    n_fp = fp_rows.count()
+    if n_fp:
+        fp_rows.write.mode("append").parquet(os.path.join(path, "fingerprints"))
+    if sig_rows.count():
+        sig_rows.write.mode("append").parquet(os.path.join(path, "signatures"))
+    if band_rows.count():
+        band_rows.write.mode("append").partitionBy("band").parquet(
+            os.path.join(path, "bands")
+        )
+    _write_meta(
+        spark,
+        path,
+        k,
+        num_hashes,
+        rows_per_band,
+        float(store_meta["threshold"]),
+        max(int(lim["_hi"]), int(store_meta["max_doc_id"])),
+    )
+    return int(n_fp)

@@ -19,12 +19,15 @@ Composition of proven pieces, per the ask:
   ``operators/dedup_store.dedup_delta``'s store-scan/delta-broadcast
   shape (each batch IS a delta);
 - optionally (``near_dup_store=``, r11 VERDICT ask #3) the REAL
-  ``dedup_delta`` per micro-batch: MinHash verdicts for the exact-tier
-  survivors against the persisted band store, near-dups dropped from
-  the corpus, verdicts in a per-batch audit ledger, bridges in the
-  store's own ledger — the streaming gate now covers the exact AND
-  near tiers (semantic stays batch: it needs the frozen-seed store's
-  assignment semantics, not a watermark).
+  near-dup tier per micro-batch: MinHash verdicts for the exact-tier
+  survivors against the persisted band store (``dedup_delta`` with
+  ``append=False``), near-dups dropped from the corpus, verdicts in a
+  per-batch audit ledger written BEFORE the store append
+  (ledger-first, r12 ADVICE #1), and the append itself landed by the
+  row-idempotent ``dedup_store_append`` so crash replays converge
+  instead of tripping the id-monotonicity check. The semantic tier
+  streams separately (``streaming/semantic_stream`` — it rides an
+  embedding feed, not the document feed).
 
 Determinism contract (mirrors dedup_store's id monotonicity): the
 synthetic arrival time is monotone in ``doc_id`` and each micro-batch
@@ -214,28 +217,58 @@ def _append_batch(
         # shingle/band the BATCH only, store scanned once, batch
         # broadcast). Docs verdicted kept enter the corpus; near/exact
         # dups of dedup-store content are dropped; ALL verdicts land in
-        # a per-batch audit ledger and bridges persist into the store's
-        # own ledger (dedup_delta appends them since r12). Boundary,
-        # stated not hidden: dedup_delta's three-artifact store append
-        # is not atomic — a crash INSIDE it leaves the batch
-        # uncommitted and its replay fails LOUDLY on the store's
-        # id-monotonicity check (ids already appended) instead of
-        # corrupting verdicts; recovery is a store rebuild, the same
-        # trigger the bridge rule already mechanizes. Batches must
-        # arrive id-monotone (the synthetic clock's contract).
+        # a per-batch audit ledger. Since r13 (r12 ADVICE #1) this tier
+        # uses the semantic tier's LEDGER-FIRST device instead of
+        # dedup_delta's in-line append: verdicts are computed
+        # append=False, persisted to the batch-addressed ledger, and
+        # only then landed in the band store via the row-idempotent
+        # dedup_store_append — so a crash anywhere (mid-append
+        # included) replays to the same store, same ledger, same
+        # corpus, instead of wedging on the id-monotonicity check.
+        # Replays reuse a COMMITTED ledger (_SUCCESS-gated) as the
+        # source of truth and never recompute. Bridges append into the
+        # store's rebuild ledger on the fresh-compute path only —
+        # at-most-once per batch, the semantic tier's documented
+        # advisory boundary. Batches must arrive id-monotone (the
+        # synthetic clock's contract), enforced at verdict compute.
         from commodity_price_forecasting_spark.operators.dedup_store import (
             dedup_delta,
+            dedup_store_append,
         )
 
-        res = dedup_delta(spark, near_dup_store, fresh.select("doc_id", "text"))
-        verd = res["verdicts"].localCheckpoint(eager=True)
         ledger = os.path.join(corpus_dir, "near_dup_verdicts")
-        if commit_token is not None:
-            verd.write.mode("overwrite").parquet(
-                os.path.join(ledger, f"ingest_batch={commit_token}")
+        if commit_token is None:
+            # legacy probe path (throwaway sink, no replay channel):
+            # keep dedup_delta's one-pass inline append — the measured
+            # per-batch operating cost (SCALE.md r12)
+            res = dedup_delta(
+                spark, near_dup_store, fresh.select("doc_id", "text")
             )
-        else:
+            verd = res["verdicts"].localCheckpoint(eager=True)
             verd.write.mode("append").parquet(ledger)
+        else:
+            ledger_part = os.path.join(ledger, f"ingest_batch={commit_token}")
+            if os.path.exists(os.path.join(ledger_part, "_SUCCESS")):
+                # committed ledger = the crashed attempt's truth; never
+                # recompute (the store may already hold this batch's
+                # appends, which would re-verdict as self-dups)
+                verd = spark.read.parquet(ledger_part).localCheckpoint(
+                    eager=True
+                )
+            else:
+                res = dedup_delta(
+                    spark, near_dup_store, fresh.select("doc_id", "text"),
+                    append=False,
+                )
+                verd = res["verdicts"].localCheckpoint(eager=True)
+                verd.write.mode("overwrite").parquet(ledger_part)
+                if res["bridges"].count() > 0:
+                    res["bridges"].localCheckpoint(eager=True).write.mode(
+                        "append"
+                    ).parquet(os.path.join(near_dup_store, "bridges"))
+            dedup_store_append(
+                spark, near_dup_store, fresh.select("doc_id", "text"), verd
+            )
         # corpus gets only near-kept docs; the curation fp store below
         # still records EVERY exact-tier survivor (near-dropped
         # included) so a re-ingested copy of a near-dropped doc is

@@ -198,3 +198,69 @@ def test_exact_dup_tiers_and_guards(spark, tmp_path):
     empty = delta.limit(0)
     r0 = dedup_delta(spark, str(tmp_path / "store"), empty)
     assert r0["n_appended"] == 0 and r0["verdicts"].count() == 0
+
+
+def _store_state(spark, path):
+    """Full comparable content of a dedup store's three artifacts +
+    meta max_doc_id (column-name-keyed sets, order-insensitive)."""
+    s = dedup_store_load(spark, path)
+    sig_cols = [c for c in s["signatures"].columns]
+    return (
+        {tuple(r) for r in s["fingerprints"].select("fp", "doc_id", "canon_id").collect()},
+        {tuple(r) for r in s["signatures"].select(*sorted(sig_cols)).collect()},
+        {tuple(r) for r in s["bands"].select("doc_id", "band", "sig").collect()},
+        int(s["meta"]["max_doc_id"]),
+    )
+
+
+def test_store_append_from_ledger_equals_inline_and_is_idempotent(
+    spark, tmp_path
+):
+    """r13 (r12 ADVICE #1): ``dedup_delta(append=False)`` +
+    ``dedup_store_append(docs, verdicts)`` must land the IDENTICAL
+    store state as ``dedup_delta(append=True)``, and the append must
+    be row-idempotent — replaying it whole, or resuming after a
+    simulated crash that landed only SOME artifacts, converges with no
+    duplicate and no missing rows."""
+    from commodity_price_forecasting_spark.operators.dedup_store import (
+        dedup_store_append,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    old = docs.filter(F.col("doc_id") < 400)
+    delta = docs.filter(F.col("doc_id") >= 400)
+    inline, ledgered = str(tmp_path / "inline"), str(tmp_path / "ledgered")
+    dedup_store_build(old, inline)
+    dedup_store_build(old, ledgered)
+
+    want_res = dedup_delta(spark, inline, delta, append=True)
+    res = dedup_delta(spark, ledgered, delta, append=False)
+    verd = res["verdicts"].localCheckpoint(eager=True)
+    assert _as_set(verd) == _as_set(want_res["verdicts"])
+
+    n1 = dedup_store_append(spark, ledgered, delta, verd)
+    assert n1 == want_res["n_appended"] > 0
+    assert _store_state(spark, ledgered) == _store_state(spark, inline)
+
+    # whole-call replay (crash after append, before the batch marker —
+    # the scenario that used to wedge the stream): appends nothing
+    assert dedup_store_append(spark, ledgered, delta, verd) == 0
+    assert _store_state(spark, ledgered) == _store_state(spark, inline)
+
+    # partial-crash resume: rebuild the pre-append store, land ONLY
+    # the fingerprint artifact (a crash mid-append), then replay —
+    # the per-artifact anti-joins must fill in signatures and bands
+    # without duplicating the fingerprints already landed
+    partial = str(tmp_path / "partial")
+    dedup_store_build(old, partial)
+    import os
+
+    fp_only = (
+        spark.read.parquet(os.path.join(ledgered, "fingerprints"))
+        .filter(F.col("doc_id") >= 400)
+        .localCheckpoint(eager=True)
+    )
+    assert fp_only.count() == n1
+    fp_only.write.mode("append").parquet(os.path.join(partial, "fingerprints"))
+    dedup_store_append(spark, partial, delta, verd)
+    assert _store_state(spark, partial) == _store_state(spark, inline)

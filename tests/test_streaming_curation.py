@@ -282,6 +282,103 @@ def test_stream_near_dup_tier_matches_batch_and_gates_corpus(
     assert spark.read.parquet(os.path.join(corpus, "corpus")).count() == n_base + 1
 
 
+def test_near_dup_tier_crash_after_store_append_replays_convergent(
+    spark, tmp_path_factory
+):
+    """r13 (r12 ADVICE #1): the old near tier ran
+    ``dedup_delta(append=True)`` inside the commit-token path, so a
+    crash AFTER the band-store append but BEFORE the batch's commit
+    marker made every redelivery raise the id-monotonicity ValueError
+    — the stream was permanently wedged. Ledger-first +
+    ``dedup_store_append`` must instead converge: replay reuses the
+    committed ledger, appends nothing to the store, and restores the
+    lost corpus partition and marker."""
+    import shutil
+
+    from commodity_price_forecasting_spark.operators.dedup_store import (
+        dedup_store_build, dedup_store_load,
+    )
+    from commodity_price_forecasting_spark.streaming.curation_stream import (
+        _append_batch,
+    )
+
+    store = str(tmp_path_factory.mktemp("ndc_store"))
+    corpus = str(tmp_path_factory.mktemp("ndc_corpus"))
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    fresh_text = "totally novel river mill crow morning light quiet hill " * 4
+    near_store = str(tmp_path_factory.mktemp("ndc_bands"))
+    dedup_store_build(
+        spark.createDataFrame(
+            [(0, text_a), (1, "unrelated filler zebra yankee xray whiskey " * 4)],
+            "doc_id long, text string",
+        ),
+        near_store, rows_per_band=1, threshold=0.3,
+    )
+
+    # a prior committed batch keeps the curation fp store non-empty
+    # across the simulated crash (as it would be mid-stream)
+    prior = spark.createDataFrame(
+        [(50, "fp50", "some earlier ingested content", 0.9, 5, "split_train")],
+        "doc_id long, fp string, text string, quality double, "
+        "n_tokens long, split string",
+    )
+    _append_batch(prior, store, corpus, commit_token="run-0")
+
+    batch = spark.createDataFrame(
+        [
+            (100, "fpA", text_a + " tiny trailing tail", 0.9, 40, "split_train"),
+            (101, "fpB", fresh_text, 0.9, 40, "split_val"),
+        ],
+        "doc_id long, fp string, text string, quality double, "
+        "n_tokens long, split string",
+    )
+    _append_batch(
+        batch, store, corpus, commit_token="run-1", near_dup_store=near_store
+    )
+    ledger_dir = os.path.join(corpus, "near_dup_verdicts", "ingest_batch=run-1")
+    l0 = sorted(
+        (r["doc_id"], r["status"], r["dup_of"])
+        for r in spark.read.parquet(ledger_dir).collect()
+    )
+    assert {s for _, s, _ in l0} == {"near_dup", "kept"}
+    nd0 = dedup_store_load(spark, near_store)
+    s0 = (
+        sorted(r["doc_id"] for r in nd0["fingerprints"].collect()),
+        nd0["signatures"].count(),
+        nd0["bands"].count(),
+        int(nd0["meta"]["max_doc_id"]),
+    )
+    corpus_path = os.path.join(corpus, "corpus")
+    c0 = sorted(r["doc_id"] for r in spark.read.parquet(corpus_path).collect())
+    assert c0 == [50, 101]  # near-dup 100 gated out
+
+    # crash window: band store appended + ledger committed, but the
+    # curation fp partition, corpus partition, and marker were lost
+    shutil.rmtree(os.path.join(store, "fingerprints", "ingest_batch=run-1"))
+    shutil.rmtree(os.path.join(corpus_path, "ingest_batch=run-1"))
+    os.remove(os.path.join(store, "commits", "run-1"))
+
+    _append_batch(  # used to raise "monotone ids" here
+        batch, store, corpus, commit_token="run-1", near_dup_store=near_store
+    )
+    l1 = sorted(
+        (r["doc_id"], r["status"], r["dup_of"])
+        for r in spark.read.parquet(ledger_dir).collect()
+    )
+    nd1 = dedup_store_load(spark, near_store)
+    s1 = (
+        sorted(r["doc_id"] for r in nd1["fingerprints"].collect()),
+        nd1["signatures"].count(),
+        nd1["bands"].count(),
+        int(nd1["meta"]["max_doc_id"]),
+    )
+    c1 = sorted(r["doc_id"] for r in spark.read.parquet(corpus_path).collect())
+    assert l1 == l0  # ledger reused, not recomputed as self-dups
+    assert s1 == s0  # no duplicate store rows
+    assert c1 == c0  # corpus rows recovered
+    assert os.path.exists(os.path.join(store, "commits", "run-1"))
+
+
 def _mini_batch(spark):
     rows = [
         (1, "aa", "text one", 0.9, 10, "split_train"),
