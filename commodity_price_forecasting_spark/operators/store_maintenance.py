@@ -41,12 +41,22 @@ read parquet footers, not data.
 
 from __future__ import annotations
 
+import contextlib
+import json
 import math
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+class StoreLockError(RuntimeError):
+    """Another live process holds the store's maintenance lock —
+    compaction attempted against a non-quiesced stream, or an ingest
+    batch attempted mid-compaction (r12 ADVICE #2: the QUIESCED
+    contract is now enforced, not documented)."""
 
 #: files smaller than this count as "small" in health reports — 8 MiB
 #: is well under any sane parquet row-group target (128 MiB HDFS-era,
@@ -365,94 +375,319 @@ def semantic_store_rebuild(
     return stats
 
 
+#: uncommitted partitions younger than this are refused deletion by
+#: compaction (a marker-less partition this fresh is most likely an
+#: in-flight or just-crashed batch — fail loudly rather than race it;
+#: r12 ADVICE #2's grace-window belt on top of the lock).
+UNCOMMITTED_GRACE_SECONDS = 600
+
+
+@contextlib.contextmanager
+def maintenance_lock(store_dir: str, owner: str):
+    """Advisory single-writer lock for a curation store (r12 ADVICE
+    #2): ``curation_store_compact`` and the stream's ``_append_batch``
+    both take it, so a compaction can no longer run concurrently with
+    a live foreachBatch and delete the in-flight batch's uncommitted
+    partition (which then became a committed-batch-with-no-data after
+    the batch's marker landed — silent, unrecoverable row loss).
+
+    O_CREAT|O_EXCL on ``<store>/.maintenance_lock`` holding
+    ``pid owner``; a lock whose pid is dead (same-host check via
+    ``kill(pid, 0)``) is stolen — crash of either writer never wedges
+    the store. A live holder raises ``StoreLockError``: the stream
+    batch fails loudly and redelivers (idempotent), the compaction
+    aborts before touching anything. Cross-HOST mutual exclusion needs
+    a lease service or a transactional table format — the same
+    documented boundary as the store swaps."""
+    os.makedirs(store_dir, exist_ok=True)
+    lock = os.path.join(store_dir, ".maintenance_lock")
+    for _attempt in (0, 1):
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            try:
+                with open(lock) as fh:
+                    pid_s, _, holder = fh.read().partition(" ")
+                pid = int(pid_s)
+            except (OSError, ValueError):
+                pid, holder = -1, "unreadable"
+            alive = False
+            if pid > 0:
+                try:
+                    os.kill(pid, 0)
+                    alive = True
+                except ProcessLookupError:
+                    alive = False
+                except PermissionError:
+                    alive = True
+            if alive:
+                raise StoreLockError(
+                    f"{store_dir}: maintenance lock held by live pid "
+                    f"{pid} ({holder.strip() or 'unknown'}) — "
+                    f"{owner} refuses to run concurrently (quiesce the "
+                    "other writer first)"
+                )
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(lock)  # stale: holder is dead
+    else:  # two steal attempts lost the race both times
+        raise StoreLockError(f"{store_dir}: could not acquire lock")
+    try:
+        os.write(fd, f"{os.getpid()} {owner}\n".encode())
+        os.close(fd)
+        yield
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(lock)
+
+
+def _read_committed(commits_dir: str) -> set[str]:
+    return set(os.listdir(commits_dir)) if os.path.isdir(commits_dir) else set()
+
+
+def curation_superseded(store_dir: str) -> dict[str, set[str]]:
+    """Per-root sets of source tokens superseded by committed
+    compactions: union of the ``supersedes`` manifests carried by
+    ``compacted-*`` markers (plain pre-r13 markers carry none). A
+    superseded token's partition may still be PRESENT on disk — the
+    crash window between a compaction's marker and its GC — and every
+    reader must exclude it or see its rows twice."""
+    commits_dir = os.path.join(store_dir, "commits")
+    out: dict[str, set[str]] = {}
+    for t in _read_committed(commits_dir):
+        if not t.startswith("compacted-"):
+            continue
+        try:
+            with open(os.path.join(commits_dir, t)) as fh:
+                manifest = json.load(fh)
+        except (OSError, ValueError):
+            continue  # pre-manifest marker ("committed\n") — nothing to GC
+        for root_key, tokens in manifest.get("supersedes", {}).items():
+            out.setdefault(root_key, set()).update(tokens)
+    return out
+
+
+def _live_partitions(
+    root: str, committed: set[str], superseded: set[str]
+) -> list[str]:
+    """The partitions a reader may legally see: committed (marker
+    exists) and not superseded by a committed compaction."""
+    if not os.path.isdir(root):
+        return []
+    return sorted(
+        p
+        for p in os.listdir(root)
+        if p.startswith("ingest_batch=")
+        and p.split("=", 1)[1] in committed
+        and p.split("=", 1)[1] not in superseded
+    )
+
+
+def read_curated_corpus(spark, store_dir: str, corpus_dir: str) -> DataFrame:
+    """Read the streaming curated corpus seeing ONLY live partitions —
+    committed batches not superseded by a committed compaction. A bare
+    ``spark.read.parquet(corpus_root)`` additionally sees (a) crashed
+    batches' uncommitted partials and (b) superseded-but-not-yet-GC'd
+    compaction sources (duplicate rows) — both phantom-row channels
+    this reader closes (r12 VERDICT "what's wrong" #1)."""
+    root = os.path.join(corpus_dir, "corpus")
+    committed = _read_committed(os.path.join(store_dir, "commits"))
+    live = _live_partitions(
+        root, committed, curation_superseded(store_dir).get("corpus", set())
+    )
+    if not live:
+        raise ValueError(f"{root}: no live committed corpus partitions")
+    return spark.read.option("basePath", root).parquet(
+        *[os.path.join(root, p) for p in live]
+    )
+
+
+def curation_store_health(spark, store_dir: str, corpus_dir: str) -> dict:
+    """Health report for the STREAMING curation store, the third
+    member of the health family: per-root file stats over LIVE
+    partitions, live/uncommitted/superseded partition tallies, and
+    ``compact_recommended`` — true for a root whose live partition
+    count exceeds a handful or whose files are mostly small (each
+    micro-batch appends one partition of tiny files; at daily cadence
+    this is the small-file collapse the family exists to mechanize)."""
+    committed = _read_committed(os.path.join(store_dir, "commits"))
+    superseded = curation_superseded(store_dir)
+    out: dict = {"roots": {}, "compact_recommended": []}
+    for root_key, root in (
+        ("fingerprints", os.path.join(store_dir, "fingerprints")),
+        ("corpus", os.path.join(corpus_dir, "corpus")),
+    ):
+        if not os.path.isdir(root):
+            continue
+        sup = superseded.get(root_key, set())
+        live = _live_partitions(root, committed, sup)
+        all_parts = [
+            p for p in os.listdir(root) if p.startswith("ingest_batch=")
+        ]
+        stats = _file_stats(root)
+        rec = len(live) > 4 or (
+            stats["n_files"] > 1
+            and stats["n_small_files"] >= max(2, stats["n_files"] // 2)
+            and len(live) > 1
+        )
+        out["roots"][root_key] = {
+            **stats,
+            "n_live_partitions": len(live),
+            "n_uncommitted_partitions": sum(
+                1 for p in all_parts if p.split("=", 1)[1] not in committed
+            ),
+            "n_superseded_present": sum(
+                1 for p in all_parts if p.split("=", 1)[1] in sup
+            ),
+        }
+        if rec:
+            out["compact_recommended"].append(root_key)
+    out["compact_recommended"].sort()
+    return out
+
+
+def _gc_superseded(store_dir: str, roots: dict[str, str]) -> int:
+    """Delete superseded-but-present source partitions (pure garbage
+    collection: their rows live in a COMMITTED compacted partition, so
+    deletion at any moment, crash anywhere, loses nothing). Returns
+    the number of partitions removed."""
+    superseded = curation_superseded(store_dir)
+    n = 0
+    for root_key, root in roots.items():
+        for token in superseded.get(root_key, set()):
+            part = os.path.join(root, f"ingest_batch={token}")
+            if os.path.isdir(part):
+                shutil.rmtree(part)
+                n += 1
+    return n
+
+
 def curation_store_compact(
     spark,
     store_dir: str,
     corpus_dir: str,
     target_file_bytes: int = TARGET_FILE_BYTES,
+    grace_seconds: float = UNCOMMITTED_GRACE_SECONDS,
 ) -> dict:
     """Compact the STREAMING curation store: consolidate the
-    per-micro-batch ``ingest_batch=<token>`` partitions (the
-    idempotent-append layout) of COMMITTED batches into one
-    ``ingest_batch=compacted-<n>`` partition each for the fingerprint
-    store and the corpus. Uncommitted partials (no commit marker —
-    i.e. a crashed batch awaiting redelivery) are DELETED: safe by
-    construction because only a replay under the SAME checkpoint can
-    legitimately own that token, and it rewrites the full partition
-    from scratch; left in place they would feed phantom rows to every
-    corpus reader forever (r12 self-review finding). Commit markers
-    are retained so a late redelivery of a compacted batch still
-    skips. Caller contract: run with the stream QUIESCED — a live
-    foreachBatch mid-write holds an uncommitted partition this would
-    delete. Returns before/after file counts per artifact."""
+    per-micro-batch ``ingest_batch=<token>`` partitions of LIVE
+    committed batches into one ``ingest_batch=compacted-<n>``
+    partition each for the fingerprint store and the corpus.
+
+    Crash-safe ordering (r12 VERDICT "what's wrong" #1 — the old
+    land-then-delete-then-mark sequence could LOSE committed corpus
+    rows: crash mid-deletion, and the rerun's partials sweep removed
+    the uncommitted compacted partition that by then held the only
+    copy of the already-deleted sources' rows):
+
+    1. build + rename the consolidated partition into place for EVERY
+       root — no source is touched; a crash here leaves an uncommitted
+       compacted partition the next run rebuilds from intact sources;
+    2. write the compacted token's commit marker carrying a
+       ``supersedes`` manifest (the per-root source-token lists),
+       atomically via write-to-tmp + rename;
+    3. GC the superseded source partitions — pure garbage collection
+       now: their rows are committed under the compacted token, every
+       reader (``read_curated_corpus``, health, the stream's store
+       scan, compaction itself) excludes superseded tokens, and a
+       crash mid-GC is finished by the next compaction's opening GC
+       pass.
+
+    Concurrency (r12 ADVICE #2): the whole run holds the store's
+    ``maintenance_lock`` — shared with ``_append_batch`` — so a live
+    stream raises ``StoreLockError`` here instead of racing. On top,
+    uncommitted partials (no commit marker — a crashed batch awaiting
+    same-checkpoint redelivery, which rewrites its whole partition)
+    are deleted only when older than ``grace_seconds``; a YOUNGER
+    marker-less partition raises, because it is most likely a live
+    writer that somehow bypassed the lock. Commit markers are retained
+    forever so a late redelivery of a compacted batch still skips.
+    Returns before/after file counts per artifact."""
     commits_dir = os.path.join(store_dir, "commits")
-    committed = (
-        set(os.listdir(commits_dir)) if os.path.isdir(commits_dir) else set()
-    )
-    gen = sum(1 for t in committed if t.startswith("compacted-"))
-    token = f"compacted-{gen}"
-    out = {}
-    for root, cols in (
-        (os.path.join(store_dir, "fingerprints"), None),
-        (os.path.join(corpus_dir, "corpus"), "split"),
-    ):
-        if not os.path.isdir(root):
-            continue
-        before = _file_stats(root)
-        all_parts = [p for p in os.listdir(root) if p.startswith("ingest_batch=")]
-        parts = [p for p in all_parts if p.split("=", 1)[1] in committed]
-        # delete crashed-attempt partials (uncommitted tokens): their
-        # only legitimate owner is a same-checkpoint replay, which
-        # rewrites the whole partition; kept around they are phantom
-        # rows to every reader (r12 self-review finding)
-        for p in all_parts:
-            if p not in parts:
-                shutil.rmtree(os.path.join(root, p))
-        if len(parts) <= 1:
-            out[os.path.basename(root)] = {
+    roots = {
+        "fingerprints": os.path.join(store_dir, "fingerprints"),
+        "corpus": os.path.join(corpus_dir, "corpus"),
+    }
+    part_cols = {"fingerprints": None, "corpus": "split"}
+    with maintenance_lock(store_dir, "curation_store_compact"):
+        _gc_superseded(store_dir, roots)  # finish any crashed prior GC
+        committed = _read_committed(commits_dir)
+        superseded = curation_superseded(store_dir)
+        gen = sum(1 for t in committed if t.startswith("compacted-"))
+        token = f"compacted-{gen}"
+        out: dict = {}
+        supersedes: dict[str, list[str]] = {}
+        now = time.time()
+        # ---- phase 1: consolidate every root; sources untouched ----
+        for root_key, root in roots.items():
+            if not os.path.isdir(root):
+                continue
+            before = _file_stats(root)
+            parts = _live_partitions(
+                root, committed, superseded.get(root_key, set())
+            )
+            for p in os.listdir(root):
+                if not p.startswith("ingest_batch="):
+                    continue
+                t = p.split("=", 1)[1]
+                if t in committed or t in superseded.get(root_key, set()):
+                    continue
+                # crashed attempts at THIS compaction's token hold no
+                # source rows anyone lost — remove unconditionally
+                age = now - os.path.getmtime(os.path.join(root, p))
+                if t == token or age > grace_seconds:
+                    shutil.rmtree(os.path.join(root, p))
+                else:
+                    raise StoreLockError(
+                        f"{root}/{p}: marker-less partition only "
+                        f"{age:.0f}s old — a live or just-crashed "
+                        "writer may own it; re-run compaction after "
+                        f"{grace_seconds:.0f}s or redeliver the batch"
+                    )
+            if len(parts) <= 1:
+                out[root_key] = {
+                    "files_before": before["n_files"],
+                    "files_after": _file_stats(root)["n_files"],
+                    "skipped": True,
+                }
+                continue
+            df = (
+                spark.read.option("basePath", root)
+                .parquet(*[os.path.join(root, p) for p in parts])
+                .drop("ingest_batch")
+            )
+            # tmp lives OUTSIDE the partition root: a first-level dir
+            # named ingest_batch=...__compacting would be DISCOVERED as
+            # a real partition and expose half-written duplicate rows
+            # to every reader mid-compaction or after a crash
+            tmp = root + f"__compacting_{token}"
+            if os.path.isdir(tmp):
+                shutil.rmtree(tmp)
+            n_target = max(1, math.ceil(before["n_bytes"] / target_file_bytes))
+            col = part_cols[root_key]
+            if col is None:
+                df.coalesce(n_target).write.mode("overwrite").parquet(tmp)
+            else:
+                df.repartition(col).write.mode("overwrite").partitionBy(
+                    col
+                ).parquet(tmp)
+            os.rename(tmp, os.path.join(root, f"ingest_batch={token}"))
+            supersedes[root_key] = [p.split("=", 1)[1] for p in parts]
+            out[root_key] = {
                 "files_before": before["n_files"],
-                "files_after": _file_stats(root)["n_files"],
-                "skipped": True,
+                "files_after": None,  # filled after GC
+                "skipped": False,
             }
-            continue
-        df = (
-            spark.read.option("basePath", root)
-            .parquet(*[os.path.join(root, p) for p in parts])
-            .drop("ingest_batch")
-        )
-        # tmp lives OUTSIDE the partition root: a first-level dir named
-        # ingest_batch=...__compacting would be DISCOVERED as a real
-        # partition and expose half-written duplicate rows to every
-        # reader mid-compaction or after a crash (r12 self-review)
-        tmp = root + f"__compacting_{token}"
-        if os.path.isdir(tmp):
-            shutil.rmtree(tmp)
-        n_target = max(1, math.ceil(before["n_bytes"] / target_file_bytes))
-        if cols is None:
-            df.coalesce(n_target).write.mode("overwrite").parquet(tmp)
-        else:
-            df.repartition(cols).write.mode("overwrite").partitionBy(
-                cols
-            ).parquet(tmp)
-        # land the consolidated partition, then drop the sources — a
-        # crash in between leaves duplicates VISIBLE but recoverable:
-        # rerunning compaction rebuilds the same uncommitted token from
-        # the still-marked sources and swaps it in (the token's own
-        # marker lands only after every source is gone)
-        final = os.path.join(root, f"ingest_batch={token}")
-        if os.path.isdir(final):
-            shutil.rmtree(final)  # crashed earlier attempt at this token
-        os.rename(tmp, final)
-        for p in parts:
-            shutil.rmtree(os.path.join(root, p))
-        after = _file_stats(root)
-        out[os.path.basename(root)] = {
-            "files_before": before["n_files"],
-            "files_after": after["n_files"],
-            "skipped": False,
-        }
-    if any(not v["skipped"] for v in out.values()):
-        os.makedirs(commits_dir, exist_ok=True)
-        with open(os.path.join(commits_dir, token), "w") as fh:
-            fh.write("committed\n")
-    return out
+        # ---- phase 2: commit the compacted token + manifest ----
+        if supersedes:
+            os.makedirs(commits_dir, exist_ok=True)
+            marker_tmp = os.path.join(commits_dir, f".{token}.tmp")
+            with open(marker_tmp, "w") as fh:
+                json.dump({"supersedes": supersedes}, fh)
+            os.rename(marker_tmp, os.path.join(commits_dir, token))
+        # ---- phase 3: GC the superseded sources ----
+        _gc_superseded(store_dir, roots)
+        for root_key, rep in out.items():
+            if rep["files_after"] is None:
+                rep["files_after"] = _file_stats(roots[root_key])["n_files"]
+        return out

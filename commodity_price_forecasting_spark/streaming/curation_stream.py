@@ -179,6 +179,10 @@ def _append_batch(
     spark = batch_df.sparkSession
     from pyspark.sql import Window as W
 
+    from commodity_price_forecasting_spark.operators.store_maintenance import (
+        maintenance_lock,
+    )
+
     fp_path = os.path.join(store_dir, "fingerprints")
     corpus_path = os.path.join(corpus_dir, "corpus")
     if commit_token is not None:
@@ -186,6 +190,23 @@ def _append_batch(
         if os.path.exists(marker):
             return  # already fully committed — exact redelivery skip
 
+    # single-writer contract, enforced (r12 ADVICE #2): a compaction
+    # running concurrently would delete this batch's uncommitted
+    # partition mid-write. Failing loudly here is safe — foreachBatch
+    # redelivers the batch, and the whole append is idempotent.
+    with maintenance_lock(store_dir, f"ingest:{commit_token or 'probe'}"):
+        _append_batch_locked(
+            batch_df, spark, W, fp_path, corpus_path, store_dir, corpus_dir,
+            commit_token, near_dup_store,
+        )
+
+
+def _append_batch_locked(
+    batch_df, spark, W, fp_path, corpus_path, store_dir, corpus_dir,
+    commit_token, near_dup_store,
+) -> None:
+    if commit_token is not None:
+        marker = os.path.join(store_dir, "commits", commit_token)
     w = W.partitionBy("fp").orderBy("doc_id")
     batch = (
         batch_df.withColumn("_rn", F.row_number().over(w))
@@ -195,10 +216,27 @@ def _append_batch(
     )
     if os.path.isdir(fp_path):
         store_fps = spark.read.parquet(fp_path)
-        if commit_token is not None and "ingest_batch" in store_fps.columns:
-            # partition-pruned: drop leftovers from a crashed attempt
-            # of THIS batch so its replay sees the pre-batch store
-            store_fps = store_fps.filter(F.col("ingest_batch") != commit_token)
+        if "ingest_batch" in store_fps.columns:
+            if commit_token is not None:
+                # partition-pruned: drop leftovers from a crashed
+                # attempt of THIS batch so its replay sees the
+                # pre-batch store
+                store_fps = store_fps.filter(
+                    F.col("ingest_batch") != commit_token
+                )
+            # exclude compaction sources not yet GC'd (their fps are
+            # duplicated under the committed compacted partition; for
+            # this semi-join duplicates are harmless, but the exclusion
+            # is a pruned-partition no-op and keeps the read canonical)
+            from commodity_price_forecasting_spark.operators.store_maintenance import (
+                curation_superseded,
+            )
+
+            sup = curation_superseded(store_dir).get("fingerprints", set())
+            if sup:
+                store_fps = store_fps.filter(
+                    ~F.col("ingest_batch").isin(sorted(sup))
+                )
         store_fps = store_fps.select("fp")
         # dedup_store's store-scan/delta-broadcast shape: the store is
         # scanned once against the broadcast batch (never shuffled,
