@@ -618,6 +618,26 @@ def pq_adc_topk(
     )
 
 
+def l2_normalize(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """L2-normalize a vector column in place (``array<double>`` out;
+    zero vectors pass through unscaled). One fused column expression —
+    map-side, codegen, no Python. The cosine-consistency device for
+    ADC (r12 VERDICT ask #4): on unit vectors ‖a−b‖² = 2·(1−cosθ), so
+    L2 ranking — the metric PQ codes estimate — EQUALS cosine ranking,
+    the metric refine, the oracle, and every retrieval caller actually
+    use. Unnormalized, the two orders diverge on norm spread, which
+    the r12 refine-on-OPQ measurement identified as a big slice of the
+    0.85→0.99 low-rank ceiling gap."""
+    nrm = _norm(F.col(vec_col))
+    return df.withColumn(
+        vec_col,
+        F.when(
+            nrm > 0,
+            F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm),
+        ).otherwise(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+    )
+
+
 def opq_rotation(
     residuals: DataFrame,
     m_sub: int,
@@ -681,6 +701,94 @@ def opq_rotation(
     return [[float(x) for x in row] for row in R]
 
 
+def opq_rotation_iterative(
+    residuals: DataFrame,
+    m_sub: int,
+    n_centroids: int = 16,
+    iters: int = 10,
+    sample: int = 20000,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Non-parametric OPQ (Ge et al. 2013 §3 — public): alternate
+    (a) train per-subspace codebooks in the current rotated space and
+    (b) re-solve the rotation as the orthogonal Procrustes problem
+    against the PQ reconstruction (R = V·Uᵀ from the SVD of Xᵀ·X̂).
+    The closed-form variant (``opq_rotation``) only decorrelates and
+    balances VARIANCE; the alternation additionally adapts R to the
+    actual quantizer, which is the standard follow-up where the
+    closed-form shows no lift (measured per geometry in SCALE.md r13
+    — a measured "no lift" is a legitimate outcome).
+
+    Scale shape, stated plainly: rotation TRAINING is a model fit, not
+    a data pass — it runs driver-side in numpy on a deterministic
+    md5-ordered sample of ≤``sample`` residuals (the paper itself
+    trains on samples), with seeded kmeans++ inits and Lloyd
+    iterations per subspace. Everything that touches the full corpus
+    (applying R, encoding, probing) stays the distributed machinery
+    unchanged. Initialization is the closed-form rotation, so the
+    alternation can only refine it. Returns R as d row-lists — a
+    drop-in for everything ``opq_rotation`` feeds."""
+    import numpy as np
+
+    R0 = opq_rotation(residuals, m_sub, vec_col=vec_col, id_col=id_col)
+    rows = (
+        residuals.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    d = X.shape[1]
+    d_sub = d // m_sub
+    R = np.asarray(R0, dtype=np.float64)
+    rng = np.random.default_rng(seed)
+
+    def _kmeans(pts: np.ndarray, k: int) -> np.ndarray:
+        k = min(k, len(pts))
+        # kmeans++ init (seeded) + Lloyd
+        centers = pts[rng.integers(len(pts))][None, :]
+        for _ in range(1, k):
+            d2 = ((pts[:, None, :] - centers[None, :, :]) ** 2).sum(-1).min(1)
+            tot = d2.sum()
+            if tot <= 0:
+                centers = np.vstack([centers, pts[rng.integers(len(pts))]])
+                continue
+            centers = np.vstack(
+                [centers, pts[rng.choice(len(pts), p=d2 / tot)]]
+            )
+        for _ in range(20):
+            assign = ((pts[:, None, :] - centers[None, :, :]) ** 2).sum(-1).argmin(1)
+            new = np.vstack(
+                [
+                    pts[assign == c].mean(0) if (assign == c).any() else centers[c]
+                    for c in range(len(centers))
+                ]
+            )
+            if np.allclose(new, centers):
+                break
+            centers = new
+        return centers
+
+    for _ in range(iters):
+        Xr = X @ R.T
+        Xhat = np.empty_like(Xr)
+        for m in range(m_sub):
+            sl = slice(m * d_sub, (m + 1) * d_sub)
+            centers = _kmeans(Xr[:, sl], n_centroids)
+            codes = (
+                ((Xr[:, sl][:, None, :] - centers[None, :, :]) ** 2)
+                .sum(-1)
+                .argmin(1)
+            )
+            Xhat[:, sl] = centers[codes]
+        # orthogonal Procrustes: max tr(R·XᵀX̂) ⇒ R = V·Uᵀ
+        U, _s, Vt = np.linalg.svd(X.T @ Xhat)
+        R = Vt.T @ U.T
+    return [[float(x) for x in row] for row in R]
+
+
 def rotate_vectors(
     df: DataFrame,
     rotation: list[list[float]],
@@ -734,6 +842,7 @@ def ivf_pq_index(
     codebook: str = "seed",
     coarse: str = "seed",
     rotation: str = "none",
+    normalize: bool = False,
 ) -> dict:
     """Materialize the IVF-PQ index (the BUILD half of
     ``ivf_pq_adc_topk``, split out per r8 VERDICT ask #2 so the
@@ -766,8 +875,20 @@ def ivf_pq_index(
     codebooks can't resolve within-cluster neighbor gaps
     (recall ≤0.15); a trained coarse quantizer shrinks residuals to
     noise scale and PQ recall recovers — training the COARSE level
-    matters more than training the codebooks."""
+    matters more than training the codebooks.
+
+    ``normalize=True`` (r12 VERDICT ask #4) L2-normalizes the corpus
+    before EVERYTHING — coarse assignment (a cosine no-op: routing is
+    scale-invariant), residuals, codebook, codes — making ADC rank by
+    cosine exactly (see ``l2_normalize``). The flag is part of the
+    index IDENTITY: persisted by ``ivf_pq_index_write``, applied to
+    deltas by ``ivf_pq_index_append`` and to queries by both probes.
+    The registered queries keep ``False`` (their ANSI oracles pin the
+    raw-L2 semantics); recall-critical cosine deployments pass True —
+    measured per geometry in SCALE.md r13."""
     spark = vectors.sparkSession
+    if normalize:
+        vectors = l2_normalize(vectors, vec_col=vec_col)
     corpus = (
         vectors.filter(F.col(id_col) != exclude_id)
         if exclude_id is not None
@@ -809,12 +930,20 @@ def ivf_pq_index(
     dim = len(seeds[0][1])
     d_sub = dim // m_sub
     rot = None
-    if rotation == "opq":
+    if rotation in ("opq", "opq_np"):
         # train the OPQ rotation on the residuals, then rotate them —
         # the codebook (either branch below) and the codes are built in
         # the ROTATED space; probes rotate the query residual with the
-        # same R (driver-side numpy — n_probe tiny vectors)
-        rot = opq_rotation(res_named, m_sub, vec_col=vec_col, id_col=id_col)
+        # same R (driver-side numpy — n_probe tiny vectors).
+        # "opq_np" = the non-parametric alternation (r12 ask #7),
+        # initialized from the closed-form solution.
+        if rotation == "opq":
+            rot = opq_rotation(res_named, m_sub, vec_col=vec_col, id_col=id_col)
+        else:
+            rot = opq_rotation_iterative(
+                res_named, m_sub, n_centroids=n_centroids,
+                vec_col=vec_col, id_col=id_col,
+            )
         # cached: the codebook branch and pq_distances each pass over
         # the rotated frame — uncached, every pass re-runs the rotate
         # matmul AND the assignment upstream of it
@@ -823,7 +952,7 @@ def ivf_pq_index(
         ).cache()
         res_rot = res_named
     elif rotation != "none":
-        raise ValueError(f"rotation must be none|opq: {rotation}")
+        raise ValueError(f"rotation must be none|opq|opq_np: {rotation}")
     if codebook == "kmeans":
         # trained residual codebook (pq_codebook_kmeans): the recall
         # path — see the r9 recall table for why the deterministic
@@ -859,6 +988,7 @@ def ivf_pq_index(
         "m_sub": m_sub,
         "dim": dim,
         "rotation": rot,
+        "normalized": bool(normalize),
     }
 
 
@@ -898,6 +1028,14 @@ def ivf_pq_index_write(index: dict, path: str, id_col: str = "vec_id") -> None:
             [(i, [float(x) for x in row]) for i, row in enumerate(index["rotation"])],
             "i int, rrow array<double>",
         ).write.mode("overwrite").parquet(os.path.join(path, "rotation"))
+    if index.get("normalized"):
+        # same identity argument as the rotation: codes over normalized
+        # residuals are meaningless for raw queries, so the flag
+        # persists in the layout (one boolean row; absence = False, the
+        # pre-r13 layout)
+        spark.createDataFrame(
+            [(True,)], "normalized boolean"
+        ).write.mode("overwrite").parquet(os.path.join(path, "idxmeta"))
 
 
 def ivf_pq_index_load(spark, path: str) -> dict:
@@ -930,6 +1068,17 @@ def ivf_pq_index_load(spark, path: str) -> dict:
             [float(x) for x in r["rrow"]]
             for r in sorted(rot_rows, key=lambda r: int(r["i"]))
         ]
+    normalized = False
+    if os.path.isdir(os.path.join(path, "idxmeta")):
+        if not os.path.exists(os.path.join(path, "idxmeta", "_SUCCESS")):
+            raise ValueError(
+                f"ivf_pq_index_load: {path}/idxmeta exists without "
+                "_SUCCESS — the index write crashed; rebuild the index"
+            )
+        normalized = bool(
+            spark.read.parquet(os.path.join(path, "idxmeta"))
+            .first()["normalized"]
+        )
     return {
         "coded": coded,
         "codes": coded,  # session handle + non-pruned callers
@@ -939,6 +1088,7 @@ def ivf_pq_index_load(spark, path: str) -> dict:
         "m_sub": int(m_sub),
         "dim": len(seeds[0][1]),
         "rotation": rot,
+        "normalized": normalized,
     }
 
 
@@ -979,6 +1129,10 @@ def ivf_pq_index_append(
     m_sub, dim = index["m_sub"], index["dim"]
     d_sub = dim // m_sub
     delta = new_vectors.select(id_col, vec_col)
+    if index.get("normalized"):
+        # normalized index: deltas enter the same unit-sphere space the
+        # codes live in (frozen-quantizer contract, like the rotation)
+        delta = l2_normalize(delta, vec_col=vec_col)
     sz = delta.agg(
         F.min(F.size(vec_col)).alias("_lo"),
         F.max(F.size(vec_col)).alias("_hi"),
@@ -1062,6 +1216,13 @@ def ivf_pq_probe(
     spark = index["codes"].sparkSession
     m_sub, dim = index["m_sub"], index["dim"]
     d_sub = dim // m_sub
+    if index.get("normalized"):
+        # normalized index: the query enters the unit sphere too (a
+        # cosine-routing no-op; the residual is what changes). Driver-
+        # side — one tiny vector.
+        qn = math.sqrt(sum(float(x) * float(x) for x in q))
+        if qn > 0:
+            q = [float(x) / qn for x in q]
 
     def cos(a: list[float], b: list[float]) -> float:
         dot = sum(x * y for x, y in zip(a, b))
@@ -1164,6 +1325,10 @@ def ivf_pq_probe_batch(
     d_sub = dim // m_sub
     seeds = index["seeds"]
     spark = queries.sparkSession
+    if index.get("normalized"):
+        # one fused map-side expression over the QUERY frame (routing
+        # is scale-invariant; the residuals below are what change)
+        queries = l2_normalize(queries, vec_col=vec_col)
 
     seed_mat = F.array(*[F.lit([float(x) for x in v]) for _sid, v in seeds])
     neg_ids = F.array(*[F.lit(-sid) for sid, _v in seeds])

@@ -1150,3 +1150,200 @@ def test_opq_batch_probe_equals_per_query_on_rotated_index(spark, tmp_path):
         assert by_q[qi] == want, f"query {qi}"
     idx["res"].unpersist()
     idx["res_rot"].unpersist()
+
+
+def test_normalized_adc_ranks_by_cosine_exactly(spark):
+    """r12 VERDICT ask #4 (cosine-consistent ADC): with
+    ``normalize=True``, zero quantization error (codebook = corpus,
+    one coarse cell) makes the ADC ordering EQUAL the exact cosine
+    ordering — on unit vectors ‖a−b‖² = 2(1−cosθ). The same
+    construction WITHOUT normalize ranks by raw L2, which diverges
+    from cosine on this fixture — proving the flag changes the metric,
+    not just the scale."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_probe,
+    )
+
+    base = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    # inject norm SPREAD (scale by 1 + vec_id % 5): cosine is scale-
+    # invariant so the cosine ranking is the fixture's, while raw L2
+    # ranking now genuinely diverges — the divergence normalize closes
+    emb = base.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double")
+            * (F.lit(1.0) + (F.col("vec_id") % 5).cast("double")),
+        ).alias("embedding"),
+    ).cache()
+    rows = emb.collect()
+    n = len(rows)
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    qi = 0
+    q = mat[ids == qi][0]
+    cosim = (mat @ q) / (
+        np.linalg.norm(mat, axis=1) * np.linalg.norm(q)
+    )
+    want_cos = [
+        int(i)
+        for _, i in sorted(
+            (float(-c), int(i)) for c, i in zip(cosim, ids) if i != qi
+        )
+    ][:10]
+
+    idx = ivf_pq_index(
+        emb, exclude_id=qi, k_coarse=1, n_centroids=n, m_sub=8,
+        normalize=True,
+    )
+    got = ivf_pq_probe(idx, [float(x) for x in q], k=10, n_probe=1)
+    got_ids = [r["vec_id"] for r in got.collect()]
+    assert got_ids == want_cos
+    idx["res"].unpersist()
+
+    # the unnormalized twin ranks by raw L2 — a DIFFERENT order under
+    # norm spread (the divergence the flag exists to close)
+    want_l2 = _exact_l2_topk(rows, query_id=qi, k=10)
+    assert want_l2 != want_cos
+    idx_raw = ivf_pq_index(
+        emb, exclude_id=qi, k_coarse=1, n_centroids=n, m_sub=8,
+    )
+    got_raw = [
+        r["vec_id"]
+        for r in ivf_pq_probe(
+            idx_raw, [float(x) for x in q], k=10, n_probe=1
+        ).collect()
+    ]
+    assert got_raw == want_l2
+    idx_raw["res"].unpersist()
+    emb.unpersist()
+
+
+def test_normalized_index_roundtrip_append_batch_equality(spark, tmp_path):
+    """The ``normalized`` flag is index identity: survives write→load,
+    the loaded probe equals the in-memory probe on a RAW query (both
+    normalize internally), the append path normalizes the delta so
+    appended codes equal a from-scratch encode of the normalized
+    union under the frozen seeds/codebook, the batch probe equals the
+    single probe, and partition pruning survives."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        assign_to_seeds,
+        ivf_pq_index,
+        ivf_pq_index_append,
+        ivf_pq_index_load,
+        ivf_pq_index_write,
+        ivf_pq_probe,
+        ivf_pq_probe_batch,
+        l2_normalize,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    old = emb.filter(F.col("vec_id") < 400)
+    new = emb.filter(F.col("vec_id") >= 400)
+    n_new = new.count()
+    idx = ivf_pq_index(old, normalize=True)
+    assert idx["normalized"] is True
+    ivf_pq_index_write(idx, str(tmp_path))
+    loaded = ivf_pq_index_load(spark, str(tmp_path))
+    assert loaded["normalized"] is True
+
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    probe_df = ivf_pq_probe(loaded, q, k=10, n_probe=2, exclude_id=7)
+    import re as _re
+
+    plan = probe_df._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"PartitionFilters: \[.*cell.*\]", plan), plan
+    got_p = [(r["vec_id"], r["adc_dist"]) for r in probe_df.collect()]
+    want_p = [
+        (r["vec_id"], r["adc_dist"])
+        for r in ivf_pq_probe(idx, q, k=10, n_probe=2, exclude_id=7).collect()
+    ]
+    assert got_p == want_p
+
+    assert ivf_pq_index_append(spark, str(tmp_path), new) == n_new
+    # monolithic reference: NORMALIZED union encoded under old's
+    # frozen seeds + codebook
+    emb_n = l2_normalize(emb)
+    seed_df = spark.createDataFrame(
+        [(int(s), [float(x) for x in v]) for s, v in idx["seeds"]],
+        "_sid long, _svec array<double>",
+    )
+    assigned = assign_to_seeds(emb_n, idx["seeds"])
+    res = assigned.join(
+        F.broadcast(seed_df), F.col("cell") == F.col("_sid")
+    ).select(
+        "vec_id",
+        "cell",
+        F.zip_with(
+            F.col("embedding"), F.col("_svec"), lambda a, b: a.cast("double") - b
+        ).alias("embedding"),
+    )
+    ref_codes = pq_encode(
+        pq_distances(res.select("vec_id", "embedding"), m_sub=8, codebook=idx["cb"])
+    )
+    ref = ref_codes.join(res.select("vec_id", "cell"), "vec_id")
+    reloaded = ivf_pq_index_load(spark, str(tmp_path))
+    got = sorted(
+        (r["vec_id"], r["m"], r["code"], int(r["cell"]))
+        for r in reloaded["coded"].collect()
+    )
+    want = sorted(
+        (r["vec_id"], r["m"], r["code"], int(r["cell"])) for r in ref.collect()
+    )
+    assert got == want
+
+    # batch probe == single probe over the normalized loaded index
+    qids = [3, 111, 450]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    batch = ivf_pq_probe_batch(
+        reloaded, queries, k=5, n_probe=2, exclude_self=True
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], int(r["cell"]), r["adc_dist"])
+        )
+    for qi in qids:
+        qv = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qi).first()["embedding"]
+        ]
+        want_b = [
+            (r["vec_id"], int(r["cell"]), r["adc_dist"])
+            for r in ivf_pq_probe(
+                reloaded, qv, k=5, n_probe=2, exclude_id=qi
+            ).collect()
+        ]
+        assert by_q[qi] == want_b, f"query {qi}"
+    idx["res"].unpersist()
+
+
+def test_opq_iterative_orthogonal_deterministic_and_probes(spark):
+    """Non-parametric OPQ (r13): the alternation's R must stay
+    orthogonal (L2 preserved exactly — the ADC-estimator contract),
+    be deterministic across calls (index identity must be
+    re-derivable), and plug into the index/probe machinery like the
+    closed-form R."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_probe,
+        opq_rotation_iterative,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    small = emb.filter(F.col("vec_id") < 300)
+    r1 = opq_rotation_iterative(small, m_sub=8, iters=2, sample=300)
+    r2 = opq_rotation_iterative(small, m_sub=8, iters=2, sample=300)
+    assert r1 == r2  # seeded end-to-end
+    R = np.asarray(r1)
+    assert np.allclose(R @ R.T, np.eye(R.shape[0]), atol=1e-9)
+
+    idx = ivf_pq_index(small, rotation="opq_np")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 7).first()["embedding"]]
+    got = ivf_pq_probe(idx, q, k=5, n_probe=2, exclude_id=7).collect()
+    assert len(got) == 5
+    idx["res"].unpersist()
+    idx["res_rot"].unpersist()

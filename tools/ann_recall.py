@@ -367,13 +367,19 @@ def recall_table(
         coarse: str = "seed",
         codebook: str = "kmeans",
         rotation: str = "none",
+        normalize: bool = False,
     ) -> None:
+        # normalized lanes (r12 ask #4) score against the COSINE ground
+        # truth: on unit vectors L2 ranking == cosine ranking, which is
+        # the whole point of the flag
+        gt = gt_cos if normalize else gt_l2
         idx_t = ivf_pq_index(
             emb,
             codebook=codebook,
             n_centroids=n_centroids,
             coarse=coarse,
             rotation=rotation,
+            normalize=normalize,
         )
         idx_t["codes"] = idx_t["codes"].cache()
         idx_t["cells"] = idx_t["cells"].cache()
@@ -386,9 +392,9 @@ def recall_table(
                     idx_t, q, k=k, n_probe=n_probe, exclude_id=qi
                 ).collect()
                 recs.append(
-                    len({r["vec_id"] for r in got} & set(gt_l2[qi])) / k
+                    len({r["vec_id"] for r in got} & set(gt[qi])) / k
                 )
-            add(lane, "l2", n_probe, recs)
+            add(lane, "cosine" if normalize else "l2", n_probe, recs)
         idx_t["codes"].unpersist()
         idx_t["cells"].unpersist()
         idx_t["res"].unpersist()
@@ -411,14 +417,18 @@ def recall_table(
         )
     # refine stacked on the best OPQ index (r12): does one exact
     # re-rank pass close the remaining gap to the exact ceiling?
-    if n > 512 and want("ivf_pq_full256_opq_refine"):
+    # ``normalize=True`` twin (r12 ask #4): same shape with L2-
+    # normalized vectors, so the ADC candidates are ranked by the
+    # metric refine re-ranks with — the L2-vs-cosine divergence the
+    # r12 measurement blamed for part of the ceiling gap is gone.
+    def _refine_on(lane: str, normalize: bool) -> None:
         from commodity_price_forecasting_spark.operators.similarity import (
             ivf_pq_refine_topk,
         )
 
         idx_r = ivf_pq_index(
             emb, codebook="kmeans", n_centroids=256, coarse="kmeans",
-            rotation="opq",
+            rotation="opq", normalize=normalize,
         )
         idx_r["codes"] = idx_r["codes"].cache()
         idx_r["cells"] = idx_r["cells"].cache()
@@ -435,17 +445,35 @@ def recall_table(
                     recs.append(
                         len({r["vec_id"] for r in got} & set(gt_cos[qi])) / k
                     )
-                add(
-                    f"ivf_pq_full256_opq_refine_c{refine_c}",
-                    "cosine",
-                    n_probe,
-                    recs,
-                )
+                add(f"{lane}_c{refine_c}", "cosine", n_probe, recs)
         idx_r["codes"].unpersist()
         idx_r["cells"].unpersist()
         idx_r["res"].unpersist()
         if idx_r.get("res_rot") is not None:
             idx_r["res_rot"].unpersist()
+
+    if n > 512 and want("ivf_pq_full256_opq_refine"):
+        _refine_on("ivf_pq_full256_opq_refine", normalize=False)
+    if n > 512 and want("ivf_pq_full256_opq_norm_refine"):
+        _refine_on("ivf_pq_full256_opq_norm_refine", normalize=True)
+    # ADC-only normalized twins: the flag's lift without refine
+    if n > 512 and want("ivf_pq_full256_norm"):
+        ivf_pq_trained_recall(
+            "ivf_pq_full256_norm", 256, coarse="kmeans", normalize=True
+        )
+    if n > 512 and want("ivf_pq_full256_opq_norm_adc"):
+        ivf_pq_trained_recall(
+            "ivf_pq_full256_opq_norm_adc", 256, coarse="kmeans",
+            rotation="opq", normalize=True,
+        )
+    # iterative (non-parametric) OPQ (r12 ask #7): does alternating
+    # rotate ↔ re-train codebooks buy recall where the closed-form
+    # rotation measured zero (clustered geometry)?
+    if n > 512 and want("ivf_pq_full256_opq_np"):
+        ivf_pq_trained_recall(
+            "ivf_pq_full256_opq_np", 256, coarse="kmeans",
+            rotation="opq_np",
+        )
     # the deployment cell: 256-entry trained RESIDUAL codebooks (8-bit
     # codes, the FAISS default) — the pq_adc_trained256 dial applied
     # to the IVF-PQ index
