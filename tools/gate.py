@@ -219,6 +219,21 @@ def main() -> None:
         m_ok, tally, queries = run_mirror()
         summary["mirror"] = tally
         ok = ok and m_ok
+        # coverage-completeness assertion (r12 VERDICT ask #5 / "what's
+        # wrong" #3's ordering gap): a registration the mirror did not
+        # cover must be IMPOSSIBLE, not merely unlikely — GATE_r12.json
+        # silently missed text_bpe_token_budget because post-close
+        # commits landed after the gate ran.
+        sys.path.insert(0, REPO)
+        from commodity_price_forecasting_spark.plans.registry import load_all
+
+        registered = set(load_all())
+        covered = set(queries)
+        summary["n_registered"] = len(registered)
+        if registered != covered:
+            summary["uncovered_registrations"] = sorted(registered - covered)
+            summary["unknown_mirror_rows"] = sorted(covered - registered)
+            ok = False
 
     summary["gate"] = "PASS" if ok else "FAIL"
     if args.out:
