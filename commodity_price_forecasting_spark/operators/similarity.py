@@ -1433,6 +1433,7 @@ def ivf_pq_adc_topk(
     m_sub: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = False,
 ) -> DataFrame:
     """IVF-PQ with asymmetric distance (Jégou et al. 2011 §III —
     public): the PRODUCTION composition of the repo's two ANN halves.
@@ -1483,6 +1484,7 @@ def ivf_pq_adc_topk(
         m_sub=m_sub,
         id_col=id_col,
         vec_col=vec_col,
+        normalize=normalize,
     )
     return ivf_pq_probe(
         index, q, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col

@@ -1884,6 +1884,72 @@ def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Cosine-consistent IVF-PQ (r13): the SAME two-level index over
+# L2-NORMALIZED vectors — on unit vectors ‖a−b‖² = 2(1−cosθ), so the
+# ADC ordering IS the cosine ordering (the metric refine, retrieval
+# callers, and this oracle's ground semantics actually use). The
+# oracle is the raw lane's with the corpus and query CTEs normalized;
+# everything downstream (seeds, assignment, residuals, codebook,
+# codes, probe, LUT) is byte-identical SQL, kept in sync by
+# construction.
+_IVFPQ_COSINE_ORACLE = _IVFPQ_ORACLE.replace(
+    """WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0
+), seeds AS (""",
+    """WITH corpus0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+  FROM embeddings WHERE vec_id <> 0
+), corpus AS (
+  SELECT vec_id,
+         list_transform(e,
+           x -> x / sqrt(list_sum(list_transform(e, y -> y * y))))
+           AS embedding
+  FROM corpus0
+), seeds AS (""",
+).replace(
+    """), q AS (
+  SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0
+), assign_x AS (""",
+    """), q0 AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0
+), q AS (
+  SELECT list_transform(e,
+           x -> x / sqrt(list_sum(list_transform(e, y -> y * y))))
+           AS qemb
+  FROM q0
+), assign_x AS (""",
+)
+assert _IVFPQ_COSINE_ORACLE != _IVFPQ_ORACLE  # both replaces took
+
+
+@register(
+    "sim_ivfpq_cosine_topk",
+    oracle=_IVFPQ_COSINE_ORACLE,
+    tags=("datapipe", "similarity"),
+)
+def sim_ivfpq_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine-consistent IVF-PQ ADC (r13, r12 VERDICT ask #4):
+    ``ivf_pq_adc_topk(normalize=True)`` — the corpus is L2-normalized
+    before coarse assignment (a routing no-op), residuals, codebook
+    and codes, so the 8-byte ADC scores RANK BY COSINE exactly (unit
+    vectors: ‖a−b‖² = 2(1−cosθ)). This is the lane a cosine-metric
+    retrieval deployment runs; the raw ``sim_ivfpq_adc_topk`` twin
+    pins the L2 semantics. Same determinism story (md5-min seeds,
+    smallest-id codebook, 6-dp routing, lexicographic ties) ⇒ the
+    whole normalized index has an exact ANSI-SQL oracle. Recall per
+    geometry measured in SCALE.md r13; equality pins in
+    tests/test_similarity_pq.py."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ivf_pq_adc_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_adc_topk(
+        emb, query_id=0, k=10, k_coarse=16, n_probe=2, n_centroids=16,
+        m_sub=8, normalize=True,
+    )
+
+
 # --- feature-hashing text embedding (r4) ---------------------------------
 
 _HASH_EMB_DIM = 16
