@@ -745,31 +745,41 @@ def opq_rotation_iterative(
     R = np.asarray(R0, dtype=np.float64)
     rng = np.random.default_rng(seed)
 
+    def _d2(pts: np.ndarray, centers: np.ndarray) -> np.ndarray:
+        # ‖p−c‖² = ‖p‖² + ‖c‖² − 2p·c  (one sgemm instead of an
+        # n×k×d broadcast temp)
+        return (
+            (pts * pts).sum(1)[:, None]
+            + (centers * centers).sum(1)[None, :]
+            - 2.0 * (pts @ centers.T)
+        )
+
     def _kmeans(pts: np.ndarray, k: int) -> np.ndarray:
         k = min(k, len(pts))
-        # kmeans++ init (seeded) + Lloyd
-        centers = pts[rng.integers(len(pts))][None, :]
+        # kmeans++ init (seeded, running-min d2 — O(n·k·d)) + Lloyd
+        centers = [pts[rng.integers(len(pts))]]
+        d2 = ((pts - centers[0]) ** 2).sum(1)
         for _ in range(1, k):
-            d2 = ((pts[:, None, :] - centers[None, :, :]) ** 2).sum(-1).min(1)
             tot = d2.sum()
             if tot <= 0:
-                centers = np.vstack([centers, pts[rng.integers(len(pts))]])
-                continue
-            centers = np.vstack(
-                [centers, pts[rng.choice(len(pts), p=d2 / tot)]]
-            )
+                nxt = pts[rng.integers(len(pts))]
+            else:
+                nxt = pts[rng.choice(len(pts), p=d2 / tot)]
+            centers.append(nxt)
+            d2 = np.minimum(d2, ((pts - nxt) ** 2).sum(1))
+        C = np.array(centers)
         for _ in range(20):
-            assign = ((pts[:, None, :] - centers[None, :, :]) ** 2).sum(-1).argmin(1)
+            assign = _d2(pts, C).argmin(1)
             new = np.vstack(
                 [
-                    pts[assign == c].mean(0) if (assign == c).any() else centers[c]
-                    for c in range(len(centers))
+                    pts[assign == c].mean(0) if (assign == c).any() else C[c]
+                    for c in range(len(C))
                 ]
             )
-            if np.allclose(new, centers):
+            if np.allclose(new, C):
                 break
-            centers = new
-        return centers
+            C = new
+        return C
 
     for _ in range(iters):
         Xr = X @ R.T
@@ -777,11 +787,7 @@ def opq_rotation_iterative(
         for m in range(m_sub):
             sl = slice(m * d_sub, (m + 1) * d_sub)
             centers = _kmeans(Xr[:, sl], n_centroids)
-            codes = (
-                ((Xr[:, sl][:, None, :] - centers[None, :, :]) ** 2)
-                .sum(-1)
-                .argmin(1)
-            )
+            codes = _d2(Xr[:, sl], centers).argmin(1)
             Xhat[:, sl] = centers[codes]
         # orthogonal Procrustes: max tr(R·XᵀX̂) ⇒ R = V·Uᵀ
         U, _s, Vt = np.linalg.svd(X.T @ Xhat)

@@ -421,14 +421,14 @@ def recall_table(
     # normalized vectors, so the ADC candidates are ranked by the
     # metric refine re-ranks with — the L2-vs-cosine divergence the
     # r12 measurement blamed for part of the ceiling gap is gone.
-    def _refine_on(lane: str, normalize: bool) -> None:
+    def _refine_on(lane: str, normalize: bool, rotation: str = "opq") -> None:
         from commodity_price_forecasting_spark.operators.similarity import (
             ivf_pq_refine_topk,
         )
 
         idx_r = ivf_pq_index(
             emb, codebook="kmeans", n_centroids=256, coarse="kmeans",
-            rotation="opq", normalize=normalize,
+            rotation=rotation, normalize=normalize,
         )
         idx_r["codes"] = idx_r["codes"].cache()
         idx_r["cells"] = idx_r["cells"].cache()
@@ -456,6 +456,12 @@ def recall_table(
         _refine_on("ivf_pq_full256_opq_refine", normalize=False)
     if n > 512 and want("ivf_pq_full256_opq_norm_refine"):
         _refine_on("ivf_pq_full256_opq_norm_refine", normalize=True)
+    # refine on the UNROTATED normalized index: the r13 measurement
+    # found any global rotation HURTS normalized low-rank ADC, so the
+    # cosine deployment's candidate generator is normalize-only
+    if n > 512 and want("ivf_pq_full256_norm_refine"):
+        _refine_on("ivf_pq_full256_norm_refine", normalize=True,
+                   rotation="none")
     # ADC-only normalized twins: the flag's lift without refine
     if n > 512 and want("ivf_pq_full256_norm"):
         ivf_pq_trained_recall(
