@@ -889,9 +889,17 @@ def ivf_pq_index(
     cosine exactly (see ``l2_normalize``). The flag is part of the
     index IDENTITY: persisted by ``ivf_pq_index_write``, applied to
     deltas by ``ivf_pq_index_append`` and to queries by both probes.
-    The registered queries keep ``False`` (their ANSI oracles pin the
-    raw-L2 semantics); recall-critical cosine deployments pass True —
-    measured per geometry in SCALE.md r13."""
+    The raw-L2 registered lane is ``sim_ivfpq_adc_topk``; the cosine
+    lane is ``sim_ivfpq_cosine_topk``.
+
+    MEASURED composition rule (SCALE.md r13): do NOT stack a rotation
+    on a normalized index — on the low-rank geometry closed-form OPQ
+    collapses normalized ADC recall 0.73 → 0.225 (normalization bends
+    the globally linear structure onto the sphere; a global eigenbasis
+    then splits locally-correlated coordinates). The cosine deployment
+    shape is ``normalize=True, rotation="none"`` + refine (reaches the
+    IVF-exact ceiling, 0.99@4 low-rank); the L2 shape remains
+    ``rotation="opq"`` on raw vectors (0.93@4)."""
     spark = vectors.sparkSession
     if normalize:
         vectors = l2_normalize(vectors, vec_col=vec_col)
