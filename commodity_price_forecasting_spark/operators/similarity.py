@@ -1030,10 +1030,6 @@ def ivf_pq_index_write(index: dict, path: str, id_col: str = "vec_id") -> None:
         os.path.join(path, "coded")
     )
     index["cb"].write.mode("overwrite").parquet(os.path.join(path, "cb"))
-    spark.createDataFrame(
-        [(int(s), [float(x) for x in v]) for s, v in index["seeds"]],
-        "cell long, svec array<double>",
-    ).write.mode("overwrite").parquet(os.path.join(path, "seeds"))
     if index.get("rotation") is not None:
         # the OPQ rotation is part of the index IDENTITY: codes are
         # meaningless without the R that produced them, so it persists
@@ -1050,6 +1046,16 @@ def ivf_pq_index_write(index: dict, path: str, id_col: str = "vec_id") -> None:
         spark.createDataFrame(
             [(True,)], "normalized boolean"
         ).write.mode("overwrite").parquet(os.path.join(path, "idxmeta"))
+    # seeds are written LAST on purpose: callers (the shared-index
+    # memos, operators docs) use seeds/_SUCCESS as the whole-layout
+    # completeness sentinel, so every identity artifact (rotation,
+    # idxmeta) must already be on disk when it appears — a crash
+    # before this point leaves no "complete-looking" layout that
+    # silently loads with the wrong semantics
+    spark.createDataFrame(
+        [(int(s), [float(x) for x in v]) for s, v in index["seeds"]],
+        "cell long, svec array<double>",
+    ).write.mode("overwrite").parquet(os.path.join(path, "seeds"))
 
 
 def ivf_pq_index_load(spark, path: str) -> dict:

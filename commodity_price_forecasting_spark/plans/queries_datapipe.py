@@ -4186,6 +4186,106 @@ LIMIT 10""",
 )
 
 
+# The cosine-consistent refine lane (r13): the refine oracle with the
+# corpus and query CTEs L2-normalized — the ADC candidate stage ranks
+# by cosine (unit vectors), and the exact re-rank is scale-invariant,
+# so only the two base CTEs change; everything downstream is the same
+# SQL by construction.
+_IVFPQ_NORM_REFINE_ORACLE = _IVFPQ_REFINE_ORACLE.replace(
+    """WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+), seeds AS (""",
+    """WITH corpus0 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+), corpus AS (
+  SELECT vec_id,
+         list_transform(e,
+           x -> x / sqrt(list_sum(list_transform(e, y -> y * y))))
+           AS embedding
+  FROM corpus0
+), seeds AS (""",
+).replace(
+    """), q AS (
+  SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0
+), assign_x AS (""",
+    """), q0 AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id = 0
+), q AS (
+  SELECT list_transform(e,
+           x -> x / sqrt(list_sum(list_transform(e, y -> y * y))))
+           AS qemb
+  FROM q0
+), assign_x AS (""",
+)
+assert _IVFPQ_NORM_REFINE_ORACLE != _IVFPQ_REFINE_ORACLE  # replaces took
+
+
+def _shared_ivfpq_norm_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once path of the persisted NORMALIZED shared-corpus
+    IVF-PQ index (``normalize=True``, no rotation — the measured
+    cosine deployment shape, SCALE.md r13). Same memo/fingerprint
+    discipline as ``_shared_ivfpq_index_path``; seeds/ is written last
+    by ``ivf_pq_index_write`` so its _SUCCESS marks a complete layout
+    INCLUDING the idxmeta normalized flag."""
+    import hashlib
+    import os
+    import tempfile
+
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_index_write,
+    )
+
+    fp = _fixture_fingerprint(sf_dir, "embeddings")
+    key = (os.path.abspath(sf_dir), fp, "norm")
+    cached = _IVFPQ_SHARED_IDX.get(key)
+    if cached:
+        return cached
+    base = os.path.join(
+        tempfile.gettempdir(),
+        "cpf_ivfpq_norm_shared",
+        hashlib.md5(f"{key[0]}|{fp}".encode()).hexdigest()[:12],
+    )
+    if not os.path.exists(os.path.join(base, "seeds", "_SUCCESS")):
+        idx = ivf_pq_index(
+            load_table(spark, sf_dir, "embeddings"), normalize=True
+        )
+        ivf_pq_index_write(idx, base)
+        idx["res"].unpersist()
+    _IVFPQ_SHARED_IDX[key] = base
+    return base
+
+
+@register(
+    "sim_ivfpq_norm_refine_topk",
+    oracle=_IVFPQ_NORM_REFINE_ORACLE,
+    tags=("datapipe", "similarity"),
+)
+def sim_ivfpq_norm_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The measured-best COSINE retrieval lane (r13, SCALE.md r13
+    table): ADC probe over the persisted NORMALIZED index (unit
+    vectors ⇒ the 8-byte candidate stage already ranks by cosine) +
+    exact re-rank of the top-100 — reaches the IVF-exact ceiling on
+    the low-rank geometry (recall@10 0.99 at n_probe=4 vs 0.85 for
+    refine on the raw+OPQ index, the r12 number whose gap this lane
+    closes). The refine fetch scores RAW full-precision vectors;
+    cosine is scale-invariant, so result == the normalized oracle's
+    by construction."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ivf_pq_index_load,
+        ivf_pq_refine_topk,
+    )
+
+    path = _shared_ivfpq_norm_index_path(spark, sf_dir)
+    idx = ivf_pq_index_load(spark, path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    q = [float(x) for x in q_row["embedding"]]
+    return ivf_pq_refine_topk(
+        idx, emb, q, k=10, refine=100, n_probe=2, exclude_id=0
+    )
+
+
 @register(
     "sim_ivfpq_refine_topk",
     oracle=_IVFPQ_REFINE_ORACLE,
