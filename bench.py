@@ -141,10 +141,21 @@ def main() -> None:
     cal = _machine_calibration()
     print(f"# machine calibration: {json.dumps(cal)}", file=sys.stderr)
 
+    # per-PID monotone CPU accounting: pyspark worker processes can be
+    # KILLED between samples (idle reaping) without any ancestor
+    # accumulating their time in cutime (the daemon doesn't wait() on
+    # killed workers), so a naive tree sum goes NEGATIVE across a
+    # worker generation change (observed -65 s on one lane in the
+    # first instrumented run). Disappeared PIDs are credited at their
+    # last-seen value instead — the counter can only lose the final
+    # unsampled slice of a dead worker, never go backwards.
+    _cpu_seen: dict[int, int] = {}
+    _cpu_lost = [0]
+
     def _tree_cpu_seconds() -> float:
-        """Cumulative CPU (user+sys, incl. reaped children) of this
-        process and every live descendant — the JVM and the pyspark
-        Arrow workers are children of this driver in local mode, so a
+        """Cumulative CPU (user+sys) of this process and every
+        descendant ever observed — the JVM and the pyspark Arrow
+        workers are children of this driver in local mode, so a
         per-lane delta of this number is the lane's TOTAL compute,
         Python and JVM alike. This is the per-lane instrument the r12
         watch-lane story lacked (r12 VERDICT ask/missing #1): a lane
@@ -165,22 +176,31 @@ def main() -> None:
                 continue  # raced a dying process
             rp = data.rindex(")")
             f = data[rp + 2 :].split()
-            # post-comm fields: [0]=state [1]=ppid ... [11]=utime
-            # [12]=stime [13]=cutime [14]=cstime
-            procs[int(p)] = (
-                int(f[1]),
-                int(f[11]) + int(f[12]) + int(f[13]) + int(f[14]),
-            )
+            # post-comm fields: [0]=state [1]=ppid [11]=utime [12]=stime
+            # (cutime/cstime deliberately EXCLUDED: reaped children we
+            # already observed live would double-count)
+            procs[int(p)] = (int(f[1]), int(f[11]) + int(f[12]))
         kids: dict[int, list[int]] = {}
         for pid, (ppid, _t) in procs.items():
             kids.setdefault(ppid, []).append(pid)
-        total, stack = 0, [me]
+        live: dict[int, int] = {}
+        stack = [me]
         while stack:
             pid = stack.pop()
             if pid in procs:
-                total += procs[pid][1]
+                live[pid] = procs[pid][1]
                 stack.extend(kids.get(pid, ()))
-        return total / hz
+        for pid, last in list(_cpu_seen.items()):
+            if pid not in live:
+                _cpu_lost[0] += last  # died: credit last observation
+                del _cpu_seen[pid]
+        for pid, t in live.items():
+            # pid-reuse guard: a reused pid restarting at a lower tick
+            # count must not erase the prior incarnation's credit
+            if t < _cpu_seen.get(pid, 0):
+                _cpu_lost[0] += _cpu_seen[pid]
+            _cpu_seen[pid] = t
+        return (_cpu_lost[0] + sum(live.values())) / hz
 
     import numpy as _np
 
