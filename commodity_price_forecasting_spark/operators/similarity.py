@@ -1641,6 +1641,7 @@ def ann_topk(
     q: list[float] | None = None,
     refine: int | None = None,
     refine_index_path: str | None = None,
+    normalize: bool = False,
 ) -> DataFrame:
     """The single ANN front door — the third measured-dispatch entry
     point, completing the pattern of ``semantic_dedup`` (r8) and
@@ -1702,9 +1703,23 @@ def ann_topk(
     ``(vec_id, cosine)`` instead of ``(vec_id, cell, adc_dist)``;
     see ``ivf_pq_refine_topk``. ``refine_index_path`` points the
     refine fetch at a persisted ``ivf_index_write`` layout for the
-    cell-pruned read."""
+    cell-pruned read.
+
+    ``normalize=True`` (PQ build-in-plan only, r13): build the
+    in-plan index over L2-normalized vectors so ADC ranks by cosine
+    (the measured cosine deployment shape — SCALE.md r13; compose
+    with ``refine=`` for the ceiling-reaching lane). A PREBUILT index
+    carries its own flag (index identity) — passing ``normalize``
+    with one is a contradiction and raises; brute/ivf lanes already
+    score exact cosine, so the flag is meaningless there and raises
+    too."""
     if lane not in ("auto", "brute", "ivf", "ivf_pq"):
         raise ValueError(f"lane must be auto|brute|ivf|ivf_pq: {lane}")
+    if normalize and index is not None:
+        raise ValueError(
+            "ann_topk: normalize= is fixed at index build time (index "
+            "identity) — a prebuilt index already carries its flag"
+        )
     if (query_id is None) == (q is None):
         raise ValueError(
             "ann_topk: pass exactly one of query_id (corpus member, "
@@ -1742,6 +1757,12 @@ def ann_topk(
             "ann_topk: refine= re-ranks ADC candidates and only applies to "
             f"the ivf_pq lane (got lane={lane!r} — brute and ivf already "
             "score exactly)"
+        )
+    if normalize and lane != "ivf_pq":
+        raise ValueError(
+            "ann_topk: normalize= changes what PQ codes estimate and only "
+            f"applies to the ivf_pq build-in-plan path (got lane={lane!r} "
+            "— brute and ivf already score exact cosine)"
         )
     if lane == "brute":
         if q is not None:
@@ -1789,7 +1810,9 @@ def ann_topk(
                 if query_id is not None
                 else vectors
             )
-            built = ivf_pq_index(corpus, id_col=id_col, vec_col=vec_col)
+            built = ivf_pq_index(
+                corpus, id_col=id_col, vec_col=vec_col, normalize=normalize
+            )
             return ivf_pq_refine_topk(
                 built,
                 corpus,
@@ -1809,8 +1832,11 @@ def ann_topk(
                 n_probe=n_probe,
                 id_col=id_col,
                 vec_col=vec_col,
+                normalize=normalize,
             )
-        built = ivf_pq_index(vectors, id_col=id_col, vec_col=vec_col)
+        built = ivf_pq_index(
+            vectors, id_col=id_col, vec_col=vec_col, normalize=normalize
+        )
         return ivf_pq_probe(
             built, qvec, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col
         )

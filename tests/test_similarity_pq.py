@@ -1347,3 +1347,36 @@ def test_opq_iterative_orthogonal_deterministic_and_probes(spark):
     assert len(got) == 5
     idx["res"].unpersist()
     idx["res_rot"].unpersist()
+
+
+def test_ann_topk_normalize_dispatch_and_guards(spark, tmp_path):
+    """The front door's normalize= (r13): equals the direct
+    normalized single-plan lane; composes with refine=; raises by
+    name for a prebuilt index (flag is index identity) and for
+    non-PQ lanes (already exact cosine)."""
+    import pytest as _pytest
+
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ann_topk,
+        ivf_pq_adc_topk,
+        ivf_pq_index,
+        ivf_pq_index_write,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    got = ann_topk(emb, query_id=0, lane="ivf_pq", normalize=True).collect()
+    want = ivf_pq_adc_topk(emb, query_id=0, k=10, normalize=True).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    refined = ann_topk(
+        emb, query_id=0, lane="ivf_pq", normalize=True, refine=50
+    ).collect()
+    assert len(refined) == 10 and refined[0].__fields__ == ["vec_id", "cosine"]
+
+    with _pytest.raises(ValueError, match="fixed at index build time"):
+        idx = ivf_pq_index(emb)
+        ivf_pq_index_write(idx, str(tmp_path))
+        idx["res"].unpersist()
+        ann_topk(emb, query_id=0, index=str(tmp_path), normalize=True)
+    with _pytest.raises(ValueError, match="only\\s+applies to the ivf_pq"):
+        ann_topk(emb, query_id=0, lane="brute", normalize=True)
