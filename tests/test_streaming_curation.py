@@ -570,3 +570,70 @@ def test_quality_prefix_is_map_only(spark):
     q = quality_score_rowwise(red, text_col="redacted", keep=("lang",))
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_auto_maintain_covers_near_dup_store(spark, tmp_path_factory):
+    """The hook's near-dup branch: with the tier on, the post-drain
+    report carries the band store's health, compacts it when its
+    per-delta appends have fragmented it, and the compacted store
+    still verdicts a fresh probe correctly (content no-op)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from commodity_price_forecasting_spark.operators.dedup_store import (
+        dedup_delta,
+        dedup_store_build,
+    )
+
+    base_rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota " * 4),
+        (1, "one two three four five six seven eight nine ten " * 4),
+    ]
+    near_store = str(tmp_path_factory.mktemp("amnd_bands"))
+    dedup_store_build(
+        spark.createDataFrame(base_rows, "doc_id long, text string"),
+        near_store, rows_per_band=1, threshold=0.3,
+    )
+    feed = str(tmp_path_factory.mktemp("amnd_feed"))
+    base = str(tmp_path_factory.mktemp("amnd"))
+    rep = None
+    for i in range(3):
+        text = (
+            f"fresh document {i} about rivers mills and crows over quiet "
+            f"hills where morning light settles softly across meadow {i} "
+            * 2
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([1000 + i], pa.int64()),
+                    "text": [text],
+                    "lang": ["en"],
+                    "source": ["feed"],
+                    "n_chars": pa.array([len(text)], pa.int64()),
+                }
+            ),
+            os.path.join(feed, f"docs-{i}.parquet"),
+        )
+        rep = run_curation_stream(
+            spark, feed, os.path.join(base, "store"),
+            os.path.join(base, "corpus"), os.path.join(base, "ck"),
+            feed_glob="*.parquet", near_dup_store=near_store,
+            auto_maintain=True,
+        )
+    assert rep is not None and "near_dup_health" in rep
+    assert rep["near_dup_health"]["n_unique"] >= 5  # base 2 + 3 drains
+    # whether or not a compaction fired this drain, the store must
+    # still verdict a fresh probe correctly against known content
+    probe = spark.createDataFrame(
+        [(9000, base_rows[0][1] + " tiny tail"),
+         (9001, "entirely novel content nothing shares any shingle " * 4)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in dedup_delta(spark, near_store, probe, append=False)[
+            "verdicts"
+        ].collect()
+    }
+    assert got[9000] == "near_dup" and got[9001] == "kept"
