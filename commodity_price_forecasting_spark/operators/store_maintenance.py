@@ -391,54 +391,43 @@ def maintenance_lock(store_dir: str, owner: str):
     partition (which then became a committed-batch-with-no-data after
     the batch's marker landed — silent, unrecoverable row loss).
 
-    O_CREAT|O_EXCL on ``<store>/.maintenance_lock`` holding
-    ``pid owner``; a lock whose pid is dead (same-host check via
-    ``kill(pid, 0)``) is stolen — crash of either writer never wedges
-    the store. A live holder raises ``StoreLockError``: the stream
-    batch fails loudly and redelivers (idempotent), the compaction
-    aborts before touching anything. Cross-HOST mutual exclusion needs
-    a lease service or a transactional table format — the same
+    Kernel ``flock`` (LOCK_EX|LOCK_NB) on a persistent
+    ``<store>/.maintenance_lock`` file: atomic acquisition (no
+    check-then-act window — an existence-based lock with a pid
+    staleness probe has a TOCTOU where two contenders both 'steal' a
+    dead holder's file and the second deletes the first's FRESH lock),
+    and auto-release on process death, so a crashed writer never
+    wedges the store and no steal logic exists to race. ``pid owner``
+    is written into the file for diagnostics only. A live holder
+    raises ``StoreLockError``: the stream batch fails loudly and
+    redelivers (idempotent), the compaction aborts before touching
+    anything. flock is HOST-local — cross-host mutual exclusion needs
+    a lease service or a transactional table format, the same
     documented boundary as the store swaps."""
+    import fcntl
+
     os.makedirs(store_dir, exist_ok=True)
     lock = os.path.join(store_dir, ".maintenance_lock")
-    for _attempt in (0, 1):
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+    try:
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            break
-        except FileExistsError:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except BlockingIOError:
             try:
                 with open(lock) as fh:
-                    pid_s, _, holder = fh.read().partition(" ")
-                pid = int(pid_s)
-            except (OSError, ValueError):
-                pid, holder = -1, "unreadable"
-            alive = False
-            if pid > 0:
-                try:
-                    os.kill(pid, 0)
-                    alive = True
-                except ProcessLookupError:
-                    alive = False
-                except PermissionError:
-                    alive = True
-            if alive:
-                raise StoreLockError(
-                    f"{store_dir}: maintenance lock held by live pid "
-                    f"{pid} ({holder.strip() or 'unknown'}) — "
-                    f"{owner} refuses to run concurrently (quiesce the "
-                    "other writer first)"
-                )
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(lock)  # stale: holder is dead
-    else:  # two steal attempts lost the race both times
-        raise StoreLockError(f"{store_dir}: could not acquire lock")
-    try:
+                    holder = fh.read().strip()
+            except OSError:
+                holder = "unknown"
+            raise StoreLockError(
+                f"{store_dir}: maintenance lock held by a live writer "
+                f"({holder or 'unknown'}) — {owner} refuses to run "
+                "concurrently (quiesce the other writer first)"
+            )
+        os.ftruncate(fd, 0)
         os.write(fd, f"{os.getpid()} {owner}\n".encode())
-        os.close(fd)
         yield
     finally:
-        with contextlib.suppress(FileNotFoundError):
-            os.remove(lock)
+        os.close(fd)  # releases the flock; the file persists
 
 
 def _read_committed(commits_dir: str) -> set[str]:

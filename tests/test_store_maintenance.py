@@ -512,27 +512,48 @@ def test_compact_lock_and_grace_window(spark, tmp_path_factory):
     base = str(tmp_path_factory.mktemp("cclock"))
     store, corpus = _mk_curation_store(spark, base, n_batches=2)
 
-    # live lock (our own pid counts as alive) blocks compaction AND a
-    # direct ingest append
-    lock = os.path.join(store, ".maintenance_lock")
-    with open(lock, "w") as fh:
-        fh.write(f"{os.getpid()} other-writer\n")
-    with pytest.raises(StoreLockError, match="held by live pid"):
-        curation_store_compact(spark, store, corpus, grace_seconds=0)
-    with pytest.raises(StoreLockError, match="held by live pid"):
-        _append_batch(_curated_batch(spark, 7), store, corpus,
-                      commit_token="b7")
+    # a HELD flock blocks compaction AND a direct ingest append (a
+    # second flock attempt in the same process on a new fd blocks too
+    # — flock is per open-file-description)
+    with maintenance_lock(store, "other-writer"):
+        with pytest.raises(StoreLockError, match="held by a live writer"):
+            curation_store_compact(spark, store, corpus, grace_seconds=0)
+        with pytest.raises(StoreLockError, match="held by a live writer"):
+            _append_batch(_curated_batch(spark, 7), store, corpus,
+                          commit_token="b7")
 
-    # stale lock (dead pid) is stolen and the run proceeds
+    # a crashed holder never wedges the store: flock auto-releases on
+    # process death (SIGKILL — no cleanup code ran)
+    import signal
     import subprocess
+    import time
 
-    dead = subprocess.Popen(["true"])
-    dead.wait()
-    with open(lock, "w") as fh:
-        fh.write(f"{dead.pid} crashed-writer\n")
-    with maintenance_lock(store, "test") as _:
-        pass  # acquired by stealing
-    assert not os.path.exists(lock)
+    lock = os.path.join(store, ".maintenance_lock")
+    holder = subprocess.Popen(
+        [
+            "python3", "-c",
+            "import fcntl, os, sys, time\n"
+            f"fd = os.open({lock!r}, os.O_CREAT | os.O_RDWR)\n"
+            "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+            "print('locked', flush=True)\n"
+            "time.sleep(60)\n",
+        ],
+        stdout=subprocess.PIPE,
+    )
+    assert holder.stdout.readline().strip() == b"locked"
+    with pytest.raises(StoreLockError):
+        with maintenance_lock(store, "test"):
+            pass
+    holder.send_signal(signal.SIGKILL)
+    holder.wait()
+    deadline = time.time() + 10
+    while True:  # kernel releases the flock with the process
+        try:
+            with maintenance_lock(store, "test"):
+                break
+        except StoreLockError:
+            assert time.time() < deadline, "flock not released after kill"
+            time.sleep(0.2)
 
     # grace window: a fresh marker-less partition refuses deletion...
     partial = os.path.join(store, "fingerprints", "ingest_batch=zz-partial")
