@@ -89,6 +89,7 @@ def _file_stats(root: str) -> dict:
     n_bytes = 0
     small = 0
     per_partition: dict[str, int] = {}
+    bytes_per_partition: dict[str, int] = {}
     for dirpath, _dirs, files in os.walk(root):
         rel = os.path.relpath(dirpath, root)
         part = rel.split(os.sep)[0] if rel != "." else ""
@@ -102,11 +103,15 @@ def _file_stats(root: str) -> dict:
                 small += 1
             if part:
                 per_partition[part] = per_partition.get(part, 0) + 1
+                bytes_per_partition[part] = (
+                    bytes_per_partition.get(part, 0) + sz
+                )
     return {
         "n_files": n_files,
         "n_bytes": n_bytes,
         "n_small_files": small,
         "files_per_partition": per_partition,
+        "bytes_per_partition": bytes_per_partition,
     }
 
 
@@ -514,10 +519,19 @@ def curation_store_health(spark, store_dir: str, corpus_dir: str) -> dict:
             p for p in os.listdir(root) if p.startswith("ingest_batch=")
         ]
         stats = _file_stats(root)
-        rec = len(live) > 4 or (
-            stats["n_files"] > 1
-            and stats["n_small_files"] >= max(2, stats["n_files"] // 2)
-            and len(live) > 1
+        # the recommendation mirrors what tiered compaction would DO
+        # (r13): judge the non-base mass — live partitions minus the
+        # largest (the base a prior major compaction produced). A
+        # recommendation the compactor would skip (<2 consolidatable
+        # sources) must never fire, or the auto-hook spins on a no-op.
+        sizes = {p: stats["bytes_per_partition"].get(p, 0) for p in live}
+        rest = sorted(live, key=lambda p: (sizes[p], p))[:-1]
+        rec = len(rest) >= 2 and (
+            len(rest) > 4
+            or (
+                stats["n_files"] > 1
+                and stats["n_small_files"] >= max(2, stats["n_files"] // 2)
+            )
         )
         out["roots"][root_key] = {
             **stats,
@@ -557,11 +571,17 @@ def curation_store_compact(
     corpus_dir: str,
     target_file_bytes: int = TARGET_FILE_BYTES,
     grace_seconds: float = UNCOMMITTED_GRACE_SECONDS,
+    major_fraction: float = 0.5,
 ) -> dict:
-    """Compact the STREAMING curation store: consolidate the
-    per-micro-batch ``ingest_batch=<token>`` partitions of LIVE
-    committed batches into one ``ingest_batch=compacted-<n>``
-    partition each for the fingerprint store and the corpus.
+    """Compact the STREAMING curation store: consolidate LIVE
+    committed ``ingest_batch=<token>`` partitions into one
+    ``ingest_batch=compacted-<n>`` partition each for the fingerprint
+    store and the corpus — SIZE-TIERED (r13): a minor compaction
+    consolidates everything except the largest partition while the
+    rest's mass is under ``major_fraction`` of it (cost ∝ deltas
+    since the last major, never the corpus), a major rewrites all of
+    it only when the delta mass has earned it. Write amplification
+    measured in tools/auto_maintain_probe.py → SCALE.md r13.
 
     Crash-safe ordering (r12 VERDICT "what's wrong" #1 — the old
     land-then-delete-then-mark sequence could LOSE committed corpus
@@ -633,16 +653,56 @@ def curation_store_compact(
                         "writer may own it; re-run compaction after "
                         f"{grace_seconds:.0f}s or redeliver the batch"
                     )
-            if len(parts) <= 1:
+            # SIZE-TIERED source selection (r13): always consolidating
+            # ALL live partitions would rewrite the whole corpus every
+            # few drains — O(corpus) write amplification at daily
+            # cadence, the LSM problem. Minor compaction consolidates
+            # everything EXCEPT the largest partition (the base a
+            # prior major produced) while the rest's mass stays under
+            # ``major_fraction`` of it — cost ∝ deltas since the last
+            # major, independent of corpus size; a major (full
+            # rewrite) happens only when the delta mass has grown to
+            # that fraction of the base, so total rewrite bytes stay
+            # amortized O(bytes · log) instead of O(bytes · drains).
+            sizes = {
+                p: before["bytes_per_partition"].get(p, 0) for p in parts
+            }
+            sources, mode = parts, "major"
+            if len(parts) > 1:
+                largest = max(parts, key=lambda p: (sizes[p], p))
+                rest = [p for p in parts if p != largest]
+                if sum(sizes[p] for p in rest) < major_fraction * sizes[largest]:
+                    sources, mode = rest, "minor"
+            # ZERO-BYTE partitions (a committed batch whose rows were
+            # all gated out — e.g. every doc near-dropped — leaves a
+            # directory holding only _SUCCESS) cannot be read for
+            # schema and hold nothing to merge: supersede them as pure
+            # GC, consolidate only readable sources
+            empties = [p for p in sources if sizes[p] == 0]
+            readable = [p for p in sources if sizes[p] > 0]
+            if len(readable) < 2 and not empties:
                 out[root_key] = {
                     "files_before": before["n_files"],
                     "files_after": _file_stats(root)["n_files"],
                     "skipped": True,
                 }
                 continue
+            if len(readable) < 2:  # only empties to clean up
+                supersedes[root_key] = [
+                    p.split("=", 1)[1] for p in empties
+                ]
+                out[root_key] = {
+                    "files_before": before["n_files"],
+                    "files_after": None,
+                    "skipped": False,
+                    "mode": "gc-empty",
+                    "bytes_rewritten": 0,
+                }
+                continue
+            sources = readable
             df = (
                 spark.read.option("basePath", root)
-                .parquet(*[os.path.join(root, p) for p in parts])
+                .parquet(*[os.path.join(root, p) for p in sources])
                 .drop("ingest_batch")
             )
             # tmp lives OUTSIDE the partition root: a first-level dir
@@ -652,7 +712,8 @@ def curation_store_compact(
             tmp = root + f"__compacting_{token}"
             if os.path.isdir(tmp):
                 shutil.rmtree(tmp)
-            n_target = max(1, math.ceil(before["n_bytes"] / target_file_bytes))
+            src_bytes = sum(sizes[p] for p in sources)
+            n_target = max(1, math.ceil(src_bytes / target_file_bytes))
             col = part_cols[root_key]
             if col is None:
                 df.coalesce(n_target).write.mode("overwrite").parquet(tmp)
@@ -661,11 +722,15 @@ def curation_store_compact(
                     col
                 ).parquet(tmp)
             os.rename(tmp, os.path.join(root, f"ingest_batch={token}"))
-            supersedes[root_key] = [p.split("=", 1)[1] for p in parts]
+            supersedes[root_key] = [
+                p.split("=", 1)[1] for p in sources + empties
+            ]
             out[root_key] = {
                 "files_before": before["n_files"],
                 "files_after": None,  # filled after GC
                 "skipped": False,
+                "mode": mode,
+                "bytes_rewritten": src_bytes,
             }
         # ---- phase 2: commit the compacted token + manifest ----
         if supersedes:

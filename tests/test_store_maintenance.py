@@ -245,8 +245,12 @@ def test_curation_store_compact_consolidates_committed_batches(
     )
     assert len(os.listdir(fp_path)) >= 2  # one partition per batch
 
-    rep = curation_store_compact(spark, store, corpus)
+    # two live partitions, one big + one tiny: tiered compaction
+    # would correctly skip (nothing mergeable but the base) —
+    # major_fraction=0.0 forces the FULL consolidation this test pins
+    rep = curation_store_compact(spark, store, corpus, major_fraction=0.0)
     assert not rep["fingerprints"]["skipped"]
+    assert rep["fingerprints"]["mode"] == "major"
     assert rep["fingerprints"]["files_after"] < rep["fingerprints"]["files_before"]
     fp_parts = [p for p in os.listdir(fp_path) if p.startswith("ingest_batch=")]
     assert fp_parts == ["ingest_batch=compacted-0"]
@@ -583,4 +587,84 @@ def test_curation_store_health_recommends_then_clears(
     h2 = curation_store_health(spark, store, corpus)
     assert h2["compact_recommended"] == []
     assert h2["roots"]["corpus"]["n_live_partitions"] == 1
+    assert _corpus_rows(spark, store, corpus) == want
+
+
+def test_compact_is_size_tiered(spark, tmp_path_factory):
+    """r13: the compactor must not rewrite the corpus on every run.
+    With a large base partition and small deltas, compaction is MINOR
+    — the base's files are untouched on disk, bytes_rewritten ≈ the
+    delta mass — and only when the delta mass reaches major_fraction
+    of the base does a MAJOR full rewrite consolidate to one
+    partition. Content identical throughout."""
+    base = str(tmp_path_factory.mktemp("cctier"))
+    store, corpus = os.path.join(base, "store"), os.path.join(base, "corpus")
+    # a BIG base: 3 batches of long documents, compacted into one
+    # unique tokens per doc: snappy must not crush the base to noise
+    big = [
+        (i * 10 + j, f"fpB{i}-{j}",
+         " ".join(f"tok{i}x{j}x{k}" for k in range(1200)),
+         0.9, 1200, "split_train")
+        for i in range(3) for j in range(4)
+    ]
+    for i in range(3):
+        _append_batch(
+            spark.createDataFrame(
+                [r for r in big if r[0] // 10 == i],
+                "doc_id long, fp string, text string, quality double, "
+                "n_tokens long, split string",
+            ),
+            store, corpus, commit_token=f"b{i}",
+        )
+    rep0 = curation_store_compact(spark, store, corpus, grace_seconds=0)
+    assert rep0["corpus"]["mode"] == "major"
+    want = _corpus_rows(spark, store, corpus)
+
+    # two TINY deltas → minor: base partition untouched
+    for i in (7, 8):
+        _append_batch(_curated_batch(spark, i, n=1), store, corpus,
+                      commit_token=f"d{i}")
+    want = _corpus_rows(spark, store, corpus)
+    corpus_root = os.path.join(corpus, "corpus")
+    base_part = os.path.join(corpus_root, "ingest_batch=compacted-0")
+    base_files = sorted(
+        (f, os.path.getmtime(os.path.join(dp, f)))
+        for dp, _d, fs in os.walk(base_part) for f in fs
+    )
+    rep1 = curation_store_compact(spark, store, corpus, grace_seconds=0)
+    assert rep1["corpus"]["mode"] == "minor"
+    assert os.path.isdir(base_part)  # base survived
+    assert base_files == sorted(
+        (f, os.path.getmtime(os.path.join(dp, f)))
+        for dp, _d, fs in os.walk(base_part) for f in fs
+    )  # and its files are byte-for-byte untouched
+    # minor rewrote only the delta mass
+    big_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _d, fs in os.walk(base_part) for f in fs
+    )
+    assert rep1["corpus"]["bytes_rewritten"] < big_bytes
+    assert _corpus_rows(spark, store, corpus) == want
+    live = [p for p in os.listdir(corpus_root) if p.startswith("ingest_batch=")]
+    assert len(live) == 2  # base + the minor output
+
+    # grow the delta mass past major_fraction → major, one partition
+    bulk = [
+        (900 + j, f"fpM{j}",
+         " ".join(f"blk{j}y{k}" for k in range(1200)),
+         0.9, 1200, "split_train")
+        for j in range(8)
+    ]
+    _append_batch(
+        spark.createDataFrame(
+            bulk, "doc_id long, fp string, text string, quality double, "
+            "n_tokens long, split string",
+        ),
+        store, corpus, commit_token="d9",
+    )
+    want = _corpus_rows(spark, store, corpus)
+    rep2 = curation_store_compact(spark, store, corpus, grace_seconds=0)
+    assert rep2["corpus"]["mode"] == "major"
+    live = [p for p in os.listdir(corpus_root) if p.startswith("ingest_batch=")]
+    assert live == ["ingest_batch=compacted-2"]
     assert _corpus_rows(spark, store, corpus) == want

@@ -52,6 +52,12 @@ def main() -> None:
     )
     ap.add_argument("--drains", type=int, default=12)
     ap.add_argument("--docs-per-drain", type=int, default=500)
+    ap.add_argument(
+        "--base-docs", type=int, default=0,
+        help="ingest this many docs as one initial drain before the "
+        "loop — the mature-store shape where tiered (minor) "
+        "compaction pays: small drains against a big base",
+    )
     ap.add_argument("--workdir", default="/tmp/auto_maintain_probe")
     args = ap.parse_args()
 
@@ -65,9 +71,10 @@ def main() -> None:
     docs = (
         load_table(spark, args.sf_dir, "documents")
         .orderBy("doc_id")
-        .limit(args.drains * args.docs_per_drain)
+        .limit(args.base_docs + args.drains * args.docs_per_drain)
         .collect()
     )
+    base_docs, docs = docs[: args.base_docs], docs[args.base_docs :]
     twins = {}
     for name in ("auto", "raw"):
         d = os.path.join(args.workdir, name)
@@ -79,8 +86,29 @@ def main() -> None:
             "wall": [],
             "live_parts": [],
             "n_files": [],
+            "rewritten": [],  # bytes the hook's compactions rewrote
+            "corpus_bytes": [],
         }
         os.makedirs(twins[name]["feed"])
+
+    if base_docs:
+        tbl0 = pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in base_docs], pa.int64()),
+                "text": [r["text"] for r in base_docs],
+                "lang": [r["lang"] for r in base_docs],
+                "source": [r["source"] for r in base_docs],
+                "n_chars": pa.array(
+                    [len(r["text"]) for r in base_docs], pa.int64()
+                ),
+            }
+        )
+        for name, t in twins.items():
+            pq.write_table(tbl0, os.path.join(t["feed"], "docs-base.parquet"))
+            run_curation_stream(
+                spark, t["feed"], t["store"], t["corpus"], t["ck"],
+                feed_glob="*.parquet", auto_maintain=(name == "auto"),
+            )
 
     for i in range(args.drains):
         chunk = docs[i * args.docs_per_drain : (i + 1) * args.docs_per_drain]
@@ -98,7 +126,7 @@ def main() -> None:
         for name, t in twins.items():
             pq.write_table(tbl, os.path.join(t["feed"], f"docs-{i}.parquet"))
             t0 = time.perf_counter()
-            run_curation_stream(
+            rep = run_curation_stream(
                 spark, t["feed"], t["store"], t["corpus"], t["ck"],
                 feed_glob="*.parquet", auto_maintain=(name == "auto"),
             )
@@ -108,6 +136,20 @@ def main() -> None:
             t["n_files"].append(
                 h["roots"]["corpus"]["n_files"]
                 + h["roots"]["fingerprints"]["n_files"]
+            )
+            # write-amplification ledger (r13 tiered compaction): what
+            # the hook's compactions actually rewrote this drain, vs
+            # the corpus size an always-major policy would rewrite
+            rw = 0
+            if rep and "curation_compact" in rep:
+                rw = sum(
+                    r.get("bytes_rewritten", 0)
+                    for r in rep["curation_compact"].values()
+                )
+            t["rewritten"].append(rw)
+            t["corpus_bytes"].append(
+                h["roots"]["corpus"]["n_bytes"]
+                + h["roots"]["fingerprints"]["n_bytes"]
             )
         print(
             f"# drain {i}: auto {twins['auto']['wall'][-1]}s "
@@ -129,15 +171,25 @@ def main() -> None:
         )
         for name, t in twins.items()
     }
+    auto = twins["auto"]
+    # counterfactual: an always-major policy rewrites the whole store
+    # every time a compaction fires
+    naive = sum(
+        cb for cb, rw in zip(auto["corpus_bytes"], auto["rewritten"]) if rw
+    )
     out = {
         "metric": "auto_maintain_probe",
         "drains": args.drains,
         "docs_per_drain": args.docs_per_drain,
         "content_equal": rows["auto"] == rows["raw"],
-        "auto": {k: twins["auto"][k] for k in ("wall", "live_parts", "n_files")},
+        "auto": {k: auto[k] for k in ("wall", "live_parts", "n_files",
+                                      "rewritten")},
         "raw": {k: twins["raw"][k] for k in ("wall", "live_parts", "n_files")},
-        "last3_wall_auto": round(sum(twins["auto"]["wall"][-3:]) / 3, 2),
+        "last3_wall_auto": round(sum(auto["wall"][-3:]) / 3, 2),
         "last3_wall_raw": round(sum(twins["raw"]["wall"][-3:]) / 3, 2),
+        "rewritten_total": sum(auto["rewritten"]),
+        "rewritten_always_major": naive,
+        "final_store_bytes": auto["corpus_bytes"][-1],
     }
     print(json.dumps(out))
     spark.stop()
