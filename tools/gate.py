@@ -236,6 +236,16 @@ def main() -> None:
             ok = False
 
     summary["gate"] = "PASS" if ok else "FAIL"
+    # the artifact must be provably ORDERED against the history it
+    # covers (r12's gate silently predated the round's last commits;
+    # r13's first re-run produced a byte-identical file, leaving no
+    # committed evidence it ran at HEAD): record the commit the gate
+    # ran against — everything up to and including it is covered, and
+    # the artifact's own commit should add nothing else.
+    summary["git_head"] = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=REPO, capture_output=True,
+        text=True,
+    ).stdout.strip()
     if args.out:
         full = dict(summary)
         full["queries"] = queries
