@@ -17,6 +17,7 @@ JVM-side, no Python in the row path.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1023,13 +1024,31 @@ def ivf_pq_index_write(index: dict, path: str, id_col: str = "vec_id") -> None:
       table the driver sorts per query.
 
     ``m_sub``/``dim`` are re-derived on load from cb/seeds (no sidecar
-    format to version)."""
+    format to version).
+
+    Crash safety (r13 ADVICE #1): the whole layout is built in a
+    sibling ``<path>__building`` directory and renamed into place —
+    never written artifact-by-artifact into an EXISTING layout, where
+    a crash mid-rewrite would leave new coded/cb next to the OLD
+    seeds/rotation/idxmeta: a complete-LOOKING mixed layout (the old
+    seeds/_SUCCESS still satisfies the completeness sentinel) that
+    ``ivf_pq_index_load`` would accept and probe with the wrong
+    identity. With the tmp+rename, a crash anywhere leaves either the
+    intact old layout or no layout; the rename-pair window when
+    replacing an existing index is the same documented boundary as the
+    store swaps. Inside the tmp build, seeds are still written LAST so
+    the fresh-path sentinel (seeds/_SUCCESS ⇒ every identity artifact
+    present) keeps holding for callers that only check existence."""
     spark = index["codes"].sparkSession
+    final = os.path.normpath(path)
+    tmp = final + "__building"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # leftover of a crashed prior write
     coded = index["codes"].join(index["cells"], id_col)
     coded.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(path, "coded")
+        os.path.join(tmp, "coded")
     )
-    index["cb"].write.mode("overwrite").parquet(os.path.join(path, "cb"))
+    index["cb"].write.mode("overwrite").parquet(os.path.join(tmp, "cb"))
     if index.get("rotation") is not None:
         # the OPQ rotation is part of the index IDENTITY: codes are
         # meaningless without the R that produced them, so it persists
@@ -1037,7 +1056,7 @@ def ivf_pq_index_write(index: dict, path: str, id_col: str = "vec_id") -> None:
         spark.createDataFrame(
             [(i, [float(x) for x in row]) for i, row in enumerate(index["rotation"])],
             "i int, rrow array<double>",
-        ).write.mode("overwrite").parquet(os.path.join(path, "rotation"))
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "rotation"))
     if index.get("normalized"):
         # same identity argument as the rotation: codes over normalized
         # residuals are meaningless for raw queries, so the flag
@@ -1045,17 +1064,22 @@ def ivf_pq_index_write(index: dict, path: str, id_col: str = "vec_id") -> None:
         # pre-r13 layout)
         spark.createDataFrame(
             [(True,)], "normalized boolean"
-        ).write.mode("overwrite").parquet(os.path.join(path, "idxmeta"))
-    # seeds are written LAST on purpose: callers (the shared-index
-    # memos, operators docs) use seeds/_SUCCESS as the whole-layout
-    # completeness sentinel, so every identity artifact (rotation,
-    # idxmeta) must already be on disk when it appears — a crash
-    # before this point leaves no "complete-looking" layout that
-    # silently loads with the wrong semantics
+        ).write.mode("overwrite").parquet(os.path.join(tmp, "idxmeta"))
+    # seeds LAST: seeds/_SUCCESS ⇒ whole-layout completeness
     spark.createDataFrame(
         [(int(s), [float(x) for x in v]) for s, v in index["seeds"]],
         "cell long, svec array<double>",
-    ).write.mode("overwrite").parquet(os.path.join(path, "seeds"))
+    ).write.mode("overwrite").parquet(os.path.join(tmp, "seeds"))
+    if os.path.isdir(final):
+        old = final + "__old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        os.rename(final, old)
+        os.rename(tmp, final)
+        shutil.rmtree(old)
+    else:
+        os.makedirs(os.path.dirname(final) or ".", exist_ok=True)
+        os.rename(tmp, final)
 
 
 def ivf_pq_index_load(spark, path: str) -> dict:
@@ -1732,9 +1756,14 @@ def ann_topk(
             index = ivf_pq_index_load(vectors.sparkSession, index)
     if lane == "auto":
         if index is None:
-            # refine= implies the PQ pipeline even without a prebuilt
-            # index (build-in-plan + refined probe)
-            lane = "brute" if refine is None else "ivf_pq"
+            # refine= and normalize= both imply the PQ pipeline even
+            # without a prebuilt index (build-in-plan + probe):
+            # normalize only changes what PQ codes ESTIMATE, so
+            # resolving it to brute would immediately raise the
+            # normalize-needs-ivf_pq error below — the documented
+            # cosine deployment shape must be reachable through the
+            # front door (r13 ADVICE #3)
+            lane = "brute" if refine is None and not normalize else "ivf_pq"
         elif index.get("assigned") is not None:
             lane = "ivf"
         else:

@@ -1380,3 +1380,64 @@ def test_ann_topk_normalize_dispatch_and_guards(spark, tmp_path):
         ann_topk(emb, query_id=0, index=str(tmp_path), normalize=True)
     with _pytest.raises(ValueError, match="only\\s+applies to the ivf_pq"):
         ann_topk(emb, query_id=0, lane="brute", normalize=True)
+
+
+def test_ann_topk_auto_lane_resolves_normalize_to_pq(spark):
+    """r13 ADVICE #3: lane='auto' with normalize=True must resolve to
+    the PQ pipeline (mirroring the refine= rule) — the documented
+    cosine deployment shape is reachable through the front door
+    without also passing lane= or refine=."""
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ann_topk,
+        ivf_pq_adc_topk,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    got = ann_topk(emb, query_id=0, normalize=True).collect()
+    want = ivf_pq_adc_topk(emb, query_id=0, k=10, normalize=True).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # and composed with refine (auto already resolved PQ via refine)
+    refined = ann_topk(emb, query_id=0, normalize=True, refine=50).collect()
+    assert len(refined) == 10
+
+
+def test_ivfpq_index_overwrite_atomic_and_drops_stale_identity(
+    spark, tmp_path
+):
+    """r13 ADVICE #1 (medium): overwriting an EXISTING complete layout
+    must not leave a mixed layout. Two checks: (a) a NORMALIZED layout
+    overwritten by a plain rebuild loads as plain — the stale idxmeta
+    (and any rotation) from the old layout must be gone, not merely
+    shadowed; (b) a crashed rewrite (forged as the __building tmp dir
+    left behind) leaves the OLD layout fully loadable and the next
+    write cleans the tmp up."""
+    import os as _os
+    import shutil as _shutil
+
+    from commodity_price_forecasting_spark.operators.similarity import (
+        ivf_pq_index,
+        ivf_pq_index_load,
+        ivf_pq_index_write,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    norm = ivf_pq_index(emb, normalize=True)
+    ivf_pq_index_write(norm, path)
+    norm["res"].unpersist()
+    assert ivf_pq_index_load(spark, path)["normalized"] is True
+
+    # (b) forge a crashed rewrite: a half-built __building next to the
+    # complete old layout — load must still see the OLD index intact
+    _os.makedirs(path + "__building/coded", exist_ok=True)
+    assert ivf_pq_index_load(spark, path)["normalized"] is True
+
+    # (a) plain rebuild over the same path: stale idxmeta must vanish
+    plain = ivf_pq_index(emb)
+    ivf_pq_index_write(plain, path)
+    plain["res"].unpersist()
+    loaded = ivf_pq_index_load(spark, path)
+    assert loaded["normalized"] is False
+    assert not _os.path.isdir(path + "__building")  # crashed tmp cleaned
+    assert not _os.path.isdir(_os.path.join(path, "idxmeta"))
+    _shutil.rmtree(path)

@@ -421,19 +421,22 @@ def recall_table(
     # normalized vectors, so the ADC candidates are ranked by the
     # metric refine re-ranks with — the L2-vs-cosine divergence the
     # r12 measurement blamed for part of the ceiling gap is gone.
-    def _refine_on(lane: str, normalize: bool, rotation: str = "opq") -> None:
+    def _refine_on(
+        lane: str, normalize: bool, rotation: str = "opq",
+        n_probes: tuple = (2, 4), k_coarse: int = 16,
+    ) -> None:
         from commodity_price_forecasting_spark.operators.similarity import (
             ivf_pq_refine_topk,
         )
 
         idx_r = ivf_pq_index(
             emb, codebook="kmeans", n_centroids=256, coarse="kmeans",
-            rotation=rotation, normalize=normalize,
+            rotation=rotation, normalize=normalize, k_coarse=k_coarse,
         )
         idx_r["codes"] = idx_r["codes"].cache()
         idx_r["cells"] = idx_r["cells"].cache()
         idx_r["codes"].count()
-        for n_probe in (2, 4):
+        for n_probe in n_probes:
             for refine_c in (100,):
                 recs = []
                 for qi in qids:
@@ -462,6 +465,21 @@ def recall_table(
     if n > 512 and want("ivf_pq_full256_norm_refine"):
         _refine_on("ivf_pq_full256_norm_refine", normalize=True,
                    rotation="none")
+    # r14 (r13 VERDICT ask #5): the n_probe RECALL CURVE for the
+    # cosine deployment lane on routing-limited geometry. Cell probing
+    # is already soft multi-probe in the standard sense — cells are
+    # ranked by query-to-centroid similarity and the best n_probe are
+    # scanned — so n_probe IS the multi-probe budget; the question is
+    # where the knee sits. Two quantizer widths: the deployment's
+    # k_coarse=16 (n_probe=16 == whole index == the IVF-exact ceiling)
+    # and k_coarse=64 (one cell per true cluster on the clustered
+    # fixture, n_probe up to 32 = half the index).
+    if n > 512 and want("ivf_pq_norm_refine_knee16"):
+        _refine_on("ivf_pq_norm_refine_knee16", normalize=True,
+                   rotation="none", n_probes=(4, 8, 12, 16))
+    if n > 512 and want("ivf_pq_norm_refine_knee64"):
+        _refine_on("ivf_pq_norm_refine_knee64", normalize=True,
+                   rotation="none", k_coarse=64, n_probes=(4, 8, 16, 32))
     # ADC-only normalized twins: the flag's lift without refine
     if n > 512 and want("ivf_pq_full256_norm"):
         ivf_pq_trained_recall(
