@@ -90,6 +90,7 @@ def _file_stats(root: str) -> dict:
     small = 0
     per_partition: dict[str, int] = {}
     bytes_per_partition: dict[str, int] = {}
+    small_per_partition: dict[str, int] = {}
     for dirpath, _dirs, files in os.walk(root):
         rel = os.path.relpath(dirpath, root)
         part = rel.split(os.sep)[0] if rel != "." else ""
@@ -101,6 +102,10 @@ def _file_stats(root: str) -> dict:
             n_bytes += sz
             if sz < SMALL_FILE_BYTES:
                 small += 1
+                if part:
+                    small_per_partition[part] = (
+                        small_per_partition.get(part, 0) + 1
+                    )
             if part:
                 per_partition[part] = per_partition.get(part, 0) + 1
                 bytes_per_partition[part] = (
@@ -112,7 +117,23 @@ def _file_stats(root: str) -> dict:
         "n_small_files": small,
         "files_per_partition": per_partition,
         "bytes_per_partition": bytes_per_partition,
+        "small_per_partition": small_per_partition,
     }
+
+
+def _compact_would_run(
+    stats: dict, partition_col: str | None, target_file_bytes: int = TARGET_FILE_BYTES
+) -> bool:
+    """``_compact_artifact``'s own go/skip decision, evaluated
+    read-only — SHARED with the health reports so a recommendation
+    the compactor would skip can never fire (r13 VERDICT ask #6: the
+    old health rule recommended ``bands`` forever once it reached one
+    file per partition, and the auto-hook would spin on the no-op)."""
+    n_target = max(1, math.ceil(stats["n_bytes"] / target_file_bytes))
+    already_partition_tight = partition_col is not None and all(
+        c <= 1 for c in stats["files_per_partition"].values()
+    )
+    return stats["n_files"] > n_target and not already_partition_tight
 
 
 def _count_or_zero(spark, path: str) -> int:
@@ -177,10 +198,12 @@ def dedup_store_health(spark, path: str) -> dict:
         if "bands" in arts
         else {}
     )
+    part_cols = {"fingerprints": None, "signatures": None, "bands": "band"}
     compact = sorted(
         name
         for name, s in arts.items()
-        if s["n_files"] > 1 and s["n_small_files"] >= max(2, s["n_files"] // 2)
+        if s["n_small_files"] >= max(2, s["n_files"] // 2)
+        and _compact_would_run(s, part_cols.get(name))
     )
     rebuild = bool(n_canon) and (n_bridged_canon / n_canon > REBUILD_FRACTION)
     return {
@@ -212,11 +235,12 @@ def semantic_store_health(spark, path: str) -> dict:
         n_inverted_survivors = (
             spark.read.parquet(inv_path).select("store_vec_id").distinct().count()
         )
+    sem_part_cols = {"cells": "cell", "inversions": None}
     compact = sorted(
         name
         for name, s in arts.items()
-        if s["n_files"] > s.get("files_per_partition", {}).__len__()
-        and s["n_small_files"] >= max(2, s["n_files"] // 2)
+        if s["n_small_files"] >= max(2, s["n_files"] // 2)
+        and _compact_would_run(s, sem_part_cols.get(name))
     )
     rebuild = bool(n_kept) and (
         n_inverted_survivors / n_kept > REBUILD_FRACTION
@@ -291,22 +315,26 @@ def dedup_store_compact(
 ) -> dict:
     """Compact every ``dedup_store`` artifact in place; content (and
     therefore every future ``dedup_delta`` verdict) is unchanged —
-    pinned in tests/test_store_maintenance.py. Returns per-artifact
-    before/after file counts."""
-    out = {}
-    for name, part_col in (
-        ("fingerprints", None),
-        ("signatures", None),
-        ("bands", "band"),
-        ("bridges", None),
-    ):
-        art = os.path.join(path, name)
-        if os.path.isdir(art):
-            out[name] = _compact_artifact(
-                spark, art, partition_col=part_col,
-                target_file_bytes=target_file_bytes,
-            )
-    return out
+    pinned in tests/test_store_maintenance.py. Holds the store's
+    ``store_write_lock`` for the whole run (r13 VERDICT ask #2): a
+    live appender raises here instead of having ``_swap_in`` rename
+    an artifact out from under it. Returns per-artifact before/after
+    file counts."""
+    with store_write_lock(path, "dedup_store_compact"):
+        out = {}
+        for name, part_col in (
+            ("fingerprints", None),
+            ("signatures", None),
+            ("bands", "band"),
+            ("bridges", None),
+        ):
+            art = os.path.join(path, name)
+            if os.path.isdir(art):
+                out[name] = _compact_artifact(
+                    spark, art, partition_col=part_col,
+                    target_file_bytes=target_file_bytes,
+                )
+        return out
 
 
 def semantic_store_compact(
@@ -314,16 +342,19 @@ def semantic_store_compact(
 ) -> dict:
     """Compact the semantic store's cell partitions (and inversion
     tally) in place; verdict equality pinned alongside the dedup
-    store's."""
-    out = {}
-    for name, part_col in (("cells", "cell"), ("inversions", None)):
-        art = os.path.join(path, name)
-        if os.path.isdir(art):
-            out[name] = _compact_artifact(
-                spark, art, partition_col=part_col,
-                target_file_bytes=target_file_bytes,
-            )
-    return out
+    store's. Holds the store's ``store_write_lock`` for the whole run
+    (r13 VERDICT ask #2) — a live ``_ingest_batch`` cell append raises
+    instead of racing the ``_swap_in`` rename window."""
+    with store_write_lock(path, "semantic_store_compact"):
+        out = {}
+        for name, part_col in (("cells", "cell"), ("inversions", None)):
+            art = os.path.join(path, name)
+            if os.path.isdir(art):
+                out[name] = _compact_artifact(
+                    spark, art, partition_col=part_col,
+                    target_file_bytes=target_file_bytes,
+                )
+        return out
 
 
 def dedup_store_rebuild(spark, path: str, docs: DataFrame, **overrides) -> dict:
@@ -353,7 +384,11 @@ def dedup_store_rebuild(spark, path: str, docs: DataFrame, **overrides) -> dict:
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
     stats = dedup_store_build(docs, tmp, **params)
-    _swap_in(tmp, path)
+    # only the root swap needs exclusion — the build wrote a sibling;
+    # the sibling lock FILE survives this rename (store_write_lock's
+    # reason to exist)
+    with store_write_lock(path, "dedup_store_rebuild"):
+        _swap_in(tmp, path)
     return stats
 
 
@@ -376,7 +411,8 @@ def semantic_store_rebuild(
     if os.path.isdir(tmp):
         shutil.rmtree(tmp)
     stats = semantic_store_build(embs, tmp, assign=assign, **params)
-    _swap_in(tmp, path)
+    with store_write_lock(path, "semantic_store_rebuild"):
+        _swap_in(tmp, path)
     return stats
 
 
@@ -409,10 +445,35 @@ def maintenance_lock(store_dir: str, owner: str):
     anything. flock is HOST-local — cross-host mutual exclusion needs
     a lease service or a transactional table format, the same
     documented boundary as the store swaps."""
+    os.makedirs(store_dir, exist_ok=True)
+    with _flock_file(os.path.join(store_dir, ".maintenance_lock"), owner):
+        yield
+
+
+@contextlib.contextmanager
+def store_write_lock(store_path: str, owner: str):
+    """Single-writer lock for the dedup/semantic store families (r13
+    VERDICT ask #2: ``maintenance_lock`` covered only the curation
+    pair, so ``semantic_store_compact``/``dedup_store_compact`` could
+    still ``_swap_in``-rename an artifact out from under a live
+    cross-process append — the append then landed in a fresh directory
+    or in the doomed ``__old``). Same flock semantics as
+    ``maintenance_lock`` with one difference: the lock file is a
+    SIBLING of the store root (``<path>.maintenance_lock``), not
+    inside it, because ``*_store_rebuild`` swap-renames the ROOT
+    itself — an in-root lock file would move with the rename and
+    contenders opening the path afresh would lock a different inode,
+    silently voiding mutual exclusion across the swap."""
+    final = os.path.normpath(os.path.abspath(store_path))
+    os.makedirs(os.path.dirname(final) or ".", exist_ok=True)
+    with _flock_file(final + ".maintenance_lock", owner):
+        yield
+
+
+@contextlib.contextmanager
+def _flock_file(lock: str, owner: str):
     import fcntl
 
-    os.makedirs(store_dir, exist_ok=True)
-    lock = os.path.join(store_dir, ".maintenance_lock")
     fd = os.open(lock, os.O_CREAT | os.O_RDWR)
     try:
         try:
@@ -424,7 +485,7 @@ def maintenance_lock(store_dir: str, owner: str):
             except OSError:
                 holder = "unknown"
             raise StoreLockError(
-                f"{store_dir}: maintenance lock held by a live writer "
+                f"{lock}: maintenance lock held by a live writer "
                 f"({holder or 'unknown'}) — {owner} refuses to run "
                 "concurrently (quiesce the other writer first)"
             )
@@ -435,8 +496,71 @@ def maintenance_lock(store_dir: str, owner: str):
         os.close(fd)  # releases the flock; the file persists
 
 
+#: size-tiered compaction fanout (K): a similar-size tier is merged
+#: only when at least this many live partitions sit in it; the merged
+#: output is ~K× larger, landing in the NEXT tier, so each ingested
+#: byte is rewritten once per tier promotion — O(log_K(base/drain))
+#: rewrites total, the LSM bound the r13 two-tier scheme only halved
+#: (its minors rewrote the whole accumulated delta mass every drain).
+TIER_FANOUT = 4
+
+#: single rolled-marker manifest (r13 VERDICT ask #4): batch commit
+#: markers whose partitions are fully compacted away and GC'd are
+#: folded into this one file and their marker files deleted, so
+#: ``commits/`` holds O(live partitions + recent batches) files
+#: instead of one file per micro-batch forever.
+ROLLED_MANIFEST = "_rolled.json"
+
+
+def _read_rolled(commits_dir: str) -> set[str]:
+    path = os.path.join(commits_dir, ROLLED_MANIFEST)
+    try:
+        with open(path) as fh:
+            return set(json.load(fh).get("tokens", []))
+    except (OSError, ValueError):
+        return set()
+
+
 def _read_committed(commits_dir: str) -> set[str]:
-    return set(os.listdir(commits_dir)) if os.path.isdir(commits_dir) else set()
+    """Every token ever committed: marker files still on disk plus
+    tokens rolled into the manifest (a rolled token's partitions are
+    gone, but late redelivery of its batch must still SKIP — rolled
+    tokens stay committed forever, in one file instead of one file
+    each)."""
+    if not os.path.isdir(commits_dir):
+        return set()
+    toks = {
+        t for t in os.listdir(commits_dir) if not t.startswith(("_", "."))
+    }
+    return toks | _read_rolled(commits_dir)
+
+
+def _size_tier_plan(
+    sizes: dict[str, int], fanout: int = TIER_FANOUT
+) -> list[list[str]]:
+    """STCS merge plan over live partition byte sizes: sweep ascending
+    and group partitions into similar-size buckets (a partition opens
+    a new bucket when it is more than 2× the current bucket's mean);
+    return every bucket holding ≥ ``fanout`` members, smallest first.
+    Zero-byte partitions are the caller's GC problem, never merge
+    inputs. SHARED by ``curation_store_health`` (recommend iff the
+    plan is non-empty) and ``curation_store_compact`` (execute the
+    plan) so the auto-maintenance hook can never recommend a no-op
+    and spin (r13 VERDICT ask #6)."""
+    readable = sorted(
+        (p for p, b in sizes.items() if b > 0),
+        key=lambda p: (sizes[p], p),
+    )
+    buckets: list[list[str]] = []
+    mean = 0.0
+    for p in readable:
+        if buckets and sizes[p] <= 2.0 * mean:
+            buckets[-1].append(p)
+            mean = sum(sizes[x] for x in buckets[-1]) / len(buckets[-1])
+        else:
+            buckets.append([p])
+            mean = float(sizes[p])
+    return [b for b in buckets if len(b) >= fanout]
 
 
 def curation_superseded(store_dir: str) -> dict[str, set[str]]:
@@ -496,14 +620,21 @@ def read_curated_corpus(spark, store_dir: str, corpus_dir: str) -> DataFrame:
     )
 
 
-def curation_store_health(spark, store_dir: str, corpus_dir: str) -> dict:
+def curation_store_health(
+    spark, store_dir: str, corpus_dir: str, fanout: int = TIER_FANOUT
+) -> dict:
     """Health report for the STREAMING curation store, the third
     member of the health family: per-root file stats over LIVE
-    partitions, live/uncommitted/superseded partition tallies, and
-    ``compact_recommended`` — true for a root whose live partition
-    count exceeds a handful or whose files are mostly small (each
-    micro-batch appends one partition of tiny files; at daily cadence
-    this is the small-file collapse the family exists to mechanize)."""
+    partitions (the mass a reader actually scans — uncommitted and
+    superseded-but-present partitions are counted separately, r13
+    ADVICE #4), live/uncommitted/superseded partition tallies, and
+    ``compact_recommended``. The recommendation is the COMPACTOR'S OWN
+    DECISION evaluated read-only (shared ``_size_tier_plan``): it
+    fires iff a compaction pass would merge a size tier, GC a
+    zero-byte committed partition, or clear superseded leftovers —
+    and therefore can never fire on a no-op (health → compact →
+    health reaches ``compact_recommended == []``, the auto-hook's
+    no-spin fixed point, pinned in tests)."""
     committed = _read_committed(os.path.join(store_dir, "commits"))
     superseded = curation_superseded(store_dir)
     out: dict = {"roots": {}, "compact_recommended": []}
@@ -519,29 +650,44 @@ def curation_store_health(spark, store_dir: str, corpus_dir: str) -> dict:
             p for p in os.listdir(root) if p.startswith("ingest_batch=")
         ]
         stats = _file_stats(root)
-        # the recommendation mirrors what tiered compaction would DO
-        # (r13): judge the non-base mass — live partitions minus the
-        # largest (the base a prior major compaction produced). A
-        # recommendation the compactor would skip (<2 consolidatable
-        # sources) must never fire, or the auto-hook spins on a no-op.
+        live_set = set(live)
         sizes = {p: stats["bytes_per_partition"].get(p, 0) for p in live}
-        rest = sorted(live, key=lambda p: (sizes[p], p))[:-1]
-        rec = len(rest) >= 2 and (
-            len(rest) > 4
-            or (
-                stats["n_files"] > 1
-                and stats["n_small_files"] >= max(2, stats["n_files"] // 2)
-            )
+        empties = [p for p in live if sizes[p] == 0]
+        n_sup_present = sum(
+            1 for p in all_parts if p.split("=", 1)[1] in sup
+        )
+        rec = (
+            bool(_size_tier_plan(sizes, fanout=fanout))
+            or bool(empties)
+            or n_sup_present > 0
         )
         out["roots"][root_key] = {
-            **stats,
+            # live-only scan mass (what read_curated_corpus pays)
+            "n_files": sum(
+                stats["files_per_partition"].get(p, 0) for p in live
+            ),
+            "n_bytes": sum(sizes[p] for p in live),
+            "n_small_files": sum(
+                stats["small_per_partition"].get(p, 0) for p in live
+            ),
+            "files_per_partition": {
+                p: c
+                for p, c in stats["files_per_partition"].items()
+                if p in live_set
+            },
+            "bytes_per_partition": {
+                p: c
+                for p, c in stats["bytes_per_partition"].items()
+                if p in live_set
+            },
+            # whole-directory mass, GC'able included (diagnostics)
+            "n_files_present": stats["n_files"],
+            "n_bytes_present": stats["n_bytes"],
             "n_live_partitions": len(live),
             "n_uncommitted_partitions": sum(
                 1 for p in all_parts if p.split("=", 1)[1] not in committed
             ),
-            "n_superseded_present": sum(
-                1 for p in all_parts if p.split("=", 1)[1] in sup
-            ),
+            "n_superseded_present": n_sup_present,
         }
         if rec:
             out["compact_recommended"].append(root_key)
@@ -565,53 +711,149 @@ def _gc_superseded(store_dir: str, roots: dict[str, str]) -> int:
     return n
 
 
+def _next_compacted_gen(commits_dir: str) -> int:
+    """Next free ``compacted-<n>`` index: max over marker files AND
+    rolled tokens, +1. Counting marker FILES alone would reuse an
+    index after a rollup deleted its marker — a new partition named
+    like a rolled (superseded-forever) token would be invisible."""
+    mx = -1
+    for t in _read_committed(commits_dir):
+        if t.startswith("compacted-"):
+            try:
+                mx = max(mx, int(t.split("-", 1)[1]))
+            except ValueError:
+                pass
+    return mx + 1
+
+
+def _rollup_markers(store_dir: str, roots: dict[str, str]) -> int:
+    """Fold fully-retired commit markers into the single
+    ``_rolled.json`` manifest and delete their marker files (r13
+    VERDICT ask #4: markers were retained forever — one tiny file per
+    micro-batch, ~500k/year at minutes cadence, and ``_read_committed``
+    listdirs them all on every append/health/compact). A token stays
+    COMMITTED forever either way — late redelivery of a rolled batch
+    still skips — but costs one manifest entry instead of one file.
+
+    Rollable, decided on on-disk state only (caller holds the lock):
+    - a batch marker whose partition is PRESENT IN NO root — either
+      compacted away and GC'd, or an empty batch that never wrote one;
+    - a ``compacted-*`` marker whose own partition is present in no
+      root (superseded + GC'd, or a pure-GC empties marker) AND whose
+      ``supersedes`` partitions are all absent — rolling earlier would
+      drop the exclusion list while a crash-window leftover still
+      needs it (phantom duplicate rows).
+
+    Crash-safe: the manifest is extended by tmp+atomic-replace BEFORE
+    any marker file is deleted; a crash between the two leaves tokens
+    recorded twice (set union, harmless)."""
+    commits_dir = os.path.join(store_dir, "commits")
+    if not os.path.isdir(commits_dir):
+        return 0
+    markers = [
+        t for t in os.listdir(commits_dir) if not t.startswith(("_", "."))
+    ]
+    present: set[str] = set()
+    for root in roots.values():
+        if os.path.isdir(root):
+            present |= {
+                p.split("=", 1)[1]
+                for p in os.listdir(root)
+                if p.startswith("ingest_batch=")
+            }
+    rollable = []
+    for t in markers:
+        if t in present:
+            continue
+        if t.startswith("compacted-"):
+            try:
+                with open(os.path.join(commits_dir, t)) as fh:
+                    manifest = json.load(fh)
+            except (OSError, ValueError):
+                continue  # unreadable/legacy — keep the file
+            sup = {
+                x
+                for toks in manifest.get("supersedes", {}).values()
+                for x in toks
+            }
+            if sup & present:
+                continue  # its exclusion list is still load-bearing
+        rollable.append(t)
+    if not rollable:
+        return 0
+    rolled = _read_rolled(commits_dir) | set(rollable)
+    tmp = os.path.join(commits_dir, ".rolled.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"tokens": sorted(rolled)}, fh)
+    os.replace(tmp, os.path.join(commits_dir, ROLLED_MANIFEST))
+    for t in rollable:
+        try:
+            os.remove(os.path.join(commits_dir, t))
+        except OSError:
+            pass  # crash-window rerun already removed it
+    return len(rollable)
+
+
 def curation_store_compact(
     spark,
     store_dir: str,
     corpus_dir: str,
     target_file_bytes: int = TARGET_FILE_BYTES,
     grace_seconds: float = UNCOMMITTED_GRACE_SECONDS,
-    major_fraction: float = 0.5,
+    fanout: int = TIER_FANOUT,
+    full: bool = False,
 ) -> dict:
-    """Compact the STREAMING curation store: consolidate LIVE
-    committed ``ingest_batch=<token>`` partitions into one
-    ``ingest_batch=compacted-<n>`` partition each for the fingerprint
-    store and the corpus — SIZE-TIERED (r13): a minor compaction
-    consolidates everything except the largest partition while the
-    rest's mass is under ``major_fraction`` of it (cost ∝ deltas
-    since the last major, never the corpus), a major rewrites all of
-    it only when the delta mass has earned it. Write amplification
-    measured in tools/auto_maintain_probe.py → SCALE.md r13.
+    """Compact the STREAMING curation store — SIZE-TIERED, K-way
+    (r13 VERDICT ask #1, replacing the two-tier minor/major scheme
+    whose minors rewrote the ENTIRE accumulated delta mass every
+    drain — O(base/drain) rewrites per byte between majors): live
+    ``ingest_batch=*`` partitions are bucketed by similar size
+    (``_size_tier_plan``) and a bucket is merged into one
+    ``ingest_batch=compacted-<n>`` partition only when ≥ ``fanout``
+    partitions sit in it. The merged output is ~fanout× larger, so it
+    lands in the NEXT tier — each ingested byte is rewritten once per
+    tier promotion, O(log_fanout(base/drain)) times total (measured:
+    tools/auto_maintain_probe.py → SCALE.md r14). Passes repeat until
+    no tier is mergeable, so cascading promotions settle in one call.
+    ``full=True`` forces one whole-store consolidation (manual
+    operator verb — e.g. before publishing a snapshot); the tiered
+    policy never needs it.
 
-    Crash-safe ordering (r12 VERDICT "what's wrong" #1 — the old
-    land-then-delete-then-mark sequence could LOSE committed corpus
-    rows: crash mid-deletion, and the rerun's partials sweep removed
-    the uncommitted compacted partition that by then held the only
-    copy of the already-deleted sources' rows):
+    Crash-safe ordering per pass (r12 VERDICT "what's wrong" #1):
 
-    1. build + rename the consolidated partition into place for EVERY
-       root — no source is touched; a crash here leaves an uncommitted
-       compacted partition the next run rebuilds from intact sources;
+    1. build + rename the merged partition into place for every root
+       — no source is touched; a crash here leaves an uncommitted
+       compacted partition the next run's sweep discards (marker-less
+       ``compacted-*`` partitions are always crashed attempts: this
+       lock serializes compactors);
     2. write the compacted token's commit marker carrying a
        ``supersedes`` manifest (the per-root source-token lists),
        atomically via write-to-tmp + rename;
-    3. GC the superseded source partitions — pure garbage collection
-       now: their rows are committed under the compacted token, every
+    3. GC the superseded source partitions — pure garbage collection:
+       their rows are committed under the compacted token, every
        reader (``read_curated_corpus``, health, the stream's store
        scan, compaction itself) excludes superseded tokens, and a
-       crash mid-GC is finished by the next compaction's opening GC
-       pass.
+       crash mid-GC is finished by the next compaction's opening GC.
+
+    Zero-byte committed partitions (a batch whose rows were all gated
+    out) are superseded as pure GC in the first pass that sees them.
+    After the passes, fully-retired commit markers are rolled up into
+    the single ``_rolled.json`` manifest (``_rollup_markers`` — r13
+    ask #4), bounding ``commits/`` at O(live partitions + batches
+    since last compact) files while every token ever committed stays
+    committed (late-redelivery skip preserved).
 
     Concurrency (r12 ADVICE #2): the whole run holds the store's
     ``maintenance_lock`` — shared with ``_append_batch`` — so a live
     stream raises ``StoreLockError`` here instead of racing. On top,
-    uncommitted partials (no commit marker — a crashed batch awaiting
-    same-checkpoint redelivery, which rewrites its whole partition)
-    are deleted only when older than ``grace_seconds``; a YOUNGER
-    marker-less partition raises, because it is most likely a live
-    writer that somehow bypassed the lock. Commit markers are retained
-    forever so a late redelivery of a compacted batch still skips.
-    Returns before/after file counts per artifact."""
+    marker-less NON-compacted partitions (a crashed batch awaiting
+    same-checkpoint redelivery) are deleted only when older than
+    ``grace_seconds``; a younger one raises, because it is most
+    likely a live writer that somehow bypassed the lock.
+
+    Returns per-root ``{files_before, files_after, skipped, mode,
+    bytes_rewritten, n_merges, tokens}`` plus a ``commits`` entry
+    with the rollup tally."""
     commits_dir = os.path.join(store_dir, "commits")
     roots = {
         "fingerprints": os.path.join(store_dir, "fingerprints"),
@@ -621,30 +863,20 @@ def curation_store_compact(
     with maintenance_lock(store_dir, "curation_store_compact"):
         _gc_superseded(store_dir, roots)  # finish any crashed prior GC
         committed = _read_committed(commits_dir)
-        superseded = curation_superseded(store_dir)
-        gen = sum(1 for t in committed if t.startswith("compacted-"))
-        token = f"compacted-{gen}"
-        out: dict = {}
-        supersedes: dict[str, list[str]] = {}
         now = time.time()
-        # ---- phase 1: consolidate every root; sources untouched ----
+        out: dict = {}
+        # ---- sweep marker-less partials once, before any merge ----
         for root_key, root in roots.items():
             if not os.path.isdir(root):
                 continue
-            before = _file_stats(root)
-            parts = _live_partitions(
-                root, committed, superseded.get(root_key, set())
-            )
             for p in os.listdir(root):
                 if not p.startswith("ingest_batch="):
                     continue
                 t = p.split("=", 1)[1]
-                if t in committed or t in superseded.get(root_key, set()):
+                if t in committed:
                     continue
-                # crashed attempts at THIS compaction's token hold no
-                # source rows anyone lost — remove unconditionally
                 age = now - os.path.getmtime(os.path.join(root, p))
-                if t == token or age > grace_seconds:
+                if t.startswith("compacted-") or age > grace_seconds:
                     shutil.rmtree(os.path.join(root, p))
                 else:
                     raise StoreLockError(
@@ -653,95 +885,100 @@ def curation_store_compact(
                         "writer may own it; re-run compaction after "
                         f"{grace_seconds:.0f}s or redeliver the batch"
                     )
-            # SIZE-TIERED source selection (r13): always consolidating
-            # ALL live partitions would rewrite the whole corpus every
-            # few drains — O(corpus) write amplification at daily
-            # cadence, the LSM problem. Minor compaction consolidates
-            # everything EXCEPT the largest partition (the base a
-            # prior major produced) while the rest's mass stays under
-            # ``major_fraction`` of it — cost ∝ deltas since the last
-            # major, independent of corpus size; a major (full
-            # rewrite) happens only when the delta mass has grown to
-            # that fraction of the base, so total rewrite bytes stay
-            # amortized O(bytes · log) instead of O(bytes · drains).
-            sizes = {
-                p: before["bytes_per_partition"].get(p, 0) for p in parts
-            }
-            sources, mode = parts, "major"
-            if len(parts) > 1:
-                largest = max(parts, key=lambda p: (sizes[p], p))
-                rest = [p for p in parts if p != largest]
-                if sum(sizes[p] for p in rest) < major_fraction * sizes[largest]:
-                    sources, mode = rest, "minor"
-            # ZERO-BYTE partitions (a committed batch whose rows were
-            # all gated out — e.g. every doc near-dropped — leaves a
-            # directory holding only _SUCCESS) cannot be read for
-            # schema and hold nothing to merge: supersede them as pure
-            # GC, consolidate only readable sources
-            empties = [p for p in sources if sizes[p] == 0]
-            readable = [p for p in sources if sizes[p] > 0]
-            if len(readable) < 2 and not empties:
-                out[root_key] = {
-                    "files_before": before["n_files"],
-                    "files_after": _file_stats(root)["n_files"],
-                    "skipped": True,
-                }
-                continue
-            if len(readable) < 2:  # only empties to clean up
-                supersedes[root_key] = [
-                    p.split("=", 1)[1] for p in empties
-                ]
-                out[root_key] = {
-                    "files_before": before["n_files"],
-                    "files_after": None,
-                    "skipped": False,
-                    "mode": "gc-empty",
-                    "bytes_rewritten": 0,
-                }
-                continue
-            sources = readable
-            df = (
-                spark.read.option("basePath", root)
-                .parquet(*[os.path.join(root, p) for p in sources])
-                .drop("ingest_batch")
-            )
-            # tmp lives OUTSIDE the partition root: a first-level dir
-            # named ingest_batch=...__compacting would be DISCOVERED as
-            # a real partition and expose half-written duplicate rows
-            # to every reader mid-compaction or after a crash
-            tmp = root + f"__compacting_{token}"
-            if os.path.isdir(tmp):
-                shutil.rmtree(tmp)
-            src_bytes = sum(sizes[p] for p in sources)
-            n_target = max(1, math.ceil(src_bytes / target_file_bytes))
-            col = part_cols[root_key]
-            if col is None:
-                df.coalesce(n_target).write.mode("overwrite").parquet(tmp)
-            else:
-                df.repartition(col).write.mode("overwrite").partitionBy(
-                    col
-                ).parquet(tmp)
-            os.rename(tmp, os.path.join(root, f"ingest_batch={token}"))
-            supersedes[root_key] = [
-                p.split("=", 1)[1] for p in sources + empties
-            ]
             out[root_key] = {
-                "files_before": before["n_files"],
-                "files_after": None,  # filled after GC
-                "skipped": False,
-                "mode": mode,
-                "bytes_rewritten": src_bytes,
+                "files_before": _file_stats(root)["n_files"],
+                "files_after": None,
+                "skipped": True,
+                "mode": "full" if full else "tiered",
+                "bytes_rewritten": 0,
+                "n_merges": 0,
+                "tokens": [],
             }
-        # ---- phase 2: commit the compacted token + manifest ----
-        if supersedes:
+        # ---- merge passes until no tier is eligible ----
+        while True:
+            committed = _read_committed(commits_dir)
+            superseded = curation_superseded(store_dir)
+            token = f"compacted-{_next_compacted_gen(commits_dir)}"
+            supersedes: dict[str, list[str]] = {}
+            for root_key, root in roots.items():
+                if root_key not in out:
+                    continue
+                stats = _file_stats(root)
+                live = _live_partitions(
+                    root, committed, superseded.get(root_key, set())
+                )
+                sizes = {
+                    p: stats["bytes_per_partition"].get(p, 0) for p in live
+                }
+                empties = [p for p in live if sizes[p] == 0]
+                readable = [p for p in live if sizes[p] > 0]
+                if full:
+                    groups = [readable] if len(readable) >= 2 else []
+                else:
+                    groups = _size_tier_plan(sizes, fanout=fanout)
+                if not groups and not empties:
+                    continue
+                merge = groups[0] if groups else []
+                if merge:
+                    df = (
+                        spark.read.option("basePath", root)
+                        .parquet(*[os.path.join(root, p) for p in merge])
+                        .drop("ingest_batch")
+                    )
+                    # tmp lives OUTSIDE the partition root: a
+                    # first-level ingest_batch=...__compacting dir
+                    # would be DISCOVERED as a real partition and
+                    # expose half-written duplicate rows mid-merge
+                    tmp = root + f"__compacting_{token}"
+                    if os.path.isdir(tmp):
+                        shutil.rmtree(tmp)
+                    src_bytes = sum(sizes[p] for p in merge)
+                    n_target = max(
+                        1, math.ceil(src_bytes / target_file_bytes)
+                    )
+                    col = part_cols[root_key]
+                    if col is None:
+                        df.coalesce(n_target).write.mode(
+                            "overwrite"
+                        ).parquet(tmp)
+                    else:
+                        df.repartition(col).write.mode(
+                            "overwrite"
+                        ).partitionBy(col).parquet(tmp)
+                    os.rename(tmp, os.path.join(root, f"ingest_batch={token}"))
+                    out[root_key]["bytes_rewritten"] += src_bytes
+                    out[root_key]["n_merges"] += 1
+                out[root_key]["skipped"] = False
+                out[root_key]["tokens"].append(token)
+                supersedes[root_key] = [
+                    p.split("=", 1)[1] for p in merge + empties
+                ]
+            if not supersedes:
+                break
             os.makedirs(commits_dir, exist_ok=True)
             marker_tmp = os.path.join(commits_dir, f".{token}.tmp")
             with open(marker_tmp, "w") as fh:
                 json.dump({"supersedes": supersedes}, fh)
-            os.rename(marker_tmp, os.path.join(commits_dir, token))
-        # ---- phase 3: GC the superseded sources ----
-        _gc_superseded(store_dir, roots)
+            os.replace(marker_tmp, os.path.join(commits_dir, token))
+            _gc_superseded(store_dir, roots)
+            if full:
+                break
+        # ---- roll retired markers into the single manifest ----
+        n_rolled = _rollup_markers(store_dir, roots)
         for root_key, rep in out.items():
-            if rep["files_after"] is None:
-                rep["files_after"] = _file_stats(roots[root_key])["n_files"]
+            rep["files_after"] = _file_stats(roots[root_key])["n_files"]
+        out["commits"] = {
+            "markers_rolled": n_rolled,
+            "n_marker_files": len(
+                [
+                    t
+                    for t in (
+                        os.listdir(commits_dir)
+                        if os.path.isdir(commits_dir)
+                        else []
+                    )
+                    if not t.startswith(("_", "."))
+                ]
+            ),
+        }
         return out

@@ -246,11 +246,11 @@ def test_curation_store_compact_consolidates_committed_batches(
     assert len(os.listdir(fp_path)) >= 2  # one partition per batch
 
     # two live partitions, one big + one tiny: tiered compaction
-    # would correctly skip (nothing mergeable but the base) —
-    # major_fraction=0.0 forces the FULL consolidation this test pins
-    rep = curation_store_compact(spark, store, corpus, major_fraction=0.0)
+    # would correctly skip (no tier holds fanout partitions) —
+    # full=True forces the whole-store consolidation this test pins
+    rep = curation_store_compact(spark, store, corpus, full=True)
     assert not rep["fingerprints"]["skipped"]
-    assert rep["fingerprints"]["mode"] == "major"
+    assert rep["fingerprints"]["mode"] == "full"
     assert rep["fingerprints"]["files_after"] < rep["fingerprints"]["files_before"]
     fp_parts = [p for p in os.listdir(fp_path) if p.startswith("ingest_batch=")]
     assert fp_parts == ["ingest_batch=compacted-0"]
@@ -437,7 +437,7 @@ def test_compact_crash_before_marker_rerun_loses_nothing(
     cp_store, cp_corpus = store + "_cp", corpus + "_cp"
     _sh.copytree(store, cp_store)
     _sh.copytree(corpus, cp_corpus)
-    curation_store_compact(spark, cp_store, cp_corpus, grace_seconds=0)
+    curation_store_compact(spark, cp_store, cp_corpus, grace_seconds=0, fanout=2)
     for real, cp, leaf in (
         (store, cp_store, "fingerprints"),
         (corpus, cp_corpus, "corpus"),
@@ -447,7 +447,9 @@ def test_compact_crash_before_marker_rerun_loses_nothing(
             os.path.join(real, leaf, "ingest_batch=compacted-0"),
         )
 
-    rep = curation_store_compact(spark, store, corpus, grace_seconds=0)
+    rep = curation_store_compact(
+        spark, store, corpus, grace_seconds=0, fanout=2
+    )
     assert not rep["corpus"]["skipped"]
     assert _corpus_rows(spark, store, corpus) == want_c
     assert _fp_rows(spark, store) == want_f
@@ -483,7 +485,7 @@ def test_compact_sources_superseded_then_gc_is_pure(
                 side = os.path.join(base, f"saved_{root_key}_{p}")
                 _sh.copytree(os.path.join(root, p), side)
                 saved[(root_key, p)] = side
-    curation_store_compact(spark, store, corpus, grace_seconds=0)
+    curation_store_compact(spark, store, corpus, grace_seconds=0, fanout=2)
     for (root_key, p), side in saved.items():
         root = (
             os.path.join(store, "fingerprints")
@@ -590,81 +592,361 @@ def test_curation_store_health_recommends_then_clears(
     assert _corpus_rows(spark, store, corpus) == want
 
 
+
+
+# --------- r14: K-way size-tiered compaction (STCS) ----------------
+
+def _big_batch(spark, i, n_docs=4, n_tokens=1200):
+    """Incompressible-ish docs so partition bytes track data, not
+    parquet footer overhead — the tier boundaries under test are
+    byte-size boundaries."""
+    rows = [
+        (i * 100 + j, f"fpB{i}-{j}",
+         " ".join(f"tok{i}x{j}x{k}" for k in range(n_tokens)),
+         0.9, n_tokens, "split_train")
+        for j in range(n_docs)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, fp string, text string, quality double, "
+        "n_tokens long, split string",
+    )
+
+
+def test_size_tier_plan_buckets_and_thresholds():
+    """The shared STCS planner: similar sizes bucket together, a >2×
+    jump opens a new tier, only buckets with ≥ fanout members are
+    returned (smallest first), zero-byte partitions never merge."""
+    from commodity_price_forecasting_spark.operators.store_maintenance import (
+        _size_tier_plan,
+    )
+
+    # four similar + four ~8× bigger: two tiers, both eligible
+    sizes = {f"t{i}": 100 + i for i in range(4)}
+    sizes.update({f"m{i}": 800 + i for i in range(4)})
+    plan = _size_tier_plan(sizes, fanout=4)
+    assert [sorted(b) for b in plan] == [
+        ["t0", "t1", "t2", "t3"], ["m0", "m1", "m2", "m3"]
+    ]
+    # under fanout: no merge
+    assert _size_tier_plan({f"t{i}": 100 for i in range(3)}, fanout=4) == []
+    # zero-byte partitions are invisible to the planner
+    sizes = {f"t{i}": 100 for i in range(4)}
+    sizes["empty"] = 0
+    assert [sorted(b) for b in _size_tier_plan(sizes, fanout=4)] == [
+        ["t0", "t1", "t2", "t3"]
+    ]
+    # one big base + few small deltas: the base is never rewritten
+    sizes = {"base": 1_000_000, "d0": 900, "d1": 1000, "d2": 1100}
+    assert _size_tier_plan(sizes, fanout=4) == []
+    sizes["d3"] = 1050
+    assert [sorted(b) for b in _size_tier_plan(sizes, fanout=4)] == [
+        ["d0", "d1", "d2", "d3"]
+    ]
+
+
 def test_compact_is_size_tiered(spark, tmp_path_factory):
-    """r13: the compactor must not rewrite the corpus on every run.
-    With a large base partition and small deltas, compaction is MINOR
-    — the base's files are untouched on disk, bytes_rewritten ≈ the
-    delta mass — and only when the delta mass reaches major_fraction
-    of the base does a MAJOR full rewrite consolidate to one
-    partition. Content identical throughout."""
+    """r14 (r13 VERDICT ask #1): the K-way tiered compactor must (a)
+    merge a tier only when ≥ fanout similar-size partitions exist,
+    (b) leave the big base byte-for-byte untouched while small deltas
+    accumulate under fanout, (c) merge exactly the delta tier when it
+    fills — never the base — and (d) keep content identical
+    throughout."""
     base = str(tmp_path_factory.mktemp("cctier"))
     store, corpus = os.path.join(base, "store"), os.path.join(base, "corpus")
-    # a BIG base: 3 batches of long documents, compacted into one
-    # unique tokens per doc: snappy must not crush the base to noise
-    big = [
-        (i * 10 + j, f"fpB{i}-{j}",
-         " ".join(f"tok{i}x{j}x{k}" for k in range(1200)),
-         0.9, 1200, "split_train")
-        for i in range(3) for j in range(4)
-    ]
-    for i in range(3):
-        _append_batch(
-            spark.createDataFrame(
-                [r for r in big if r[0] // 10 == i],
-                "doc_id long, fp string, text string, quality double, "
-                "n_tokens long, split string",
-            ),
-            store, corpus, commit_token=f"b{i}",
-        )
+    for i in range(4):
+        _append_batch(_big_batch(spark, i), store, corpus,
+                      commit_token=f"b{i}")
     rep0 = curation_store_compact(spark, store, corpus, grace_seconds=0)
-    assert rep0["corpus"]["mode"] == "major"
+    assert rep0["corpus"]["n_merges"] == 1 and not rep0["corpus"]["skipped"]
     want = _corpus_rows(spark, store, corpus)
 
-    # two TINY deltas → minor: base partition untouched
+    corpus_root = os.path.join(corpus, "corpus")
+    base_part = [
+        p for p in os.listdir(corpus_root) if p.startswith("ingest_batch=")
+    ]
+    assert len(base_part) == 1  # one merged base
+    base_part = os.path.join(corpus_root, base_part[0])
+
+    # (b) two tiny deltas: under fanout — compaction must be a no-op
     for i in (7, 8):
         _append_batch(_curated_batch(spark, i, n=1), store, corpus,
                       commit_token=f"d{i}")
     want = _corpus_rows(spark, store, corpus)
-    corpus_root = os.path.join(corpus, "corpus")
-    base_part = os.path.join(corpus_root, "ingest_batch=compacted-0")
+    h = curation_store_health(spark, store, corpus)
+    assert h["compact_recommended"] == []  # planner says nothing to do
+    rep1 = curation_store_compact(spark, store, corpus, grace_seconds=0)
+    assert rep1["corpus"]["skipped"] and rep1["corpus"]["n_merges"] == 0
+    assert _corpus_rows(spark, store, corpus) == want
+
+    # (c) two more tinies fill the tier: merge deltas, base untouched
+    for i in (9, 11):
+        _append_batch(_curated_batch(spark, i, n=1), store, corpus,
+                      commit_token=f"d{i}")
+    want = _corpus_rows(spark, store, corpus)
     base_files = sorted(
         (f, os.path.getmtime(os.path.join(dp, f)))
         for dp, _d, fs in os.walk(base_part) for f in fs
     )
-    rep1 = curation_store_compact(spark, store, corpus, grace_seconds=0)
-    assert rep1["corpus"]["mode"] == "minor"
+    h = curation_store_health(spark, store, corpus)
+    assert sorted(h["compact_recommended"]) == ["corpus", "fingerprints"]
+    rep2 = curation_store_compact(spark, store, corpus, grace_seconds=0)
+    assert rep2["corpus"]["n_merges"] == 1
     assert os.path.isdir(base_part)  # base survived
     assert base_files == sorted(
         (f, os.path.getmtime(os.path.join(dp, f)))
         for dp, _d, fs in os.walk(base_part) for f in fs
-    )  # and its files are byte-for-byte untouched
-    # minor rewrote only the delta mass
+    )  # byte-for-byte untouched
     big_bytes = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _d, fs in os.walk(base_part) for f in fs
     )
-    assert rep1["corpus"]["bytes_rewritten"] < big_bytes
+    assert rep2["corpus"]["bytes_rewritten"] < big_bytes
     assert _corpus_rows(spark, store, corpus) == want
     live = [p for p in os.listdir(corpus_root) if p.startswith("ingest_batch=")]
-    assert len(live) == 2  # base + the minor output
+    assert len(live) == 2  # base + merged delta tier
 
-    # grow the delta mass past major_fraction → major, one partition
-    bulk = [
-        (900 + j, f"fpM{j}",
-         " ".join(f"blk{j}y{k}" for k in range(1200)),
-         0.9, 1200, "split_train")
-        for j in range(8)
-    ]
-    _append_batch(
-        spark.createDataFrame(
-            bulk, "doc_id long, fp string, text string, quality double, "
-            "n_tokens long, split string",
-        ),
-        store, corpus, commit_token="d9",
-    )
+
+def test_compact_cascading_promotion(spark, tmp_path_factory):
+    """A merged tier's output lands in the NEXT tier and can trigger a
+    second merge in the same call (the pass loop): 4 tiny + 4 medium
+    partitions settle in ≥2 merges with content intact."""
+    base = str(tmp_path_factory.mktemp("cccasc"))
+    store, corpus = os.path.join(base, "store"), os.path.join(base, "corpus")
+    for i in range(4):  # tiny: 1 doc × 300 tokens
+        _append_batch(_big_batch(spark, i, n_docs=1, n_tokens=300),
+                      store, corpus, commit_token=f"t{i}")
+    for i in range(4, 8):  # medium: 1 doc × 1500 tokens (~5× tiny)
+        _append_batch(_big_batch(spark, i, n_docs=1, n_tokens=1500),
+                      store, corpus, commit_token=f"m{i}")
     want = _corpus_rows(spark, store, corpus)
-    rep2 = curation_store_compact(spark, store, corpus, grace_seconds=0)
-    assert rep2["corpus"]["mode"] == "major"
+    rep = curation_store_compact(spark, store, corpus, grace_seconds=0)
+    assert rep["corpus"]["n_merges"] >= 2  # tier merge + promotion merge
+    corpus_root = os.path.join(corpus, "corpus")
     live = [p for p in os.listdir(corpus_root) if p.startswith("ingest_batch=")]
-    assert live == ["ingest_batch=compacted-2"]
+    assert len(live) <= 2
     assert _corpus_rows(spark, store, corpus) == want
+    # and the call settled: health reaches the no-op fixed point
+    h = curation_store_health(spark, store, corpus)
+    assert h["compact_recommended"] == []
+
+
+def test_marker_rollup_bounds_commit_files_and_preserves_skip(
+    spark, tmp_path_factory
+):
+    """r14 (r13 VERDICT ask #4): after compaction, the superseded
+    batches' marker FILES are folded into the single _rolled.json —
+    commits/ holds O(live) files — while every rolled token stays
+    committed: a very late redelivery of a rolled batch still skips,
+    and the compacted-token numbering never reuses a rolled index."""
+    from commodity_price_forecasting_spark.operators.store_maintenance import (
+        _read_committed,
+    )
+
+    base = str(tmp_path_factory.mktemp("ccroll"))
+    store, corpus = os.path.join(base, "store"), os.path.join(base, "corpus")
+    for i in range(4):
+        _append_batch(_big_batch(spark, i, n_docs=1, n_tokens=300),
+                      store, corpus, commit_token=f"b{i}")
+    rep = curation_store_compact(spark, store, corpus, grace_seconds=0)
+    assert rep["commits"]["markers_rolled"] >= 4
+    commits = os.path.join(store, "commits")
+    files = [t for t in os.listdir(commits) if not t.startswith(("_", "."))]
+    assert files == ["compacted-0"]  # b0..b3 rolled away
+    committed = _read_committed(commits)
+    assert {"b0", "b1", "b2", "b3", "compacted-0"} <= committed
+
+    # late redelivery of a rolled batch: exact skip, store unchanged
+    want = _corpus_rows(spark, store, corpus)
+    _append_batch(_big_batch(spark, 0, n_docs=1, n_tokens=300),
+                  store, corpus, commit_token="b0")
+    assert _corpus_rows(spark, store, corpus) == want
+
+    # numbering: roll compacted-0 away via a full rewrite, then ensure
+    # the next token is compacted-2, never a reused rolled index
+    for i in range(10, 14):
+        _append_batch(_big_batch(spark, i, n_docs=1, n_tokens=300),
+                      store, corpus, commit_token=f"c{i}")
+    curation_store_compact(spark, store, corpus, grace_seconds=0, full=True)
+    live = [
+        p for p in os.listdir(os.path.join(corpus, "corpus"))
+        if p.startswith("ingest_batch=")
+    ]
+    assert live == ["ingest_batch=compacted-1"]
+    for i in range(20, 24):
+        _append_batch(_big_batch(spark, i, n_docs=1, n_tokens=300),
+                      store, corpus, commit_token=f"e{i}")
+    curation_store_compact(spark, store, corpus, grace_seconds=0, full=True)
+    live = sorted(
+        p for p in os.listdir(os.path.join(corpus, "corpus"))
+        if p.startswith("ingest_batch=")
+    )
+    assert live == ["ingest_batch=compacted-2"]
+
+
+# --------- r14: health→compact→health no-spin fixed point ----------
+
+def test_fixed_point_curation_store(spark, tmp_path_factory):
+    """r13 VERDICT ask #6: for every constructed store shape, one
+    compaction after a firing recommendation must clear it — the
+    auto-maintenance hook can never spin on a no-op."""
+    shapes = {
+        "five_batches": 5,
+        "single_batch": 1,
+    }
+    for name, n in shapes.items():
+        b = str(tmp_path_factory.mktemp(f"fp_{name}"))
+        store, corpus = _mk_curation_store(spark, b, n_batches=n)
+        h = curation_store_health(spark, store, corpus)
+        if h["compact_recommended"]:
+            curation_store_compact(spark, store, corpus, grace_seconds=0)
+            h = curation_store_health(spark, store, corpus)
+        assert h["compact_recommended"] == [], name
+
+    # zero-byte committed partition (all rows gated out): recommended
+    # as pure GC, then clear
+    b = str(tmp_path_factory.mktemp("fp_empty"))
+    store, corpus = _mk_curation_store(spark, b, n_batches=1)
+    for root in (
+        os.path.join(store, "fingerprints"),
+        os.path.join(corpus, "corpus"),
+    ):
+        os.makedirs(os.path.join(root, "ingest_batch=ez"))
+    os.makedirs(os.path.join(store, "commits"), exist_ok=True)
+    with open(os.path.join(store, "commits", "ez"), "w") as fh:
+        fh.write("committed\n")
+    h = curation_store_health(spark, store, corpus)
+    assert sorted(h["compact_recommended"]) == ["corpus", "fingerprints"]
+    curation_store_compact(spark, store, corpus, grace_seconds=0)
+    h2 = curation_store_health(spark, store, corpus)
+    assert h2["compact_recommended"] == []
+    # single remaining minor output: still a fixed point
+    curation_store_compact(spark, store, corpus, grace_seconds=0)
+    assert curation_store_health(spark, store, corpus)[
+        "compact_recommended"
+    ] == []
+
+
+def test_fixed_point_dedup_store(spark, tmp_path):
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "store")
+    dedup_store_build(docs.filter(F.col("doc_id") < 200), path)
+    for lo, hi in ((200, 249), (250, 299), (300, 349)):
+        dedup_delta(spark, path, docs.filter(F.col("doc_id").between(lo, hi)))
+    h = dedup_store_health(spark, path)
+    if h["compact_recommended"]:
+        dedup_store_compact(spark, path)
+        h = dedup_store_health(spark, path)
+    assert h["compact_recommended"] == []
+
+
+def test_fixed_point_semantic_store(spark, tmp_path):
+    rng = np.random.default_rng(3)
+    path = str(tmp_path / "store")
+    semantic_store_build(
+        _emb_df(spark, [(i, rng.normal(size=16)) for i in range(30)]),
+        path, k=4, threshold=0.3,
+    )
+    for s in (100, 200, 300):
+        semantic_dedup_delta(
+            spark, path,
+            _emb_df(spark, [(s + i, rng.normal(size=16)) for i in range(8)]),
+        )
+    h = semantic_store_health(spark, path)
+    if h["compact_recommended"]:
+        semantic_store_compact(spark, path)
+        h = semantic_store_health(spark, path)
+    assert h["compact_recommended"] == []
+
+
+# --------- r14: single-writer lock for the sibling stores -----------
+
+def test_store_write_lock_covers_dedup_store_writers(spark, tmp_path):
+    """r13 VERDICT ask #2 / ADVICE #5: with a live holder on the dedup
+    store's lock, the compactor, the delta append, the ledger-driven
+    append, and the rebuild's swap all raise StoreLockError instead of
+    racing — and succeed once the holder releases."""
+    from commodity_price_forecasting_spark.operators.dedup_store import (
+        dedup_store_append,
+    )
+    from commodity_price_forecasting_spark.operators.store_maintenance import (
+        StoreLockError,
+        dedup_store_rebuild,
+        store_write_lock,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "dstore")
+    dedup_store_build(docs.filter(F.col("doc_id") < 100), path)
+    delta = docs.filter(F.col("doc_id").between(100, 119))
+    with store_write_lock(path, "other-writer"):
+        with pytest.raises(StoreLockError, match="held by a live writer"):
+            dedup_store_compact(spark, path)
+        with pytest.raises(StoreLockError, match="held by a live writer"):
+            dedup_delta(spark, path, delta)  # append=True path
+        verd = dedup_delta(spark, path, delta, append=False)["verdicts"]
+        with pytest.raises(StoreLockError, match="held by a live writer"):
+            dedup_store_append(spark, path, delta, verd)
+        with pytest.raises(StoreLockError, match="held by a live writer"):
+            dedup_store_rebuild(
+                spark, path, docs.filter(F.col("doc_id") < 120)
+            )
+    # released: the append path works again
+    res = dedup_delta(spark, path, delta)
+    assert res["verdicts"].count() == 20
+
+
+def test_store_write_lock_covers_semantic_store_writers(spark, tmp_path):
+    """Same contract for the semantic store: compact, delta append,
+    the streaming ingest batch, and the rebuild swap all refuse while
+    a live writer holds the lock."""
+    from commodity_price_forecasting_spark.operators.store_maintenance import (
+        StoreLockError,
+        semantic_store_rebuild,
+        store_write_lock,
+    )
+    from commodity_price_forecasting_spark.streaming.semantic_stream import (
+        _ingest_batch,
+    )
+
+    rng = np.random.default_rng(5)
+    path = str(tmp_path / "sstore")
+    embs = _emb_df(spark, [(i, rng.normal(size=16)) for i in range(20)])
+    semantic_store_build(embs, path, k=2, threshold=0.3)
+    delta = _emb_df(spark, [(100 + i, rng.normal(size=16)) for i in range(5)])
+    with store_write_lock(path, "other-writer"):
+        with pytest.raises(StoreLockError, match="held by a live writer"):
+            semantic_store_compact(spark, path)
+        with pytest.raises(StoreLockError, match="held by a live writer"):
+            semantic_dedup_delta(spark, path, delta)  # append=True
+        with pytest.raises(StoreLockError, match="held by a live writer"):
+            _ingest_batch(delta, path, "t-lock", "fold")
+        with pytest.raises(StoreLockError, match="held by a live writer"):
+            semantic_store_rebuild(spark, path, embs)
+    res = semantic_dedup_delta(spark, path, delta)
+    assert res["verdicts"].count() == 5
+
+
+def test_store_write_lock_survives_rebuild_root_swap(spark, tmp_path):
+    """The lock file is a SIBLING of the store root: after a rebuild
+    swap-renames the root, a second writer still contends on the SAME
+    lock file (an in-root lock would have moved with the rename and
+    silently voided mutual exclusion)."""
+    import os as _os
+
+    from commodity_price_forecasting_spark.operators.store_maintenance import (
+        StoreLockError,
+        semantic_store_rebuild,
+        store_write_lock,
+    )
+
+    rng = np.random.default_rng(6)
+    path = str(tmp_path / "sstore")
+    embs = _emb_df(spark, [(i, rng.normal(size=16)) for i in range(20)])
+    semantic_store_build(embs, path, k=2, threshold=0.3)
+    lock_file = _os.path.normpath(_os.path.abspath(path)) + ".maintenance_lock"
+    semantic_store_rebuild(spark, path, embs)
+    assert _os.path.exists(lock_file)  # sibling lock survived the swap
+    with store_write_lock(path, "w1"):
+        with pytest.raises(StoreLockError):
+            with store_write_lock(path, "w2"):
+                pass

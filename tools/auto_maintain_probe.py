@@ -88,6 +88,7 @@ def main() -> None:
             "n_files": [],
             "rewritten": [],  # bytes the hook's compactions rewrote
             "corpus_bytes": [],
+            "n_commit_files": [],  # r14: marker rollup keeps this O(live)
         }
         os.makedirs(twins[name]["feed"])
 
@@ -151,6 +152,12 @@ def main() -> None:
                 h["roots"]["corpus"]["n_bytes"]
                 + h["roots"]["fingerprints"]["n_bytes"]
             )
+            cdir = os.path.join(t["store"], "commits")
+            t["n_commit_files"].append(
+                len([x for x in os.listdir(cdir)
+                     if not x.startswith(("_", "."))])
+                if os.path.isdir(cdir) else 0
+            )
         print(
             f"# drain {i}: auto {twins['auto']['wall'][-1]}s "
             f"({twins['auto']['n_files'][-1]} files, "
@@ -183,7 +190,7 @@ def main() -> None:
         "docs_per_drain": args.docs_per_drain,
         "content_equal": rows["auto"] == rows["raw"],
         "auto": {k: auto[k] for k in ("wall", "live_parts", "n_files",
-                                      "rewritten")},
+                                      "rewritten", "n_commit_files")},
         "raw": {k: twins["raw"][k] for k in ("wall", "live_parts", "n_files")},
         "last3_wall_auto": round(sum(auto["wall"][-3:]) / 3, 2),
         "last3_wall_raw": round(sum(twins["raw"]["wall"][-3:]) / 3, 2),
