@@ -173,11 +173,18 @@ def dedup_delta(
     text_col: str = "text",
     append: bool = True,
     broadcast_delta: bool = True,
+    keep_frames: bool = False,
 ) -> dict:
     """Dedup ONLY the delta against the persisted store. Returns
     ``{"verdicts": DataFrame(doc_id, status, dup_of),
        "bridges": DataFrame(canon_a, canon_b),
-       "n_appended": int}``.
+       "n_appended": int}``; with ``keep_frames=True`` also
+    ``"sig_wide"`` — the eagerly-checkpointed wide MinHash frame for
+    the delta's new-content holders, so a ledger-first caller
+    (``streaming/curation_stream``) can hand it to
+    ``dedup_store_append`` instead of re-shingling the survivors a
+    second time (r13 ADVICE #2: the fresh-compute path paid the
+    near-dup tier's shingle+MinHash twice per micro-batch).
 
     ``status``: ``kept`` | ``exact_dup`` | ``near_dup``; ``dup_of`` is
     the FINAL canonical (chased through this delta's contracted
@@ -363,51 +370,64 @@ def dedup_delta(
 
     n_appended = 0
     if append:
-        # force the delta signature cache before writing (dbands and
-        # the signature append re-derive from it, never from store files)
-        dwide.count()
-        # append ONLY new-content holders: store-exact-dup holders'
-        # fp/signature/bands already exist in the store
-        new_canon = holder_v.filter(F.col("status") != "exact_dup").select(
-            "doc_id", "fp", F.coalesce("dup_of", "doc_id").alias("canon_id")
-        )
-        new_canon.select("fp", "doc_id", "canon_id").write.mode("append").parquet(
-            os.path.join(path, "fingerprints")
-        )
-        dwide.join(new_canon.select("doc_id", "canon_id"), "doc_id").select(
-            "doc_id", *mh, "canon_id"
-        ).write.mode("append").parquet(os.path.join(path, "signatures"))
-        dbands.join(new_canon.select("doc_id"), "doc_id").select(
-            "doc_id", "band", "sig"
-        ).write.mode("append").partitionBy("band").parquet(
-            os.path.join(path, "bands")
-        )
-        n_appended = new_canon.count()
-        # persist the divergence tally so store_maintenance's health
-        # report can evaluate the documented rebuild rule without the
-        # caller keeping its own ledger (r11 VERDICT ask #2). Clean-
-        # path cost is ONE small count job over the checkpointed
-        # component frame (count first, checkpoint+write only on a
-        # hit — r12 self-review: the old order paid the checkpoint
-        # unconditionally)
-        if bridges.count() > 0:
-            bridges.localCheckpoint(eager=True).write.mode("append").parquet(
-                os.path.join(path, "bridges")
-            )
-        new_max = d.agg(F.max("doc_id")).first()[0]
-        _write_meta(
-            spark,
-            path,
-            k,
-            num_hashes,
-            rows_per_band,
-            threshold,
-            max(int(new_max), max_store_id),
+        # single-writer contract (r13 VERDICT ask #2): the append
+        # must not race a *_store_compact/_rebuild swap from another
+        # process — rows would land in the doomed __old directory or
+        # in a fresh dir the swap's second rename then collides with
+        from commodity_price_forecasting_spark.operators.store_maintenance import (
+            store_write_lock,
         )
 
+        with store_write_lock(path, "dedup_delta:append"):
+            # force the delta signature cache before writing (dbands and
+            # the signature append re-derive from it, never from store files)
+            dwide.count()
+            # append ONLY new-content holders: store-exact-dup holders'
+            # fp/signature/bands already exist in the store
+            new_canon = holder_v.filter(F.col("status") != "exact_dup").select(
+                "doc_id", "fp", F.coalesce("dup_of", "doc_id").alias("canon_id")
+            )
+            new_canon.select("fp", "doc_id", "canon_id").write.mode("append").parquet(
+                os.path.join(path, "fingerprints")
+            )
+            dwide.join(new_canon.select("doc_id", "canon_id"), "doc_id").select(
+                "doc_id", *mh, "canon_id"
+            ).write.mode("append").parquet(os.path.join(path, "signatures"))
+            dbands.join(new_canon.select("doc_id"), "doc_id").select(
+                "doc_id", "band", "sig"
+            ).write.mode("append").partitionBy("band").parquet(
+                os.path.join(path, "bands")
+            )
+            n_appended = new_canon.count()
+            # persist the divergence tally so store_maintenance's health
+            # report can evaluate the documented rebuild rule without the
+            # caller keeping its own ledger (r11 VERDICT ask #2). Clean-
+            # path cost is ONE small count job over the checkpointed
+            # component frame (count first, checkpoint+write only on a
+            # hit — r12 self-review: the old order paid the checkpoint
+            # unconditionally)
+            if bridges.count() > 0:
+                bridges.localCheckpoint(eager=True).write.mode("append").parquet(
+                    os.path.join(path, "bridges")
+                )
+            new_max = d.agg(F.max("doc_id")).first()[0]
+            _write_meta(
+                spark,
+                path,
+                k,
+                num_hashes,
+                rows_per_band,
+                threshold,
+                max(int(new_max), max_store_id),
+            )
+
+    out = {"verdicts": verdicts, "bridges": bridges, "n_appended": n_appended}
+    if keep_frames:
+        # materialize off the cache before it is released below
+        out["sig_wide"] = dwide.localCheckpoint(eager=True)
     dfp.unpersist()
     dwide.unpersist()
-    return {"verdicts": verdicts, "bridges": bridges, "n_appended": n_appended}
+    return out
 
 
 def dedup_store_append(
@@ -418,6 +438,7 @@ def dedup_store_append(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sig_wide: DataFrame | None = None,
 ) -> int:
     """IDEMPOTENT store append driven by an already-persisted verdict
     ledger — the crash/replay half of the streaming near-dup tier
@@ -483,9 +504,18 @@ def dedup_store_append(
         .localCheckpoint(eager=True)
     )
     duniq = d.join(new_canon.select("doc_id"), "doc_id")
-    dwide = minhash_wide(
-        char_shingles(duniq, k=k, distinct=False), num_hashes=num_hashes
-    ).localCheckpoint(eager=True)
+    if sig_wide is not None:
+        # the caller's dedup_delta(keep_frames=True) frame: same docs,
+        # same persisted hashing params — reuse instead of re-shingling
+        # (r13 ADVICE #2); restricted to new_canon so a wider frame
+        # cannot smuggle extra rows in
+        dwide = sig_wide.join(
+            new_canon.select("doc_id"), "doc_id"
+        ).localCheckpoint(eager=True)
+    else:
+        dwide = minhash_wide(
+            char_shingles(duniq, k=k, distinct=False), num_hashes=num_hashes
+        ).localCheckpoint(eager=True)
     dbands = band_signatures(
         dwide, num_hashes=num_hashes, rows_per_band=rows_per_band
     )
@@ -500,42 +530,51 @@ def dedup_store_append(
             .select(*keys)
         )
 
-    fp_rows = (
-        new_canon.join(F.broadcast(_existing("fingerprints", "doc_id")),
-                       "doc_id", "left_anti")
-        .select("fp", "doc_id", "canon_id")
-        .localCheckpoint(eager=True)
+    # single-writer contract (r13 VERDICT ask #2): the anti-join
+    # reads and the appends must see one consistent store — not one
+    # being swap-renamed by a concurrent compact/rebuild
+    from commodity_price_forecasting_spark.operators.store_maintenance import (
+        store_write_lock,
     )
-    sig_rows = (
-        dwide.join(new_canon.select("doc_id", "canon_id"), "doc_id")
-        .join(F.broadcast(_existing("signatures", "doc_id")),
-              "doc_id", "left_anti")
-        .select("doc_id", *mh, "canon_id")
-        .localCheckpoint(eager=True)
-    )
-    band_rows = (
-        dbands.join(new_canon.select("doc_id"), "doc_id")
-        .join(F.broadcast(_existing("bands", "doc_id", "band")),
-              ["doc_id", "band"], "left_anti")
-        .select("doc_id", "band", "sig")
-        .localCheckpoint(eager=True)
-    )
-    n_fp = fp_rows.count()
-    if n_fp:
-        fp_rows.write.mode("append").parquet(os.path.join(path, "fingerprints"))
-    if sig_rows.count():
-        sig_rows.write.mode("append").parquet(os.path.join(path, "signatures"))
-    if band_rows.count():
-        band_rows.write.mode("append").partitionBy("band").parquet(
-            os.path.join(path, "bands")
+
+    with store_write_lock(path, "dedup_store_append"):
+        fp_rows = (
+            new_canon.join(F.broadcast(_existing("fingerprints", "doc_id")),
+                           "doc_id", "left_anti")
+            .select("fp", "doc_id", "canon_id")
+            .localCheckpoint(eager=True)
         )
-    _write_meta(
-        spark,
-        path,
-        k,
-        num_hashes,
-        rows_per_band,
-        float(store_meta["threshold"]),
-        max(int(lim["_hi"]), int(store_meta["max_doc_id"])),
-    )
+        sig_rows = (
+            dwide.join(new_canon.select("doc_id", "canon_id"), "doc_id")
+            .join(F.broadcast(_existing("signatures", "doc_id")),
+                  "doc_id", "left_anti")
+            .select("doc_id", *mh, "canon_id")
+            .localCheckpoint(eager=True)
+        )
+        band_rows = (
+            dbands.join(new_canon.select("doc_id"), "doc_id")
+            .join(F.broadcast(_existing("bands", "doc_id", "band")),
+                  ["doc_id", "band"], "left_anti")
+            .select("doc_id", "band", "sig")
+            .localCheckpoint(eager=True)
+        )
+        n_fp = fp_rows.count()
+        if n_fp:
+            fp_rows.write.mode("append").parquet(os.path.join(path, "fingerprints"))
+        if sig_rows.count():
+            sig_rows.write.mode("append").parquet(os.path.join(path, "signatures"))
+        if band_rows.count():
+            band_rows.write.mode("append").partitionBy("band").parquet(
+                os.path.join(path, "bands")
+            )
+        _write_meta(
+            spark,
+            path,
+            k,
+            num_hashes,
+            rows_per_band,
+            float(store_meta["threshold"]),
+            max(int(lim["_hi"]), int(store_meta["max_doc_id"])),
+        )
+
     return int(n_fp)

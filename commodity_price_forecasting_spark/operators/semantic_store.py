@@ -247,6 +247,13 @@ def semantic_dedup_delta(
 
     n_appended = 0
     if append:
+        # single-writer contract (r13 VERDICT ask #2): the cell append
+        # must not race a semantic_store_compact/_rebuild swap from
+        # another process
+        from commodity_price_forecasting_spark.operators.store_maintenance import (
+            store_write_lock,
+        )
+
         kept = d_assigned.join(
             verdicts.filter(F.col("status") == "kept").select(
                 F.col("vec_id").alias("_vid")
@@ -258,10 +265,11 @@ def semantic_dedup_delta(
             F.col("_cent").alias("cent_cos"),
             "cell",
         )
-        kept.write.mode("append").partitionBy("cell").parquet(
-            os.path.join(path, "cells")
-        )
-        n_appended = kept.count()
+        with store_write_lock(path, "semantic_delta:append"):
+            kept.write.mode("append").partitionBy("cell").parquet(
+                os.path.join(path, "cells")
+            )
+            n_appended = kept.count()
         # persist the inversion tally for store_maintenance's health
         # report (r11 VERDICT ask #2) — the rebuild trigger as a
         # readable ledger, not a per-run return value the caller must
@@ -269,9 +277,10 @@ def semantic_dedup_delta(
         # checkpointed hits frame; checkpoint+write only on a hit
         if inversions.count() > 0:
             inversions = inversions.localCheckpoint(eager=True)
-            inversions.write.mode("append").parquet(
-                os.path.join(path, "inversions")
-            )
+            with store_write_lock(path, "semantic_delta:inversions"):
+                inversions.write.mode("append").parquet(
+                    os.path.join(path, "inversions")
+                )
 
     return {
         "verdicts": verdicts,
@@ -361,6 +370,13 @@ def semantic_rerun_ingest(
     )
     n_appended = 0
     if append:
+        # single-writer contract (r13 VERDICT ask #2): the cell append
+        # must not race a semantic_store_compact/_rebuild swap from
+        # another process
+        from commodity_price_forecasting_spark.operators.store_maintenance import (
+            store_write_lock,
+        )
+
         kept = d_assigned.join(
             verdicts.filter(F.col("status") == "kept").select(
                 F.col("vec_id").alias("_vid")
@@ -372,8 +388,9 @@ def semantic_rerun_ingest(
             F.col("_cent").alias("cent_cos"),
             "cell",
         )
-        kept.write.mode("append").partitionBy("cell").parquet(
-            os.path.join(path, "cells")
-        )
-        n_appended = kept.count()
+        with store_write_lock(path, "semantic_delta:append"):
+            kept.write.mode("append").partitionBy("cell").parquet(
+                os.path.join(path, "cells")
+            )
+            n_appended = kept.count()
     return {"verdicts": verdicts, "n_appended": n_appended}

@@ -192,9 +192,17 @@ def _append_batch(
     fp_path = os.path.join(store_dir, "fingerprints")
     corpus_path = os.path.join(corpus_dir, "corpus")
     if commit_token is not None:
-        marker = os.path.join(store_dir, "commits", commit_token)
-        if os.path.exists(marker):
-            return  # already fully committed — exact redelivery skip
+        from commodity_price_forecasting_spark.operators.store_maintenance import (
+            _read_committed,
+        )
+
+        # already fully committed — exact redelivery skip. The check
+        # goes through _read_committed (marker file OR the rolled-up
+        # manifest): a compaction may have folded this batch's marker
+        # into _rolled.json (r14), and a VERY late redelivery must
+        # still skip, not re-append rows the store already holds.
+        if commit_token in _read_committed(os.path.join(store_dir, "commits")):
+            return
 
     # single-writer contract, enforced (r12 ADVICE #2): a compaction
     # running concurrently would delete this batch's uncommitted
@@ -292,6 +300,7 @@ def _append_batch_locked(
             verd.write.mode("append").parquet(ledger)
         else:
             ledger_part = os.path.join(ledger, f"ingest_batch={commit_token}")
+            sig_wide = None
             if os.path.exists(os.path.join(ledger_part, "_SUCCESS")):
                 # committed ledger = the crashed attempt's truth; never
                 # recompute (the store may already hold this batch's
@@ -300,9 +309,14 @@ def _append_batch_locked(
                     eager=True
                 )
             else:
+                # keep_frames hands the checkpointed MinHash frame to
+                # the store append below — the survivors are shingled
+                # ONCE per batch, not twice (r13 ADVICE #2); the
+                # ledger-replay branch above has no frame and lets the
+                # append recompute deterministically from text
                 res = dedup_delta(
                     spark, near_dup_store, fresh.select("doc_id", "text"),
-                    append=False,
+                    append=False, keep_frames=True,
                 )
                 verd = res["verdicts"].localCheckpoint(eager=True)
                 verd.write.mode("overwrite").parquet(ledger_part)
@@ -310,8 +324,11 @@ def _append_batch_locked(
                     res["bridges"].localCheckpoint(eager=True).write.mode(
                         "append"
                     ).parquet(os.path.join(near_dup_store, "bridges"))
+                # .get: the empty-delta early return carries no frame
+                sig_wide = res.get("sig_wide")
             dedup_store_append(
-                spark, near_dup_store, fresh.select("doc_id", "text"), verd
+                spark, near_dup_store, fresh.select("doc_id", "text"), verd,
+                sig_wide=sig_wide,
             )
         # corpus gets only near-kept docs; the curation fp store below
         # still records EVERY exact-tier survivor (near-dropped
@@ -330,14 +347,23 @@ def _append_batch_locked(
         ).write.mode("append").partitionBy("split").parquet(corpus_path)
         return
     if not fresh.isEmpty():  # empty batch: nothing to write, still commit
-        fresh.select("fp", "doc_id").write.mode("overwrite").parquet(
-            os.path.join(fp_path, f"ingest_batch={commit_token}")
-        )
+        # batch-sized coalesce/repartition (r14): without it each
+        # micro-batch lands shuffle_partitions×splits tiny files
+        # (measured: ~90 files per 200-doc batch, ~2.5 KB each), the
+        # partition's DISK size is parquet-footer overhead instead of
+        # data, and the size-tiered compactor's buckets stop meaning
+        # anything. One file per batch for the fingerprint pair-list,
+        # one per split for the corpus — micro-batches are minutes of
+        # data, so these files are bounded by ingest rate; the tiered
+        # compactor owns growing them toward TARGET_FILE_BYTES.
+        fresh.select("fp", "doc_id").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(fp_path, f"ingest_batch={commit_token}"))
         corpus_rows.select(
             "doc_id", "fp", "text", "quality", "n_tokens", "split"
-        ).write.mode("overwrite").partitionBy("split").parquet(
-            os.path.join(corpus_path, f"ingest_batch={commit_token}")
-        )
+        ).repartition("split").write.mode("overwrite").partitionBy(
+            "split"
+        ).parquet(os.path.join(corpus_path, f"ingest_batch={commit_token}"))
     os.makedirs(os.path.dirname(marker), exist_ok=True)
     with open(marker, "w") as fh:
         fh.write("committed\n")
@@ -469,7 +495,10 @@ def run_curation_stream(
         nd_health = dedup_store_health(spark, near_dup_store)
         report["near_dup_health"] = nd_health
         if nd_health["compact_recommended"]:
-            report["near_dup_compact"] = dedup_store_compact(
-                spark, near_dup_store
-            )
+            try:
+                report["near_dup_compact"] = dedup_store_compact(
+                    spark, near_dup_store
+                )
+            except StoreLockError as exc:
+                report["near_dup_compact_error"] = str(exc)
     return report

@@ -84,6 +84,23 @@ def _ingest_batch(
     marker = os.path.join(store_path, "commits", commit_token)
     if os.path.exists(marker):
         return  # fully committed — redelivery skip
+    # single-writer contract (r13 VERDICT ask #2, mirroring the
+    # curation store's _append_batch): a semantic_store_compact or
+    # _rebuild from another process must raise StoreLockError instead
+    # of swap-renaming cells/ out from under this batch's append —
+    # foreachBatch redelivers, and the whole ingest is idempotent
+    from commodity_price_forecasting_spark.operators.store_maintenance import (
+        store_write_lock,
+    )
+
+    with store_write_lock(store_path, f"semantic_ingest:{commit_token}"):
+        _ingest_batch_locked(batch_df, spark, store_path, commit_token,
+                             assign, marker)
+
+
+def _ingest_batch_locked(
+    batch_df, spark, store_path, commit_token, assign, marker
+) -> None:
     ledger_dir = os.path.join(
         store_path, "ingest_verdicts", f"ingest_batch={commit_token}"
     )
@@ -190,7 +207,18 @@ def run_semantic_ingest_stream(
         semantic_store_health,
     )
 
+    from commodity_price_forecasting_spark.operators.store_maintenance import (
+        StoreLockError,
+    )
+
     report: dict = {"semantic_health": semantic_store_health(spark, store_path)}
     if report["semantic_health"]["compact_recommended"]:
-        report["semantic_compact"] = semantic_store_compact(spark, store_path)
+        try:
+            report["semantic_compact"] = semantic_store_compact(
+                spark, store_path
+            )
+        except StoreLockError as exc:
+            # lock refusal must not fail the drain that just succeeded;
+            # maintenance retries after the next drain
+            report["semantic_compact_error"] = str(exc)
     return report

@@ -264,3 +264,31 @@ def test_store_append_from_ledger_equals_inline_and_is_idempotent(
     fp_only.write.mode("append").parquet(os.path.join(partial, "fingerprints"))
     dedup_store_append(spark, partial, delta, verd)
     assert _store_state(spark, partial) == _store_state(spark, inline)
+
+
+def test_store_append_with_sig_wide_equals_recompute(spark, tmp_path):
+    """r14 (r13 ADVICE #2): handing dedup_delta(keep_frames=True)'s
+    checkpointed MinHash frame to dedup_store_append must land the
+    byte-identical store state as letting the append re-shingle from
+    text — the streaming tier's single-shingle fast path is a pure
+    compute saving, never a content change."""
+    from commodity_price_forecasting_spark.operators.dedup_store import (
+        dedup_store_append,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    old = docs.filter(F.col("doc_id") < 400)
+    delta = docs.filter(F.col("doc_id") >= 400)
+    fast, slow = str(tmp_path / "fast"), str(tmp_path / "slow")
+    dedup_store_build(old, fast)
+    dedup_store_build(old, slow)
+
+    res = dedup_delta(spark, fast, delta, append=False, keep_frames=True)
+    verd = res["verdicts"].localCheckpoint(eager=True)
+    assert "sig_wide" in res and res["sig_wide"].count() > 0
+    n_fast = dedup_store_append(
+        spark, fast, delta, verd, sig_wide=res["sig_wide"]
+    )
+    n_slow = dedup_store_append(spark, slow, delta, verd)
+    assert n_fast == n_slow > 0
+    assert _store_state(spark, fast) == _store_state(spark, slow)
