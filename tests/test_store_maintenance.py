@@ -950,3 +950,34 @@ def test_store_write_lock_survives_rebuild_root_swap(spark, tmp_path):
         with pytest.raises(StoreLockError):
             with store_write_lock(path, "w2"):
                 pass
+
+
+def test_marker_rollup_crash_between_manifest_and_delete(
+    spark, tmp_path_factory
+):
+    """Rollup crash window: _rolled.json extended but the marker files
+    not yet deleted (or only some). The token is then committed TWICE
+    (file ∪ manifest — harmless set union), and the next compaction's
+    rollup removes the leftover file without un-committing anything."""
+    from commodity_price_forecasting_spark.operators.store_maintenance import (
+        _read_committed,
+    )
+
+    base = str(tmp_path_factory.mktemp("ccrollcrash"))
+    store, corpus = os.path.join(base, "store"), os.path.join(base, "corpus")
+    for i in range(4):
+        _append_batch(_big_batch(spark, i, n_docs=1, n_tokens=300),
+                      store, corpus, commit_token=f"b{i}")
+    curation_store_compact(spark, store, corpus, grace_seconds=0)
+    commits = os.path.join(store, "commits")
+    # forge the window: re-create a rolled token's marker file
+    with open(os.path.join(commits, "b1"), "w") as fh:
+        fh.write("committed\n")
+    want = _corpus_rows(spark, store, corpus)
+    committed = _read_committed(commits)
+    assert "b1" in committed  # union, not conflict
+    rep = curation_store_compact(spark, store, corpus, grace_seconds=0)
+    assert rep["commits"]["markers_rolled"] >= 1  # leftover re-rolled
+    assert not os.path.exists(os.path.join(commits, "b1"))
+    assert "b1" in _read_committed(commits)  # still committed forever
+    assert _corpus_rows(spark, store, corpus) == want
