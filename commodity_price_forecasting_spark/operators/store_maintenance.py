@@ -691,6 +691,19 @@ def curation_store_health(
         }
         if rec:
             out["compact_recommended"].append(root_key)
+    # store-level: retired marker files past the threshold ask for a
+    # rollup-only compaction (no merge will fire; _rollup_markers
+    # clears them, so the fixed point holds)
+    if len(
+        _rollable_markers(
+            store_dir,
+            {
+                "fingerprints": os.path.join(store_dir, "fingerprints"),
+                "corpus": os.path.join(corpus_dir, "corpus"),
+            },
+        )
+    ) >= ROLLUP_RECOMMEND_AT:
+        out["compact_recommended"].append("commits")
     out["compact_recommended"].sort()
     return out
 
@@ -726,30 +739,20 @@ def _next_compacted_gen(commits_dir: str) -> int:
     return mx + 1
 
 
-def _rollup_markers(store_dir: str, roots: dict[str, str]) -> int:
-    """Fold fully-retired commit markers into the single
-    ``_rolled.json`` manifest and delete their marker files (r13
-    VERDICT ask #4: markers were retained forever — one tiny file per
-    micro-batch, ~500k/year at minutes cadence, and ``_read_committed``
-    listdirs them all on every append/health/compact). A token stays
-    COMMITTED forever either way — late redelivery of a rolled batch
-    still skips — but costs one manifest entry instead of one file.
-
-    Rollable, decided on on-disk state only (caller holds the lock):
-    - a batch marker whose partition is PRESENT IN NO root — either
-      compacted away and GC'd, or an empty batch that never wrote one;
-    - a ``compacted-*`` marker whose own partition is present in no
-      root (superseded + GC'd, or a pure-GC empties marker) AND whose
-      ``supersedes`` partitions are all absent — rolling earlier would
-      drop the exclusion list while a crash-window leftover still
-      needs it (phantom duplicate rows).
-
-    Crash-safe: the manifest is extended by tmp+atomic-replace BEFORE
-    any marker file is deleted; a crash between the two leaves tokens
-    recorded twice (set union, harmless)."""
+def _rollable_markers(store_dir: str, roots: dict[str, str]) -> list[str]:
+    """Marker FILES eligible for rollup, decided on on-disk state
+    only: a batch marker whose partition is present in no root
+    (compacted away and GC'd, or an empty batch that never wrote
+    one); a ``compacted-*`` marker additionally needs every token in
+    its ``supersedes`` absent everywhere — rolling earlier would drop
+    the exclusion list while a crash-window leftover still needs it.
+    Shared by ``_rollup_markers`` (execute) and
+    ``curation_store_health`` (recommend a rollup-only compaction
+    once retired markers pile up — e.g. a long run of EMPTY drains
+    writes one marker per batch and no merge ever fires)."""
     commits_dir = os.path.join(store_dir, "commits")
     if not os.path.isdir(commits_dir):
-        return 0
+        return []
     markers = [
         t for t in os.listdir(commits_dir) if not t.startswith(("_", "."))
     ]
@@ -779,6 +782,38 @@ def _rollup_markers(store_dir: str, roots: dict[str, str]) -> int:
             if sup & present:
                 continue  # its exclusion list is still load-bearing
         rollable.append(t)
+    return rollable
+
+
+#: health recommends a rollup-only compaction once this many retired
+#: marker files sit in commits/ — low enough to bound the directory,
+#: high enough that the auto-hook is not called for one stray file.
+ROLLUP_RECOMMEND_AT = 8
+
+
+def _rollup_markers(store_dir: str, roots: dict[str, str]) -> int:
+    """Fold fully-retired commit markers into the single
+    ``_rolled.json`` manifest and delete their marker files (r13
+    VERDICT ask #4: markers were retained forever — one tiny file per
+    micro-batch, ~500k/year at minutes cadence, and ``_read_committed``
+    listdirs them all on every append/health/compact). A token stays
+    COMMITTED forever either way — late redelivery of a rolled batch
+    still skips — but costs one manifest entry instead of one file.
+
+    Rollable, decided on on-disk state only (caller holds the lock):
+    - a batch marker whose partition is PRESENT IN NO root — either
+      compacted away and GC'd, or an empty batch that never wrote one;
+    - a ``compacted-*`` marker whose own partition is present in no
+      root (superseded + GC'd, or a pure-GC empties marker) AND whose
+      ``supersedes`` partitions are all absent — rolling earlier would
+      drop the exclusion list while a crash-window leftover still
+      needs it (phantom duplicate rows).
+
+    Crash-safe: the manifest is extended by tmp+atomic-replace BEFORE
+    any marker file is deleted; a crash between the two leaves tokens
+    recorded twice (set union, harmless)."""
+    commits_dir = os.path.join(store_dir, "commits")
+    rollable = _rollable_markers(store_dir, roots)
     if not rollable:
         return 0
     rolled = _read_rolled(commits_dir) | set(rollable)

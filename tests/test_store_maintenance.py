@@ -981,3 +981,32 @@ def test_marker_rollup_crash_between_manifest_and_delete(
     assert not os.path.exists(os.path.join(commits, "b1"))
     assert "b1" in _read_committed(commits)  # still committed forever
     assert _corpus_rows(spark, store, corpus) == want
+
+
+def test_health_recommends_rollup_only_compaction(spark, tmp_path_factory):
+    """A long run of EMPTY drains writes one commit marker per batch
+    and no merge ever fires — without a rollup trigger commits/ grows
+    one file per drain forever. Health recommends a rollup-only
+    compaction once ROLLUP_RECOMMEND_AT retired markers accumulate,
+    and the compact (no merge work) clears it — fixed point intact."""
+    from commodity_price_forecasting_spark.operators.store_maintenance import (
+        ROLLUP_RECOMMEND_AT,
+        _read_committed,
+    )
+
+    base = str(tmp_path_factory.mktemp("ccrollrec"))
+    store, corpus = _mk_curation_store(spark, base, n_batches=1)
+    empty = spark.createDataFrame(
+        [], "doc_id long, fp string, text string, quality double, "
+        "n_tokens long, split string",
+    )
+    for i in range(ROLLUP_RECOMMEND_AT):
+        _append_batch(empty, store, corpus, commit_token=f"e{i}")
+    h = curation_store_health(spark, store, corpus)
+    assert "commits" in h["compact_recommended"]
+    rep = curation_store_compact(spark, store, corpus, grace_seconds=0)
+    assert rep["commits"]["markers_rolled"] >= ROLLUP_RECOMMEND_AT
+    h2 = curation_store_health(spark, store, corpus)
+    assert h2["compact_recommended"] == []
+    committed = _read_committed(os.path.join(store, "commits"))
+    assert {f"e{i}" for i in range(ROLLUP_RECOMMEND_AT)} <= committed
