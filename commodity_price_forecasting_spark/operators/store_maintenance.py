@@ -37,6 +37,22 @@ hash-partition shuffle for partitioned artifacts (unavoidable: files
 from many appends must meet in one task per partition). Health is
 metadata-only on the filesystem side plus count-style scans that
 read parquet footers, not data.
+
+r13–r14 additions, each with its contract stated at the definition:
+the STREAMING curation store's crash-safe, K-way SIZE-TIERED
+compaction (``curation_store_compact`` — merge a similar-size tier
+only when ≥ fanout live partitions fill it, each byte rewritten
+O(log_fanout) times; supersedes-manifest commit markers make every
+window crash-convergent), commit-marker ROLLUP into one manifest
+(``_rollup_markers`` — commits/ stays O(live), rolled tokens remain
+committed forever), and the ENFORCED single-writer contract:
+``maintenance_lock`` (in-root flock, curation pair) and
+``store_write_lock`` (sibling-file flock for the dedup/semantic
+stores, surviving their rebuilds' root swap-rename), taken by every
+compactor, rebuild, and appender. Every ``compact_recommended`` is
+the compactor's own go/skip decision evaluated read-only, so
+health → compact → health always reaches the empty recommendation —
+the auto-maintenance hook can never spin on a no-op.
 """
 
 from __future__ import annotations
