@@ -363,28 +363,14 @@ def main() -> None:
     # (r11 VERDICT "What's wrong" #1). The compact line below is the
     # LAST stdout line and must stay well under the tail budget.
     print("# spread: " + json.dumps(spread), file=sys.stderr)
-    # Watch-lane classification (r12 VERDICT ask #3): the lanes whose
-    # wall has drifted out-of-spread across rounds with no code change
-    # now carry their own CPU and BLAS-ceiling numbers. Printed AFTER
-    # the spread dump so it lands inside the driver's 2000-char output
-    # tail. Read: wall moved + cpu_sec stable (±10%) + GF/s dip ⇒ host
-    # regime; wall moved + cpu_sec moved with it at stable GF/s ⇒ real
-    # work changed.
-    watch = [
-        q for q in ("semantic_dedup_blas", "semantic_dedup_delta",
-                    "q6_forecast_revenue")
-        if q in spread
-    ]
-    if watch:
-        print(
-            "# watch-lane cpu/wall: "
-            + ", ".join(
-                f"{q} wall={spread[q]['median']}s cpu={spread[q]['cpu_sec']}s "
-                f"({spread[q]['gflops']:.0f} GF/s)"
-                for q in watch
-            ),
-            file=sys.stderr,
-        )
+    # The r12–r14 watch-lane list is RETIRED (SCALE.md r14): the first
+    # cpu_sec diff put every watched lane inside ±10% across a 2.7×
+    # host-regime swing — the wall drift was host, not plan. The
+    # per-lane cpu_sec/gflops instrument stays in the spread record
+    # for EVERY lane; a future "lane X got slower" claim starts from
+    # a cpu diff against the prior BENCH_spread.json, not a wall guess
+    # (wall moved + cpu_sec stable ⇒ host; cpu moved with wall at
+    # stable GF/s ⇒ real work changed).
     side = {
         "metric": "headline_queries_total_sec",
         "value": total,
