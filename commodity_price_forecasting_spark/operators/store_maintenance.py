@@ -258,6 +258,13 @@ def semantic_store_health(spark, path: str) -> dict:
         if s["n_small_files"] >= max(2, s["n_files"] // 2)
         and _compact_would_run(s, sem_part_cols.get(name))
     )
+    # streaming metadata (r14): per-batch commit markers pile up one
+    # file per micro-batch; past the threshold, recommend a compaction
+    # whose marker rollup clears them (the compactor always rolls, so
+    # health → compact → health keeps the no-spin fixed point)
+    if _marker_file_count(os.path.join(path, "commits")) >= ROLLUP_RECOMMEND_AT:
+        compact.append("commits")
+        compact.sort()
     rebuild = bool(n_kept) and (
         n_inverted_survivors / n_kept > REBUILD_FRACTION
         or skew["skew_ratio"] > SKEW_RATIO
@@ -354,13 +361,27 @@ def dedup_store_compact(
 
 
 def semantic_store_compact(
-    spark, path: str, target_file_bytes: int = TARGET_FILE_BYTES
+    spark,
+    path: str,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+    gc_ledgers: bool = False,
 ) -> dict:
     """Compact the semantic store's cell partitions (and inversion
     tally) in place; verdict equality pinned alongside the dedup
     store's. Holds the store's ``store_write_lock`` for the whole run
     (r13 VERDICT ask #2) — a live ``_ingest_batch`` cell append raises
-    instead of racing the ``_swap_in`` rename window."""
+    instead of racing the ``_swap_in`` rename window.
+
+    Streaming metadata (r14, the semantic twin of the curation
+    store's marker fix): per-batch commit markers under
+    ``<path>/commits`` are rolled into the single ``_rolled.json``
+    manifest (``_rollup_plain_markers`` — a rolled token stays
+    committed forever, very late redelivery still skips through
+    ``_read_committed``), and ``gc_ledgers=True`` additionally
+    deletes ``ingest_verdicts`` batch-ledger partitions for committed
+    tokens (an explicit audit-retention policy, default off — see
+    ``_gc_committed_ledgers``). Batch-built stores have neither
+    directory; both steps no-op."""
     with store_write_lock(path, "semantic_store_compact"):
         out = {}
         for name, part_col in (("cells", "cell"), ("inversions", None)):
@@ -369,6 +390,17 @@ def semantic_store_compact(
                 out[name] = _compact_artifact(
                     spark, art, partition_col=part_col,
                     target_file_bytes=target_file_bytes,
+                )
+        commits_dir = os.path.join(path, "commits")
+        if os.path.isdir(commits_dir):
+            out["commits"] = {
+                "markers_rolled": _rollup_plain_markers(commits_dir),
+                "n_marker_files": _marker_file_count(commits_dir),
+            }
+            if gc_ledgers:
+                out["commits"]["ledgers_gc"] = _gc_committed_ledgers(
+                    os.path.join(path, "ingest_verdicts"),
+                    _read_committed(commits_dir),
                 )
         return out
 
@@ -845,6 +877,72 @@ def _rollup_markers(store_dir: str, roots: dict[str, str]) -> int:
     return len(rollable)
 
 
+def _marker_file_count(commits_dir: str) -> int:
+    if not os.path.isdir(commits_dir):
+        return 0
+    return len(
+        [t for t in os.listdir(commits_dir) if not t.startswith(("_", "."))]
+    )
+
+
+def _rollup_plain_markers(commits_dir: str) -> int:
+    """Fold PLAIN per-batch commit markers (a bare committed sentinel,
+    no ``supersedes`` payload — the semantic store's shape) into the
+    single ``_rolled.json`` manifest and delete the marker files. The
+    curation store's ``_rollup_markers`` must wait for a marker's
+    partitions and exclusion list to retire; a plain marker carries
+    neither, its only reader asks "is this token committed?", and
+    files ∪ manifest (``_read_committed``) answers that identically —
+    so every plain marker is rollable the moment it exists. Same
+    unbounded-growth problem as r13 VERDICT ask #4, same crash-safe
+    fix: manifest extended by tmp+atomic-replace BEFORE any file is
+    deleted; a crash between the two records a token twice (set
+    union, harmless). Caller holds the store's write lock."""
+    if not os.path.isdir(commits_dir):
+        return 0
+    rollable = [
+        t for t in os.listdir(commits_dir) if not t.startswith(("_", "."))
+    ]
+    if not rollable:
+        return 0
+    rolled = _read_rolled(commits_dir) | set(rollable)
+    tmp = os.path.join(commits_dir, ".rolled.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"tokens": sorted(rolled)}, fh)
+    os.replace(tmp, os.path.join(commits_dir, ROLLED_MANIFEST))
+    for t in rollable:
+        try:
+            os.remove(os.path.join(commits_dir, t))
+        except OSError:
+            pass  # crash-window rerun already removed it
+    return len(rollable)
+
+
+def _gc_committed_ledgers(ledger_root: str, committed: set[str]) -> int:
+    """Delete ``ingest_batch=<token>`` batch-ledger partitions whose
+    token is COMMITTED. A ledger's only machine reader is the crash-
+    replay path, which is reached ONLY when the token's commit marker
+    is absent — once the marker exists (file or rolled manifest) the
+    batch never recomputes and its ledger is dead weight: one parquet
+    directory per micro-batch forever, the ingest_verdicts twin of
+    the marker-growth problem. Ledgers are also the streams' per-batch
+    AUDIT trail, so whether to retain them is a retention POLICY —
+    this is the mechanism, invoked only via the compactors' explicit
+    ``gc_ledgers=True`` (default off, never auto-recommended by
+    health). Uncommitted tokens' ledgers are always kept: a crashed
+    batch still needs its committed-ledger truth on redelivery."""
+    if not os.path.isdir(ledger_root):
+        return 0
+    n = 0
+    for p in os.listdir(ledger_root):
+        if not p.startswith("ingest_batch="):
+            continue
+        if p.split("=", 1)[1] in committed:
+            shutil.rmtree(os.path.join(ledger_root, p))
+            n += 1
+    return n
+
+
 def curation_store_compact(
     spark,
     store_dir: str,
@@ -853,6 +951,7 @@ def curation_store_compact(
     grace_seconds: float = UNCOMMITTED_GRACE_SECONDS,
     fanout: int = TIER_FANOUT,
     full: bool = False,
+    gc_ledgers: bool = False,
 ) -> dict:
     """Compact the STREAMING curation store — SIZE-TIERED, K-way
     (r13 VERDICT ask #1, replacing the two-tier minor/major scheme
@@ -1016,20 +1115,20 @@ def curation_store_compact(
                 break
         # ---- roll retired markers into the single manifest ----
         n_rolled = _rollup_markers(store_dir, roots)
+        if gc_ledgers:
+            # the near-dup tier's per-batch audit ledger (written by
+            # streaming/curation_stream) — explicit retention policy,
+            # committed tokens only (see _gc_committed_ledgers)
+            n_ledgers = _gc_committed_ledgers(
+                os.path.join(corpus_dir, "near_dup_verdicts"),
+                _read_committed(commits_dir),
+            )
         for root_key, rep in out.items():
             rep["files_after"] = _file_stats(roots[root_key])["n_files"]
         out["commits"] = {
             "markers_rolled": n_rolled,
-            "n_marker_files": len(
-                [
-                    t
-                    for t in (
-                        os.listdir(commits_dir)
-                        if os.path.isdir(commits_dir)
-                        else []
-                    )
-                    if not t.startswith(("_", "."))
-                ]
-            ),
+            "n_marker_files": _marker_file_count(commits_dir),
         }
+        if gc_ledgers:
+            out["commits"]["ledgers_gc"] = n_ledgers
         return out

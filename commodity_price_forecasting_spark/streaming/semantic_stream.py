@@ -82,16 +82,23 @@ def _ingest_batch(
     boundary stated here)."""
     spark = batch_df.sparkSession
     marker = os.path.join(store_path, "commits", commit_token)
-    if os.path.exists(marker):
-        return  # fully committed — redelivery skip
+    # fully committed — redelivery skip. Through _read_committed
+    # (marker file OR the rolled-up manifest, r14): a compaction may
+    # have folded this batch's marker into _rolled.json, and a VERY
+    # late redelivery must still skip, not re-verdict vectors the
+    # store already holds (the re-ingest would self-dup them cos-1.0).
+    from commodity_price_forecasting_spark.operators.store_maintenance import (
+        _read_committed,
+        store_write_lock,
+    )
+
+    if commit_token in _read_committed(os.path.dirname(marker)):
+        return
     # single-writer contract (r13 VERDICT ask #2, mirroring the
     # curation store's _append_batch): a semantic_store_compact or
     # _rebuild from another process must raise StoreLockError instead
     # of swap-renaming cells/ out from under this batch's append —
     # foreachBatch redelivers, and the whole ingest is idempotent
-    from commodity_price_forecasting_spark.operators.store_maintenance import (
-        store_write_lock,
-    )
 
     with store_write_lock(store_path, f"semantic_ingest:{commit_token}"):
         _ingest_batch_locked(batch_df, spark, store_path, commit_token,

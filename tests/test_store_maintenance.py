@@ -1010,3 +1010,147 @@ def test_health_recommends_rollup_only_compaction(spark, tmp_path_factory):
     assert h2["compact_recommended"] == []
     committed = _read_committed(os.path.join(store, "commits"))
     assert {f"e{i}" for i in range(ROLLUP_RECOMMEND_AT)} <= committed
+
+
+# ------ r14 margin: semantic-store marker rollup + ledger GC --------
+# The semantic stream had the SAME unbounded per-batch metadata the
+# curation store's r14 rollup fixed: one commits/<token> file per
+# micro-batch forever, plus one ingest_verdicts/ingest_batch=<token>
+# ledger partition per batch whose only machine reader is the crash-
+# replay path (reached only while the marker is absent).
+
+
+def _mk_semantic_stream_store(spark, base, n_batches=3):
+    from commodity_price_forecasting_spark.streaming.semantic_stream import (
+        _ingest_batch,
+    )
+
+    rng = np.random.default_rng(41)
+    store = os.path.join(base, "store")
+    semantic_store_build(
+        _emb_df(spark, [(i, rng.normal(size=16)) for i in range(30)]),
+        store, k=4, threshold=0.3,
+    )
+    for b in range(n_batches):
+        _ingest_batch(
+            _emb_df(
+                spark,
+                [(100 * (b + 1) + i, rng.normal(size=16)) for i in range(6)],
+            ),
+            store, f"t{b}", "blas",
+        )
+    return store
+
+
+def test_semantic_marker_rollup_preserves_redelivery_skip(
+    spark, tmp_path_factory
+):
+    from commodity_price_forecasting_spark.operators.store_maintenance import (
+        _read_committed,
+    )
+    from commodity_price_forecasting_spark.streaming.semantic_stream import (
+        _ingest_batch,
+    )
+
+    store = _mk_semantic_stream_store(
+        spark, str(tmp_path_factory.mktemp("sem_roll"))
+    )
+    commits = os.path.join(store, "commits")
+    assert sorted(os.listdir(commits)) == ["t0", "t1", "t2"]
+
+    rep = semantic_store_compact(spark, store)
+    assert rep["commits"]["markers_rolled"] == 3
+    assert rep["commits"]["n_marker_files"] == 0
+    # rolled tokens stay committed forever
+    assert _read_committed(commits) == {"t0", "t1", "t2"}
+
+    cells = os.path.join(store, "cells")
+    before = _rows_multiset(
+        spark.read.parquet(cells).select("vec_id", "cell")
+    )
+    # very late redelivery of a rolled batch must SKIP, not re-verdict
+    rng = np.random.default_rng(41)
+    _ingest_batch(
+        _emb_df(spark, [(100 + i, rng.normal(size=16)) for i in range(6)]),
+        store, "t0", "blas",
+    )
+    assert _rows_multiset(
+        spark.read.parquet(cells).select("vec_id", "cell")
+    ) == before
+    # and a genuinely NEW batch still lands after the rollup
+    _ingest_batch(
+        _emb_df(spark, [(900 + i, rng.normal(size=16)) for i in range(4)]),
+        store, "t9", "blas",
+    )
+    assert "t9" in _read_committed(commits)
+    # crash window of a LATER rollup: manifest already carries a token
+    # whose marker file reappears (redelivery re-wrote it after a
+    # crash mid-delete) — rerun removes the file, set union keeps the
+    # token committed exactly once
+    with open(os.path.join(commits, "t0"), "w") as fh:
+        fh.write("committed\n")
+    rep2 = semantic_store_compact(spark, store)
+    assert rep2["commits"]["n_marker_files"] == 0
+    assert _read_committed(commits) == {"t0", "t1", "t2", "t9"}
+
+
+def test_semantic_health_recommends_marker_rollup_then_clears(
+    spark, tmp_path_factory
+):
+    from commodity_price_forecasting_spark.operators.store_maintenance import (
+        ROLLUP_RECOMMEND_AT,
+    )
+
+    store = _mk_semantic_stream_store(
+        spark, str(tmp_path_factory.mktemp("sem_fix")), n_batches=1
+    )
+    commits = os.path.join(store, "commits")
+    # forge a long run of tiny drains: plain markers pile up past the
+    # threshold without the cell artifacts needing any merge
+    for i in range(ROLLUP_RECOMMEND_AT):
+        with open(os.path.join(commits, f"f{i}"), "w") as fh:
+            fh.write("committed\n")
+    h = semantic_store_health(spark, store)
+    assert "commits" in h["compact_recommended"]
+    semantic_store_compact(spark, store)
+    h2 = semantic_store_health(spark, store)
+    assert h2["compact_recommended"] == []  # no-spin fixed point
+
+
+def test_semantic_ledger_gc_only_committed(spark, tmp_path_factory):
+    store = _mk_semantic_stream_store(
+        spark, str(tmp_path_factory.mktemp("sem_gc"))
+    )
+    ledgers = os.path.join(store, "ingest_verdicts")
+    # forge an UNCOMMITTED batch's ledger (crashed before its marker):
+    # redelivery still needs it as the source of truth
+    crashed = os.path.join(ledgers, "ingest_batch=tx")
+    _sh.copytree(os.path.join(ledgers, "ingest_batch=t0"), crashed)
+
+    rep = semantic_store_compact(spark, store)  # default: audit kept
+    assert "ledgers_gc" not in rep["commits"]
+    assert len(os.listdir(ledgers)) == 4
+
+    rep = semantic_store_compact(spark, store, gc_ledgers=True)
+    assert rep["commits"]["ledgers_gc"] == 3
+    assert os.listdir(ledgers) == ["ingest_batch=tx"]
+
+
+def test_curation_ledger_gc_only_committed(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("cur_gc"))
+    store, corpus = _mk_curation_store(spark, base, n_batches=2)
+    # forge the near-dup tier's per-batch audit ledgers: two committed
+    # batches' plus one crashed (uncommitted) batch's
+    ledgers = os.path.join(corpus, "near_dup_verdicts")
+    for t in ("b0", "b1", "bx"):
+        part = os.path.join(ledgers, f"ingest_batch={t}")
+        os.makedirs(part)
+        with open(os.path.join(part, "_SUCCESS"), "w"):
+            pass
+
+    curation_store_compact(spark, store, corpus)  # default: audit kept
+    assert len(os.listdir(ledgers)) == 3
+
+    rep = curation_store_compact(spark, store, corpus, gc_ledgers=True)
+    assert rep["commits"]["ledgers_gc"] == 2
+    assert os.listdir(ledgers) == ["ingest_batch=bx"]
