@@ -937,3 +937,93 @@ def test_bpe_pretokenizer_matches_python_re_and_bounds(spark):
         assert bpe == want, r["doc_id"]
         assert bpe >= ws
     assert len(got) == 50
+
+
+# --- hypothesis: STCS planner + marker-rollup predicates (r14) ----------
+# Pure-python store-maintenance kernels whose invariants the compactor's
+# correctness and TERMINATION rest on — pinned over adversarial size
+# distributions, not just the hand-picked cases in
+# tests/test_store_maintenance.py.
+
+
+@given(
+    st.dictionaries(
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Ll", "Nd"), max_codepoint=0x7F
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        st.integers(min_value=0, max_value=10**15),
+        max_size=40,
+    ),
+    st.integers(min_value=2, max_value=6),
+)
+@settings(max_examples=300, deadline=None)
+def test_size_tier_plan_invariants(sizes, fanout):
+    from commodity_price_forecasting_spark.operators.store_maintenance import (
+        _size_tier_plan,
+    )
+
+    plan = _size_tier_plan(sizes, fanout=fanout)
+    flat = [p for b in plan for p in b]
+    # buckets are disjoint subsets of the NONZERO partitions
+    assert len(flat) == len(set(flat))
+    assert all(sizes[p] > 0 for p in flat)
+    # every returned bucket is mergeable (the compactor's while-loop
+    # terminates because executing groups[0] replaces >= fanout live
+    # partitions with ONE, strictly decreasing the live count)
+    assert all(len(b) >= fanout for b in plan)
+    # buckets come smallest-first and are internally size-coherent:
+    # every member is <= 2x the running mean of the members before it
+    # (the planner's own admission rule, re-checked from the outside)
+    for b in plan:
+        ordered = sorted(b, key=lambda p: (sizes[p], p))
+        assert ordered == b
+        mean = float(sizes[b[0]])
+        for p in b[1:]:
+            assert sizes[p] <= 2.0 * mean
+            mean = (mean * b.index(p) + sizes[p]) / (b.index(p) + 1)
+    if len(plan) > 1:
+        assert all(
+            sizes[plan[i][0]] <= sizes[plan[i + 1][0]]
+            for i in range(len(plan) - 1)
+        )
+    # determinism (the health report and the compactor must agree)
+    assert _size_tier_plan(dict(sizes), fanout=fanout) == plan
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdef0123456789", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=10**9),
+        min_size=0,
+        max_size=12,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_size_tier_plan_merge_strictly_decreases_live_count(sizes):
+    """Simulate the compactor's pass loop driver-side: execute
+    groups[0] as one merged partition of the summed size, repeat.
+    Must terminate with no tier holding >= fanout similar partitions
+    — the while-True loop's termination property."""
+    from commodity_price_forecasting_spark.operators.store_maintenance import (
+        _size_tier_plan,
+    )
+
+    live = dict(sizes)
+    gen = 0
+    for _ in range(len(sizes) + 2):  # bound: each pass removes >= 3
+        plan = _size_tier_plan(live, fanout=4)
+        if not plan:
+            break
+        n_before = len(live)
+        merged = plan[0]
+        total = sum(live.pop(p) for p in merged)
+        live[f"c{gen}"] = total
+        gen += 1
+        assert len(live) < n_before
+    else:
+        raise AssertionError("compaction pass loop failed to terminate")
+    assert _size_tier_plan(live, fanout=4) == []
