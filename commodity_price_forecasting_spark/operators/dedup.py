@@ -21,6 +21,7 @@ and needs no engine-specific integer hash.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -438,41 +439,52 @@ def connected_components(
     sym = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    sym = _cut(sym.distinct())
-    # Size the iteration's parallelism from the MATERIALIZED edge
-    # count (free — sym is checkpointed): a few-thousand-row label
-    # table must not pay 32-task scheduling twice per iteration, while
-    # a billion-edge list keeps the session's full parallelism. Only
-    # ever shrinks below the session setting, never grows past it;
-    # restored after the loop. parallelismFirst=false lets AQE
-    # actually coalesce the tiny shuffles to the advisory size
-    # instead of preserving idle-core parallelism.
     spark = edges.sparkSession
-    n_edges = sym.count()
-    # Small-graph fast path: the SYMMETRIC DEDUPLICATED edge list is a
-    # tiny projection of the corpus (candidate pairs, not documents).
-    # When it fits comfortably on the driver, exact union-find with
-    # path compression beats any number of distributed rounds — the
-    # iterative loop's per-round cost is driver-coordinated job
-    # scheduling, which no partitioning can amortize on a small
-    # frontier. The cutover is explicit and the result is identical
-    # (both compute exact components labelled by the min node id).
-    # Above the cutover, "auto" routes to large-star/small-star — the
-    # measured winner at >1M edges (SCALE.md r4: 305s vs 460s halving
-    # on a 2M-edge/50k-diameter graph); the halving loop below stays
-    # reachable via strategy="halving" and remains the recorded
-    # runner-up.
-    if strategy == "auto" and n_edges > small_graph_threshold:
-        return connected_components_star(
-            edges, src, dst,
-            max_iter=max(max_iter, 25),
-            reliable_checkpoint=reliable_checkpoint,
-            stats=stats,
-        )
-    if strategy == "auto" and n_edges <= small_graph_threshold:
+    if strategy == "auto":
+        # Route-decision materialization is a PERSIST, not a reliable
+        # checkpoint (r15 guide §1 measurement: the old
+        # checkpoint+count+toLocalIterator sequence cost ~2.5 s of
+        # dedup_delta's 7 s — a disk write/re-read plus one job per
+        # partition — for a frame both auto branches throw away: the
+        # star loop re-derives its own oriented edge list from
+        # ``edges`` and cuts lineage itself, and the driver fast path
+        # needs the rows exactly once). Checkpoint-grade lineage
+        # cutting is only required across ITERATIONS, which "auto"
+        # never reaches without delegating.
+        sym = sym.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+        n_edges = sym.count()
+        # Above the cutover, "auto" routes to large-star/small-star —
+        # the measured winner at >1M edges (SCALE.md r4: 305s vs 460s
+        # halving on a 2M-edge/50k-diameter graph); the halving loop
+        # below stays reachable via strategy="halving" and remains the
+        # recorded runner-up.
+        if n_edges > small_graph_threshold:
+            try:
+                return connected_components_star(
+                    edges, src, dst,
+                    max_iter=max(max_iter, 25),
+                    reliable_checkpoint=reliable_checkpoint,
+                    stats=stats,
+                )
+            finally:
+                sym.unpersist()
+        # Small-graph fast path: the SYMMETRIC DEDUPLICATED edge list
+        # is a tiny projection of the corpus (candidate pairs, not
+        # documents). When it fits comfortably on the driver, exact
+        # union-find with path compression beats any number of
+        # distributed rounds — the iterative loop's per-round cost is
+        # driver-coordinated job scheduling, which no partitioning can
+        # amortize on a small frontier. The cutover is explicit and
+        # the result is identical (both compute exact components
+        # labelled by the min node id). The edges land on the driver
+        # via ONE Arrow toPandas job off the persisted frame — the old
+        # toLocalIterator ran a separate job per partition.
         if stats is not None:
             stats["iterations"] = 0
             stats["fast_path"] = True
+        node_type = sym.schema[0].dataType
+        pdf = sym.toPandas()
+        sym.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -483,8 +495,9 @@ def connected_components(
                 parent[x], x = root, parent[x]
             return root
 
-        for row in sym.toLocalIterator():
-            u, v = row[0], row[1]
+        # .tolist() converts numpy scalars to plain Python values so
+        # the labels round-trip through createDataFrame unchanged
+        for u, v in zip(pdf["u"].tolist(), pdf["v"].tolist()):
             if u not in parent:
                 parent[u] = u
             if v not in parent:
@@ -496,7 +509,6 @@ def connected_components(
                     ru, rv = rv, ru
                 parent[rv] = ru
         out_rows = [(n, find(n)) for n in parent]
-        node_type = sym.schema[0].dataType
         out_schema = T.StructType(
             [
                 T.StructField("node", node_type, False),
@@ -505,6 +517,19 @@ def connected_components(
         )
         return spark.createDataFrame(out_rows, out_schema)
 
+    # strategy == "halving": the iterative loop consumes ``sym`` every
+    # round, so here the lineage cut (reliable on a cluster) is the
+    # right materialization.
+    sym = _cut(sym.distinct())
+    n_edges = sym.count()
+    # Size the iteration's parallelism from the MATERIALIZED edge
+    # count (free — sym is checkpointed): a few-thousand-row label
+    # table must not pay 32-task scheduling twice per iteration, while
+    # a billion-edge list keeps the session's full parallelism. Only
+    # ever shrinks below the session setting, never grows past it;
+    # restored after the loop. parallelismFirst=false lets AQE
+    # actually coalesce the tiny shuffles to the advisory size
+    # instead of preserving idle-core parallelism.
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     prev_pf = spark.conf.get(
         "spark.sql.adaptive.coalescePartitions.parallelismFirst", "true"

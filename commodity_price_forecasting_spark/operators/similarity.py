@@ -1080,6 +1080,13 @@ def ivf_pq_index_write(index: dict, path: str, id_col: str = "vec_id") -> None:
     else:
         os.makedirs(os.path.dirname(final) or ".", exist_ok=True)
         os.rename(tmp, final)
+        # a crash between the rename pair above can leave final absent
+        # with final__old holding the only intact index; the next
+        # successful write lands here — clean up the stale complete
+        # layout so it cannot leak on disk forever (r14 ADVICE #2)
+        old = final + "__old"
+        if os.path.isdir(old):
+            shutil.rmtree(old)
 
 
 def ivf_pq_index_load(spark, path: str) -> dict:

@@ -565,8 +565,23 @@ def _read_rolled(commits_dir: str) -> set[str]:
     try:
         with open(path) as fh:
             return set(json.load(fh).get("tokens", []))
-    except (OSError, ValueError):
+    except OSError:
+        # missing file = no tokens rolled yet (the normal young-store
+        # state); anything else is real damage and must NOT silently
+        # degrade the committed set to marker-files-only — every rolled
+        # token would read as 'uncommitted', late redeliveries would
+        # re-append rows the store already holds, and the compacted-gen
+        # counter could reuse a rolled index (r14 ADVICE #3). The
+        # manifest is written tmp+atomic-replace, so corrupt-but-present
+        # cannot be a torn write.
         return set()
+    except ValueError as exc:
+        raise ValueError(
+            f"corrupt rolled-marker manifest {path!r}: {exc} — this file "
+            "is the single committed-token manifest; restore it from a "
+            "backup or rebuild the store rather than continuing (silent "
+            "fallback would re-admit already-committed batches)"
+        ) from exc
 
 
 def _read_committed(commits_dir: str) -> set[str]:
@@ -1099,7 +1114,13 @@ def curation_store_compact(
                     out[root_key]["bytes_rewritten"] += src_bytes
                     out[root_key]["n_merges"] += 1
                 out[root_key]["skipped"] = False
-                out[root_key]["tokens"].append(token)
+                if merge:
+                    # record the token only when a compacted-<n>
+                    # partition was actually written for this root; an
+                    # empties-only GC pass produces none, and reporting
+                    # one would misstate which roots merged (r14 ADVICE
+                    # #4)
+                    out[root_key]["tokens"].append(token)
                 supersedes[root_key] = [
                     p.split("=", 1)[1] for p in merge + empties
                 ]

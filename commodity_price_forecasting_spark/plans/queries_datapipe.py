@@ -3519,7 +3519,7 @@ def _curation_full_stages(spark: SparkSession, sf_dir: str) -> dict:
 
     from commodity_price_forecasting_spark.operators.textops import (
         pii_redact,
-        quality_score,
+        quality_score_rowwise,
     )
 
     docs = load_table(spark, sf_dir, "documents")
@@ -3528,20 +3528,26 @@ def _curation_full_stages(spark: SparkSession, sf_dir: str) -> dict:
     # Every stage-count branch of the output union consumes its whole
     # PREFIX — uncached, the PII regex chain alone re-runs in six
     # branches (measured 12.3 s → 6.0 s for the bench row at sf0.1).
+    #
+    # Quality rides IN the cached redaction frame as the zero-shuffle
+    # rowwise projection (r15, guide §2.4): quality_score_rowwise is
+    # bit-identical to the explode+groupBy form (equality pinned in
+    # tests/test_streaming_curation.py), so the old
+    # tokenize-explode-aggregate pass and the s2 gate JOIN collapse
+    # into a map-only column + a filter over this one cache — and the
+    # canonical-pick stage below reads ``quality`` from the same cache
+    # instead of re-running the aggregation (it used to run twice).
+    # Zero-token docs: rowwise yields NULL quality (no row at all from
+    # the groupBy form); NULL fails the >= 0.7 gate and such docs
+    # cannot reach the components join (they are gated out at s2), so
+    # every downstream stage set is unchanged.
     red = (
-        pii_redact(docs)
-        .select("doc_id", F.col("redacted").alias("text"))
+        quality_score_rowwise(pii_redact(docs), text_col="redacted", keep=("redacted",))
+        .select("doc_id", F.col("redacted").alias("text"), "quality")
         .cache()
     )
-    q = quality_score(red).select(F.col("doc_id").alias("q_doc"), "quality")
-    s2 = (
-        red.join(
-            q.filter(F.col("quality") >= 0.7),
-            red.doc_id == F.col("q_doc"),
-        )
-        .select("doc_id", "text")
-        .cache()
-    )
+    q = red.select(F.col("doc_id").alias("q_doc"), "quality")
+    s2 = red.filter(F.col("quality") >= 0.7).select("doc_id", "text").cache()
     s3_ids = (
         s2.groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
         .agg(F.min("doc_id").alias("doc_id"))

@@ -321,9 +321,19 @@ def _append_batch_locked(
                 verd = res["verdicts"].localCheckpoint(eager=True)
                 verd.write.mode("overwrite").parquet(ledger_part)
                 if res["bridges"].count() > 0:
-                    res["bridges"].localCheckpoint(eager=True).write.mode(
-                        "append"
-                    ).parquet(os.path.join(near_dup_store, "bridges"))
+                    # under the store lock like every other dedup-store
+                    # writer: a cross-process compact/rebuild swap-renames
+                    # bridges/ — an unlocked append lands rows in the
+                    # doomed __old dir or collides with the swap's second
+                    # rename (r14 ADVICE #1)
+                    from commodity_price_forecasting_spark.operators.store_maintenance import (
+                        store_write_lock,
+                    )
+
+                    with store_write_lock(near_dup_store, "curation:bridges"):
+                        res["bridges"].localCheckpoint(eager=True).write.mode(
+                            "append"
+                        ).parquet(os.path.join(near_dup_store, "bridges"))
                 # .get: the empty-delta early return carries no frame
                 sig_wide = res.get("sig_wide")
             dedup_store_append(
