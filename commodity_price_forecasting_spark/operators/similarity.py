@@ -294,21 +294,45 @@ def assign_to_seeds(
     array-of-arrays literal + higher-order transform — per-element
     F.lit trees cost k·dim py4j calls of driver-side plan build
     (see semantic_dedup_drops for the measurement); the fold
-    arithmetic is identical. One map-side pass, no shuffle."""
+    arithmetic is identical. One map-side pass, no shuffle.
+
+    Norm hoisting (r15, guide §1.2 per-task work): higher-order folds
+    are CodegenFallback (interpreted per element), and the original
+    expression re-folded ‖v‖ once per SEED and ‖s‖ once per ROW —
+    2/3 of the stage's lambda evaluations for values that are
+    row-constant and plan-constant respectively. ‖v‖ is computed once
+    per row in a hoisted column; ‖s‖ becomes a PYTHON-computed literal
+    — bit-identical to the fold it replaces (same left-to-right
+    x·x accumulation over the same doubles, and both Python's
+    ``math.sqrt`` and the JVM's are correctly-rounded IEEE-754), so
+    every 6-dp cosine is unchanged (oracle hash-equality re-verified
+    for the pinned lanes)."""
+    import math
+
     seed_mat = F.array(*[F.lit([float(x) for x in v]) for _sid, v in seeds])
     neg_ids = F.array(*[F.lit(-sid) for sid, _v in seeds])
+    seed_norms = F.array(
+        *[
+            F.lit(math.sqrt(sum(float(x) * float(x) for x in v)))
+            for _sid, v in seeds
+        ]
+    )
     scored = F.transform(
         seed_mat,
         lambda sv, i: F.struct(
             F.round(
                 _dot(F.col(vec_col), sv)
-                / (_norm(F.col(vec_col)) * _norm(sv)),
+                / (F.col("_nv") * F.element_at(seed_norms, i + 1)),
                 6,
             ).alias("c"),
             F.element_at(neg_ids, i + 1).alias("negid"),
         ),
     )
-    return vectors.withColumn("cell", -F.array_max(scored)["negid"])
+    return (
+        vectors.withColumn("_nv", _norm(F.col(vec_col)))
+        .withColumn("cell", -F.array_max(scored)["negid"])
+        .drop("_nv")
+    )
 
 
 def ivf_seed_topk(
@@ -909,6 +933,17 @@ def ivf_pq_index(
         if exclude_id is not None
         else vectors
     )
+    # Raise scan parallelism to the session's before the Θ(n·k·d)
+    # assignment and the PQ encode (r15, guide §2.5): a small parquet
+    # corpus arrives as ONE partition and — because the seed join is a
+    # broadcast and the encode is map-side — EVERYTHING downstream of
+    # it runs single-task (measured: two single-task jobs of 1.17 s and
+    # 0.79 s owned sim_ivfpq_adc_topk's wall at sf0.1). Conditional so
+    # a corpus that already has ≥ cores partitions (any at-scale scan)
+    # is never re-shuffled just for parallelism.
+    par = spark.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par, F.col(id_col))
     if coarse == "kmeans":
         assigned, centers = ivf_assign(
             corpus, k=k_coarse, vec_col=vec_col, id_col=id_col
@@ -1983,21 +2018,34 @@ def assign_cells_fold(
             f"plan-literal bound ({MAX_FOLD_SEED_LITERALS}); use "
             "assign='blas' (closure-shipped seeds, no plan literal)"
         )
+    import math
+
+    # norm hoisting (r15): same rewrite as ``assign_to_seeds`` — ‖v‖
+    # folded once per row instead of once per seed, ‖s‖ a Python-
+    # computed literal bit-identical to the fold it replaces (same
+    # left-to-right accumulation, correctly-rounded IEEE sqrt on both
+    # sides); the dot/(‖v‖·‖s‖) order the SQL oracle pins is unchanged
     seed_mat = F.array(*[F.lit([float(x) for x in v]) for _sid, v in seeds])
     neg_ids = F.array(*[F.lit(-sid) for sid, _v in seeds])
+    seed_norms = F.array(
+        *[
+            F.lit(math.sqrt(sum(float(x) * float(x) for x in v)))
+            for _sid, v in seeds
+        ]
+    )
     scored = F.transform(
         seed_mat,
         lambda sv, i: F.struct(
             F.round(
                 _dot(F.col(vec_col), sv)
-                / (_norm(F.col(vec_col)) * _norm(sv)),
+                / (F.col("_nv") * F.element_at(seed_norms, i + 1)),
                 6,
             ).alias("c"),
             F.element_at(neg_ids, i + 1).alias("negid"),
         ),
     )
     best = F.array_max(scored)
-    return vectors.select(
+    return vectors.withColumn("_nv", _norm(F.col(vec_col))).select(
         F.col(id_col).alias("_vid"),
         F.col(vec_col).alias("_emb"),
         (-best["negid"]).alias("cell"),
@@ -2603,8 +2651,18 @@ def _drops_from_assigned(
     ``(_vid, _emb, cell, _cent)``; one shuffle on ``cell``."""
     # persist: the self-join consumes the assignment on BOTH sides —
     # without it the n·k seed-cosine pass runs twice (measured 2× the
-    # stage cost at 10k vectors, SCALE.md)
-    assigned = assigned_lazy.persist()
+    # stage cost at 10k vectors, SCALE.md).
+    # Repartition by cell FIRST (r15, guide §2.5): the intra-cell pair
+    # scoring below is the stage's dominant compute (Σ|cell|² pair
+    # cosines, each a d-element fold), but its input BYTES are tiny, so
+    # AQE's byte-sized coalescing funnels it into ONE task (measured:
+    # a single 1.7 s single-task job owned semantic_dedup_blas's 2.2 s
+    # wall at sf0.1). An explicit cell-keyed repartition at the
+    # session's parallelism is AQE-proof (user repartitions are never
+    # coalesced), spreads the quadratic work across cores at every
+    # scale, and is the partitioning the pair join needs anyway.
+    par = assigned_lazy.sparkSession.sparkContext.defaultParallelism
+    assigned = assigned_lazy.repartition(par, F.col("cell")).persist()
     threshold = float(threshold)
     a = assigned.select(
         F.col("_vid").alias("_ida"),

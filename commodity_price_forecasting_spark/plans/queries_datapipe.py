@@ -3541,8 +3541,21 @@ def _curation_full_stages(spark: SparkSession, sf_dir: str) -> dict:
     # the groupBy form); NULL fails the >= 0.7 gate and such docs
     # cannot reach the components join (they are gated out at s2), so
     # every downstream stage set is unchanged.
+    # Spread the regex+quality projection before computing it (r15,
+    # guide §2.5): a small parquet corpus arrives as ONE partition and
+    # the whole redaction chain ran single-task (measured 0.7-0.8 s of
+    # the lane at sf0.1); conditional so an at-scale multi-partition
+    # scan is never re-shuffled just for parallelism.
+    par = spark.sparkContext.defaultParallelism
+    docs_wide = (
+        docs.repartition(par, "doc_id")
+        if docs.rdd.getNumPartitions() < par
+        else docs
+    )
     red = (
-        quality_score_rowwise(pii_redact(docs), text_col="redacted", keep=("redacted",))
+        quality_score_rowwise(
+            pii_redact(docs_wide), text_col="redacted", keep=("redacted",)
+        )
         .select("doc_id", F.col("redacted").alias("text"), "quality")
         .cache()
     )

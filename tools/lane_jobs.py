@@ -40,6 +40,7 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
         },
     )
     ensure_package_shipped(spark)
@@ -57,6 +58,14 @@ def main() -> None:
     spark.stop()
     print(f"wall per run: {[round(m, 3) for m in marks]}")
     log = os.path.join(evdir, app_id)
+    if not os.path.exists(log):
+        # Spark 4 rolling event-log layout
+        v2 = os.path.join(evdir, f"eventlog_v2_{app_id}")
+        log = next(
+            os.path.join(v2, f)
+            for f in sorted(os.listdir(v2))
+            if f.startswith("events_")
+        )
     jobs = {}
     with open(log) as fh:
         for line in fh:

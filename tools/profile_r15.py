@@ -64,16 +64,21 @@ def profile_curation(spark, sf_dir):
     print("== curation_pipeline_full stages ==", flush=True)
     t_all0 = time.perf_counter()
     docs = load_table(spark, sf_dir, "documents")
-    red = pii_redact(docs).select("doc_id", F.col("redacted").alias("text")).cache()
-    timed(spark, "s1 pii_redact (cache fill)", red)
-    q = quality_score(red).select(F.col("doc_id").alias("q_doc"), "quality")
-    timed(spark, "s2a quality_score over cached red", q)
-    s2 = (
-        red.join(q.filter(F.col("quality") >= 0.7), red.doc_id == F.col("q_doc"))
-        .select("doc_id", "text")
+    from commodity_price_forecasting_spark.operators.textops import (
+        quality_score_rowwise,
+    )
+
+    red = (
+        quality_score_rowwise(
+            pii_redact(docs), text_col="redacted", keep=("redacted",)
+        )
+        .select("doc_id", F.col("redacted").alias("text"), "quality")
         .cache()
     )
-    timed(spark, "s2 quality gate join (cache fill)", s2)
+    timed(spark, "s1 pii_redact+quality rowwise (cache fill)", red)
+    q = red.select(F.col("doc_id").alias("q_doc"), "quality")
+    s2 = red.filter(F.col("quality") >= 0.7).select("doc_id", "text").cache()
+    timed(spark, "s2 quality gate filter (cache fill)", s2)
     s3_ids = (
         s2.groupBy(F.md5(F.col("text").cast("binary")).alias("fp"))
         .agg(F.min("doc_id").alias("doc_id"))
