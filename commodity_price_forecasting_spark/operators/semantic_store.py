@@ -106,7 +106,9 @@ def semantic_store_build(
     spark = embs.sparkSession
     seeds = _semdedup_seeds(embs, k, vec_col, id_col)
     assigned = _assigner(assign)(embs, seeds, vec_col, id_col)
-    drops = _drops_from_assigned(assigned, threshold, id_col)
+    drops = _drops_from_assigned(
+        assigned, threshold, id_col, dim=len(seeds[0][1]) if seeds else None
+    )
     kept = assigned.join(
         drops.select(F.col(id_col).alias("_vid")), "_vid", "left_anti"
     ).select(
@@ -189,20 +191,46 @@ def semantic_dedup_delta(
     ).localCheckpoint(eager=True)
 
     # --- store-vs-delta: store scanned once, delta broadcast ---------
-    pair_cos = F.round(
-        _dot(F.col("_semb"), F.col("_emb"))
-        / (_norm(F.col("_semb")) * _norm(F.col("_emb"))),
-        6,
+    # Unrolled codegen dot + per-ROW hoisted norms when the store dim
+    # allows it (r16, guide §1.2): the fold form re-folded both norms
+    # per PAIR through interpreted higher-order functions; the hoisted
+    # norm is the same expression over the same row and the unrolled
+    # dot keeps the fold's exact accumulation order, so every rounded
+    # pair cosine is unchanged (see similarity._UNROLL_MAX_DIM).
+    from commodity_price_forecasting_spark.operators.similarity import (
+        _UNROLL_MAX_DIM,
+        _dot_cols_sql,
+        _norm_sql,
     )
-    hits = (
-        store["cells"]
-        .select(
-            F.col("vec_id").alias("_svid"),
-            F.col("embedding").alias("_semb"),
-            F.col("cent_cos").alias("_scent"),
-            "cell",
+
+    store_side = store["cells"].select(
+        F.col("vec_id").alias("_svid"),
+        F.col("embedding").alias("_semb"),
+        F.col("cent_cos").alias("_scent"),
+        "cell",
+    )
+    delta_side = d_assigned
+    if dim <= _UNROLL_MAX_DIM:
+        store_side = store_side.withColumn(
+            "_snrm", F.expr(_norm_sql("_semb", dim))
         )
-        .join(F.broadcast(d_assigned), "cell")
+        delta_side = delta_side.withColumn(
+            "_dnrm", F.expr(_norm_sql("_emb", dim))
+        )
+        pair_cos = F.round(
+            F.expr(_dot_cols_sql("_semb", "_emb", dim))
+            / (F.col("_snrm") * F.col("_dnrm")),
+            6,
+        )
+    else:
+        pair_cos = F.round(
+            _dot(F.col("_semb"), F.col("_emb"))
+            / (_norm(F.col("_semb")) * _norm(F.col("_emb"))),
+            6,
+        )
+    hits = (
+        store_side
+        .join(F.broadcast(delta_side), "cell")
         .filter(pair_cos >= threshold)
         .select("_svid", "_scent", "cell", "_vid", "_cent")
         .localCheckpoint(eager=True)
@@ -223,7 +251,7 @@ def semantic_dedup_delta(
     )
 
     # --- delta-vs-delta: the base pair/drop stage on the delta only --
-    dd = _drops_from_assigned(d_assigned, threshold, id_col).select(
+    dd = _drops_from_assigned(d_assigned, threshold, id_col, dim=dim).select(
         F.col(id_col).alias("_vid"), F.col("first_keeper").alias("_dd_keeper")
     )
 
@@ -351,7 +379,7 @@ def semantic_rerun_ingest(
     ref = survivors.unionByName(d_assigned).localCheckpoint(eager=True)
     delta_ids = d_assigned.select(F.col("_vid").alias(id_col))
     drops = (
-        _drops_from_assigned(ref, threshold, id_col)
+        _drops_from_assigned(ref, threshold, id_col, dim=dim)
         .join(delta_ids, id_col)
         .select(F.col(id_col).alias("_vid"), "first_keeper")
     )

@@ -39,6 +39,119 @@ def _norm(a: Column) -> Column:
     )
 
 
+#: Largest known array dimension the unrolled (codegen) dot/norm
+#: helpers below will expand before falling back to the interpreted
+#: fold. Spark's higher-order functions (``aggregate``/``zip_with``/
+#: ``transform``) are CodegenFallback — evaluated per element through
+#: boxed ``eval`` calls — so a dot product keyed on a KNOWN dim is
+#: instead emitted as the explicit left-deep chain
+#: ``((0.0 + a[0]·b[0]) + a[1]·b[1]) + …`` (one ``F.expr`` parse, no
+#: per-term py4j traffic), which whole-stage codegen compiles into
+#: straight-line arithmetic. Same products, same left-to-right
+#: accumulation order, correctly-rounded IEEE ops on both paths ⇒
+#: bit-identical to the fold (pinned in tests/test_retrieval.py).
+#: The bound exists because ONE generated Java method carries the
+#: whole chain (it references columnar-scan locals, which blocks
+#: Spark's expression splitting): janino hard-fails methods over
+#: 64 KB of bytecode — measured at k·d = 1024 terms in one projection
+#: (r16) — and a ~40-byte-bytecode term puts d = 256 (≈3 such dots
+#: per expression) comfortably under it. This is also why the k-seed
+#: ASSIGNMENT keeps the fold: k·d terms in one expression crosses the
+#: janino limit at k = 16·d = 64 already (measured: compile failure +
+#: interpreted fallback ran 5× SLOWER than the fold — r16's honest
+#: negative result, recorded in OPTIMIZATION_r16.md). HotSpot refuses
+#: to JIT methods over 8 KB bytecode (-XX:-DontCompileHugeMethods is
+#: set in session.py for exactly this), so the unrolled forms stay
+#: JIT-compiled.
+_UNROLL_MAX_DIM = 256
+
+
+def _sql_name(col: str) -> str:
+    return "`" + col.replace("`", "``") + "`"
+
+
+def _sql_double(x: float) -> str:
+    """Exact SQL double literal: shortest-roundtrip repr parses back
+    to the same IEEE-754 double (both Python's repr and the JVM parse
+    are correctly rounded)."""
+    r = repr(float(x))
+    if "e" in r or "E" in r or "inf" in r or "nan" in r:
+        return f"CAST('{r}' AS DOUBLE)"
+    return r + "D"
+
+
+def _dot_cols_sql(a: str, b: str, dim: int) -> str:
+    """``_dot`` unrolled over two array COLUMNS at a known dim."""
+    an, bn = _sql_name(a), _sql_name(b)
+    terms = "".join(
+        f" + (CAST(get({an}, {i}) AS DOUBLE) * CAST(get({bn}, {i}) AS DOUBLE))"
+        for i in range(dim)
+    )
+    return "(0.0D" + terms + ")"
+
+
+def _dot_lit_sql(a: str, vals: list[float]) -> str:
+    """``_dot`` unrolled over an array COLUMN × a LITERAL vector."""
+    an = _sql_name(a)
+    terms = "".join(
+        f" + (CAST(get({an}, {i}) AS DOUBLE) * {_sql_double(v)})"
+        for i, v in enumerate(vals)
+    )
+    return "(0.0D" + terms + ")"
+
+
+def _norm_sql(a: str, dim: int) -> str:
+    """``_norm`` unrolled over an array COLUMN at a known dim."""
+    an = _sql_name(a)
+    terms = "".join(
+        f" + (CAST(get({an}, {i}) AS DOUBLE) * CAST(get({an}, {i}) AS DOUBLE))"
+        for i in range(dim)
+    )
+    return "SQRT((0.0D" + terms + "))"
+
+
+def _cosine_to_query(vec_col: str, q: list[float]) -> Column:
+    """UNROUNDED cosine of an array COLUMN to a LITERAL query vector.
+    Known-dim path: codegen'd unrolled dot over the column × the query
+    literals, column norm unrolled, query norm a PYTHON-computed
+    literal — bit-identical to the fold form (same products, same
+    left-to-right accumulation; Python's ``math.sqrt`` and the JVM's
+    are both correctly-rounded IEEE-754 — the r15 seed-norm argument,
+    oracle-hash-verified then and re-verified r16). Falls back to the
+    interpreted fold above ``_UNROLL_MAX_DIM``."""
+    import math
+
+    dim = len(q)
+    if dim > _UNROLL_MAX_DIM:
+        qcol = F.array(*[F.lit(float(x)) for x in q])
+        return _dot(F.col(vec_col), qcol) / (
+            _norm(F.col(vec_col)) * _norm(qcol)
+        )
+    qn = math.sqrt(sum(float(x) * float(x) for x in q))
+    return F.expr(_dot_lit_sql(vec_col, [float(x) for x in q])) / (
+        F.expr(_norm_sql(vec_col, dim)) * F.lit(qn)
+    )
+
+
+def _residual_cols(a: str, b: str, dim: int | None) -> Column:
+    """``zip_with(a, b, x.cast('double') − y)`` — the residual
+    v − seed(cell) — unrolled into a codegen-able array constructor
+    when ``dim`` is known (identical element values and positions; the
+    fold's null-padding beyond the shorter side can only differ on
+    mixed-dim corpora, which every caller validates against); the
+    interpreted zip_with otherwise."""
+    if dim is None or dim > _UNROLL_MAX_DIM:
+        return F.zip_with(
+            F.col(a), F.col(b), lambda x, y: x.cast("double") - y
+        )
+    an, bn = _sql_name(a), _sql_name(b)
+    elems = ", ".join(
+        f"(CAST(get({an}, {i}) AS DOUBLE) - get({bn}, {i}))"
+        for i in range(dim)
+    )
+    return F.expr(f"array({elems})")
+
+
 def _half_up6(x: float) -> float:
     """HALF_UP 6-dp rounding for DRIVER-side scalars — sign·floor(
     |x|·1e6 + 0.5)/1e6, matching Spark's ``F.round`` (BigDecimal
@@ -207,8 +320,7 @@ def ivf_topk(
         return dot / (na * nb) if na and nb else 0.0
 
     probe = sorted(range(len(centers)), key=lambda c: -cos(centers[c], query))[:n_probe]
-    q = F.array(*[F.lit(float(x)) for x in query])
-    sim = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    sim = _cosine_to_query(vec_col, [float(x) for x in query])
     return (
         assigned.filter(F.col("cell").isin(probe))
         .select(id_col, "cell", F.round(sim, 6).alias("cosine"))
@@ -367,8 +479,7 @@ def ivf_seed_topk(
             seeds, key=lambda s: (-_half_up6(cos(s[1], query)), s[0])
         )[:n_probe]
     ]
-    q = F.array(*[F.lit(float(x)) for x in query])
-    sim = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * _norm(q))
+    sim = _cosine_to_query(vec_col, [float(x) for x in query])
     out = assigned.filter(F.col("cell").isin(probe))
     if exclude_id is not None:
         out = out.filter(F.col(id_col) != exclude_id)
@@ -382,7 +493,7 @@ def ivf_seed_topk(
 def ivf_index_write(
     vectors: DataFrame,
     path: str,
-    k: int = 16,
+    k: int | str = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     assign: str = "fold",
@@ -395,7 +506,16 @@ def ivf_index_write(
     at n_probe=4, flat across corpus growth) but each probe reads
     full vector bytes (256+/row) where IVF-PQ reads 8 — pick THIS
     layout when recall dominates and the vectors fit the scan budget,
-    the PQ one when memory/bandwidth dominates."""
+    the PQ one when memory/bandwidth dominates.
+
+    ``k="auto"`` sizes the cell count to max(16, ⌈√n⌉) from one count
+    job — the measured recall rule (see ``ivf_pq_index``); the
+    integer default stays 16 so existing layouts rebuild
+    byte-identically."""
+    if k == "auto":
+        import math
+
+        k = max(16, math.isqrt(max(vectors.count(), 1)))
     assigned, seeds = ivf_seed_assign(
         vectors, k=k, vec_col=vec_col, id_col=id_col, assign=assign
     )
@@ -480,9 +600,12 @@ def pq_subvectors(
     subvectors of ``d_sub`` dims (the PQ decomposition). One
     posexplode of an in-row transform — subvector assembly happens
     inside the scan partition, no shuffle."""
-    subs = F.transform(
-        F.sequence(F.lit(0), F.lit(m_sub - 1)),
-        lambda m: F.slice(F.col(vec_col), m * d_sub + 1, d_sub),
+    # m_sub is a small plan-time constant: an explicit array of slices
+    # is codegen-able where transform-over-sequence is an interpreted
+    # higher-order function (CodegenFallback) — same m_sub slices in
+    # the same positions (r16, guide §1.2 per-task work)
+    subs = F.array(
+        *[F.slice(F.col(vec_col), m * d_sub + 1, d_sub) for m in range(m_sub)]
     )
     return vectors.select(
         F.col(id_col).alias(out_id), F.posexplode(subs).alias("m", "sv")
@@ -490,7 +613,9 @@ def pq_subvectors(
 
 
 def _sq_l2(a: Column, b: Column) -> Column:
-    """Σ (aᵢ−bᵢ)² via zip_with + aggregate (whole-stage codegen)."""
+    """Σ (aᵢ−bᵢ)² via zip_with + aggregate (interpreted: higher-order
+    functions are CodegenFallback — the unknown-dim fallback of
+    ``_sq_l2_cols``)."""
     return F.aggregate(
         F.zip_with(
             a,
@@ -501,6 +626,22 @@ def _sq_l2(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def _sq_l2_cols(a: str, b: str, dim: int | None) -> Column:
+    """``_sq_l2`` over two array COLUMN NAMES, unrolled into a
+    codegen-able left-deep chain when ``dim`` is known (same terms,
+    same accumulation order ⇒ bit-identical — see ``_UNROLL_MAX_DIM``);
+    the interpreted fold otherwise."""
+    if dim is None or dim > _UNROLL_MAX_DIM:
+        return _sq_l2(F.col(a), F.col(b))
+    an, bn = _sql_name(a), _sql_name(b)
+    terms = "".join(
+        f" + ((CAST(get({an}, {i}) AS DOUBLE) - CAST(get({bn}, {i}) AS DOUBLE))"
+        f" * (CAST(get({an}, {i}) AS DOUBLE) - CAST(get({bn}, {i}) AS DOUBLE)))"
+        for i in range(dim)
+    )
+    return F.expr("(0.0D" + terms + ")")
 
 
 def pq_codebook_kmeans(
@@ -585,7 +726,7 @@ def pq_distances(
         ).select("c", "m", F.col("sv").alias("cv"))
     sv = pq_subvectors(vectors, m_sub, d_sub, id_col, vec_col, out_id=id_col)
     return sv.join(F.broadcast(codebook), "m").select(
-        id_col, "m", "c", _sq_l2(F.col("sv"), F.col("cv")).alias("d2")
+        id_col, "m", "c", _sq_l2_cols("sv", "cv", d_sub).alias("d2")
     )
 
 
@@ -865,7 +1006,7 @@ def rotate_vectors(
 def ivf_pq_index(
     vectors: DataFrame,
     exclude_id: int | None = None,
-    k_coarse: int = 16,
+    k_coarse: int | str = 16,
     n_centroids: int = 16,
     m_sub: int = 8,
     id_col: str = "vec_id",
@@ -940,10 +1081,33 @@ def ivf_pq_index(
     # it runs single-task (measured: two single-task jobs of 1.17 s and
     # 0.79 s owned sim_ivfpq_adc_topk's wall at sf0.1). Conditional so
     # a corpus that already has ≥ cores partitions (any at-scale scan)
-    # is never re-shuffled just for parallelism.
+    # is never re-shuffled just for parallelism. SKIPPED on the
+    # kmeans-trained paths (r15 ADVICE #3): MLlib k-means|| init
+    # sampling is partition-dependent, so re-shuffling the corpus
+    # would break the documented seeded-reproducibility of trained
+    # index content across sessions/parallelism settings.
     par = spark.sparkContext.defaultParallelism
-    if corpus.rdd.getNumPartitions() < par:
+    if (
+        coarse != "kmeans"
+        and codebook != "kmeans"
+        and corpus.rdd.getNumPartitions() < par
+    ):
         corpus = corpus.repartition(par, F.col(id_col))
+    if k_coarse == "auto":
+        # measured sizing rule (r14 VERDICT item 1 / r15 ask #5,
+        # SCALE.md): on clustered corpora a FIXED k_coarse leaves
+        # cells inheriting the corpus's global spread — measured
+        # recall 0.67 at k=16 vs 0.95 at k≈√n on the clustered
+        # fixture. k=⌈√n⌉ balances the Θ(n·k·d) assignment against
+        # per-cell residual spread (the same optimum the SemDeDup
+        # auto-k uses). One count job. OPT-IN, not the default: the
+        # registered probe lanes' oracles pin the k=16 index content,
+        # so the default must keep building byte-identical layouts.
+        import math
+
+        k_coarse = max(16, math.isqrt(max(corpus.count(), 1)))
+    elif not isinstance(k_coarse, int):
+        raise ValueError(f"k_coarse must be an int or 'auto': {k_coarse!r}")
     if coarse == "kmeans":
         assigned, centers = ivf_assign(
             corpus, k=k_coarse, vec_col=vec_col, id_col=id_col
@@ -970,9 +1134,9 @@ def ivf_pq_index(
         .select(
             id_col,
             "cell",
-            F.zip_with(
-                F.col(vec_col), F.col("_svec"), lambda a, b: a.cast("double") - b
-            ).alias("_res"),
+            _residual_cols(vec_col, "_svec", dim=len(seeds[0][1])).alias(
+                "_res"
+            ),
         )
         .cache()
     )
@@ -1243,9 +1407,7 @@ def ivf_pq_index_append(
     ).select(
         id_col,
         "cell",
-        F.zip_with(
-            F.col(vec_col), F.col("_svec"), lambda a, b: a.cast("double") - b
-        ).alias("_res"),
+        _residual_cols(vec_col, "_svec", dim=dim).alias("_res"),
     )
     res_named = res.select(F.col(id_col), F.col("_res").alias(vec_col))
     if index.get("rotation") is not None:
@@ -1343,7 +1505,7 @@ def ivf_pq_probe(
         F.col("qcell"),
         F.col("m").alias("_lm"),
         F.col("c").alias("_lc"),
-        _sq_l2(F.col("sv"), F.col("cv")).alias("qd"),
+        _sq_l2_cols("sv", "cv", d_sub).alias("qd"),
     )
     if index.get("coded") is not None:
         # cell-partitioned persisted layout: literal isin on the
@@ -1446,9 +1608,7 @@ def ivf_pq_probe_batch(
     ).select(
         "_qid",
         "qcell",
-        F.zip_with(
-            F.col("_qv"), F.col("_svec"), lambda a, b: a.cast("double") - b
-        ).alias("_qr"),
+        _residual_cols("_qv", "_svec", dim=dim).alias("_qr"),
     )
     if index.get("rotation") is not None:
         # OPQ: rotate the QUERY-side residual frame (n_q·n_probe rows
@@ -1469,7 +1629,7 @@ def ivf_pq_probe_batch(
         "qcell",
         F.col("m").alias("_lm"),
         F.col("c").alias("_lc"),
-        _sq_l2(F.col("_qsv"), F.col("cv")).alias("qd"),
+        _sq_l2_cols("_qsv", "cv", d_sub).alias("qd"),
     )
     if index.get("coded") is not None:
         # cell-partitioned persisted layout (r9 ADVICE): without a
@@ -1513,7 +1673,7 @@ def ivf_pq_adc_topk(
     vectors: DataFrame,
     query_id: int = 0,
     k: int = 10,
-    k_coarse: int = 16,
+    k_coarse: int | str = 16,
     n_probe: int = 2,
     n_centroids: int = 16,
     m_sub: int = 8,
@@ -1662,8 +1822,7 @@ def ivf_pq_refine_topk(
             .filter(F.col("cell").isin([int(c) for c in probed]))
             .select(id_col, vec_col)
         )
-    qcol = F.array(*[F.lit(float(x)) for x in q])
-    sim = _dot(F.col(vec_col), qcol) / (_norm(F.col(vec_col)) * _norm(qcol))
+    sim = _cosine_to_query(vec_col, [float(x) for x in q])
     return (
         src.join(F.broadcast(adc.select(id_col)), id_col)
         .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
@@ -1684,8 +1843,7 @@ def cosine_topk_query(
     a literal array inside the plan, the corpus is scanned once, the
     top-k is a TakeOrderedAndProject. Same output contract as
     ``cosine_topk`` minus the self-exclusion (nothing to exclude)."""
-    qcol = F.array(*[F.lit(float(x)) for x in q])
-    sim = _dot(F.col(vec_col), qcol) / (_norm(F.col(vec_col)) * _norm(qcol))
+    sim = _cosine_to_query(vec_col, [float(x) for x in q])
     return (
         emb.select(
             F.col(id_col).alias("vec_id"), F.round(sim, 6).alias("cosine")
@@ -1708,6 +1866,7 @@ def ann_topk(
     refine: int | None = None,
     refine_index_path: str | None = None,
     normalize: bool = False,
+    k_coarse: int | str = 16,
 ) -> DataFrame:
     """The single ANN front door — the third measured-dispatch entry
     point, completing the pattern of ``semantic_dedup`` (r8) and
@@ -1882,7 +2041,8 @@ def ann_topk(
                 else vectors
             )
             built = ivf_pq_index(
-                corpus, id_col=id_col, vec_col=vec_col, normalize=normalize
+                corpus, id_col=id_col, vec_col=vec_col,
+                normalize=normalize, k_coarse=k_coarse,
             )
             return ivf_pq_refine_topk(
                 built,
@@ -1904,9 +2064,11 @@ def ann_topk(
                 id_col=id_col,
                 vec_col=vec_col,
                 normalize=normalize,
+                k_coarse=k_coarse,
             )
         built = ivf_pq_index(
-            vectors, id_col=id_col, vec_col=vec_col, normalize=normalize
+            vectors, id_col=id_col, vec_col=vec_col, normalize=normalize,
+            k_coarse=k_coarse,
         )
         return ivf_pq_probe(
             built, qvec, k=k, n_probe=n_probe, id_col=id_col, vec_col=vec_col
@@ -2340,6 +2502,7 @@ def semantic_dedup_hier_drops(
             assign_cells_hier_cogroup(vectors, coarse, sr, vec_col, id_col),
             threshold,
             id_col,
+            dim=len(coarse[0][1]),
         )
     if k > MAX_DRIVER_SEEDS:
         raise ValueError(
@@ -2353,6 +2516,7 @@ def semantic_dedup_hier_drops(
         assign_cells_hier(vectors, seeds, k1, vec_col, id_col),
         threshold,
         id_col,
+        dim=len(seeds[0][1]),
     )
 
 
@@ -2546,7 +2710,10 @@ def semantic_dedup_drops(
         return _empty_drops(vectors, id_col)
     assigner = assign_cells_blas if assign == "blas" else assign_cells_fold
     return _drops_from_assigned(
-        assigner(vectors, seeds, vec_col, id_col), threshold, id_col
+        assigner(vectors, seeds, vec_col, id_col),
+        threshold,
+        id_col,
+        dim=len(seeds[0][1]),
     )
 
 
@@ -2641,52 +2808,122 @@ def semantic_dedup(
     )
 
 
+#: smallest per-task row cap for the hot-cell split below — cells at
+#: or under this size never pay the salted-join replication.
+_PAIR_SALT_MIN_CELL = 64
+
+
 def _drops_from_assigned(
-    assigned_lazy: DataFrame, threshold: float, id_col: str
+    assigned_lazy: DataFrame, threshold: float, id_col: str,
+    dim: int | None = None,
 ) -> DataFrame:
     """The SemDeDup pair/drop stage, shared by every assignment lane
     (fold / BLAS / hierarchical): within each final cell, a vector is
     dropped iff some partner with pair-cosine ≥ threshold precedes it
     under (cent_cos ASC, id ASC). Input schema
-    ``(_vid, _emb, cell, _cent)``; one shuffle on ``cell``."""
+    ``(_vid, _emb, cell, _cent)``; one shuffle on ``cell``.
+
+    ``dim``: the embedding dimension when the caller knows it (every
+    assignment lane derives it from its seed list) — switches the
+    pair cosine to the codegen'd unrolled dot (bit-identical, see
+    ``_UNROLL_MAX_DIM``); ``None`` keeps the interpreted fold.
+
+    Per-row norms are computed ONCE into the persisted assignment
+    (r16, guide §1.2): the pair stage used to re-fold ‖a‖ and ‖b‖ per
+    PAIR — Θ(Σ|cell|²·d) interpreted work for values that are
+    row-constant; ``round(dot/(‖a‖·‖b‖), 6)`` is unchanged because the
+    hoisted norm is the same expression over the same row."""
     # persist: the self-join consumes the assignment on BOTH sides —
     # without it the n·k seed-cosine pass runs twice (measured 2× the
     # stage cost at 10k vectors, SCALE.md).
     # Repartition by cell FIRST (r15, guide §2.5): the intra-cell pair
     # scoring below is the stage's dominant compute (Σ|cell|² pair
-    # cosines, each a d-element fold), but its input BYTES are tiny, so
-    # AQE's byte-sized coalescing funnels it into ONE task (measured:
-    # a single 1.7 s single-task job owned semantic_dedup_blas's 2.2 s
-    # wall at sf0.1). An explicit cell-keyed repartition at the
-    # session's parallelism is AQE-proof (user repartitions are never
-    # coalesced), spreads the quadratic work across cores at every
-    # scale, and is the partitioning the pair join needs anyway.
-    par = assigned_lazy.sparkSession.sparkContext.defaultParallelism
-    assigned = assigned_lazy.repartition(par, F.col("cell")).persist()
+    # cosines), but its input BYTES are tiny, so AQE's byte-sized
+    # coalescing funnels it into ONE task (measured: a single 1.7 s
+    # single-task job owned semantic_dedup_blas's 2.2 s wall at
+    # sf0.1). An explicit cell-keyed repartition is AQE-proof (user
+    # repartitions are never coalesced) and is the partitioning the
+    # pair join needs anyway. Partition count never DROPS below the
+    # input's (r15 ADVICE: an at-scale assignment with more partitions
+    # than cores must not be forcibly shuffled down to core count).
+    spark = assigned_lazy.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    n_parts = max(par, assigned_lazy.rdd.getNumPartitions())
+    if dim is not None and dim <= _UNROLL_MAX_DIM:
+        nrm = F.expr(_norm_sql("_emb", dim))
+        pair_dot = F.expr(_dot_cols_sql("_ea", "_eb", dim))
+    else:
+        nrm = _norm(F.col("_emb"))
+        pair_dot = _dot(F.col("_ea"), F.col("_eb"))
+    assigned = (
+        assigned_lazy.withColumn("_nrm", nrm)
+        .repartition(n_parts, F.col("cell"))
+        .persist()
+    )
     threshold = float(threshold)
+    # Hot-cell skew probe (r15 VERDICT "what's wrong" #1, guide §2.5):
+    # ``repartition(n, cell)`` cannot split ONE cell, so a pathological
+    # cell of size m costs Θ(m²) pair cosines on a single task at any
+    # cluster size. One tiny driver-side aggregate over the persisted
+    # assignment (k rows — it doubles as the cache fill) finds cells
+    # above ``cap ≈ max(64, n/parallelism)`` rows; each hot cell is
+    # split into B = ⌈m/cap⌉ salt buckets — the b side keyed by
+    # pmod(xxhash64(id), B) (deterministic, guide §2.5's rand() rule),
+    # the a side exploded over 0..B−1 — which preserves the EXACT pair
+    # set (each (a,b) pair matches at exactly one salt) while bounding
+    # a task's pairs to ~m·cap. Balanced assignments (every cell ≤
+    # cap) take the unsalted join, byte-identical to the r15 plan.
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("_c")).collect()
+    total = sum(int(r["_c"]) for r in sizes)
+    cap = max(_PAIR_SALT_MIN_CELL, -(-total // max(par, 1)))
+    hot = {
+        int(r["cell"]): -(-int(r["_c"]) // cap)
+        for r in sizes
+        if int(r["_c"]) > cap
+    }
     a = assigned.select(
         F.col("_vid").alias("_ida"),
         F.col("_emb").alias("_ea"),
         "cell",
         F.col("_cent").alias("_ca"),
+        F.col("_nrm").alias("_na"),
     )
     b = assigned.select(
         F.col("_vid").alias("_idb"),
         F.col("_emb").alias("_eb"),
         F.col("cell").alias("_cellb"),
         F.col("_cent").alias("_cb"),
+        F.col("_nrm").alias("_nb"),
     )
+    join_cond = F.col("cell") == F.col("_cellb")
+    if hot:
+        bmap = F.create_map(
+            *[x for c, nb in hot.items() for x in (F.lit(c), F.lit(nb))]
+        )
+        buckets_a = F.coalesce(
+            F.element_at(bmap, F.col("cell")), F.lit(1)
+        ).cast("long")
+        buckets_b = F.coalesce(
+            F.element_at(bmap, F.col("_cellb")), F.lit(1)
+        ).cast("long")
+        a = a.withColumn(
+            "_salt",
+            F.explode(F.sequence(F.lit(0).cast("long"), buckets_a - 1)),
+        )
+        b = b.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col("_idb")), buckets_b)
+        )
+        join_cond = join_cond & (a["_salt"] == b["_salt"])
     keeper_precedes = (F.col("_ca") < F.col("_cb")) | (
         (F.col("_ca") == F.col("_cb")) & (F.col("_ida") < F.col("_idb"))
     )
     pair_cos = F.round(
-        _dot(F.col("_ea"), F.col("_eb"))
-        / (_norm(F.col("_ea")) * _norm(F.col("_eb"))),
+        pair_dot / (F.col("_na") * F.col("_nb")),
         6,
     )
-    dominated = a.join(
-        b, (F.col("cell") == F.col("_cellb")) & keeper_precedes
-    ).filter(pair_cos >= threshold)
+    dominated = a.join(b, join_cond & keeper_precedes).filter(
+        pair_cos >= threshold
+    )
     result = (
         dominated.groupBy("_idb", "_cellb", "_cb")
         .agg(

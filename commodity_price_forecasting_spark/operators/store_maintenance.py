@@ -499,7 +499,7 @@ def maintenance_lock(store_dir: str, owner: str):
 
 
 @contextlib.contextmanager
-def store_write_lock(store_path: str, owner: str):
+def store_write_lock(store_path: str, owner: str, block_secs: float = 0.0):
     """Single-writer lock for the dedup/semantic store families (r13
     VERDICT ask #2: ``maintenance_lock`` covered only the curation
     pair, so ``semantic_store_compact``/``dedup_store_compact`` could
@@ -511,32 +511,47 @@ def store_write_lock(store_path: str, owner: str):
     inside it, because ``*_store_rebuild`` swap-renames the ROOT
     itself — an in-root lock file would move with the rename and
     contenders opening the path afresh would lock a different inode,
-    silently voiding mutual exclusion across the swap."""
+    silently voiding mutual exclusion across the swap.
+
+    ``block_secs``: 0 keeps the historical non-blocking contract
+    (contention raises ``StoreLockError`` immediately); a positive
+    value retries for up to that long before raising — for writers
+    whose failure LOSES data rather than merely deferring work (r15
+    ADVICE #2: the streaming bridges append ran after the batch's
+    verdicts ledger committed, so a mere lock-contention failure
+    dropped those bridge rows permanently on redelivery)."""
     final = os.path.normpath(os.path.abspath(store_path))
     os.makedirs(os.path.dirname(final) or ".", exist_ok=True)
-    with _flock_file(final + ".maintenance_lock", owner):
+    with _flock_file(final + ".maintenance_lock", owner, block_secs):
         yield
 
 
 @contextlib.contextmanager
-def _flock_file(lock: str, owner: str):
+def _flock_file(lock: str, owner: str, block_secs: float = 0.0):
     import fcntl
+    import time
 
     fd = os.open(lock, os.O_CREAT | os.O_RDWR)
     try:
-        try:
-            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-        except BlockingIOError:
+        deadline = time.monotonic() + block_secs
+        while True:
             try:
-                with open(lock) as fh:
-                    holder = fh.read().strip()
-            except OSError:
-                holder = "unknown"
-            raise StoreLockError(
-                f"{lock}: maintenance lock held by a live writer "
-                f"({holder or 'unknown'}) — {owner} refuses to run "
-                "concurrently (quiesce the other writer first)"
-            )
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except BlockingIOError:
+                if time.monotonic() < deadline:
+                    time.sleep(0.1)
+                    continue
+                try:
+                    with open(lock) as fh:
+                        holder = fh.read().strip()
+                except OSError:
+                    holder = "unknown"
+                raise StoreLockError(
+                    f"{lock}: maintenance lock held by a live writer "
+                    f"({holder or 'unknown'}) — {owner} refuses to run "
+                    "concurrently (quiesce the other writer first)"
+                )
         os.ftruncate(fd, 0)
         os.write(fd, f"{os.getpid()} {owner}\n".encode())
         yield
@@ -565,16 +580,24 @@ def _read_rolled(commits_dir: str) -> set[str]:
     try:
         with open(path) as fh:
             return set(json.load(fh).get("tokens", []))
-    except OSError:
+    except FileNotFoundError:
         # missing file = no tokens rolled yet (the normal young-store
-        # state); anything else is real damage and must NOT silently
-        # degrade the committed set to marker-files-only — every rolled
-        # token would read as 'uncommitted', late redeliveries would
-        # re-append rows the store already holds, and the compacted-gen
-        # counter could reuse a rolled index (r14 ADVICE #3). The
-        # manifest is written tmp+atomic-replace, so corrupt-but-present
-        # cannot be a torn write.
+        # state). ONLY this case is benign: any other OSError (EACCES,
+        # EIO, …) on a live store must NOT silently degrade the
+        # committed set to marker-files-only — every rolled token would
+        # read as 'uncommitted', late redeliveries would re-append rows
+        # the store already holds, and the compacted-gen counter could
+        # reuse a rolled index (r14 ADVICE #3; narrowed from OSError
+        # per r15 ADVICE #1). The manifest is written tmp+atomic-
+        # replace, so corrupt-but-present cannot be a torn write.
         return set()
+    except OSError as exc:
+        raise ValueError(
+            f"unreadable rolled-marker manifest {path!r}: {exc} — this "
+            "file is the single committed-token manifest; a transient "
+            "I/O failure here must fail the operation, not silently "
+            "re-admit already-committed batches"
+        ) from exc
     except ValueError as exc:
         raise ValueError(
             f"corrupt rolled-marker manifest {path!r}: {exc} — this file "

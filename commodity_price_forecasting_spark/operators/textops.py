@@ -113,9 +113,24 @@ def quality_score_rowwise(
     a NULL quality here (division by zero) vs NO ROW from the groupBy
     form — both fail a ``quality >= t`` gate, so the gated pipelines
     agree."""
-    toks = F.filter(
+    # Hoist the tokenization into ONE aliased column in a lower
+    # projection (r16, guide §1.2 per-task work): array higher-order
+    # functions are CodegenFallback (no codegen, no common-
+    # subexpression elimination), so the old single-projection form
+    # re-evaluated trim+split+filter SIX times per row — once per
+    # reference in the blended score. CollapseProject keeps the two
+    # projections separate because the alias is non-cheap and
+    # multiply-referenced; the score expression over the hoisted
+    # column is unchanged, so every quality value is bit-identical.
+    toks_once = F.filter(
         F.split(F.trim(F.col(text_col)), " +"), lambda x: x != ""
     )
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks_once.alias("_toks"),
+        *[F.col(c) for c in keep],
+    )
+    toks = F.col("_toks")
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
     n_stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
@@ -125,8 +140,8 @@ def quality_score_rowwise(
     diversity = F.try_divide(n_distinct, n_tokens)
     stop_ratio = F.try_divide(n_stop, n_tokens)
     stop_score = 1 - F.abs(stop_ratio - F.lit(0.10)) / F.lit(0.9)
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return staged.select(
+        "doc_id",
         n_tokens.cast("long").alias("n_tokens"),  # schema parity with the groupBy form
         F.round(
             0.4 * length_score + 0.3 * diversity + 0.3 * stop_score, 6

@@ -3574,6 +3574,21 @@ def _curation_full_stages(spark: SparkSession, sf_dir: str) -> dict:
     edges = estimated_jaccard(wide, cand, num_hashes=12).filter(
         F.col("est_jaccard") >= 0.5
     )
+    # Fill the multi-consumer caches SEQUENTIALLY before the edges DAG
+    # consumes them (r16, guide §5 caching + §7.1). These caches are
+    # unpersisted at the end of every run (_finish_stage_counts), so
+    # every run refills them COLD — and the edges plan scans ``wide``
+    # 4× (both star-candidate passes + both jaccard sides) with AQE
+    # materializing those branch stages CONCURRENTLY: against a cold
+    # cache each branch recomputes the whole redact→gate→dedup→
+    # shingle→minhash chain instead of waiting for one fill (measured
+    # in the r16 event-log profile: 8 concurrent ~2.9 s 33-task jobs,
+    # ~24 duplicated CPU-seconds per run). Three tiny count jobs in
+    # dependency order (each cache's own lineage is a single chain
+    # over the previous one, so no fill races itself) make every later
+    # scan a warm hit; each fill still happens exactly once per run.
+    for _warm in (red, s3_ids, wide):
+        _warm.count()
     comp = connected_components(edges, "doc_a", "doc_b")
     ranked = comp.join(q, comp.node == F.col("q_doc")).select(
         "component",

@@ -24,6 +24,18 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE re-optimize (coalesce) CACHED plans too (r16, guide
+    # §2.2): with the default false, a .cache() freezes its plan at
+    # the static shuffle width, so every InMemoryRelation scan of a
+    # byte-tiny multi-consumer cache (the minhash signature tables,
+    # the curation stage frames) pays a full core-count task wave per
+    # consumer — measured as the dominant wall of the dedup/curation
+    # lanes on a loaded host (task-count-bound, not data-bound, r15
+    # VERDICT item 3). Explicit user repartitions (the compute-dense
+    # spots deliberately spread in r15) carry REPARTITION_BY_NUM and
+    # are never AQE-coalesced, so this cannot recreate the r15
+    # single-task compute stages.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
@@ -35,7 +47,19 @@ _DEFAULT_CONF: dict[str, str] = {
     # don't fill the checkpoint dir with dead iteration cuts.
     "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
     "spark.ui.enabled": "false",
-    "spark.driver.extraJavaOptions": "-Dio.netty.tryReflectionSetAccessible=true",
+    # -XX:-DontCompileHugeMethods: whole-stage codegen for the unrolled
+    # dot-product expressions (operators/similarity.py, r16) emits ONE
+    # generated Java method of ~10-25 KB bytecode per wide projection;
+    # HotSpot silently refuses to JIT methods over 8 KB, leaving the
+    # hottest arithmetic running in the bytecode INTERPRETER (measured
+    # r16: the unrolled pair-cosine ran 1.6× SLOWER than the
+    # interpreted fold until this flag, 1.5× FASTER with it). Local
+    # mode runs executors in the driver JVM; a cluster deployment sets
+    # the same flag in spark.executor.extraJavaOptions.
+    "spark.driver.extraJavaOptions": (
+        "-Dio.netty.tryReflectionSetAccessible=true "
+        "-XX:-DontCompileHugeMethods"
+    ),
 }
 
 

@@ -330,7 +330,15 @@ def _append_batch_locked(
                         store_write_lock,
                     )
 
-                    with store_write_lock(near_dup_store, "curation:bridges"):
+                    # blocking wait (r15 ADVICE #2): this append runs
+                    # AFTER the batch's verdicts ledger committed, so a
+                    # lock-contention failure here would drop these
+                    # bridge rows permanently (redelivery replays the
+                    # committed ledger and skips bridges); waiting out
+                    # a transient compact beats losing the tally
+                    with store_write_lock(
+                        near_dup_store, "curation:bridges", block_secs=30.0
+                    ):
                         res["bridges"].localCheckpoint(eager=True).write.mode(
                             "append"
                         ).parquet(os.path.join(near_dup_store, "bridges"))
